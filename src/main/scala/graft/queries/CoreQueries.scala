@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage (SURVEY §2.1/§2.2/§2.4): scans, projections,
+  * filters, joins (broadcast + multi-way), hash aggregation, distinct, anti
+  * join, top-k, histogram binning, parse-with-drop. Each query reads the
+  * driver tables from `sfDir` and has a DuckDB oracle.
+  *
+  * Scale notes baked into the plans:
+  *  - dimension tables (region/nation/customer) are broadcast — no shuffle of
+  *    the fact side for those joins;
+  *  - filters are plain column predicates on scan output → parquet
+  *    pushdown/pruning via Catalyst;
+  *  - aggregates are partial+final automatically (map-side combine).
+  */
+object CoreQueries {
+
+  /** O? = reference operator ids from SURVEY §2. */
+  val all: Seq[Q] = Seq(
+    // TPC-H Q1-style pricing summary: scan + filter + hash agg (P3-scale).
+    Q("q01_pricing_summary",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        li.where(col("l_shipdate") < expr("timestamp'2000-01-01'"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity")).as("sum_qty"),
+            sum(col("l_extendedprice")).as("sum_base_price"),
+            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("sum_disc_price"),
+            avg(col("l_quantity")).as("avg_qty"),
+            avg(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(l_quantity) AS sum_qty,
+             |  sum(l_extendedprice) AS sum_base_price,
+             |  sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+             |  avg(l_quantity) AS avg_qty,
+             |  avg(l_discount) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate < TIMESTAMP '2000-01-01'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // O2 analog: parse + malformed-drop semantics (try_cast, drop on failure).
+    Q("q02_parse_extract",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .select(col("event_id"),
+            expr("try_cast(regexp_extract(props, '([0-9]+)', 1) AS INT)").as("k"))
+          .where(col("k").isNotNull),
+      Some("""SELECT event_id,
+             |  TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS k
+             |FROM events
+             |WHERE TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) IS NOT NULL""".stripMargin)),
+
+    // O3: weighted projection (pure Catalyst expression, no shuffle).
+    Q("q03_weighted_proj",
+      (s, dir) =>
+        Tables(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax"))).as("net_price")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS net_price
+             |FROM lineitem""".stripMargin)),
+
+    // Broadcast join (small dim) + aggregation.
+    Q("q11_segment_revenue",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val c = Tables(s, dir, "customer")
+        o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(sum(col("o_totalprice")).as("total_revenue"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, sum(o_totalprice) AS total_revenue,
+             |  count(*) AS n_orders
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // TPC-H Q3-style: 3-way join + agg + deterministic top-k (rounded key +
+    // orderkey tiebreak so Spark and DuckDB select identical rows).
+    Q("q12_top_orders",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+        val o = Tables(s, dir, "orders")
+        val li = Tables(s, dir, "lineitem")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderkey"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY o_orderkey
+             |ORDER BY revenue DESC, o_orderkey
+             |LIMIT 10""".stripMargin)),
+
+    // TPC-H Q5-style: 5-way join, dims broadcast, filter pushed to region scan.
+    Q("q13_nation_revenue",
+      (s, dir) => {
+        val r = Tables(s, dir, "region").where(col("r_name") === "EUROPE")
+        val n = Tables(s, dir, "nation")
+        val c = Tables(s, dir, "customer")
+        val o = Tables(s, dir, "orders")
+        val li = Tables(s, dir, "lineitem")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+             |FROM region
+             |JOIN nation ON n_regionkey = r_regionkey
+             |JOIN customer ON c_nationkey = n_nationkey
+             |JOIN orders ON o_custkey = c_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE r_name = 'EUROPE'
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // P3: group-count aggregation (alert analytics shape).
+    Q("q14_event_type_count",
+      (s, dir) =>
+        Tables(s, dir, "events").groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS n, avg(value) AS avg_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // P4: 10 equal-width histogram bins (identical float arithmetic both
+    // engines: bucket from the exact global min/max).
+    Q("q15_value_histogram",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val b = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+        ev.crossJoin(broadcast(b))
+          .select(least(floor((col("value") - col("mn")) /
+            ((col("mx") - col("mn")) / 10.0)).cast("int"), lit(9)).as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
+             |SELECT least(CAST(floor((value - mn) / ((mx - mn) / 10.0)) AS INT), 9) AS bucket,
+             |  count(*) AS n
+             |FROM events, b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Anti join (set-difference shape): customers with no high-value order.
+    Q("q16_customers_without_big_orders",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val o = Tables(s, dir, "orders").where(col("o_totalprice") > 400000.0)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Distinct (shuffle dedup).
+    Q("q17_distinct_flags",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus")).distinct()
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Date-range filter pushdown + agg.
+    Q("q18_order_priority",
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .where(col("o_orderdate") >= expr("timestamp'1997-01-01'") &&
+            col("o_orderdate") < expr("timestamp'1998-01-01'"))
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+          .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority, count(*) AS n FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+  )
+}

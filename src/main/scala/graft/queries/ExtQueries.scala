@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data-pipeline extensions (SURVEY §7.6): dedup, similarity
+  * search, text analysis, multimodal metadata — each with a DuckDB oracle
+  * built from engine-portable primitives (md5, regex, list ops) so the
+  * results are bit-comparable across engines.
+  */
+object ExtQueries {
+
+  /** Tokenizer shared by the text queries: lowercase, split on non-alnum,
+    * drop empties. Mirrored exactly in the DuckDB oracles. */
+  private def tokens(c: org.apache.spark.sql.Column) =
+    filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
+
+  private val duckTokens =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)"
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is",
+    "on", "for", "with")
+  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  val all: Seq[Q] = Seq(
+    // ---- Deduplication -------------------------------------------------
+    // Exact dedup: hash-groupBy on content digest; canonical id = min doc_id.
+    // At 100 TB this is the standard exact-dedup shuffle: group by digest,
+    // never by the full text bytes.
+    Q("q20_dedup_exact",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .groupBy(md5(col("text")).as("text_hash"))
+          .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+          .orderBy(col("text_hash")),
+      Some("""SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+             |  count(*) AS n_copies
+             |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin)),
+
+    // ---- Text analysis -------------------------------------------------
+    // Token counting + quality scoring (length/stopword/punctuation ratios).
+    Q("q21_text_stats",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+        d.select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          (aggregate(transform(col("toks"), t => length(t)), lit(0),
+            (a, x) => a + x).cast("double") /
+            nullif(size(col("toks")), lit(0))).as("avg_token_len"),
+          (size(filter(col("toks"),
+            t => t.isin(stopwords: _*))).cast("double") /
+            nullif(size(col("toks")), lit(0))).as("stop_ratio"),
+          (size(split(col("text"), "[.,;:!?]")) - 1).as("n_punct"),
+          length(col("text")).as("text_len"))
+          .withColumn("quality",
+            lit(0.5) * least(lit(1.0), col("n_tokens") / 100.0) +
+              lit(0.3) * col("stop_ratio") +
+              lit(0.2) * least(lit(1.0), col("avg_token_len") / 8.0))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        s"""WITH d AS (SELECT doc_id, text, $duckTokens AS toks FROM documents),
+           |s AS (
+           |  SELECT doc_id,
+           |    len(toks) AS n_tokens,
+           |    CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum') AS DOUBLE)
+           |      / nullif(len(toks), 0) AS avg_token_len,
+           |    CAST(len(list_filter(toks, t -> t IN ($stopList))) AS DOUBLE)
+           |      / nullif(len(toks), 0) AS stop_ratio,
+           |    len(string_split_regex(text, '[.,;:!?]')) - 1 AS n_punct,
+           |    len(text) AS text_len
+           |  FROM d)
+           |SELECT doc_id, n_tokens, avg_token_len, stop_ratio, n_punct, text_len,
+           |  0.5 * least(1.0, n_tokens / 100.0) + 0.3 * stop_ratio
+           |    + 0.2 * least(1.0, avg_token_len / 8.0) AS quality
+           |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // Language-ID n-gram/stopword heuristic with a deterministic argmax.
+    Q("q22_langid",
+      (s, dir) => {
+        def hits(pat: String) =
+          size(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
+        Tables(s, dir, "documents").select(
+          col("doc_id"),
+          hits("\\b(?:the|and|of|to|in|that)\\b").as("c_en"),
+          hits("\\b(?:der|die|und|das|ist|nicht)\\b").as("c_de"),
+          hits("\\b(?:le|les|et|des|une|est)\\b").as("c_fr"),
+          hits("\\b(?:el|los|y|que|una|como)\\b").as("c_es"))
+          .withColumn("predicted_lang",
+            when(col("c_en") >= col("c_de") && col("c_en") >= col("c_fr") &&
+              col("c_en") >= col("c_es"), "en")
+              .when(col("c_de") >= col("c_fr") && col("c_de") >= col("c_es"), "de")
+              .when(col("c_fr") >= col("c_es"), "fr")
+              .otherwise("es"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH c AS (
+          |  SELECT doc_id,
+          |    len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|in|that)\b')) AS c_en,
+          |    len(regexp_extract_all(lower(text), '\b(?:der|die|und|das|ist|nicht)\b')) AS c_de,
+          |    len(regexp_extract_all(lower(text), '\b(?:le|les|et|des|une|est)\b')) AS c_fr,
+          |    len(regexp_extract_all(lower(text), '\b(?:el|los|y|que|una|como)\b')) AS c_es
+          |  FROM documents)
+          |SELECT doc_id, c_en, c_de, c_fr, c_es,
+          |  CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+          |       WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+          |       WHEN c_fr >= c_es THEN 'fr'
+          |       ELSE 'es' END AS predicted_lang
+          |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Document fingerprint: digest of the normalized text (whitespace/case/
+    // punctuation-insensitive near-exact dedup key).
+    Q("q23_fingerprint",
+      (s, dir) =>
+        Tables(s, dir, "documents").select(
+          col("doc_id"),
+          md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+            .as("fingerprint"),
+          length(col("text")).as("text_len"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+             |  len(text) AS text_len
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- Similarity search --------------------------------------------
+    // Brute-force cosine top-5: queries (vec_id<10) broadcast against all
+    // candidates — the exact baseline every ANN variant is judged against.
+    // Ranking key is round(cos, 6) with vec_id tiebreak so both engines
+    // select identical rows.
+    Q("q24_ann_cosine_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        val qs = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("e").as("qe"))
+        val cand = emb.where(col("vec_id") >= 10)
+        val dot = aggregate(zip_with(col("qe"), col("e"), (a, b) => a * b),
+          lit(0.0), (a, x) => a + x)
+        def norm(c: org.apache.spark.sql.Column) =
+          sqrt(aggregate(transform(c, x => x * x), lit(0.0), (a, x) => a + x))
+        cand.crossJoin(broadcast(qs))
+          .select(col("query_id"), col("vec_id"),
+            round(dot / (norm(col("qe")) * norm(col("e"))), 6).as("cos_sim"))
+          .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(col("cos_sim").desc, col("vec_id"))))
+          .where(col("rk") <= 5)
+          .select(col("query_id"), col("vec_id"), col("cos_sim"))
+          .orderBy(col("query_id"), col("vec_id"))
+      },
+      Some(
+        """SELECT query_id, vec_id, cos_sim FROM (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+          |    round(list_cosine_similarity(q.e, c.e), 6) AS cos_sim,
+          |    row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC, c.vec_id) AS rk
+          |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          |        FROM embeddings WHERE vec_id < 10) q
+          |  CROSS JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          |              FROM embeddings WHERE vec_id >= 10) c
+          |) t WHERE rk <= 5 ORDER BY query_id, vec_id""".stripMargin)),
+
+    // IVF-style partitioned ANN: `label` is the coarse-quantizer cell; the
+    // search only joins within a cell (co-partitioned join on label → at
+    // scale this prunes (cells−1)/cells of all comparisons).
+    Q("q25_ann_ivf",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+        val a = emb.select(col("vec_id"), col("label"), col("e"))
+        val b = emb.select(col("vec_id").as("neighbor_id"), col("label"),
+          col("e").as("ne"))
+        val dot = aggregate(zip_with(col("e"), col("ne"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)
+        def norm(c: org.apache.spark.sql.Column) =
+          sqrt(aggregate(transform(c, x => x * x), lit(0.0), (acc, x) => acc + x))
+        a.join(b, "label")
+          .where(col("vec_id") =!= col("neighbor_id"))
+          .select(col("vec_id"), col("neighbor_id"),
+            round(dot / (norm(col("e")) * norm(col("ne"))), 6).as("cos_sim"))
+          .withColumn("rk", row_number().over(Window.partitionBy(col("vec_id"))
+            .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+          .where(col("rk") <= 3)
+          .select(col("vec_id"), col("neighbor_id"), col("cos_sim"))
+          .orderBy(col("vec_id"), col("neighbor_id"))
+      },
+      Some(
+        """SELECT vec_id, neighbor_id, cos_sim FROM (
+          |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+          |    round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim,
+          |    row_number() OVER (PARTITION BY a.vec_id
+          |      ORDER BY round(list_cosine_similarity(a.e, b.e), 6) DESC, b.vec_id) AS rk
+          |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) a
+          |  JOIN (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) b
+          |    ON a.label = b.label AND a.vec_id <> b.vec_id
+          |) t WHERE rk <= 3 ORDER BY vec_id, neighbor_id""".stripMargin)),
+
+    // ---- Multimodal metadata ------------------------------------------
+    // Opaque-binary pipeline shape: payload as bytes + typed metadata; the
+    // "decode" is a deterministic md5-derived stub (no media libs in this
+    // environment — see graft.ext.Multimodal for the typed mapPartitions
+    // plumbing). Expressed portably so DuckDB verifies the same math.
+    Q("q29_multimodal_meta",
+      (s, dir) =>
+        Tables(s, dir, "documents").selectExpr(
+          "doc_id",
+          "octet_length(cast(text AS BINARY)) AS byte_len",
+          "ascii(substr(md5(text), 1, 1)) * 8 + ascii(substr(md5(text), 2, 1)) AS fake_width",
+          "ascii(substr(md5(text), 3, 1)) * 8 + ascii(substr(md5(text), 4, 1)) AS fake_height",
+          "cast(floor(n_chars / 100) AS BIGINT) + 1 AS n_frames")
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  octet_length(CAST(text AS BLOB)) AS byte_len,
+             |  ascii(substr(md5(text), 1, 1)) * 8 + ascii(substr(md5(text), 2, 1)) AS fake_width,
+             |  ascii(substr(md5(text), 3, 1)) * 8 + ascii(substr(md5(text), 4, 1)) AS fake_height,
+             |  n_chars // 100 + 1 AS n_frames
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,36 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine query: a Spark implementation plus (when SQL-expressible) an
+  * equivalent ANSI-SQL oracle the driver runs in DuckDB over the same parquet
+  * tables. Column names must match between the two (the driver sorts columns
+  * by name before hashing values). */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None,
+    /** included in Bench headline timing */
+    bench: Boolean = true)
+
+object Tables {
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    * outright at schema conversion. No query needs it (ordering uses
+    * event_id), so events is read with an explicit clipped schema — parquet
+    * schema clipping then never touches the nanos column, independent of any
+    * session config the caller might have. */
+  private val eventsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events")
+      spark.read.schema(eventsSchema).parquet(s"$dir/$name.parquet")
+    else spark.read.parquet(s"$dir/$name.parquet")
+}
+
+object Registry {
+  lazy val all: Seq[Q] =
+    CoreQueries.all ++ WindowQueries.all ++ ExtQueries.all
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}

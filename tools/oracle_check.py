@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate (dev tool only; the
+engine itself never uses Python). Reads Verify.scala's output dir
+(<out>/<query>/ parquet + oracle_sql.json), runs each oracle SQL in DuckDB
+over the same sf dir's parquet tables, and compares: row count, column
+names, and values (sorted columns, sorted rows, float tolerance).
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if v is None:
+        return ("null",)
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, (int,)):
+        return ("n", float(v))
+    if isinstance(v, float):
+        return ("n", v)
+    return ("s", str(v))
+
+
+def close(a, b):
+    if a[0] != b[0]:
+        # allow int/float cross-type numeric compare
+        return False
+    if a[0] == "n":
+        x, y = a[1], b[1]
+        if math.isnan(x) and math.isnan(y):
+            return True
+        return math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)
+    return a == b
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            got_cols = sorted(got.columns)
+            got_rows = got.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: engine output unreadable: {e}")
+            n_fail += 1
+            continue
+        try:
+            exp = con.sql(sql)
+            exp_cols = sorted(exp.columns)
+            exp_rows = exp.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {str(e).splitlines()[0]}")
+            n_fail += 1
+            continue
+        if [c.lower() for c in got_cols] != [c.lower() for c in exp_cols]:
+            print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
+            n_fail += 1
+            continue
+        if len(got_rows) != len(exp_rows):
+            print(f"FAIL {name}: rows {len(got_rows)} != {len(exp_rows)}")
+            n_fail += 1
+            continue
+        # reorder values to sorted-column order, then sort rows
+        gperm = [got.columns.index(c) for c in got_cols]
+        eperm = [exp.columns.index(c) for c in exp_cols]
+        g = sorted([norm(r[i]) for i in gperm] for r in got_rows)
+        e = sorted([norm(r[i]) for i in eperm] for r in exp_rows)
+        bad = None
+        for i, (gr, er) in enumerate(zip(g, e)):
+            if not all(close(a, b) for a, b in zip(gr, er)):
+                bad = (i, gr, er)
+                break
+        if bad:
+            print(f"FAIL {name}: first diff at sorted row {bad[0]}:\n"
+                  f"  got {bad[1]}\n  exp {bad[2]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got_rows)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
