@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection at training-pipeline scale (SURVEY §7.6):
+  * n-gram Jaccard (exact verify), MinHash signatures + LSH banding (the
+  * 100 TB candidate-generation path), SimHash fingerprints, and brute-force
+  * embedding similarity pairs. All hashing is md5-string-based so the DuckDB
+  * oracle reproduces every value bit-for-bit.
+  *
+  * Scale design: the gram→pair self-join (q26) is quadratic in hot shingles
+  * and exists as the exact baseline; the production path is q27/q28 —
+  * signatures are fixed-size (K md5 strings per doc), banding turns
+  * similarity search into an equi-join on (band, band_key), and the exact
+  * Jaccard verify runs only on LSH candidates.
+  */
+object DedupQueries {
+
+  private val K = 12 // minhash functions
+  private val RowsPerBand = 3 // → 4 bands
+
+  /** Distinct word 3-gram shingles per document. */
+  private def grams(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
+      t => length(t) > 0)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) >= 3,
+          array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
+            i => concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))))
+          .otherwise(array().cast("array<string>")).as("grams"))
+  }
+
+  private def gramRows(s: SparkSession, dir: String): DataFrame =
+    grams(s, dir).select(col("doc_id"), explode(col("grams")).as("gram"))
+
+  /** Shared oracle prefix: tokenize → distinct 3-gram shingles → exploded. */
+  private val duckGrams: String =
+    """WITH d AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+      |  THEN list_transform(generate_series(1, len(toks)-2),
+      |       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |  ELSE [] END) AS grams FROM d),
+      |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      |sizes AS (SELECT doc_id, len(grams) AS n FROM g)""".stripMargin
+
+  /** MinHash signature rows (doc_id, i, h): h = min over shingles of
+    * md5(i || '_' || shingle) — the lexicographic min of a salted digest is a
+    * valid random min-hash and is engine-portable. */
+  private def minhashRows(s: SparkSession, dir: String): DataFrame = {
+    val hs = s.range(1, K + 1).select(col("id").cast("int").as("i"))
+    gramRows(s, dir)
+      .join(broadcast(hs))
+      .select(col("doc_id"), col("i"),
+        md5(concat(col("i").cast("string"), lit("_"), col("gram"))).as("h"))
+      .groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("h"))
+  }
+
+  /** LSH bands: band key = digest of the band's signature slice in i-order. */
+  private def bandsDf(s: SparkSession, dir: String): DataFrame =
+    minhashRows(s, dir)
+      .withColumn("band", expr(s"(i - 1) div $RowsPerBand"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5(array_join(
+        transform(sort_array(collect_list(struct(col("i"), col("h")))),
+          x => x.getField("h")), ",")).as("band_key"))
+
+  private val duckMinhash: String =
+    duckGrams + s""",
+      |hs AS (SELECT unnest(generate_series(1, $K)) AS i),
+      |eh AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '_' || gram)) AS h
+      |       FROM e CROSS JOIN hs GROUP BY doc_id, i),
+      |bands AS (SELECT doc_id, (i-1)//$RowsPerBand AS band,
+      |                 md5(string_agg(h, ',' ORDER BY i)) AS band_key
+      |          FROM eh GROUP BY doc_id, (i-1)//$RowsPerBand)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    // Exact n-gram Jaccard near-dup pairs (threshold 0.5) — the baseline
+    // the LSH path is verified against.
+    Q("q26_jaccard_pairs",
+      (s, dir) => {
+        val e = gramRows(s, dir)
+        val sizes = grams(s, dir).select(col("doc_id"), size(col("grams")).as("n"))
+        val pairs = e.as("a")
+          .join(e.as("b"),
+            col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("common"))
+        pairs
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("common"),
+            (col("common") / (col("na") + col("nb") - col("common"))).as("jaccard"))
+          .where(col("jaccard") >= 0.5)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(duckGrams + """,
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |          FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, common,
+        |  CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // MinHash + LSH band keys per document (the fixed-size sketch that
+    // replaces all-pairs comparison at scale).
+    Q("q27_minhash_bands",
+      (s, dir) => bandsDf(s, dir).orderBy(col("doc_id"), col("band")),
+      Some(duckMinhash +
+        "\nSELECT doc_id, band, band_key FROM bands ORDER BY doc_id, band")),
+
+    // LSH candidate pairs (same band key in any band) verified with exact
+    // Jaccard — candidate-driven, so the expensive verify touches only
+    // bucket collisions, never the full pair space.
+    Q("q28_minhash_pairs",
+      (s, dir) => {
+        val bands = bandsDf(s, dir)
+        val cands = bands.as("x")
+          .join(bands.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.band_key") === col("y.band_key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val e = gramRows(s, dir)
+        val sizes = grams(s, dir).select(col("doc_id"), size(col("grams")).as("n"))
+        val common = cands
+          .join(e.as("a"), col("doc_a") === col("a.doc_id"))
+          .join(e.as("b"),
+            col("doc_b") === col("b.doc_id") && col("a.gram") === col("b.gram"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+        common
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            (col("common") / (col("na") + col("nb") - col("common"))).as("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(duckMinhash + """,
+        |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |          FROM bands x JOIN bands y
+        |            ON x.band = y.band AND x.band_key = y.band_key
+        |           AND x.doc_id < y.doc_id),
+        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |           FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2)
+        |SELECT c.doc_a, c.doc_b,
+        |  CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+        |FROM cands c
+        |JOIN common m ON c.doc_a = m.doc_a AND c.doc_b = m.doc_b
+        |JOIN sizes sa ON c.doc_a = sa.doc_id
+        |JOIN sizes sb ON c.doc_b = sb.doc_id
+        |ORDER BY c.doc_a, c.doc_b""".stripMargin)),
+
+    // SimHash fingerprint (16-bit md5-nibble variant, engine-portable):
+    // per token, bit j votes +1 if the high bit of md5 hex digit j is set;
+    // fingerprint bit = sign of the vote sum. Hamming-close fingerprints ≈
+    // near-duplicates.
+    Q("q30_simhash",
+      (s, dir) => {
+        val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
+          t => length(t) > 0)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), array_distinct(toks).as("toks"))
+          .select(col("doc_id"), array_join(
+            transform(sequence(lit(1), lit(16)), j =>
+              when(aggregate(col("toks"), lit(0), (acc, t) =>
+                acc + when(md5(t).substr(j, lit(1))
+                  .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+                  .otherwise(-1)) > 0, lit("1")).otherwise(lit("0"))),
+            "").as("simhash16"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH d AS (SELECT doc_id,
+          |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS toks
+          |  FROM documents),
+          |toksd AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM d),
+          |js AS (SELECT unnest(generate_series(1, 16)) AS j),
+          |votes AS (SELECT doc_id, j,
+          |  sum(CASE WHEN substr(md5(tok), j, 1) IN ('8','9','a','b','c','d','e','f')
+          |           THEN 1 ELSE -1 END) AS v
+          |  FROM toksd CROSS JOIN js GROUP BY doc_id, j)
+          |SELECT doc_id,
+          |  string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash16
+          |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Embedding-cosine near-dup baseline: global top-20 most similar pairs
+    // by brute force (the exact answer LSH/IVF variants approximate).
+    Q("q31_embedding_pairs",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        val dot = aggregate(zip_with(col("ae"), col("be"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)
+        def norm(c: Column) =
+          sqrt(aggregate(transform(c, x => x * x), lit(0.0), (acc, x) => acc + x))
+        emb.select(col("vec_id").as("id_a"), col("e").as("ae"))
+          .join(emb.select(col("vec_id").as("id_b"), col("e").as("be")),
+            col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(dot / (norm(col("ae")) * norm(col("be"))), 6).as("cos_sim"))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))))
+          .where(col("rk") <= 20)
+          .select(col("id_a"), col("id_b"), col("cos_sim"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(
+        """SELECT id_a, id_b, cos_sim FROM (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+          |                                 CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim,
+          |    row_number() OVER (ORDER BY round(list_cosine_similarity(
+          |      CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) DESC,
+          |      a.vec_id, b.vec_id) AS rk
+          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          |) t WHERE rk <= 20 ORDER BY id_a, id_b""".stripMargin))
+  )
+}
