@@ -1,0 +1,63 @@
+package graft.gen
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.measures.Measures
+import graft.sources.Sources
+
+/** Population threshold job (≙ dataGeneration/psd.R:26-70, G2 in SURVEY
+  * §2.3): for each of the 7 series (6 assets + weighted portfolio) over the
+  * full sample table, compute the six statistics → the stats.csv-shaped
+  * table (stat, assetNo, thr).
+  *
+  * Scale design: everything is per-group aggregation over (assetNo) — exact
+  * percentiles and rank sums shuffle once on the series key; the rank-based
+  * tail/GMD computations use the sorted-identity forms, O(n log n) per
+  * group, no pairwise joins. Faithful to psd.R semantics:
+  *   - quantile: R type-7 == Spark exact `percentile` interpolation;
+  *   - tail: mean of exactly the ⌊n/10⌋ smallest (psd.R:46-50);
+  *   - SM1: mean − Σ|mean−x|/(2n) (psd.R:52-62);
+  *   - SM2 row: sjstats::gmd — the UNBIASED Gini mean difference
+  *     2·Σᵢ(2i−n−1)sᵢ/(n(n−1)) (psd.R:64-68; SURVEY §2.5 Q5 keeps this
+  *     as data, distinct from the window-side 2n² formula).
+  */
+object PopulationStats {
+
+  /** samples: columns a0..a5 → (stat, assetNo, thr), 6×7 rows. */
+  def thresholds(samples: DataFrame): DataFrame = {
+    val series = Sources.toSeries(samples.withColumn("seq", lit(0L)))
+      .select(col("assetNo"), col("x"))
+    val byAsset = Window.partitionBy(col("assetNo"))
+    val ranked = series
+      .withColumn("rnk", row_number().over(byAsset.orderBy(col("x"))))
+      .withColumn("n", count(lit(1)).over(byAsset))
+      .withColumn("mean", avg(col("x")).over(byAsset))
+    val agg = ranked.groupBy(col("assetNo")).agg(
+      first(col("n")).as("n"),
+      first(col("mean")).as("mean"),
+      expr("percentile(x, 0.5)").as("median"),
+      expr("percentile(x, 0.1)").as("q10"),
+      avg(when(col("rnk") <= (col("n") / lit(10)).cast("long"), col("x")))
+        .as("tail"),
+      avg(abs(col("x") - col("mean"))).as("mad"),
+      sum((col("rnk") * 2 - col("n") - 1).cast("double") * col("x"))
+        .as("gsum"))
+    val out = agg.select(
+      col("assetNo"),
+      col("mean"),
+      col("median"),
+      col("q10"),
+      col("tail"),
+      (col("mean") - col("mad") / 2.0).as("sm1"),
+      (lit(2.0) * col("gsum") / (col("n") * (col("n") - 1))).as("gmd"))
+    val rows = Seq(
+      Measures.Mean -> "mean", Measures.Median -> "median",
+      Measures.Q10 -> "q10", Measures.TailMean -> "tail",
+      Measures.Sm1 -> "sm1", Measures.Sm2 -> "gmd")
+    rows.map { case (stat, c) =>
+      out.select(lit(stat).as("stat"), col("assetNo"), col(c).as("thr"))
+    }.reduce(_ unionAll _)
+  }
+}

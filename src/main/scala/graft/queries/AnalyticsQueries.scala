@@ -1,0 +1,34 @@
+package graft.queries
+
+import graft.analytics.AlertAnalytics
+import graft.pipeline.AlertPipeline
+
+/** Alert post-processing queries (SURVEY §2.2 P2–P4) — the reference's
+  * pandas stage collapsed into the engine: the alert Dataset feeds
+  * group-counts and histograms directly. Oracles reuse the q10 alert
+  * pipeline CTE block. */
+object AnalyticsQueries {
+
+  val all: Seq[Q] = Seq(
+    // P3: alert counts per (stat, key) — countings.txt analog.
+    Q("q19_alert_counts",
+      (s, dir) => AlertAnalytics.counts(
+        AlertPipeline.eventAlerts(Tables(s, dir, "events"))),
+      Some(s"""${WindowQueries.alertsWith}
+           |SELECT stat, user_id, count(*) AS n FROM alerts
+           |GROUP BY stat, user_id ORDER BY stat, user_id""".stripMargin)),
+
+    // P4: 10-bin histogram of alert values per stat, bin edges from each
+    // stat group's own min/max (identical float arithmetic both engines).
+    Q("q32_alert_histogram",
+      (s, dir) => AlertAnalytics.histogram(
+        AlertPipeline.eventAlerts(Tables(s, dir, "events"))),
+      Some(s"""${WindowQueries.alertsWith},
+           |edges AS (SELECT stat, min(m) AS mn, max(m) AS mx FROM alerts GROUP BY stat)
+           |SELECT a.stat,
+           |  least(CAST(floor((a.m - e.mn) / ((e.mx - e.mn) / 10)) AS INT), 9) AS bucket,
+           |  count(*) AS n
+           |FROM alerts a JOIN edges e ON a.stat = e.stat
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+  )
+}

@@ -30,7 +30,8 @@ object Tables {
 
 object Registry {
   lazy val all: Seq[Q] =
-    CoreQueries.all ++ WindowQueries.all ++ ExtQueries.all ++ DedupQueries.all
+    CoreQueries.all ++ WindowQueries.all ++ AnalyticsQueries.all ++
+      ExtQueries.all ++ DedupQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -100,8 +100,15 @@ object WindowQueries {
     // (psd.R analog), unpivot, broadcast threshold join, shortfall predicate.
     Q("q10_alerts",
       (s, dir) => AlertPipeline.eventAlerts(Tables(s, dir, "events")),
-      Some(
-        s"""WITH ev AS (SELECT user_id, event_id, CAST(value AS DOUBLE) AS v FROM events),
+      Some(s"""$alertsWith
+           |SELECT user_id, event_id, stat, m, thr FROM alerts""".stripMargin))
+  )
+
+  /** The alert pipeline as a reusable DuckDB WITH-block ending in an
+    * `alerts(user_id, event_id, stat, m, thr)` CTE — analytics oracles
+    * (AnalyticsQueries) build on it. */
+  lazy val alertsWith: String =
+    s"""WITH ev AS (SELECT user_id, event_id, CAST(value AS DOUBLE) AS v FROM events),
            |pop AS (
            |  SELECT count(*) AS n, avg(v) AS mean,
            |         quantile_cont(v, 0.5) AS median, quantile_cont(v, 0.1) AS q10
@@ -139,9 +146,9 @@ object WindowQueries {
            |  UNION ALL SELECT user_id, event_id, '10th quantile', m_q10 FROM meas
            |  UNION ALL SELECT user_id, event_id, 'mean of 10% smallest', m_tail FROM meas
            |  UNION ALL SELECT user_id, event_id, 'security measure 1', m_sm1 FROM meas
-           |  UNION ALL SELECT user_id, event_id, 'security measure 2', m_sm2 FROM meas)
-           |SELECT u.user_id, u.event_id, u.stat, u.m, t.thr
-           |FROM unp u JOIN thr t ON u.stat = t.stat
-           |WHERE u.m < t.thr AND (t.thr - u.m) / (1.0 + t.thr) >= 0.01""".stripMargin))
-  )
+           |  UNION ALL SELECT user_id, event_id, 'security measure 2', m_sm2 FROM meas),
+           |alerts AS (
+           |  SELECT u.user_id, u.event_id, u.stat, u.m, t.thr
+           |  FROM unp u JOIN thr t ON u.stat = t.stat
+           |  WHERE u.m < t.thr AND (t.thr - u.m) / (1.0 + t.thr) >= 0.01)""".stripMargin
 }

@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.measures.Measures
+
+/** Reference-format file sources (SURVEY §2.1 O1/O2/O15).
+  *
+  * Parse contract (StreamingJob.java:61-81): a line is 6 comma-separated
+  * doubles; on ANY parse failure (wrong arity, non-numeric, incl. the R CSV
+  * header) the line is silently dropped — never nulled, never failed.
+  */
+object Sources {
+  val Weights: Seq[Double] = Seq(0.2, 0.2, 0.2, 0.15, 0.15, 0.1)
+
+  /** Samples CSV → (seq, a0..a5). `seq` is the 1-based arrival order of the
+    * VALID rows (dropped lines get no number), the reference's implicit
+    * parallelism-1 contract (SURVEY §2.5 Q8). Assigning it is the one
+    * inherently serial step — at scale the input carries its own sequence
+    * column instead (events.event_id plays that role in the testdata
+    * queries). */
+  def readSamplesCsv(spark: SparkSession, path: String): DataFrame = {
+    val parts = split(col("value"), ",")
+    val fields = (0 until 6).map(i =>
+      expr(s"try_cast(parts[$i] AS DOUBLE)").as(s"a$i"))
+    val parsed = spark.read.text(path)
+      .withColumn("parts", parts)
+      .where(size(col("parts")) === 6)
+      .select(fields :+ monotonically_increasing_id().as("file_pos"): _*)
+      .where((0 until 6).map(i => col(s"a$i").isNotNull).reduce(_ && _))
+    parsed
+      .withColumn("seq", row_number().over(Window.orderBy(col("file_pos"))))
+      .drop("file_pos")
+  }
+
+  /** stats.csv (headerless, 6 rows × 7 doubles; psd.R:70) → unpivoted
+    * (stat, assetNo, thr), broadcast-sized. Row order defines the measure
+    * (psd.R:28-68); the SM2 row holds sjstats::gmd output — kept as data
+    * (SURVEY §2.5 Q5). */
+  def readStatsCsv(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.csv(path) // _c0.._c6 strings
+    val withStat = raw
+      .withColumn("file_pos", monotonically_increasing_id())
+      .withColumn("rowIdx",
+        row_number().over(Window.orderBy(col("file_pos"))) - 1)
+    val statName = Measures.names.zipWithIndex.tail
+      .foldLeft(when(col("rowIdx") === 0, Measures.names.head)) {
+        case (acc, (n, i)) => acc.when(col("rowIdx") === i, n)
+      }
+    val unpivot = (0 to 6).map(a =>
+      struct(lit(a).as("assetNo"),
+        col(s"_c$a").cast("double").as("thr")))
+    withStat
+      .select(statName.as("stat"), explode(array(unpivot: _*)).as("x"))
+      .select(col("stat"), col("x.assetNo"), col("x.thr"))
+  }
+
+  /** Adds the derived whole-portfolio series (StreamingJob.java:174-180) and
+    * unpivots to (seq, assetNo 0..6, x) — series 6 is the portfolio. */
+  def toSeries(samples: DataFrame): DataFrame = {
+    val overall = Weights.zipWithIndex
+      .map { case (w, i) => col(s"a$i") * w }
+      .reduce(_ + _)
+    val entries = (0 until 6).map(i =>
+      struct(lit(i).as("assetNo"), col(s"a$i").as("x"))) :+
+      struct(lit(6).as("assetNo"), overall.as("x"))
+    samples.select(col("seq"), explode(array(entries: _*)).as("s"))
+      .select(col("seq"), col("s.assetNo"), col("s.x"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class SourcesSpec extends AnyFunSuite with SparkTestBase {
+
+  private def writeTemp(name: String, lines: Seq[String]): String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_src")
+      .resolve(name)
+    java.nio.file.Files.write(p, String.join("\n", lines: _*).getBytes)
+    p.toString
+  }
+
+  test("samples CSV: header, garbage, wrong arity all silently dropped") {
+    val path = writeTemp("samples.csv", Seq(
+      "\"V1\",\"V2\",\"V3\",\"V4\",\"V5\",\"V6\"", // R header → drop
+      "0.01,0.02,0.03,0.04,0.05,0.06", // valid → seq 1
+      "garbage line", // drop (arity)
+      "0.1,0.2,0.3,0.4,0.5", // drop (5 fields)
+      "0.1,0.2,abc,0.4,0.5,0.6", // drop (non-numeric)
+      "-0.01,-0.02,-0.03,-0.04,-0.05,-0.06", // valid → seq 2
+      "1,2,3,4,5,6,7" // drop (7 fields)
+    ))
+    val df = Sources.readSamplesCsv(spark, path)
+    val rows = df.orderBy("seq").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Double]("a0") === 0.01)
+    assert(rows(0).getAs[Int]("seq") === 1)
+    assert(rows(1).getAs[Double]("a5") === -0.06)
+    assert(rows(1).getAs[Int]("seq") === 2)
+  }
+
+  test("stats CSV: 6 rows × 7 cols unpivot to 42 (stat, assetNo, thr)") {
+    // measure order fixed by psd.R:28-68
+    val path = writeTemp("stats.csv", (1 to 6).map(r =>
+      (0 to 6).map(a => s"0.$r$a").mkString(",")))
+    val df = Sources.readStatsCsv(spark, path)
+    assert(df.count() === 42)
+    val m = df.collect().map(r =>
+      (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(m(("mean", 0)) === 0.10)
+    assert(m(("median", 3)) === 0.23)
+    assert(m(("security measure 2", 6)) === 0.66)
+  }
+
+  test("toSeries adds the weighted portfolio as series 6") {
+    import spark.implicits._
+    val df = Seq((1, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6))
+      .toDF("seq", "a0", "a1", "a2", "a3", "a4", "a5")
+    val s = Sources.toSeries(df).collect()
+      .map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    assert(s(0) === 0.1)
+    assert(s(5) === 0.6)
+    val expected = 0.2 * 0.1 + 0.2 * 0.2 + 0.2 * 0.3 + 0.15 * 0.4 +
+      0.15 * 0.5 + 0.1 * 0.6
+    assert(math.abs(s(6) - expected) < 1e-12)
+  }
+}
