@@ -21,9 +21,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/codegen once so timings measure the engine, not JIT.
-    Registry.byName.get("q01_pricing_summary")
-      .foreach(q => q.run(spark, sfDir).count())
+    // Warm the JVM/codegen once so timings measure the engine, not JIT —
+    // one relational and one document-pipeline query.
+    Seq("q01_pricing_summary", "q22_langid").foreach(n =>
+      Registry.byName.get(n).foreach(q => q.run(spark, sfDir).count()))
     val results = Registry.all.filter(_.bench).map { q =>
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()

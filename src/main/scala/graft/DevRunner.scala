@@ -19,6 +19,14 @@ object DevRunner {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.length > 2 && args(2) == "explain") {
+      Registry.all.filter(_.name.startsWith(prefix)).foreach { q =>
+        println(s"===== ${q.name}")
+        q.run(spark, sfDir).explain("formatted")
+      }
+      spark.stop()
+      return
+    }
     var failed = 0
     if (prefix.isEmpty) {
       // driver t1 smoke contract: entry() on sf0.001 must return rows > 0
@@ -29,7 +37,11 @@ object DevRunner {
     Registry.all.filter(_.name.startsWith(prefix)).foreach { q =>
       val t0 = System.nanoTime()
       try {
-        val n = q.run(spark, sfDir).count()
+        val df = q.run(spark, sfDir)
+        val n =
+          if (args.length > 2 && args(2) == "force") {
+            df.write.format("noop").mode("overwrite").save(); -1L
+          } else df.count()
         println(f"[dev] ${q.name}%-28s rows=$n%-8d ${(System.nanoTime() - t0) / 1e9}%.2fs")
       } catch {
         case e: Throwable =>

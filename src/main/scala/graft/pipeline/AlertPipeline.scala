@@ -66,7 +66,8 @@ object AlertPipeline {
     val spark = ev.sparkSession
     import spark.implicits._
     val v = col(vCol)
-    val head = ev.agg(
+    val cached = ev.cache()
+    val head = cached.agg(
       count(lit(1)), avg(v),
       expr(s"percentile($vCol, 0.5)"), expr(s"percentile($vCol, 0.1)")).head()
     val n = head.getLong(0)
@@ -74,12 +75,17 @@ object AlertPipeline {
     val med = head.getDouble(2)
     val q = head.getDouble(3)
     val k = (n / 10).toInt
-    val ranked = ev.withColumn("thr_rn", row_number().over(Window.orderBy(v)))
-    val tail = ranked.where(col("thr_rn") <= k).agg(avg(v)).head().getDouble(0)
-    val mad = ev.agg(avg(abs(v - m))).head().getDouble(0)
-    val gsum = ranked
-      .agg(sum((col("thr_rn") * 2 - (n + 1)).cast("double") * v))
-      .head().getDouble(0)
+    // tail mean, MAD and the GMD rank-sum share one ranked pass (one job)
+    val ranked = cached
+      .withColumn("thr_rn", row_number().over(Window.orderBy(v)))
+    val row2 = ranked.agg(
+      avg(when(col("thr_rn") <= k, v)),
+      avg(abs(v - m)),
+      sum((col("thr_rn") * 2 - (n + 1)).cast("double") * v)).head()
+    val tail = row2.getDouble(0)
+    val mad = row2.getDouble(1)
+    val gsum = row2.getDouble(2)
+    cached.unpersist(blocking = false)
     Seq(
       Measures.Mean -> m,
       Measures.Median -> med,
@@ -96,6 +102,7 @@ object AlertPipeline {
   def eventAlerts(events: DataFrame, n: Int = WindowSize): DataFrame = {
     val ev = events
       .select(col("user_id"), col("event_id"), col("value").cast("double").as("v"))
+      .cache() // read once: feeds both the threshold build and the window pass
     val thr = populationThresholds(ev.select(col("v")))
     val meas = windowed(ev, col("user_id"), col("event_id"), col("v"), n)
       .select(Seq(col("user_id"), col("event_id")) ++ measureColumns(n): _*)

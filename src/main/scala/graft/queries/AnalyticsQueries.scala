@@ -20,9 +20,10 @@ object AnalyticsQueries {
 
     // P4: 10-bin histogram of alert values per stat, bin edges from each
     // stat group's own min/max (identical float arithmetic both engines).
+    // Alerts cached: they feed both the edge aggregation and the bin join.
     Q("q32_alert_histogram",
       (s, dir) => AlertAnalytics.histogram(
-        AlertPipeline.eventAlerts(Tables(s, dir, "events"))),
+        AlertPipeline.eventAlerts(Tables(s, dir, "events")).cache()),
       Some(s"""${WindowQueries.alertsWith},
            |edges AS (SELECT stat, min(m) AS mn, max(m) AS mx FROM alerts GROUP BY stat)
            |SELECT a.stat,

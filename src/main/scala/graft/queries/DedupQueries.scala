@@ -21,8 +21,19 @@ object DedupQueries {
   private val K = 12 // minhash functions
   private val RowsPerBand = 3 // → 4 bands
 
-  /** Distinct word 3-gram shingles per document. */
-  private def grams(s: SparkSession, dir: String): DataFrame = {
+  /** Distinct word 3-gram shingles per document. Cached: every dedup query
+    * reuses it on both sides of a self-join, and without the barrier
+    * Catalyst inlines the whole tokenize+shingle tree into each consumer
+    * (including the explode's size filter), re-evaluating it several times
+    * per row. At cluster scale this intermediate is exactly what you would
+    * persist/checkpoint before the pair phase. */
+  private def grams(s: SparkSession, dir: String): DataFrame = gramsCache
+    .getOrElseUpdate((s, dir), gramsUncached(s, dir).cache())
+
+  private val gramsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def gramsUncached(s: SparkSession, dir: String): DataFrame = {
     val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
       t => length(t) > 0)
     Tables(s, dir, "documents")
@@ -124,7 +135,8 @@ object DedupQueries {
     // bucket collisions, never the full pair space.
     Q("q28_minhash_pairs",
       (s, dir) => {
-        val bands = bandsDf(s, dir)
+        // cache: the band table sits on both sides of the bucket self-join
+        val bands = bandsDf(s, dir).cache()
         val cands = bands.as("x")
           .join(bands.as("y"),
             col("x.band") === col("y.band") &&
@@ -201,15 +213,12 @@ object DedupQueries {
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-        val dot = aggregate(zip_with(col("ae"), col("be"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x)
-        def norm(c: Column) =
-          sqrt(aggregate(transform(c, x => x * x), lit(0.0), (acc, x) => acc + x))
+        val cos = graft.functions.CosineSimilarity(s)(col("ae"), col("be"))
         emb.select(col("vec_id").as("id_a"), col("e").as("ae"))
           .join(emb.select(col("vec_id").as("id_b"), col("e").as("be")),
             col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"),
-            round(dot / (norm(col("ae")) * norm(col("be"))), 6).as("cos_sim"))
+            round(cos, 6).as("cos_sim"))
           .withColumn("rk", row_number().over(
             Window.orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))))
           .where(col("rk") <= 20)

@@ -39,21 +39,31 @@ object ExtQueries {
 
     // ---- Text analysis -------------------------------------------------
     // Token counting + quality scoring (length/stopword/punctuation ratios).
+    // All counts via codegen'd regexp primitives, NOT per-token lambda HOFs:
+    // a token is exactly an [a-z0-9]+ run, so token count = run count, token
+    // length sum = alnum char count, and stopword hits = \b-bounded matches
+    // (identical on alnum tokenization). ~10× cheaper per row than the HOF
+    // formulation — this is the hot shape for 100 TB document scoring.
     Q("q21_text_stats",
       (s, dir) => {
-        val d = Tables(s, dir, "documents")
-          .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
-        d.select(
-          col("doc_id"),
-          size(col("toks")).as("n_tokens"),
-          (aggregate(transform(col("toks"), t => length(t)), lit(0),
-            (a, x) => a + x).cast("double") /
-            nullif(size(col("toks")), lit(0))).as("avg_token_len"),
-          (size(filter(col("toks"),
-            t => t.isin(stopwords: _*))).cast("double") /
-            nullif(size(col("toks")), lit(0))).as("stop_ratio"),
-          (size(split(col("text"), "[.,;:!?]")) - 1).as("n_punct"),
-          length(col("text")).as("text_len"))
+        val lowered = lower(col("text"))
+        val stopPat = "\\b(?:" + stopwords.mkString("|") + ")\\b"
+        Tables(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(lowered, lit("[a-z0-9]+"), lit(0)))
+              .as("n_tokens"),
+            length(regexp_replace(lowered, "[^a-z0-9]+", "")).as("alnum_len"),
+            size(regexp_extract_all(lowered, lit(stopPat), lit(0)))
+              .as("n_stop"),
+            (size(split(col("text"), "[.,;:!?]")) - 1).as("n_punct"),
+            length(col("text")).as("text_len"))
+          .select(col("doc_id"), col("n_tokens"),
+            (col("alnum_len").cast("double") / nullif(col("n_tokens"), lit(0)))
+              .as("avg_token_len"),
+            (col("n_stop").cast("double") / nullif(col("n_tokens"), lit(0)))
+              .as("stop_ratio"),
+            col("n_punct"), col("text_len"))
           .withColumn("quality",
             lit(0.5) * least(lit(1.0), col("n_tokens") / 100.0) +
               lit(0.3) * col("stop_ratio") +
@@ -61,20 +71,21 @@ object ExtQueries {
           .orderBy(col("doc_id"))
       },
       Some(
-        s"""WITH d AS (SELECT doc_id, text, $duckTokens AS toks FROM documents),
-           |s AS (
+        s"""WITH s AS (
            |  SELECT doc_id,
-           |    len(toks) AS n_tokens,
-           |    CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum') AS DOUBLE)
-           |      / nullif(len(toks), 0) AS avg_token_len,
-           |    CAST(len(list_filter(toks, t -> t IN ($stopList))) AS DOUBLE)
-           |      / nullif(len(toks), 0) AS stop_ratio,
+           |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+           |    len(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS alnum_len,
+           |    len(regexp_extract_all(lower(text), '\\b(?:${stopwords.mkString("|")})\\b')) AS n_stop,
            |    len(string_split_regex(text, '[.,;:!?]')) - 1 AS n_punct,
            |    len(text) AS text_len
-           |  FROM d)
-           |SELECT doc_id, n_tokens, avg_token_len, stop_ratio, n_punct, text_len,
-           |  0.5 * least(1.0, n_tokens / 100.0) + 0.3 * stop_ratio
-           |    + 0.2 * least(1.0, avg_token_len / 8.0) AS quality
+           |  FROM documents)
+           |SELECT doc_id, n_tokens,
+           |  CAST(alnum_len AS DOUBLE) / nullif(n_tokens, 0) AS avg_token_len,
+           |  CAST(n_stop AS DOUBLE) / nullif(n_tokens, 0) AS stop_ratio,
+           |  n_punct, text_len,
+           |  0.5 * least(1.0, n_tokens / 100.0)
+           |    + 0.3 * (CAST(n_stop AS DOUBLE) / nullif(n_tokens, 0))
+           |    + 0.2 * least(1.0, CAST(alnum_len AS DOUBLE) / nullif(n_tokens, 0) / 8.0) AS quality
            |FROM s ORDER BY doc_id""".stripMargin)),
 
     // Language-ID n-gram/stopword heuristic with a deterministic argmax.
@@ -138,13 +149,10 @@ object ExtQueries {
         val qs = emb.where(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("e").as("qe"))
         val cand = emb.where(col("vec_id") >= 10)
-        val dot = aggregate(zip_with(col("qe"), col("e"), (a, b) => a * b),
-          lit(0.0), (a, x) => a + x)
-        def norm(c: org.apache.spark.sql.Column) =
-          sqrt(aggregate(transform(c, x => x * x), lit(0.0), (a, x) => a + x))
+        val cos = graft.functions.CosineSimilarity(s)(col("qe"), col("e"))
         cand.crossJoin(broadcast(qs))
           .select(col("query_id"), col("vec_id"),
-            round(dot / (norm(col("qe")) * norm(col("e"))), 6).as("cos_sim"))
+            round(cos, 6).as("cos_sim"))
           .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
             .orderBy(col("cos_sim").desc, col("vec_id"))))
           .where(col("rk") <= 5)
@@ -173,14 +181,11 @@ object ExtQueries {
         val a = emb.select(col("vec_id"), col("label"), col("e"))
         val b = emb.select(col("vec_id").as("neighbor_id"), col("label"),
           col("e").as("ne"))
-        val dot = aggregate(zip_with(col("e"), col("ne"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x)
-        def norm(c: org.apache.spark.sql.Column) =
-          sqrt(aggregate(transform(c, x => x * x), lit(0.0), (acc, x) => acc + x))
+        val cos = graft.functions.CosineSimilarity(s)(col("e"), col("ne"))
         a.join(b, "label")
           .where(col("vec_id") =!= col("neighbor_id"))
           .select(col("vec_id"), col("neighbor_id"),
-            round(dot / (norm(col("e")) * norm(col("ne"))), 6).as("cos_sim"))
+            round(cos, 6).as("cos_sim"))
           .withColumn("rk", row_number().over(Window.partitionBy(col("vec_id"))
             .orderBy(col("cos_sim").desc, col("neighbor_id"))))
           .where(col("rk") <= 3)
