@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational operator coverage (SURVEY §2.1/§2.2/§2.4): scans, projections,
@@ -186,6 +187,62 @@ object CoreQueries {
           .orderBy(col("l_returnflag"), col("l_linestatus")),
       Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Rollup (hierarchical aggregation — free in Spark, absent in the
+    // reference; SURVEY §2.4 grouping-sets row).
+    Q("q34_rollup_pricing",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(l_quantity) AS sum_qty, count(*) AS n
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Set operations: INTERSECT / EXCEPT / UNION (set semantics).
+    Q("q35_set_ops",
+      (s, dir) => {
+        val rich = Tables(s, dir, "customer")
+          .where(col("c_acctbal") > 5000.0).select(col("c_custkey").as("key"))
+        val big = Tables(s, dir, "orders")
+          .where(col("o_totalprice") > 300000.0).select(col("o_custkey").as("key"))
+        def counted(op: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+        counted("intersect", rich.intersect(big))
+          .unionAll(counted("except", rich.except(big)))
+          .unionAll(counted("union", rich.union(big).distinct()))
+          .orderBy(col("op"))
+      },
+      Some("""WITH rich AS (SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000.0),
+             |big AS (SELECT o_custkey AS key FROM orders WHERE o_totalprice > 300000.0)
+             |SELECT 'intersect' AS op, count(*) AS n FROM (SELECT * FROM rich INTERSECT SELECT * FROM big) t
+             |UNION ALL
+             |SELECT 'except', count(*) FROM (SELECT * FROM rich EXCEPT SELECT * FROM big) t
+             |UNION ALL
+             |SELECT 'union', count(*) FROM (SELECT * FROM rich UNION SELECT * FROM big) t
+             |ORDER BY op""".stripMargin)),
+
+    // Analytic window functions (lag/delta/rank) — free in Spark, absent in
+    // the reference (SURVEY §2.4 window-functions row).
+    Q("q36_window_analytics",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        val wByValue = Window.partitionBy(col("user_id"))
+          .orderBy(col("value").desc, col("event_id"))
+        Tables(s, dir, "events").select(
+          col("user_id"), col("event_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta"),
+          rank().over(wByValue).as("value_rank"))
+      },
+      Some("""SELECT user_id, event_id, value,
+             |  lag(value, 1) OVER w AS prev_value,
+             |  value - lag(value, 1) OVER w AS delta,
+             |  rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin)),
 
     // Date-range filter pushdown + agg.
     Q("q18_order_priority",

@@ -101,7 +101,39 @@ object WindowQueries {
     Q("q10_alerts",
       (s, dir) => AlertPipeline.eventAlerts(Tables(s, dir, "events")),
       Some(s"""$alertsWith
-           |SELECT user_id, event_id, stat, m, thr FROM alerts""".stripMargin))
+           |SELECT user_id, event_id, stat, m, thr FROM alerts""".stripMargin)),
+
+    // O5 direct analog: the one-pass typed Aggregator (Flink
+    // AggregateFunction ≙ Spark Aggregator) evaluated over the same window
+    // frames — coverage proof for the custom-UDAF path. Excluded from bench:
+    // a per-frame UDAF re-serializes its buffer per row, so the codegen'd
+    // expression path (q05–q09) is the performance path by design.
+    Q("q33_window_onepass_udaf",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("value").cast("double").as("v"))
+        val wOrd = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        ev.withColumn("ms",
+            graft.measures.WindowMeasuresAgg.column(col("v"))
+              .over(wOrd.rowsBetween(-(N - 1), 0)))
+          .withColumn("rn", row_number().over(wOrd))
+          .where(col("rn") >= N)
+          .select(col("user_id"), col("event_id"),
+            col("ms.mean").as("m_mean"), col("ms.median").as("m_median"),
+            col("ms.q10").as("m_q10"), col("ms.tailMean").as("m_tail"),
+            col("ms.sm1").as("m_sm1"), col("ms.sm2").as("m_sm2"))
+      },
+      Some(
+        s"""$winCte
+           |SELECT user_id, event_id,
+           |  list_avg(xs) AS m_mean,
+           |  (xs[${N / 2}] + xs[${N / 2 + 1}]) / 2.0 AS m_median,
+           |  xs[${N / 10 + 1}] AS m_q10,
+           |  (xs[1] + xs[2] + xs[3]) / ${N / 10}.0 AS m_tail,
+           |  list_avg(xs) - list_aggregate(list_transform(xs, x -> abs(list_avg(xs) - x)), 'sum') / ${2 * N}.0 AS m_sm1,
+           |  list_avg(xs) - list_aggregate(list_transform(xs, (x,i) -> (2*i - ${N + 1}) * x), 'sum') / ${N * N}.0 AS m_sm2
+           |FROM win WHERE rn >= $N""".stripMargin),
+      bench = false)
   )
 
   /** The alert pipeline as a reusable DuckDB WITH-block ending in an

@@ -57,6 +57,24 @@ object Sources {
       .select(col("stat"), col("x.assetNo"), col("x.thr"))
   }
 
+  /** Alert-log text parser (≙ postProcessing/load.py:15-26, P1): lines of
+    * stringified tuples `(count,stat,assetNo,value)` → typed columns.
+    * Malformed lines are dropped. The reference parser's last-character
+    * truncation bug (SURVEY §2.5 Q10) is deliberately NOT replicated —
+    * values parse in full. */
+  def readAlertLog(spark: SparkSession, path: String): DataFrame = {
+    // match first (rlike), extract after — every cast below is then safe
+    // under ANSI mode, and non-matching lines are dropped, not nulled
+    val pat = "^\\((\\d+),([^,]+),(\\d+),(-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?)\\)$"
+    spark.read.text(path)
+      .where(col("value").rlike(pat))
+      .select(
+        regexp_extract(col("value"), pat, 1).cast("int").as("count"),
+        regexp_extract(col("value"), pat, 2).as("stat"),
+        regexp_extract(col("value"), pat, 3).cast("int").as("assetNo"),
+        regexp_extract(col("value"), pat, 4).cast("double").as("value"))
+  }
+
   /** Adds the derived whole-portfolio series (StreamingJob.java:174-180) and
     * unpivots to (seq, assetNo 0..6, x) — series 6 is the portfolio. */
   def toSeries(samples: DataFrame): DataFrame = {

@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class MultimodalSpec extends AnyFunSuite with SparkTestBase {
+
+  test("typed decode pipeline runs per-partition and is deterministic") {
+    val ds = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
+      .repartition(4)
+    val meta = Multimodal.decodeMeta(ds).collect()
+    assert(meta.length === 500)
+    assert(meta.forall(m => m.width > 0 && m.height > 0 && m.nFrames >= 1))
+    // deterministic: same payload -> same decoded fake
+    val again = Multimodal.decodeMeta(
+      Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")).collect()
+    assert(meta.sortBy(_.docId).map(_.width).toSeq ===
+      again.sortBy(_.docId).map(_.width).toSeq)
+  }
+
+  test("typed stub agrees with the expression-level stub in q29") {
+    val typed = Multimodal.decodeMeta(
+      Multimodal.fromDocuments(spark, "/root/testdata/sf0.001"))
+      .collect().map(m => m.docId -> ((m.width, m.height, m.nFrames))).toMap
+    val sql = graft.queries.Registry.byName("q29_multimodal_meta")
+      .run(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3), r.getLong(4).toInt))).toMap
+    assert(typed.size === sql.size)
+    typed.foreach { case (id, (w, h, f)) =>
+      assert(sql(id) === ((w, h, f)), s"doc $id")
+    }
+  }
+
+  test("alert-log parser: reference tuple format, malformed dropped") {
+    val lines = Seq(
+      "(30,mean,3,-0.0123)",
+      "(30,mean of 10% smallest,6,-0.0442)",
+      "garbage",
+      "(x,mean,1,0.5)", // bad count
+      "(30,median,abc,0.5)", // bad assetNo
+      "(30,median,2,notanumber)")
+    val p = java.nio.file.Files.createTempDirectory("graft_alertlog")
+      .resolve("output.txt")
+    java.nio.file.Files.write(p, String.join("\n", lines: _*).getBytes)
+    val df = graft.sources.Sources.readAlertLog(spark, p.toString)
+    val rows = df.collect()
+    assert(rows.length === 2)
+    val r = rows.find(_.getAs[String]("stat") == "mean of 10% smallest").get
+    assert(r.getAs[Int]("assetNo") === 6)
+    // full value parsed — no reference truncation bug (SURVEY §2.5 Q10)
+    assert(r.getAs[Double]("value") === -0.0442)
+  }
+}
