@@ -182,12 +182,18 @@ object DedupQueries {
       (s, dir) => {
         val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
           t => length(t) > 0)
+        // md5 per token computed ONCE behind an exchange barrier; the 16
+        // bit-position passes then read cheap substrings of the digests
+        // instead of re-hashing every token 16× (CollapseProject would
+        // otherwise inline the md5 into the nested lambda).
         Tables(s, dir, "documents")
-          .select(col("doc_id"), array_distinct(toks).as("toks"))
+          .select(col("doc_id"),
+            transform(array_distinct(toks), t => md5(t)).as("hs"))
+          .repartition(col("doc_id"))
           .select(col("doc_id"), array_join(
             transform(sequence(lit(1), lit(16)), j =>
-              when(aggregate(col("toks"), lit(0), (acc, t) =>
-                acc + when(md5(t).substr(j, lit(1))
+              when(aggregate(col("hs"), lit(0), (acc, h) =>
+                acc + when(h.substr(j, lit(1))
                   .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
                   .otherwise(-1)) > 0, lit("1")).otherwise(lit("0"))),
             "").as("simhash16"))

@@ -99,7 +99,7 @@ object WindowQueries {
     // O12 + O5: the full alert pipeline — measures, population thresholds
     // (psd.R analog), unpivot, broadcast threshold join, shortfall predicate.
     Q("q10_alerts",
-      (s, dir) => AlertPipeline.eventAlerts(Tables(s, dir, "events")),
+      (s, dir) => AnalyticsQueries.cachedAlerts(s, dir),
       Some(s"""$alertsWith
            |SELECT user_id, event_id, stat, m, thr FROM alerts""".stripMargin)),
 
