@@ -213,6 +213,66 @@ object DedupQueries {
           |  string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash16
           |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Random-hyperplane LSH ANN (the classic cosine-LSH scale path, next to
+    // q25's IVF): 8 deterministic pseudo-random hyperplanes → 8-bit sign
+    // bucket per vector; neighbors searched only within a bucket. At scale
+    // the bucket is a shuffle key — search cost tracks bucket occupancy,
+    // not the full pair space. Hyperplane weights are integer arithmetic
+    // reproduced exactly by the DuckDB oracle.
+    Q("q37_ann_lsh",
+      (s, dir) => {
+        val dim = 64
+        val planes = 8
+        def weight(p: Int, j: Int): Long =
+          ((p.toLong * dim + j) * 2654435761L) % 97 - 48
+        val emb = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        val bucketBits = (0 until planes).map { p =>
+          val hp = array((0 until dim).map(j => lit(weight(p, j).toDouble)): _*)
+          when(aggregate(zip_with(col("e"), hp, (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x) >= 0, lit("1")).otherwise(lit("0"))
+        }
+        val bucketed = emb
+          .select(col("vec_id"), col("e"), concat(bucketBits: _*).as("bucket"))
+          .repartition(col("bucket")) // bucket = the shuffle key at scale
+        val cos = graft.functions.CosineSimilarity(s)(col("e"), col("ne"))
+        bucketed.as("a")
+          .join(bucketed.select(col("bucket"), col("vec_id").as("neighbor_id"),
+            col("e").as("ne")).as("b"), "bucket")
+          .where(col("vec_id") =!= col("neighbor_id"))
+          .select(col("vec_id"), col("bucket"), col("neighbor_id"),
+            round(cos, 6).as("cos_sim"))
+          .withColumn("rk", row_number().over(Window.partitionBy(col("vec_id"))
+            .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+          .where(col("rk") <= 3)
+          .select(col("vec_id"), col("bucket"), col("neighbor_id"), col("cos_sim"))
+          .orderBy(col("vec_id"), col("neighbor_id"))
+      },
+      Some(
+        """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          |bucketed AS (
+          |  SELECT vec_id, e,
+          |    concat(
+          |      CASE WHEN list_aggregate(list_transform(e, (x,j) -> x * CAST((((0*64 + j-1) * 2654435761) % 97) - 48 AS DOUBLE)), 'sum') >= 0 THEN '1' ELSE '0' END,
+          |      CASE WHEN list_aggregate(list_transform(e, (x,j) -> x * CAST((((1*64 + j-1) * 2654435761) % 97) - 48 AS DOUBLE)), 'sum') >= 0 THEN '1' ELSE '0' END,
+          |      CASE WHEN list_aggregate(list_transform(e, (x,j) -> x * CAST((((2*64 + j-1) * 2654435761) % 97) - 48 AS DOUBLE)), 'sum') >= 0 THEN '1' ELSE '0' END,
+          |      CASE WHEN list_aggregate(list_transform(e, (x,j) -> x * CAST((((3*64 + j-1) * 2654435761) % 97) - 48 AS DOUBLE)), 'sum') >= 0 THEN '1' ELSE '0' END,
+          |      CASE WHEN list_aggregate(list_transform(e, (x,j) -> x * CAST((((4*64 + j-1) * 2654435761) % 97) - 48 AS DOUBLE)), 'sum') >= 0 THEN '1' ELSE '0' END,
+          |      CASE WHEN list_aggregate(list_transform(e, (x,j) -> x * CAST((((5*64 + j-1) * 2654435761) % 97) - 48 AS DOUBLE)), 'sum') >= 0 THEN '1' ELSE '0' END,
+          |      CASE WHEN list_aggregate(list_transform(e, (x,j) -> x * CAST((((6*64 + j-1) * 2654435761) % 97) - 48 AS DOUBLE)), 'sum') >= 0 THEN '1' ELSE '0' END,
+          |      CASE WHEN list_aggregate(list_transform(e, (x,j) -> x * CAST((((7*64 + j-1) * 2654435761) % 97) - 48 AS DOUBLE)), 'sum') >= 0 THEN '1' ELSE '0' END
+          |    ) AS bucket
+          |  FROM emb)
+          |SELECT vec_id, bucket, neighbor_id, cos_sim FROM (
+          |  SELECT a.vec_id AS vec_id, a.bucket AS bucket,
+          |    b.vec_id AS neighbor_id,
+          |    round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim,
+          |    row_number() OVER (PARTITION BY a.vec_id
+          |      ORDER BY round(list_cosine_similarity(a.e, b.e), 6) DESC, b.vec_id) AS rk
+          |  FROM bucketed a JOIN bucketed b
+          |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+          |) t WHERE rk <= 3 ORDER BY vec_id, neighbor_id""".stripMargin)),
+
     // Embedding-cosine near-dup baseline: global top-20 most similar pairs
     // by brute force (the exact answer LSH/IVF variants approximate).
     Q("q31_embedding_pairs",
