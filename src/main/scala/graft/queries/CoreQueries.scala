@@ -244,6 +244,28 @@ object CoreQueries {
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin)),
 
+    // Skew-resistant two-stage (salted) aggregation: pre-aggregate on
+    // (key, salt) so one hot key spreads over 16 reducers, then combine.
+    // Same result as a direct groupBy — the oracle proves it — but the
+    // shuffle profile survives a skewed key at 1000×. (AQE skew handling
+    // covers joins; salting is the aggregation-side tool.)
+    Q("q38_salted_agg",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val salted = li
+          .withColumn("salt", pmod(col("l_orderkey") * 2654435761L, lit(16)))
+          .groupBy(col("l_returnflag"), col("salt"))
+          .agg(sum(col("l_quantity")).as("part_qty"),
+            count(lit(1)).as("part_n"))
+        salted.groupBy(col("l_returnflag"))
+          .agg(round(sum(col("part_qty")), 2).as("sum_qty"),
+            sum(col("part_n")).as("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Date-range filter pushdown + agg.
     Q("q18_order_priority",
       (s, dir) =>
