@@ -1,7 +1,6 @@
 package graft.gen
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.measures.Measures
@@ -29,16 +28,27 @@ object PopulationStats {
   def thresholds(samples: DataFrame): DataFrame = {
     val series = Sources.toSeries(samples.withColumn("seq", lit(0L)))
       .select(col("assetNo"), col("x"))
-    val byAsset = Window.partitionBy(col("assetNo"))
-    val ranked = series
-      .withColumn("rnk", row_number().over(byAsset.orderBy(col("x"))))
-      .withColumn("n", count(lit(1)).over(byAsset))
-      .withColumn("mean", avg(col("x")).over(byAsset))
+    // per-series count/mean/exact percentiles: one grouped pass
+    val base = series.groupBy(col("assetNo")).agg(
+      count(lit(1)).as("n"),
+      avg(col("x")).as("mean"),
+      expr("percentile(x, 0.5)").as("median"),
+      expr("percentile(x, 0.1)").as("q10"))
+    // distributed per-series ranks: global rank over (series, x) minus the
+    // series' block offset — no single-task per-series sort
+    // (graft.pipeline.Ranks scale note)
+    val granked = graft.pipeline.Ranks
+      .withGlobalRank(series, Seq(col("assetNo"), col("x")), "grnk")
+    val offsets = granked.groupBy(col("assetNo"))
+      .agg(min(col("grnk")).as("g0"))
+    val ranked = granked.join(broadcast(offsets), "assetNo")
+      .withColumn("rnk", col("grnk") - col("g0") + 1)
+      .join(broadcast(base), "assetNo")
     val agg = ranked.groupBy(col("assetNo")).agg(
       first(col("n")).as("n"),
       first(col("mean")).as("mean"),
-      expr("percentile(x, 0.5)").as("median"),
-      expr("percentile(x, 0.1)").as("q10"),
+      first(col("median")).as("median"),
+      first(col("q10")).as("q10"),
       avg(when(col("rnk") <= (col("n") / lit(10)).cast("long"), col("x")))
         .as("tail"),
       avg(abs(col("x") - col("mean"))).as("mad"),

@@ -75,9 +75,9 @@ object AlertPipeline {
     val med = head.getDouble(2)
     val q = head.getDouble(3)
     val k = (n / 10).toInt
-    // tail mean, MAD and the GMD rank-sum share one ranked pass (one job)
-    val ranked = cached
-      .withColumn("thr_rn", row_number().over(Window.orderBy(v)))
+    // tail mean, MAD and the GMD rank-sum share one ranked pass; ranking is
+    // distributed (range shuffle + zipWithIndex), never a one-task sort
+    val ranked = Ranks.withGlobalRank(cached, Seq(v), "thr_rn")
     val row2 = ranked.agg(
       avg(when(col("thr_rn") <= k, v)),
       avg(abs(v - m)),
