@@ -244,6 +244,23 @@ object CoreQueries {
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin)),
 
+    // JSON extraction (props payload) + distinct aggregation.
+    Q("q39_json_props",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("k")).as("sum_k"),
+            countDistinct(col("k")).as("distinct_k"),
+            count(when(col("k").isNotNull, 1)).as("n_parsed"))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS distinct_k,
+             |  count(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 END) AS n_parsed
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Skew-resistant two-stage (salted) aggregation: pre-aggregate on
     // (key, salt) so one hot key spreads over 16 reducers, then combine.
     // Same result as a direct groupBy — the oracle proves it — but the
