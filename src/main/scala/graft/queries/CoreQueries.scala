@@ -244,6 +244,24 @@ object CoreQueries {
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin)),
 
+    // Supplier-side join + distinct aggregation (touches every driver
+    // table at least once across the registry).
+    Q("q40_supplier_parts",
+      (s, dir) => {
+        val sup = Tables(s, dir, "supplier")
+        val li = Tables(s, dir, "lineitem")
+        li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_suppkey"), col("s_name"))
+          .agg(countDistinct(col("l_partkey")).as("distinct_parts"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, s_name,
+             |  count(DISTINCT l_partkey) AS distinct_parts,
+             |  count(*) AS n_lines
+             |FROM supplier JOIN lineitem ON l_suppkey = s_suppkey
+             |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin)),
+
     // JSON extraction (props payload) + distinct aggregation.
     Q("q39_json_props",
       (s, dir) =>
