@@ -53,16 +53,21 @@ object Measures {
     aggregate(slice(xs, 1, k), lit(0.0), (acc, x) => acc + x) / k
   }
 
-  def sm1(xs: Column, n: Int): Column = {
-    val m = mean(xs, n)
+  def sm1(xs: Column, n: Int): Column = sm1From(mean(xs, n), xs, n)
+
+  /** sm1 with the window mean supplied as a (pre-materialized) column —
+    * inlining `mean(xs)` into the per-element lambda would re-evaluate the
+    * whole fold for every element (O(n²) per window); callers that cache the
+    * mean alongside `xs` keep it O(n). */
+  def sm1From(m: Column, xs: Column, n: Int): Column =
     m - aggregate(transform(xs, x => abs(m - x)), lit(0.0), (a, x) => a + x) /
       (2.0 * n)
-  }
 
   /** Gini-mean-difference risk measure; `gsum = Σᵢ(2i−n−1)sᵢ` equals half the
     * full ordered-pair sum, so the reference's `pairSum/(2n²)` is `gsum/n²`. */
-  def sm2(xs: Column, n: Int): Column = {
-    val m = mean(xs, n)
+  def sm2(xs: Column, n: Int): Column = sm2From(mean(xs, n), xs, n)
+
+  def sm2From(m: Column, xs: Column, n: Int): Column = {
     val gsum = aggregate(
       transform(xs, (x, i) => (lit(2) * (i + lit(1)) - lit(n + 1)).cast("double") * x),
       lit(0.0), (a, x) => a + x)

@@ -32,14 +32,24 @@ object AlertPipeline {
       .where(col("rn") >= n)
   }
 
-  /** Wide per-window measure table: key cols + one column per measure. */
-  def measureColumns(n: Int = WindowSize): Seq[Column] = Seq(
-    Measures.mean(col("xs"), n).as("m_mean"),
-    Measures.median(col("xs"), n).as("m_median"),
-    Measures.q10(col("xs"), n).as("m_q10"),
-    Measures.tailMean(col("xs"), n).as("m_tail"),
-    Measures.sm1(col("xs"), n).as("m_sm1"),
-    Measures.sm2(col("xs"), n).as("m_sm2"))
+  /** Wide per-window measure table from a [[windowed]] result: key cols +
+    * one column per measure. The window mean is materialized (cache
+    * barrier) before sm1/sm2 consume it — inlined, it would be re-folded
+    * inside their per-element lambdas, turning O(n) windows into O(n²). */
+  def withMeasures(windowedDf: DataFrame, keys: Seq[Column],
+      n: Int = WindowSize): DataFrame = {
+    val base = windowedDf
+      .select(keys :+ col("xs"): _*)
+      .withColumn("m_mean", Measures.mean(col("xs"), n))
+      .cache()
+    base.select(keys ++ Seq(
+      col("m_mean"),
+      Measures.median(col("xs"), n).as("m_median"),
+      Measures.q10(col("xs"), n).as("m_q10"),
+      Measures.tailMean(col("xs"), n).as("m_tail"),
+      Measures.sm1From(col("m_mean"), col("xs"), n).as("m_sm1"),
+      Measures.sm2From(col("m_mean"), col("xs"), n).as("m_sm2")): _*)
+  }
 
   /** Unpivots the wide measure table to (…, stat, m) — O12's shape. */
   val unpivotMeasures: String =
@@ -104,8 +114,9 @@ object AlertPipeline {
       .select(col("user_id"), col("event_id"), col("value").cast("double").as("v"))
       .cache() // read once: feeds both the threshold build and the window pass
     val thr = populationThresholds(ev.select(col("v")))
-    val meas = windowed(ev, col("user_id"), col("event_id"), col("v"), n)
-      .select(Seq(col("user_id"), col("event_id")) ++ measureColumns(n): _*)
+    val meas = withMeasures(
+      windowed(ev, col("user_id"), col("event_id"), col("v"), n),
+      Seq(col("user_id"), col("event_id")), n)
     meas
       .select(col("user_id"), col("event_id"), expr(unpivotMeasures))
       .join(broadcast(thr), "stat")

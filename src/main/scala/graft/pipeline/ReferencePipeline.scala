@@ -34,10 +34,9 @@ object ReferencePipeline {
   def alerts(samples: DataFrame, thresholds: DataFrame, n: Int,
       shortfall: Double): DataFrame = {
     val series = Sources.toSeries(samples)
-    val meas = AlertPipeline
-      .windowed(series, col("assetNo"), col("seq"), col("x"), n)
-      .select(Seq(col("assetNo"), col("seq")) ++
-        AlertPipeline.measureColumns(n): _*)
+    val meas = AlertPipeline.withMeasures(
+      AlertPipeline.windowed(series, col("assetNo"), col("seq"), col("x"), n),
+      Seq(col("assetNo"), col("seq")), n)
     meas
       .select(col("assetNo"), col("seq"), expr(AlertPipeline.unpivotMeasures))
       .join(broadcast(thresholds), Seq("stat", "assetNo"))

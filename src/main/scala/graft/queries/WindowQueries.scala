@@ -29,15 +29,28 @@ object WindowQueries {
        |                ROWS BETWEEN ${N - 1} PRECEDING AND CURRENT ROW)
        |)""".stripMargin
 
+  /** Shared windowed base (user_id, event_id, rn, xs) — one shuffle + one
+    * per-window sort feeds all five array-measure queries (same
+    * materialize-once pattern as the shingle and alert caches). */
+  private val winCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  private def windowedBase(s: org.apache.spark.sql.SparkSession, dir: String) =
+    winCache.getOrElseUpdate((s, dir), {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value").cast("double").as("v"))
+      // m_mean materialized with xs: sm1/sm2 take the mean as a column so
+      // it is never re-folded inside their per-element lambdas
+      AlertPipeline.windowed(ev, col("user_id"), col("event_id"), col("v"), N)
+        .select(col("user_id"), col("event_id"), col("xs"),
+          graft.measures.Measures.mean(col("xs"), N).as("m_mean")).cache()
+    })
+
   private def winQ(name: String, sparkCol: org.apache.spark.sql.Column,
       duckExpr: String): Q =
     Q(name,
-      (s, dir) => {
-        val ev = Tables(s, dir, "events")
-          .select(col("user_id"), col("event_id"), col("value").cast("double").as("v"))
-        AlertPipeline.windowed(ev, col("user_id"), col("event_id"), col("v"), N)
-          .select(col("user_id"), col("event_id"), sparkCol)
-      },
+      (s, dir) => windowedBase(s, dir)
+        .select(col("user_id"), col("event_id"), sparkCol),
       Some(
         s"""$winCte
            |SELECT user_id, event_id, $duckExpr
@@ -81,9 +94,9 @@ object WindowQueries {
       tailMean(col("xs"), N).as("wtail"),
       s"(xs[1] + xs[2] + xs[3]) / ${N / 10}.0 AS wtail"),
 
-    // O10: mean-absolute-deviation risk measure.
+    // O10: mean-absolute-deviation risk measure (mean from the cached base).
     winQ("q08_window_sm1",
-      sm1(col("xs"), N).as("wsm1"),
+      sm1From(col("m_mean"), col("xs"), N).as("wsm1"),
       s"""list_avg(xs) -
          |    list_aggregate(list_transform(xs, x -> abs(list_avg(xs) - x)), 'sum')
          |      / ${2 * N}.0 AS wsm1""".stripMargin),
@@ -91,7 +104,7 @@ object WindowQueries {
     // O11: Gini-mean-difference risk measure via the sorted identity
     // (DuckDB lambda index i is 1-based; Σᵢ(2i−n−1)sᵢ = half the pair sum).
     winQ("q09_window_sm2",
-      sm2(col("xs"), N).as("wsm2"),
+      sm2From(col("m_mean"), col("xs"), N).as("wsm2"),
       s"""list_avg(xs) -
          |    list_aggregate(list_transform(xs, (x,i) -> (2*i - ${N + 1}) * x), 'sum')
          |      / ${N * N}.0 AS wsm2""".stripMargin),

@@ -36,10 +36,9 @@ class AlertPipelineSpec extends AnyFunSuite with SparkTestBase {
     val byKey = rows.groupBy(_._1).map { case (k, rs) =>
       k -> rs.sortBy(_._2).map(_._3)
     }
-    val meas = AlertPipeline
-      .windowed(df, col("key"), col("seq"), col("v"))
-      .select(Seq(col("key"), col("seq")) ++ AlertPipeline.measureColumns(): _*)
-      .collect()
+    val meas = AlertPipeline.withMeasures(
+      AlertPipeline.windowed(df, col("key"), col("seq"), col("v")),
+      Seq(col("key"), col("seq"))).collect()
     assert(meas.length === 3 * (n - 29))
     meas.foreach { r =>
       val k = r.getLong(0)

@@ -38,10 +38,9 @@ class CountSlidingWindowSpec extends AnyFunSuite with SparkTestBase {
 
     // batch reference over the same data
     val df = data.toDF("key", "seq", "v")
-    val batch = AlertPipeline
-      .windowed(df, col("key"), col("seq"), col("v"))
-      .select(Seq(col("key"), col("seq")) ++ AlertPipeline.measureColumns(): _*)
-      .collect()
+    val batch = AlertPipeline.withMeasures(
+      AlertPipeline.windowed(df, col("key"), col("seq"), col("v")),
+      Seq(col("key"), col("seq"))).collect()
     assert(batch.length * 6 === got.size)
     assert(got.size === 2 * (45 - 29) * 6)
     batch.foreach { r =>
