@@ -301,6 +301,36 @@ object CoreQueries {
              |  count(*) AS n
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Tumbling event-time windows (Spark's `window()` operator) — window
+    // start emitted as epoch seconds so the oracle reduces to exact
+    // integer arithmetic. The same expression drives streaming time
+    // windows (readStream + withWatermark).
+    Q("q42_tumbling_time_windows",
+      (s, dir) => {
+        val ts = timestamp_seconds(lit(1700000000L) + col("event_id") * 60)
+        Tables(s, dir, "events")
+          .groupBy(window(ts, "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+          .select(col("w.start").cast("long").as("window_start"),
+            col("event_type"), col("n"), col("avg_value"))
+          .orderBy(col("window_start"), col("event_type"))
+      },
+      Some("""SELECT (1700000000 + event_id * 60) // 3600 * 3600 AS window_start,
+             |  event_type, count(*) AS n, avg(value) AS avg_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // HLL sketch distinct counts (no DuckDB oracle — sketches differ across
+    // engines; the driver records the weaker rows-only check). The exact
+    // distinct twin is q40; at 100 TB the sketch is the one you can afford.
+    Q("q43_approx_distinct",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag")),
+      None),
+
     // Date-range filter pushdown + agg.
     Q("q18_order_priority",
       (s, dir) =>

@@ -123,6 +123,48 @@ object DedupQueries {
         |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Document-frequency-capped Jaccard: shingles occurring in more than
+    // DF_CAP docs are dropped before the pair join (the standard
+    // stop-shingle trick — hot shingles are what make the naive pair join
+    // quadratic; the cap bounds each shingle's pair fan-out). Oracle
+    // applies the same cap, so results stay bit-comparable.
+    Q("q41_jaccard_dfcap",
+      (s, dir) => {
+        val DfCap = 10
+        val e = gramRows(s, dir)
+        val rare = e.groupBy(col("gram"))
+          .agg(count(lit(1)).as("df")).where(col("df") <= DfCap)
+          .select(col("gram"))
+        val er = e.join(rare, "gram")
+        val sizes = er.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val pairs = er.as("a")
+          .join(er.as("b"),
+            col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("common"))
+        pairs
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            (col("common") / (col("na") + col("nb") - col("common"))).as("jaccard"))
+          .where(col("jaccard") >= 0.5)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(duckGrams + """,
+        |rare AS (SELECT gram FROM e GROUP BY gram HAVING count(*) <= 10),
+        |er AS (SELECT e.doc_id, e.gram FROM e JOIN rare USING (gram)),
+        |rsizes AS (SELECT doc_id, count(*) AS n FROM er GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |          FROM er a JOIN er b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+        |FROM pairs
+        |JOIN rsizes sa ON doc_a = sa.doc_id
+        |JOIN rsizes sb ON doc_b = sb.doc_id
+        |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // MinHash + LSH band keys per document (the fixed-size sketch that
     // replaces all-pairs comparison at scale).
     Q("q27_minhash_bands",
