@@ -315,6 +315,65 @@ object DedupQueries {
           |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
           |) t WHERE rk <= 3 ORDER BY vec_id, neighbor_id""".stripMargin)),
 
+    // SimHash near-dup pairs, Hamming-LSH style: block on the fingerprint's
+    // 8-bit halves (a pair within Hamming ≤ 1 of 16 bits must agree exactly
+    // on at least one half — pigeonhole), then verify the full Hamming
+    // distance only on block collisions. The halves are the shuffle keys at
+    // scale, exactly like q28's MinHash bands.
+    Q("q44_simhash_pairs",
+      (s, dir) => {
+        val sim = Registry.byName("q30_simhash").run(s, dir)
+          .select(col("doc_id"), col("simhash16")).cache()
+        val banded = sim.select(col("doc_id"), col("simhash16"),
+          explode(array(
+            concat(lit("L:"), substring(col("simhash16"), 1, 8)),
+            concat(lit("R:"), substring(col("simhash16"), 9, 8)))).as("block"))
+        val hamming = aggregate(
+          transform(sequence(lit(1), lit(16)), j =>
+            when(col("a_sh").substr(j, lit(1)) =!= col("b_sh").substr(j, lit(1)),
+              1).otherwise(0)),
+          lit(0), (acc, x) => acc + x)
+        banded.as("x")
+          .join(banded.as("y"),
+            col("x.block") === col("y.block") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.simhash16").as("a_sh"), col("y.simhash16").as("b_sh"))
+          .distinct()
+          .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+          .where(col("hamming") <= 1)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(
+        """WITH d AS (SELECT doc_id,
+          |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS toks
+          |  FROM documents),
+          |toksd AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM d),
+          |js AS (SELECT unnest(generate_series(1, 16)) AS j),
+          |votes AS (SELECT doc_id, j,
+          |  sum(CASE WHEN substr(md5(tok), j, 1) IN ('8','9','a','b','c','d','e','f')
+          |           THEN 1 ELSE -1 END) AS v
+          |  FROM toksd CROSS JOIN js GROUP BY doc_id, j),
+          |sh AS (SELECT doc_id,
+          |  string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash16
+          |  FROM votes GROUP BY doc_id),
+          |banded AS (
+          |  SELECT doc_id, simhash16, 'L:' || substr(simhash16, 1, 8) AS block FROM sh
+          |  UNION ALL
+          |  SELECT doc_id, simhash16, 'R:' || substr(simhash16, 9, 8) AS block FROM sh),
+          |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          |                 x.simhash16 AS a_sh, y.simhash16 AS b_sh
+          |          FROM banded x JOIN banded y
+          |            ON x.block = y.block AND x.doc_id < y.doc_id)
+          |SELECT doc_a, doc_b,
+          |  list_aggregate(list_transform(generate_series(1, 16),
+          |    j -> CASE WHEN substr(a_sh, j, 1) <> substr(b_sh, j, 1) THEN 1 ELSE 0 END),
+          |    'sum') AS hamming
+          |FROM cands
+          |WHERE list_aggregate(list_transform(generate_series(1, 16),
+          |    j -> CASE WHEN substr(a_sh, j, 1) <> substr(b_sh, j, 1) THEN 1 ELSE 0 END),
+          |    'sum') <= 1
+          |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // Embedding-cosine near-dup baseline: global top-20 most similar pairs
     // by brute force (the exact answer LSH/IVF variants approximate).
     Q("q31_embedding_pairs",
