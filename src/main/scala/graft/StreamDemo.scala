@@ -39,7 +39,7 @@ object StreamDemo {
     q.stop()
     println(s"[demo] alerts after batch1(25 rows)=$afterFirst after batch2(40 rows)=$afterSecond")
     println("[demo] first alert at seq = " +
-      spark.table("alerts_out").agg(min("seq")).head.getLong(0))
+      spark.table("alerts_out").agg(min("seq")).head().getLong(0))
     spark.stop()
   }
 }
