@@ -331,6 +331,64 @@ object CoreQueries {
           .orderBy(col("l_returnflag")),
       None),
 
+    // Left outer join with null-aware counting.
+    Q("q45_outer_join",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val rich = Tables(s, dir, "customer")
+          .where(col("c_acctbal") > 5000.0).select(col("c_custkey"))
+        o.join(broadcast(rich), col("o_custkey") === col("c_custkey"), "left")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            count(col("c_custkey")).as("n_rich_customer_orders"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_orders,
+             |  count(c_custkey) AS n_rich_customer_orders
+             |FROM orders LEFT JOIN
+             |  (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0) rc
+             |  ON o_custkey = rc.c_custkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Semi join (EXISTS).
+    Q("q46_semi_join",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val big = Tables(s, dir, "orders").where(col("o_totalprice") > 400000.0)
+        c.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // As-of lookup composed from built-ins (preference (a) of the custom-
+    // operator ladder): for every event, the most recent error event at or
+    // before it in its user's stream — last_value(... IGNORE NULLS) over an
+    // unbounded-preceding frame. No custom operator needed; the plan is one
+    // per-key sort, which shards by user at scale.
+    Q("q47_asof_last_error",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        Tables(s, dir, "events").select(
+          col("user_id"), col("event_id"),
+          last(when(col("event_type") === "error", col("event_id")),
+            ignoreNulls = true).over(w).as("last_error_id"))
+          .withColumn("events_since_error",
+            col("event_id") - col("last_error_id"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  last_value(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_id,
+             |  event_id - last_value(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS events_since_error
+             |FROM events""".stripMargin)),
+
     // Date-range filter pushdown + agg.
     Q("q18_order_priority",
       (s, dir) =>
