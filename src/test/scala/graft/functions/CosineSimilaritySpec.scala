@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class CosineSimilaritySpec extends AnyFunSuite with SparkTestBase {
+
+  test("native expression equals the HOF formulation bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4)
+    val rows = (0 until 50).map(_ =>
+      (Seq.fill(64)(rnd.nextDouble() * 2 - 1), Seq.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x) /
+      (sqrt(aggregate(transform(col("a"), x => x * x), lit(0.0), (acc, x) => acc + x)) *
+        sqrt(aggregate(transform(col("b"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+    val out = df.select(
+      CosineSimilarity(spark)(col("a"), col("b")).as("native"),
+      hof.as("hof")).collect()
+    out.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("SQL surface: graft_cosine_similarity callable from spark.sql") {
+    // the Column builder registers the function on the session; SQL users
+    // get the same name via GraftExtensions at session-build time
+    CosineSimilarity(spark)(lit(Array(1.0)), lit(Array(1.0)))
+    val r = spark.sql(
+      """SELECT graft_cosine_similarity(array(1.0D, 2.0D), array(2.0D, 4.0D)) AS c""")
+      .head().getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12) // parallel vectors
+    // orthogonal vectors
+    val o = spark.sql(
+      """SELECT graft_cosine_similarity(array(1.0D, 0.0D), array(0.0D, 3.0D)) AS c""")
+      .head().getDouble(0)
+    assert(math.abs(o) < 1e-12)
+  }
+}
