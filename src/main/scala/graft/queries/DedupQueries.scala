@@ -61,26 +61,27 @@ object DedupQueries {
       |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
       |sizes AS (SELECT doc_id, len(grams) AS n FROM g)""".stripMargin
 
-  /** MinHash signature rows (doc_id, i, h): h = min over shingles of
-    * md5(i || '_' || shingle) — the lexicographic min of a salted digest is a
-    * valid random min-hash and is engine-portable. */
-  private def minhashRows(s: SparkSession, dir: String): DataFrame = {
-    val hs = s.range(1, K + 1).select(col("id").cast("int").as("i"))
-    gramRows(s, dir)
-      .join(broadcast(hs))
-      .select(col("doc_id"), col("i"),
-        md5(concat(col("i").cast("string"), lit("_"), col("gram"))).as("h"))
-      .groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("h"))
+  /** LSH band keys per document, computed DOCUMENT-LOCALLY: signature slot
+    * i = min over shingles of md5(i || '_' || shingle) (the lexicographic
+    * min of a salted digest is a valid random min-hash and is
+    * engine-portable); band key = digest of the band's signature slice in
+    * i-order. The whole sketch is one map-stage expression over the cached
+    * shingle table — no explode, no per-(doc, i) shuffle: at 100 TB the
+    * signature pass is embarrassingly parallel and only the K-string
+    * signatures ever reach an exchange (via the band-bucket join in q28). */
+  private def bandsDf(s: SparkSession, dir: String): DataFrame = {
+    val sig = transform(sequence(lit(1), lit(K)), i =>
+      array_min(transform(col("grams"),
+        g => md5(concat(i.cast("string"), lit("_"), g)))))
+    grams(s, dir)
+      .where(size(col("grams")) > 0) // shingle-less docs have no signature
+      .select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(K / RowsPerBand - 1)), b =>
+          md5(array_join(
+            slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)), ","))))
+          .as(Seq("band", "band_key")))
   }
-
-  /** LSH bands: band key = digest of the band's signature slice in i-order. */
-  private def bandsDf(s: SparkSession, dir: String): DataFrame =
-    minhashRows(s, dir)
-      .withColumn("band", expr(s"(i - 1) div $RowsPerBand"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(md5(array_join(
-        transform(sort_array(collect_list(struct(col("i"), col("h")))),
-          x => x.getField("h")), ",")).as("band_key"))
 
   private val duckMinhash: String =
     duckGrams + s""",
@@ -365,9 +366,9 @@ object DedupQueries {
           |          FROM banded x JOIN banded y
           |            ON x.block = y.block AND x.doc_id < y.doc_id)
           |SELECT doc_a, doc_b,
-          |  list_aggregate(list_transform(generate_series(1, 16),
+          |  CAST(list_aggregate(list_transform(generate_series(1, 16),
           |    j -> CASE WHEN substr(a_sh, j, 1) <> substr(b_sh, j, 1) THEN 1 ELSE 0 END),
-          |    'sum') AS hamming
+          |    'sum') AS BIGINT) AS hamming
           |FROM cands
           |WHERE list_aggregate(list_transform(generate_series(1, 16),
           |    j -> CASE WHEN substr(a_sh, j, 1) <> substr(b_sh, j, 1) THEN 1 ELSE 0 END),
@@ -381,14 +382,17 @@ object DedupQueries {
         val emb = Tables(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
         val cos = graft.functions.CosineSimilarity(s)(col("ae"), col("be"))
+        // Global top-k via orderBy+limit: Spark plans TakeOrderedAndProject
+        // (per-partition top-20, then a 20-row driver merge) — the scale
+        // path. A global `Window.orderBy` row_number would funnel all N²/2
+        // candidate pairs through ONE partition.
         emb.select(col("vec_id").as("id_a"), col("e").as("ae"))
           .join(emb.select(col("vec_id").as("id_b"), col("e").as("be")),
             col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"),
             round(cos, 6).as("cos_sim"))
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))))
-          .where(col("rk") <= 20)
+          .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+          .limit(20)
           .select(col("id_a"), col("id_b"), col("cos_sim"))
           .orderBy(col("id_a"), col("id_b"))
       },
