@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Second relational sweep: pivot/unpivot, cube + grouping_id, banded
+  * dimension joins, exact distributed quantiles, gap sessionization,
+  * bivariate statistics, token-count estimation, and per-group top-k —
+  * the remaining everyday OLAP shapes a reference user would expect, each
+  * with a DuckDB oracle.
+  *
+  * Scale notes are per query; the common theme: group/window keys are the
+  * shuffle keys (n_keys × state is tiny), dimension sides are broadcast,
+  * and nothing funnels through a single partition.
+  */
+object AdvancedQueries {
+
+  val all: Seq[Q] = Seq(
+    // Pivot: one shuffle on the groupBy key; the pivot values are a fixed
+    // small set so the output stays one row per group (map-side partial
+    // aggregation applies as usual).
+    Q("q48_pivot_revenue",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .orderBy(col("l_returnflag")),
+      Some(
+        """SELECT l_returnflag,
+          |  sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice * (1 - l_discount) END) AS "F",
+          |  sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice * (1 - l_discount) END) AS "O"
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Unpivot (melt) via stack: rows × metrics → (metric, value) — the
+    // wide-to-long step before any per-metric aggregation. Generator runs
+    // map-side; only the per-metric partial aggregates shuffle.
+    Q("q57_unpivot_metrics",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .selectExpr("""stack(3,
+            'quantity', l_quantity,
+            'price', l_extendedprice,
+            'discount', l_discount) AS (metric, v)""")
+          .groupBy(col("metric"))
+          .agg(count(lit(1)).as("n"), min(col("v")).as("v_min"),
+            max(col("v")).as("v_max"), sum(col("v")).as("v_sum"))
+          .orderBy(col("metric")),
+      Some(
+        """WITH m AS (
+          |  SELECT 'quantity' AS metric, l_quantity AS v FROM lineitem
+          |  UNION ALL SELECT 'price', l_extendedprice FROM lineitem
+          |  UNION ALL SELECT 'discount', l_discount FROM lineitem)
+          |SELECT metric, count(*) AS n, min(v) AS v_min, max(v) AS v_max,
+          |  sum(v) AS v_sum
+          |FROM m GROUP BY metric ORDER BY metric""".stripMargin)),
+
+    // Cube: all four grouping sets in one pass, disambiguated by
+    // grouping_id (Spark and DuckDB both encode the FIRST grouping column
+    // as the most significant bit).
+    Q("q49_cube_pricing",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping_id().as("gid"), sum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n"))
+          .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus")),
+      Some(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          |  sum(l_quantity) AS sum_qty, count(*) AS n
+          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+          |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)),
+
+    // Banded dimension join: a range predicate against a tiny bounds table
+    // is a broadcast nested-loop join — each event row tests 4 bounds,
+    // never shuffles. (The alternative — binning by expression — is q15;
+    // this is the shape when bands are DATA, not a formula.)
+    Q("q50_band_join",
+      (s, dir) => {
+        import s.implicits._
+        val bands = Seq((1, 0.0, 10.0), (2, 10.0, 50.0), (3, 50.0, 150.0),
+          (4, 150.0, 500.0)).toDF("band_id", "lo", "hi")
+        Tables(s, dir, "events")
+          .join(broadcast(bands),
+            col("value") >= col("lo") && col("value") < col("hi"))
+          .groupBy(col("band_id"), col("lo"), col("hi"))
+          .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+          .orderBy(col("band_id"))
+      },
+      Some(
+        """SELECT band_id, CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi,
+          |  count(*) AS n_events, sum(e.value) AS sum_value
+          |FROM events e
+          |JOIN (VALUES (1, 0.0, 10.0), (2, 10.0, 50.0), (3, 50.0, 150.0),
+          |             (4, 150.0, 500.0)) b(band_id, lo, hi)
+          |  ON e.value >= b.lo AND e.value < b.hi
+          |GROUP BY band_id, lo, hi ORDER BY band_id""".stripMargin)),
+
+    // Exact per-group quantiles: percentile() is Spark's exact linear-
+    // interpolation order statistic (one sort per group partition) — the
+    // per-group state is the group's value multiset, sharded by the group
+    // key. Rounded to 6dp on both sides: the interpolation arithmetic is
+    // the only FP step that could differ between engines.
+    Q("q51_group_quantiles",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
+            round(percentile(col("l_extendedprice"), lit(0.9)), 6).as("p90"),
+            round(percentile(col("l_extendedprice"), lit(0.99)), 6).as("p99"))
+          .orderBy(col("l_returnflag")),
+      Some(
+        """SELECT l_returnflag,
+          |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+          |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+          |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Gap sessionization: the batch analog of streaming session windows —
+    // per-user ordered scan (lag), session id = running count of gap
+    // breaks, then two key-local aggregations. Everything shards by
+    // user_id; no global order anywhere.
+    Q("q52_sessionize",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        val gap = col("event_id") - lag(col("event_id"), 1).over(byUser)
+        val sessions = Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"))
+          .withColumn("brk", when(gap.isNull || (gap > 500), 1).otherwise(0))
+          .withColumn("sess", sum(col("brk")).over(byUser))
+          .groupBy(col("user_id"), col("sess"))
+          .agg(count(lit(1)).as("sess_len"))
+        sessions.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            max(col("sess_len")).as("max_sess_len"),
+            sum(col("sess_len")).cast("long").as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      Some(
+        """WITH g AS (
+          |  SELECT user_id, event_id,
+          |    CASE WHEN event_id - lag(event_id) OVER w IS NULL
+          |           OR event_id - lag(event_id) OVER w > 500
+          |         THEN 1 ELSE 0 END AS brk
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+          |s AS (
+          |  SELECT user_id, event_id,
+          |    sum(brk) OVER (PARTITION BY user_id ORDER BY event_id) AS sess
+          |  FROM g),
+          |sl AS (
+          |  SELECT user_id, sess, count(*) AS sess_len
+          |  FROM s GROUP BY user_id, sess)
+          |SELECT user_id, count(*) AS n_sessions, max(sess_len) AS max_sess_len,
+          |  CAST(sum(sess_len) AS BIGINT) AS n_events
+          |FROM sl GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Bivariate statistics per group: corr/covariance/stddev are one-pass
+    // partial-aggregatable moments (Spark merges per-partition moment
+    // sketches — no data motion beyond the group key shuffle).
+    Q("q53_corr_stats",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qp_corr"),
+            round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6)
+              .as("qp_covar"),
+            round(stddev_samp(col("l_extendedprice")), 6).as("price_sd"))
+          .orderBy(col("l_returnflag")),
+      Some(
+        """SELECT l_returnflag,
+          |  round(corr(l_quantity, l_extendedprice), 6) AS qp_corr,
+          |  round(covar_samp(l_quantity, l_extendedprice), 6) AS qp_covar,
+          |  round(stddev_samp(l_extendedprice), 6) AS price_sd
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Token counting, tokenizer-free estimates: whitespace tokens, a
+    // BPE-ish regex segmentation (letter runs | single digits | single
+    // non-space symbols — the GPT-2 pre-tokenizer shape), and the chars/4
+    // rule of thumb. All codegen'd regexp counts, no per-token lambdas.
+    Q("q54_token_estimate",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+              .as("n_ws_tokens"),
+            size(regexp_extract_all(col("text"),
+              lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).as("n_bpe_tokens"),
+            expr("CAST(ceil(n_chars / 4.0) AS BIGINT)").as("est_tokens"))
+          .orderBy(col("doc_id")),
+      Some(
+        """SELECT doc_id,
+          |  len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+          |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+          |  CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_tokens
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Per-group top-k: rank inside each nation partition (the partitioned
+    // counterpart of q31's global TakeOrdered). Ranking key is rounded so
+    // both engines order identical values; custkey breaks ties.
+    Q("q56_grouped_topk",
+      (s, dir) => {
+        val cust = Tables(s, dir, "customer")
+        val orders = Tables(s, dir, "orders")
+        val nation = Tables(s, dir, "nation")
+        val revenue = orders.groupBy(col("o_custkey"))
+          .agg(round(sum(col("o_totalprice")), 6).as("revenue"))
+        val ranked = cust
+          .join(revenue, col("c_custkey") === col("o_custkey"))
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("c_custkey"), col("revenue"))
+          .withColumn("rk", row_number().over(Window.partitionBy(col("n_name"))
+            .orderBy(col("revenue").desc, col("c_custkey"))))
+        ranked.where(col("rk") <= 2)
+          .select(col("n_name"), col("rk"), col("c_custkey"), col("revenue"))
+          .orderBy(col("n_name"), col("rk"))
+      },
+      Some(
+        """SELECT n_name, rk, c_custkey, revenue FROM (
+          |  SELECT n.n_name, c.c_custkey, r.revenue,
+          |    row_number() OVER (PARTITION BY n.n_name
+          |      ORDER BY r.revenue DESC, c.c_custkey) AS rk
+          |  FROM (SELECT o_custkey, round(sum(o_totalprice), 6) AS revenue
+          |        FROM orders GROUP BY o_custkey) r
+          |  JOIN customer c ON c.c_custkey = r.o_custkey
+          |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+          |) t WHERE rk <= 2 ORDER BY n_name, rk""".stripMargin))
+  )
+}

@@ -405,6 +405,61 @@ object DedupQueries {
           |      CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) DESC,
           |      a.vec_id, b.vec_id) AS rk
           |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-          |) t WHERE rk <= 20 ORDER BY id_a, id_b""".stripMargin))
+          |) t WHERE rk <= 20 ORDER BY id_a, id_b""".stripMargin)),
+
+    // Dedup endgame: connected components over the near-dup pair graph —
+    // every document mapped to its cluster's canonical (minimum) doc_id.
+    // Distributed min-label propagation: each round is one key-partitioned
+    // join + aggregation (the Pregel shape — at scale this is exactly
+    // GraphX/connected-components); rounds = component diameter, and
+    // near-dup components are tiny by construction. localCheckpoint
+    // truncates the growing lineage between rounds. The driver-side loop
+    // only moves a scalar convergence count, never data.
+    Q("q55_dedup_clusters",
+      (s, dir) => {
+        val pairs = Registry.byName("q26_jaccard_pairs").run(s, dir)
+          .select(col("doc_a"), col("doc_b"))
+        val edges = pairs
+          .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+          .toDF("src", "dst").cache()
+        var labels = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("doc_id").as("cluster_id"))
+          .localCheckpoint()
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 20) {
+          val nbrMin = edges.join(labels, col("dst") === col("doc_id"))
+            .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
+          val next = labels.join(nbrMin, col("doc_id") === col("src"), "left")
+            .select(col("doc_id"),
+              least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+                .as("cluster_id"))
+            .localCheckpoint()
+          changed = next.as("n")
+            .join(labels.select(col("doc_id"), col("cluster_id").as("old")), "doc_id")
+            .where(col("cluster_id") =!= col("old")).count()
+          labels = next
+          rounds += 1
+        }
+        labels.orderBy(col("doc_id"))
+      },
+      Some(duckGrams.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |          FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |jp AS (SELECT doc_a, doc_b FROM pairs
+        |       JOIN sizes sa ON doc_a = sa.doc_id
+        |       JOIN sizes sb ON doc_b = sb.doc_id
+        |       WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5),
+        |und AS (SELECT doc_a AS s, doc_b AS t FROM jp
+        |        UNION ALL SELECT doc_b, doc_a FROM jp),
+        |reach AS (SELECT s, t FROM und
+        |          UNION
+        |          SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s
+        |          WHERE u.t <> r.s)
+        |SELECT d.doc_id,
+        |  least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS cluster_id
+        |FROM documents d LEFT JOIN reach r ON d.doc_id = r.s
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
   )
 }

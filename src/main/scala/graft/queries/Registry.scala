@@ -31,7 +31,7 @@ object Tables {
 object Registry {
   lazy val all: Seq[Q] =
     CoreQueries.all ++ WindowQueries.all ++ AnalyticsQueries.all ++
-      ExtQueries.all ++ DedupQueries.all
+      ExtQueries.all ++ DedupQueries.all ++ AdvancedQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
