@@ -106,10 +106,12 @@ object AdvancedQueries {
       (s, dir) =>
         Tables(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
-          .agg(
-            round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
-            round(percentile(col("l_extendedprice"), lit(0.9)), 6).as("p90"),
-            round(percentile(col("l_extendedprice"), lit(0.99)), 6).as("p99"))
+          .agg(percentile(col("l_extendedprice"),
+            array(lit(0.5), lit(0.9), lit(0.99))).as("ps")) // one value buffer
+          .select(col("l_returnflag"),
+            round(element_at(col("ps"), 1), 6).as("p50"),
+            round(element_at(col("ps"), 2), 6).as("p90"),
+            round(element_at(col("ps"), 3), 6).as("p99"))
           .orderBy(col("l_returnflag")),
       Some(
         """SELECT l_returnflag,
@@ -183,7 +185,7 @@ object AdvancedQueries {
     // rule of thumb. All codegen'd regexp counts, no per-token lambdas.
     Q("q54_token_estimate",
       (s, dir) =>
-        Tables(s, dir, "documents")
+        Tables.sharded(s, dir, "documents", "doc_id")
           .select(col("doc_id"),
             size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
               .as("n_ws_tokens"),

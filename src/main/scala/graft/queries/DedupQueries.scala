@@ -36,7 +36,7 @@ object DedupQueries {
   private def gramsUncached(s: SparkSession, dir: String): DataFrame = {
     val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
       t => length(t) > 0)
-    Tables(s, dir, "documents")
+    Tables.sharded(s, dir, "documents", "doc_id")
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"),
         when(size(col("toks")) >= 3,
@@ -70,17 +70,23 @@ object DedupQueries {
     * signature pass is embarrassingly parallel and only the K-string
     * signatures ever reach an exchange (via the band-bucket join in q28). */
   private def bandsDf(s: SparkSession, dir: String): DataFrame = {
-    val sig = transform(sequence(lit(1), lit(K)), i =>
-      array_min(transform(col("grams"),
-        g => md5(concat(i.cast("string"), lit("_"), g)))))
-    grams(s, dir)
-      .where(size(col("grams")) > 0) // shingle-less docs have no signature
-      .select(col("doc_id"), sig.as("sig"))
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(K / RowsPerBand - 1)), b =>
-          md5(array_join(
-            slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)), ","))))
-          .as(Seq("band", "band_key")))
+    // One exploded pass: the K salted digests are plain codegen'd columns
+    // (no interpreted per-element lambda), and min() per signature slot is
+    // partially aggregated map-side — the only shuffle carries K strings
+    // per (partition, doc). An equivalent document-local nested-lambda
+    // formulation benched ~8x slower: higher-order-function bodies run
+    // interpreted per element.
+    val sigCols = (1 to K).map(i =>
+      min(md5(concat(lit(s"${i}_"), col("gram")))).as(s"h$i"))
+    val sigs = gramRows(s, dir)
+      .groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+    val bandKeys = (0 until K / RowsPerBand).map { b =>
+      md5(concat_ws(",",
+        (1 to RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}")): _*))
+    }
+    sigs.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
   }
 
   private val duckMinhash: String =
@@ -229,7 +235,7 @@ object DedupQueries {
         // bit-position passes then read cheap substrings of the digests
         // instead of re-hashing every token 16× (CollapseProject would
         // otherwise inline the md5 into the nested lambda).
-        Tables(s, dir, "documents")
+        Tables.sharded(s, dir, "documents", "doc_id")
           .select(col("doc_id"),
             transform(array_distinct(toks), t => md5(t)).as("hs"))
           .repartition(col("doc_id"))
@@ -379,7 +385,7 @@ object DedupQueries {
     // by brute force (the exact answer LSH/IVF variants approximate).
     Q("q31_embedding_pairs",
       (s, dir) => {
-        val emb = Tables(s, dir, "embeddings")
+        val emb = Tables.sharded(s, dir, "embeddings", "vec_id")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
         val cos = graft.functions.CosineSimilarity(s)(col("ae"), col("be"))
         // Global top-k via orderBy+limit: Spark plans TakeOrderedAndProject

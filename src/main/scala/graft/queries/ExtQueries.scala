@@ -48,7 +48,7 @@ object ExtQueries {
       (s, dir) => {
         val lowered = lower(col("text"))
         val stopPat = "\\b(?:" + stopwords.mkString("|") + ")\\b"
-        Tables(s, dir, "documents")
+        Tables.sharded(s, dir, "documents", "doc_id")
           .select(
             col("doc_id"),
             size(regexp_extract_all(lowered, lit("[a-z0-9]+"), lit(0)))
@@ -93,7 +93,7 @@ object ExtQueries {
       (s, dir) => {
         def hits(pat: String) =
           size(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
-        Tables(s, dir, "documents").select(
+        Tables.sharded(s, dir, "documents", "doc_id").select(
           col("doc_id"),
           hits("\\b(?:the|and|of|to|in|that)\\b").as("c_en"),
           hits("\\b(?:der|die|und|das|ist|nicht)\\b").as("c_de"),
@@ -126,7 +126,7 @@ object ExtQueries {
     // punctuation-insensitive near-exact dedup key).
     Q("q23_fingerprint",
       (s, dir) =>
-        Tables(s, dir, "documents").select(
+        Tables.sharded(s, dir, "documents", "doc_id").select(
           col("doc_id"),
           md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
             .as("fingerprint"),
@@ -144,7 +144,7 @@ object ExtQueries {
     // select identical rows.
     Q("q24_ann_cosine_topk",
       (s, dir) => {
-        val emb = Tables(s, dir, "embeddings")
+        val emb = Tables.sharded(s, dir, "embeddings", "vec_id")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
         val qs = emb.where(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("e").as("qe"))
@@ -210,7 +210,7 @@ object ExtQueries {
     // plumbing). Expressed portably so DuckDB verifies the same math.
     Q("q29_multimodal_meta",
       (s, dir) =>
-        Tables(s, dir, "documents").selectExpr(
+        Tables.sharded(s, dir, "documents", "doc_id").selectExpr(
           "doc_id",
           "octet_length(cast(text AS BINARY)) AS byte_len",
           "ascii(substr(md5(text), 1, 1)) * 8 + ascii(substr(md5(text), 2, 1)) AS fake_width",

@@ -26,6 +26,19 @@ object Tables {
     if (name == "events")
       spark.read.schema(eventsSchema).parquet(s"$dir/$name.parquet")
     else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Table fanned out across the cluster, hash-sharded by `key`. The
+    * testdata parquet files have a single row group, so a scan yields ONE
+    * task and every map-heavy stage before the first shuffle runs serially;
+    * this makes the fan-out explicit. Downstream groupBy/join on `key`
+    * reuses the hash partitioning (ClusteredDistribution is satisfied), so
+    * the shuffle is paid once. At real scale the source has many splits and
+    * this shuffle is cheap relative to the per-row work it parallelizes. */
+  def sharded(spark: SparkSession, dir: String, name: String,
+      key: String): DataFrame =
+    apply(spark, dir, name)
+      .repartition(spark.sparkContext.defaultParallelism,
+        org.apache.spark.sql.functions.col(key))
 }
 
 object Registry {
