@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming MinHash-LSH near-duplicate detection.
+  *
+  * The batch path (q27/q28) computes per-document band keys and self-joins
+  * on (band, band_key). Streams can't self-join their own history, so the
+  * standing-state formulation is: key the stream by LSH bucket and keep the
+  * doc_ids seen per bucket; each arriving document emits one candidate pair
+  * per earlier bucket member. Bucket state is exactly the batch join's
+  * build side, sharded by the same key — at scale each bucket holds a
+  * handful of ids (hot buckets are the same problem the batch DF-cap
+  * handles; `maxBucket` bounds them here).
+  *
+  * The signature is computed DOCUMENT-LOCALLY (nested higher-order
+  * expressions): a pure map over the stream, no shuffle before the bucket
+  * exchange — the per-element interpreter overhead that disqualified this
+  * shape for the batch hot path is what makes it streamable.
+  */
+object StreamingNearDup {
+
+  final case class BucketDoc(bucket: String, docId: Long)
+  final case class CandPair(docA: Long, docB: Long)
+
+  /** (doc_id, bucket) rows from a (doc_id, text) frame; bucket =
+    * band index + band key, same salted-md5 signature as batch q27. */
+  def bandKeys(docs: DataFrame, k: Int = 12, rowsPerBand: Int = 3): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
+      t => length(t) > 0)
+    val grams = when(size(col("toks")) >= 3,
+      array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
+        i => concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))))
+      .otherwise(array().cast("array<string>"))
+    val sig = transform(sequence(lit(1), lit(k)), i =>
+      array_min(transform(col("grams"),
+        g => md5(concat(i.cast("string"), lit("_"), g)))))
+    val bandKey = transform(sequence(lit(0), lit(k / rowsPerBand - 1)), b =>
+      md5(array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ",")))
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), grams.as("grams"))
+      .where(size(col("grams")) > 0)
+      .select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"),
+        posexplode(bandKey).as(Seq("band", "band_key")))
+      .select(col("doc_id"),
+        concat(col("band").cast("string"), lit(":"), col("band_key"))
+          .as("bucket"))
+  }
+
+  /** Candidate near-dup pairs (docA < docB), streamed: one pair per
+    * (new doc, earlier doc) sharing a bucket. Pairs can repeat across
+    * buckets (batch dedups with DISTINCT; a streaming consumer dedups
+    * downstream or tolerates at-least-once candidates). */
+  def candidatePairs(banded: Dataset[BucketDoc],
+      maxBucket: Int = 64): Dataset[CandPair] = {
+    import banded.sparkSession.implicits._
+    banded.groupByKey(_.bucket)
+      .flatMapGroupsWithState[Array[Long], CandPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state: GroupState[Array[Long]]) =>
+          var seen = state.getOption.getOrElse(Array.empty[Long])
+          val pairs = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+          rows.foreach { r =>
+            if (!seen.contains(r.docId)) {
+              seen.foreach { prev =>
+                val (a, b) = if (prev < r.docId) (prev, r.docId) else (r.docId, prev)
+                pairs += CandPair(a, b)
+              }
+              if (seen.length < maxBucket) seen = seen :+ r.docId
+            }
+          }
+          state.update(seen)
+          pairs.iterator
+      }
+  }
+}
