@@ -70,23 +70,23 @@ object DedupQueries {
     * signature pass is embarrassingly parallel and only the K-string
     * signatures ever reach an exchange (via the band-bucket join in q28). */
   private def bandsDf(s: SparkSession, dir: String): DataFrame = {
-    // One exploded pass: the K salted digests are plain codegen'd columns
-    // (no interpreted per-element lambda), and min() per signature slot is
-    // partially aggregated map-side — the only shuffle carries K strings
-    // per (partition, doc). An equivalent document-local nested-lambda
-    // formulation benched ~8x slower: higher-order-function bodies run
-    // interpreted per element.
-    val sigCols = (1 to K).map(i =>
-      min(md5(concat(lit(s"${i}_"), col("gram")))).as(s"h$i"))
-    val sigs = gramRows(s, dir)
-      .groupBy(col("doc_id"))
-      .agg(sigCols.head, sigCols.tail: _*)
-    val bandKeys = (0 until K / RowsPerBand).map { b =>
-      md5(concat_ws(",",
-        (1 to RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}")): _*))
-    }
-    sigs.select(col("doc_id"),
-      posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+    // The tradeoff vs an explode + per-slot min() aggregation: that
+    // variant keeps md5 in codegen but pays a shuffle, and string min()
+    // forces SortAggregate (UnsafeRow buffers can't hold variable-width
+    // mins) — benched 1.3s vs 0.76s for this shape at sf0.1. The
+    // interpreted-lambda overhead is linear and embarrassingly parallel;
+    // the aggregation's sort+exchange is what hurts at scale.
+    val sig = transform(sequence(lit(1), lit(K)), i =>
+      array_min(transform(col("grams"),
+        g => md5(concat(i.cast("string"), lit("_"), g)))))
+    grams(s, dir)
+      .where(size(col("grams")) > 0)
+      .select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(K / RowsPerBand - 1)), b =>
+          md5(array_join(
+            slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)), ","))))
+          .as(Seq("band", "band_key")))
   }
 
   private val duckMinhash: String =
