@@ -22,5 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_cosine_similarity"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_hamming_distance"),
+      new ExpressionInfo(classOf[HammingDistance].getName,
+        "graft_hamming_distance"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HammingDistance(exprs(0), exprs(1))))
   }
 }

@@ -335,11 +335,10 @@ object DedupQueries {
           explode(array(
             concat(lit("L:"), substring(col("simhash16"), 1, 8)),
             concat(lit("R:"), substring(col("simhash16"), 9, 8)))).as("block"))
-        val hamming = aggregate(
-          transform(sequence(lit(1), lit(16)), j =>
-            when(col("a_sh").substr(j, lit(1)) =!= col("b_sh").substr(j, lit(1)),
-              1).otherwise(0)),
-          lit(0), (acc, x) => acc + x)
+        // native codegen'd byte-compare (graft.functions.HammingDistance);
+        // the interpreted transform-per-bit formulation was the hot inner
+        // loop of the candidate verify
+        val hamming = graft.functions.HammingDistance(s)(col("a_sh"), col("b_sh"))
         banded.as("x")
           .join(banded.as("y"),
             col("x.block") === col("y.block") && col("x.doc_id") < col("y.doc_id"))
@@ -404,11 +403,7 @@ object DedupQueries {
         val banded = sim.select(col("doc_id"), col("sh32"),
           posexplode(transform(sequence(lit(0), lit(3)), b =>
             col("sh32").substr(b * 8 + 1, lit(8)))).as(Seq("blk", "block")))
-        val hamming = aggregate(
-          transform(sequence(lit(1), lit(32)), j =>
-            when(col("a_sh").substr(j, lit(1)) =!= col("b_sh").substr(j, lit(1)),
-              1).otherwise(0)),
-          lit(0), (acc, x) => acc + x)
+        val hamming = graft.functions.HammingDistance(s)(col("a_sh"), col("b_sh"))
         banded.as("x")
           .join(banded.as("y"),
             col("x.blk") === col("y.blk") && col("x.block") === col("y.block") &&
