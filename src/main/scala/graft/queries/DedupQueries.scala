@@ -528,6 +528,83 @@ object DedupQueries {
         |SELECT d.doc_id,
         |  least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS cluster_id
         |FROM documents d LEFT JOIN reach r ON d.doc_id = r.s
-        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
+
+    // The end-to-end training-corpus preparation job — what all the
+    // building blocks compose into: near-dup clustering picks one
+    // canonical doc per cluster, quality & language gates drop the rest,
+    // and the survivors roll up to a per-source token budget. Every stage
+    // is a previously-verified operator (q55 clusters, q21 quality, q22
+    // langid, q54 token estimate); the joins are all on doc_id, so after
+    // one hash-shard by doc_id the whole filter chain is co-located, and
+    // the final rollup shuffles only (source, partial aggregates).
+    Q("q59_corpus_prep",
+      (s, dir) => {
+        val canonical = Registry.byName("q55_dedup_clusters").run(s, dir)
+          .where(col("doc_id") === col("cluster_id")).select(col("doc_id"))
+        val quality = Registry.byName("q21_text_stats").run(s, dir)
+          .select(col("doc_id"), col("quality"))
+        val lang = Registry.byName("q22_langid").run(s, dir)
+          .select(col("doc_id"), col("predicted_lang"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .join(canonical, "doc_id")
+          .join(quality, "doc_id")
+          .join(lang, "doc_id")
+          .where(col("quality") >= 0.25 && col("predicted_lang") === "en")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(expr("CAST(ceil(n_chars / 4.0) AS BIGINT)")).as("n_tokens"),
+            round(avg(col("quality")), 6).as("avg_quality"))
+          .orderBy(col("source"))
+      },
+      Some(duckGrams.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |          FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |jp AS (SELECT doc_a, doc_b FROM pairs
+        |       JOIN sizes sa ON doc_a = sa.doc_id
+        |       JOIN sizes sb ON doc_b = sb.doc_id
+        |       WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5),
+        |und AS (SELECT doc_a AS s, doc_b AS t FROM jp
+        |        UNION ALL SELECT doc_b, doc_a FROM jp),
+        |reach AS (SELECT s, t FROM und
+        |          UNION
+        |          SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s
+        |          WHERE u.t <> r.s),
+        |canon AS (SELECT dd.doc_id FROM documents dd
+        |          LEFT JOIN reach r ON dd.doc_id = r.s
+        |          GROUP BY dd.doc_id
+        |          HAVING coalesce(min(r.t), dd.doc_id) >= dd.doc_id),
+        |qual AS (SELECT doc_id,
+        |    0.5 * least(1.0, n_tokens / 100.0)
+        |      + 0.3 * (CAST(n_stop AS DOUBLE) / nullif(n_tokens, 0))
+        |      + 0.2 * least(1.0, CAST(alnum_len AS DOUBLE) / nullif(n_tokens, 0) / 8.0)
+        |      AS quality
+        |  FROM (SELECT doc_id,
+        |      len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+        |      len(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS alnum_len,
+        |      len(regexp_extract_all(lower(text), '\b(?:the|a|of|and|to|in|is|on|for|with)\b')) AS n_stop
+        |    FROM documents)),
+        |lang AS (SELECT doc_id,
+        |    CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+        |         WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+        |         WHEN c_fr >= c_es THEN 'fr'
+        |         ELSE 'es' END AS predicted_lang
+        |  FROM (SELECT doc_id,
+        |      len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|in|that)\b')) AS c_en,
+        |      len(regexp_extract_all(lower(text), '\b(?:der|die|und|das|ist|nicht)\b')) AS c_de,
+        |      len(regexp_extract_all(lower(text), '\b(?:le|les|et|des|une|est)\b')) AS c_fr,
+        |      len(regexp_extract_all(lower(text), '\b(?:el|los|y|que|una|como)\b')) AS c_es
+        |    FROM documents))
+        |SELECT dd.source, count(*) AS n_docs,
+        |  CAST(sum(CAST(ceil(dd.n_chars / 4.0) AS BIGINT)) AS BIGINT) AS n_tokens,
+        |  round(avg(q.quality), 6) AS avg_quality
+        |FROM documents dd
+        |JOIN canon USING (doc_id)
+        |JOIN qual q USING (doc_id)
+        |JOIN lang USING (doc_id)
+        |WHERE q.quality >= 0.25 AND predicted_lang = 'en'
+        |GROUP BY dd.source ORDER BY dd.source""".stripMargin))
   )
 }
