@@ -1,0 +1,158 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection primitives as a library: every function takes
+  * and returns a DataFrame with caller-named columns, so they run on ANY
+  * corpus frame — the driver-verified queries in
+  * [[graft.queries.DedupQueries]] are these functions applied to the
+  * testdata `documents` table (and the DuckDB oracles there pin the exact
+  * semantics).
+  *
+  * Scale contract: `shingles`/`minhashBands`/`simhash` are pure map stages
+  * (document-local signatures); only fixed-size sketch keys reach a
+  * shuffle, via the candidate equi-joins. `clusters` is the Pregel-shaped
+  * iterative step. All hashing is md5-based and engine-portable.
+  */
+object Dedup {
+
+  /** Lowercased alnum tokens of `textCol`. */
+  def tokens(textCol: Column): Column =
+    filter(split(lower(textCol), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** (id, grams): distinct word-3-gram shingles per document. Documents
+    * with fewer than 3 tokens get an empty shingle set. */
+  def shingles(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol),
+        when(size(col("toks")) >= 3,
+          array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
+            i => concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))))
+          .otherwise(array().cast("array<string>")).as("grams"))
+  }
+
+  /** (id, band, band_key): MinHash-LSH band keys, computed document-locally
+    * (no shuffle). Signature slot i = min over shingles of
+    * md5(i || '_' || shingle); band key = md5 of the band's slice. */
+  def minhashBands(grams: DataFrame, idCol: String = "doc_id",
+      k: Int = 12, rowsPerBand: Int = 3): DataFrame = {
+    val sig = transform(sequence(lit(1), lit(k)), i =>
+      array_min(transform(col("grams"),
+        g => md5(concat(i.cast("string"), lit("_"), g)))))
+    grams
+      .where(size(col("grams")) > 0)
+      .select(col(idCol), sig.as("sig"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(k / rowsPerBand - 1)), b =>
+          md5(array_join(
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ","))))
+          .as(Seq("band", "band_key")))
+  }
+
+  /** Distinct candidate pairs (a < b) from band-key collisions — the LSH
+    * equi-join that replaces the all-pairs comparison at scale. */
+  def lshCandidates(bands: DataFrame, idCol: String = "doc_id"): DataFrame =
+    bands.as("x")
+      .join(bands.as("y"),
+        col(s"x.band") === col(s"y.band") &&
+          col(s"x.band_key") === col(s"y.band_key") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+
+  /** Exact Jaccard over given candidate pairs only (candidate-driven
+    * verify): returns (id_a, id_b, jaccard). */
+  def jaccardVerify(cands: DataFrame, grams: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val e = grams.select(col(idCol), explode(col("grams")).as("gram"))
+    val sizes = grams.select(col(idCol), size(col("grams")).as("n"))
+    cands
+      .join(e.as("a"), col("id_a") === col(s"a.$idCol"))
+      .join(e.as("b"),
+        col("id_b") === col(s"b.$idCol") && col("a.gram") === col("b.gram"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("common") / (col("na") + col("nb") - col("common"))).as("jaccard"))
+  }
+
+  /** (id, fingerprint): SimHash over an array-of-features column — bit j
+    * is the sign of the ±1 vote sum over md5(feature) hex digit j. Use the
+    * shingle set as features for order-sensitive near-dup detection (the
+    * production configuration, q58); token sets measure vocabulary overlap
+    * only. The caller supplies a barrier-pre-hashed frame via `hashed` =
+    * transform(features, md5) if reusing digests across widths. */
+  def simhash(featureDf: DataFrame, featuresCol: String,
+      idCol: String = "doc_id", bits: Int = 32,
+      out: String = "fingerprint"): DataFrame = {
+    val bitPasses = transform(sequence(lit(1), lit(bits)), j =>
+      when(aggregate(col("__hs"), lit(0), (acc, h) =>
+        acc + when(h.substr(j, lit(1))
+          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+          .otherwise(-1)) > 0, lit("1")).otherwise(lit("0")))
+    featureDf
+      .where(size(col(featuresCol)) > 0)
+      .select(col(idCol), transform(col(featuresCol), f => md5(f)).as("__hs"))
+      .repartition(col(idCol)) // barrier: hash once, not once per bit pass
+      .select(col(idCol), array_join(bitPasses, "").as(out))
+  }
+
+  /** Near-dup pairs within `maxHamming` of equal-width fingerprints,
+    * banded into `nBlocks` equal substrings (pigeonhole: complete for
+    * hamming < nBlocks). Uses the native codegen'd Hamming expression. */
+  def simhashPairs(sim: DataFrame, idCol: String = "doc_id",
+      fpCol: String = "fingerprint", nBlocks: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
+    val spark = sim.sparkSession
+    val width = length(col(fpCol))
+    val blockLen = (width / nBlocks)
+    val banded = sim.select(col(idCol), col(fpCol),
+      posexplode(transform(sequence(lit(0), lit(nBlocks - 1)), b =>
+        col(fpCol).substr(b * blockLen + 1, blockLen))).as(Seq("blk", "block")))
+    val ham = graft.functions.HammingDistance(spark)(col("a_fp"), col("b_fp"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.blk") === col("y.blk") && col("x.block") === col("y.block") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        col(s"x.$fpCol").as("a_fp"), col(s"y.$fpCol").as("b_fp"))
+      .distinct()
+      .select(col("id_a"), col("id_b"), ham.as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Connected components over an undirected pair graph: every id in
+    * `ids` labeled with its component's minimum id. Distributed min-label
+    * propagation (one join + aggregation per round, rounds = component
+    * diameter); the driver loop moves only a convergence count. */
+  def clusters(ids: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.toDF("a", "b")
+    val und = edges.unionAll(edges.select(col("b"), col("a"))).toDF("src", "dst")
+      .cache()
+    var labels = ids.select(col(idCol), col(idCol).as("cluster_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val nbrMin = und.join(labels, col("dst") === col(idCol))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.join(nbrMin, col(idCol) === col("src"), "left")
+        .select(col(idCol),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.select(col(idCol), col("cluster_id").as("old")), idCol)
+        .where(col("cluster_id") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+}

@@ -33,18 +33,8 @@ object DedupQueries {
   private val gramsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def gramsUncached(s: SparkSession, dir: String): DataFrame = {
-    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
-      t => length(t) > 0)
-    Tables.sharded(s, dir, "documents", "doc_id")
-      .select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"),
-        when(size(col("toks")) >= 3,
-          array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
-            i => concat_ws(" ", element_at(col("toks"), i),
-              element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))))
-          .otherwise(array().cast("array<string>")).as("grams"))
-  }
+  private def gramsUncached(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.shingles(Tables.sharded(s, dir, "documents", "doc_id"))
 
   private def gramRows(s: SparkSession, dir: String): DataFrame =
     grams(s, dir).select(col("doc_id"), explode(col("grams")).as("gram"))
@@ -69,25 +59,13 @@ object DedupQueries {
     * shingle table — no explode, no per-(doc, i) shuffle: at 100 TB the
     * signature pass is embarrassingly parallel and only the K-string
     * signatures ever reach an exchange (via the band-bucket join in q28). */
-  private def bandsDf(s: SparkSession, dir: String): DataFrame = {
-    // The tradeoff vs an explode + per-slot min() aggregation: that
-    // variant keeps md5 in codegen but pays a shuffle, and string min()
-    // forces SortAggregate (UnsafeRow buffers can't hold variable-width
-    // mins) — benched 1.3s vs 0.76s for this shape at sf0.1. The
-    // interpreted-lambda overhead is linear and embarrassingly parallel;
-    // the aggregation's sort+exchange is what hurts at scale.
-    val sig = transform(sequence(lit(1), lit(K)), i =>
-      array_min(transform(col("grams"),
-        g => md5(concat(i.cast("string"), lit("_"), g)))))
-    grams(s, dir)
-      .where(size(col("grams")) > 0)
-      .select(col("doc_id"), sig.as("sig"))
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(K / RowsPerBand - 1)), b =>
-          md5(array_join(
-            slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)), ","))))
-          .as(Seq("band", "band_key")))
-  }
+  private def bandsDf(s: SparkSession, dir: String): DataFrame =
+    // Library core: graft.dedup.Dedup.minhashBands. Benched tradeoff vs an
+    // explode + per-slot min() aggregation: that variant keeps md5 in
+    // codegen but pays a shuffle, and string min() forces SortAggregate —
+    // 1.3s vs 0.76s at sf0.1 for the document-local shape.
+    graft.dedup.Dedup.minhashBands(grams(s, dir), k = K,
+      rowsPerBand = RowsPerBand)
 
   private val duckMinhash: String =
     duckGrams + s""",
@@ -186,25 +164,10 @@ object DedupQueries {
       (s, dir) => {
         // cache: the band table sits on both sides of the bucket self-join
         val bands = bandsDf(s, dir).cache()
-        val cands = bands.as("x")
-          .join(bands.as("y"),
-            col("x.band") === col("y.band") &&
-              col("x.band_key") === col("y.band_key") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-        val e = gramRows(s, dir)
-        val sizes = grams(s, dir).select(col("doc_id"), size(col("grams")).as("n"))
-        val common = cands
-          .join(e.as("a"), col("doc_a") === col("a.doc_id"))
-          .join(e.as("b"),
-            col("doc_b") === col("b.doc_id") && col("a.gram") === col("b.gram"))
-          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
-        common
-          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            (col("common") / (col("na") + col("nb") - col("common"))).as("jaccard"))
+        val cands = graft.dedup.Dedup.lshCandidates(bands)
+        graft.dedup.Dedup.jaccardVerify(cands, grams(s, dir))
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+            col("jaccard"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(duckMinhash + """,
@@ -389,30 +352,12 @@ object DedupQueries {
     // unrelated pairs scatter to ~16). This is the configuration you ship.
     Q("q58_simhash_shingle_pairs",
       (s, dir) => {
-        val bitPasses = transform(sequence(lit(1), lit(32)), j =>
-          when(aggregate(col("hs"), lit(0), (acc, h) =>
-            acc + when(h.substr(j, lit(1))
-              .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-              .otherwise(-1)) > 0, lit("1")).otherwise(lit("0")))
-        val sim = grams(s, dir)
-          .where(size(col("grams")) > 0)
-          .select(col("doc_id"), transform(col("grams"), g => md5(g)).as("hs"))
-          .repartition(col("doc_id")) // barrier: md5 once, not per bit pass
-          .select(col("doc_id"), array_join(bitPasses, "").as("sh32"))
-          .cache()
-        val banded = sim.select(col("doc_id"), col("sh32"),
-          posexplode(transform(sequence(lit(0), lit(3)), b =>
-            col("sh32").substr(b * 8 + 1, lit(8)))).as(Seq("blk", "block")))
-        val hamming = graft.functions.HammingDistance(s)(col("a_sh"), col("b_sh"))
-        banded.as("x")
-          .join(banded.as("y"),
-            col("x.blk") === col("y.blk") && col("x.block") === col("y.block") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-            col("x.sh32").as("a_sh"), col("y.sh32").as("b_sh"))
-          .distinct()
-          .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
-          .where(col("hamming") <= 3)
+        val sim = graft.dedup.Dedup
+          .simhash(grams(s, dir), "grams", bits = 32).cache()
+        graft.dedup.Dedup
+          .simhashPairs(sim, nBlocks = 4, maxHamming = 3)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+            col("hamming"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(duckGrams + """,
@@ -487,29 +432,9 @@ object DedupQueries {
       (s, dir) => {
         val pairs = Registry.byName("q26_jaccard_pairs").run(s, dir)
           .select(col("doc_a"), col("doc_b"))
-        val edges = pairs
-          .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-          .toDF("src", "dst").cache()
-        var labels = Tables(s, dir, "documents")
-          .select(col("doc_id"), col("doc_id").as("cluster_id"))
-          .localCheckpoint()
-        var changed = 1L
-        var rounds = 0
-        while (changed > 0 && rounds < 20) {
-          val nbrMin = edges.join(labels, col("dst") === col("doc_id"))
-            .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
-          val next = labels.join(nbrMin, col("doc_id") === col("src"), "left")
-            .select(col("doc_id"),
-              least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-                .as("cluster_id"))
-            .localCheckpoint()
-          changed = next.as("n")
-            .join(labels.select(col("doc_id"), col("cluster_id").as("old")), "doc_id")
-            .where(col("cluster_id") =!= col("old")).count()
-          labels = next
-          rounds += 1
-        }
-        labels.orderBy(col("doc_id"))
+        graft.dedup.Dedup
+          .clusters(Tables(s, dir, "documents").select(col("doc_id")), pairs)
+          .orderBy(col("doc_id"))
       },
       Some(duckGrams.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common

@@ -26,31 +26,15 @@ object StreamingNearDup {
   final case class CandPair(docA: Long, docB: Long)
 
   /** (doc_id, bucket) rows from a (doc_id, text) frame; bucket =
-    * band index + band key, same salted-md5 signature as batch q27. */
-  def bandKeys(docs: DataFrame, k: Int = 12, rowsPerBand: Int = 3): DataFrame = {
-    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
-      t => length(t) > 0)
-    val grams = when(size(col("toks")) >= 3,
-      array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
-        i => concat_ws(" ", element_at(col("toks"), i),
-          element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))))
-      .otherwise(array().cast("array<string>"))
-    val sig = transform(sequence(lit(1), lit(k)), i =>
-      array_min(transform(col("grams"),
-        g => md5(concat(i.cast("string"), lit("_"), g)))))
-    val bandKey = transform(sequence(lit(0), lit(k / rowsPerBand - 1)), b =>
-      md5(array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ",")))
-    docs
-      .select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"), grams.as("grams"))
-      .where(size(col("grams")) > 0)
-      .select(col("doc_id"), sig.as("sig"))
-      .select(col("doc_id"),
-        posexplode(bandKey).as(Seq("band", "band_key")))
+    * band index + band key — the SAME document-local sketch as the batch
+    * path ([[graft.dedup.Dedup.minhashBands]]), so stream and batch agree
+    * bit-for-bit. */
+  def bandKeys(docs: DataFrame, k: Int = 12, rowsPerBand: Int = 3): DataFrame =
+    graft.dedup.Dedup.minhashBands(
+      graft.dedup.Dedup.shingles(docs), k = k, rowsPerBand = rowsPerBand)
       .select(col("doc_id"),
         concat(col("band").cast("string"), lit(":"), col("band_key"))
           .as("bucket"))
-  }
 
   /** Candidate near-dup pairs (docA < docB), streamed: one pair per
     * (new doc, earlier doc) sharing a bucket. Pairs can repeat across
