@@ -185,13 +185,10 @@ object AdvancedQueries {
     // rule of thumb. All codegen'd regexp counts, no per-token lambdas.
     Q("q54_token_estimate",
       (s, dir) =>
-        Tables.sharded(s, dir, "documents", "doc_id")
-          .select(col("doc_id"),
-            size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
-              .as("n_ws_tokens"),
-            size(regexp_extract_all(col("text"),
-              lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).as("n_bpe_tokens"),
-            expr("CAST(ceil(n_chars / 4.0) AS BIGINT)").as("est_tokens"))
+        graft.text.TextStats
+          .tokenEstimates(Tables.sharded(s, dir, "documents", "doc_id"))
+          .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"),
+            col("est_tokens"))
           .orderBy(col("doc_id")),
       Some(
         """SELECT doc_id,

@@ -233,31 +233,16 @@ object DedupQueries {
     // reproduced exactly by the DuckDB oracle.
     Q("q37_ann_lsh",
       (s, dir) => {
-        val dim = 64
-        val planes = 8
-        def weight(p: Int, j: Int): Long =
-          ((p.toLong * dim + j) * 2654435761L) % 97 - 48
         val emb = Tables(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-        val bucketBits = (0 until planes).map { p =>
-          val hp = array((0 until dim).map(j => lit(weight(p, j).toDouble)): _*)
-          when(aggregate(zip_with(col("e"), hp, (a, b) => a * b),
-            lit(0.0), (acc, x) => acc + x) >= 0, lit("1")).otherwise(lit("0"))
-        }
         val bucketed = emb
-          .select(col("vec_id"), col("e"), concat(bucketBits: _*).as("bucket"))
+          .select(col("vec_id"), col("e"), graft.similarity.Similarity
+            .hyperplaneBucket(col("e"), dim = 64, planes = 8).as("bucket"))
           .repartition(col("bucket")) // bucket = the shuffle key at scale
-        val cos = graft.functions.CosineSimilarity(s)(col("e"), col("ne"))
-        bucketed.as("a")
-          .join(bucketed.select(col("bucket"), col("vec_id").as("neighbor_id"),
-            col("e").as("ne")).as("b"), "bucket")
-          .where(col("vec_id") =!= col("neighbor_id"))
+        graft.similarity.Similarity
+          .ivfTopK(bucketed, k = 3, labelCol = "bucket")
           .select(col("vec_id"), col("bucket"), col("neighbor_id"),
-            round(cos, 6).as("cos_sim"))
-          .withColumn("rk", row_number().over(Window.partitionBy(col("vec_id"))
-            .orderBy(col("cos_sim").desc, col("neighbor_id"))))
-          .where(col("rk") <= 3)
-          .select(col("vec_id"), col("bucket"), col("neighbor_id"), col("cos_sim"))
+            col("cos_sim"))
           .orderBy(col("vec_id"), col("neighbor_id"))
       },
       Some(
@@ -395,17 +380,7 @@ object DedupQueries {
         val emb = Tables.sharded(s, dir, "embeddings", "vec_id")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
         val cos = graft.functions.CosineSimilarity(s)(col("ae"), col("be"))
-        // Global top-k via orderBy+limit: Spark plans TakeOrderedAndProject
-        // (per-partition top-20, then a 20-row driver merge) — the scale
-        // path. A global `Window.orderBy` row_number would funnel all N²/2
-        // candidate pairs through ONE partition.
-        emb.select(col("vec_id").as("id_a"), col("e").as("ae"))
-          .join(emb.select(col("vec_id").as("id_b"), col("e").as("be")),
-            col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"),
-            round(cos, 6).as("cos_sim"))
-          .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
-          .limit(20)
+        graft.similarity.Similarity.topKPairs(emb, k = 20)
           .select(col("id_a"), col("id_b"), col("cos_sim"))
           .orderBy(col("id_a"), col("id_b"))
       },

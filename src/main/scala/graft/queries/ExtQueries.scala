@@ -45,31 +45,12 @@ object ExtQueries {
     // (identical on alnum tokenization). ~10× cheaper per row than the HOF
     // formulation — this is the hot shape for 100 TB document scoring.
     Q("q21_text_stats",
-      (s, dir) => {
-        val lowered = lower(col("text"))
-        val stopPat = "\\b(?:" + stopwords.mkString("|") + ")\\b"
-        Tables.sharded(s, dir, "documents", "doc_id")
-          .select(
-            col("doc_id"),
-            size(regexp_extract_all(lowered, lit("[a-z0-9]+"), lit(0)))
-              .as("n_tokens"),
-            length(regexp_replace(lowered, "[^a-z0-9]+", "")).as("alnum_len"),
-            size(regexp_extract_all(lowered, lit(stopPat), lit(0)))
-              .as("n_stop"),
-            (size(split(col("text"), "[.,;:!?]")) - 1).as("n_punct"),
-            length(col("text")).as("text_len"))
-          .select(col("doc_id"), col("n_tokens"),
-            (col("alnum_len").cast("double") / nullif(col("n_tokens"), lit(0)))
-              .as("avg_token_len"),
-            (col("n_stop").cast("double") / nullif(col("n_tokens"), lit(0)))
-              .as("stop_ratio"),
-            col("n_punct"), col("text_len"))
-          .withColumn("quality",
-            lit(0.5) * least(lit(1.0), col("n_tokens") / 100.0) +
-              lit(0.3) * col("stop_ratio") +
-              lit(0.2) * least(lit(1.0), col("avg_token_len") / 8.0))
-          .orderBy(col("doc_id"))
-      },
+      (s, dir) =>
+        graft.text.TextStats
+          .quality(Tables.sharded(s, dir, "documents", "doc_id"))
+          .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
+            col("stop_ratio"), col("n_punct"), col("text_len"), col("quality"))
+          .orderBy(col("doc_id")),
       Some(
         s"""WITH s AS (
            |  SELECT doc_id,
@@ -90,23 +71,12 @@ object ExtQueries {
 
     // Language-ID n-gram/stopword heuristic with a deterministic argmax.
     Q("q22_langid",
-      (s, dir) => {
-        def hits(pat: String) =
-          size(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
-        Tables.sharded(s, dir, "documents", "doc_id").select(
-          col("doc_id"),
-          hits("\\b(?:the|and|of|to|in|that)\\b").as("c_en"),
-          hits("\\b(?:der|die|und|das|ist|nicht)\\b").as("c_de"),
-          hits("\\b(?:le|les|et|des|une|est)\\b").as("c_fr"),
-          hits("\\b(?:el|los|y|que|una|como)\\b").as("c_es"))
-          .withColumn("predicted_lang",
-            when(col("c_en") >= col("c_de") && col("c_en") >= col("c_fr") &&
-              col("c_en") >= col("c_es"), "en")
-              .when(col("c_de") >= col("c_fr") && col("c_de") >= col("c_es"), "de")
-              .when(col("c_fr") >= col("c_es"), "fr")
-              .otherwise("es"))
-          .orderBy(col("doc_id"))
-      },
+      (s, dir) =>
+        graft.text.TextStats
+          .langId(Tables.sharded(s, dir, "documents", "doc_id"))
+          .select(col("doc_id"), col("c_en"), col("c_de"), col("c_fr"),
+            col("c_es"), col("predicted_lang"))
+          .orderBy(col("doc_id")),
       Some(
         """WITH c AS (
           |  SELECT doc_id,
@@ -128,8 +98,7 @@ object ExtQueries {
       (s, dir) =>
         Tables.sharded(s, dir, "documents", "doc_id").select(
           col("doc_id"),
-          md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
-            .as("fingerprint"),
+          graft.text.TextStats.fingerprint(col("text")).as("fingerprint"),
           length(col("text")).as("text_len"))
           .orderBy(col("doc_id")),
       Some("""SELECT doc_id,
@@ -148,14 +117,8 @@ object ExtQueries {
           .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
         val qs = emb.where(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("e").as("qe"))
-        val cand = emb.where(col("vec_id") >= 10)
-        val cos = graft.functions.CosineSimilarity(s)(col("qe"), col("e"))
-        cand.crossJoin(broadcast(qs))
-          .select(col("query_id"), col("vec_id"),
-            round(cos, 6).as("cos_sim"))
-          .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
-            .orderBy(col("cos_sim").desc, col("vec_id"))))
-          .where(col("rk") <= 5)
+        graft.similarity.Similarity
+          .bruteForceTopK(qs, emb.where(col("vec_id") >= 10), k = 5)
           .select(col("query_id"), col("vec_id"), col("cos_sim"))
           .orderBy(col("query_id"), col("vec_id"))
       },
@@ -177,18 +140,9 @@ object ExtQueries {
     Q("q25_ann_ivf",
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
-          .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
-        val a = emb.select(col("vec_id"), col("label"), col("e"))
-        val b = emb.select(col("vec_id").as("neighbor_id"), col("label"),
-          col("e").as("ne"))
-        val cos = graft.functions.CosineSimilarity(s)(col("e"), col("ne"))
-        a.join(b, "label")
-          .where(col("vec_id") =!= col("neighbor_id"))
-          .select(col("vec_id"), col("neighbor_id"),
-            round(cos, 6).as("cos_sim"))
-          .withColumn("rk", row_number().over(Window.partitionBy(col("vec_id"))
-            .orderBy(col("cos_sim").desc, col("neighbor_id"))))
-          .where(col("rk") <= 3)
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("e"))
+        graft.similarity.Similarity.ivfTopK(emb, k = 3)
           .select(col("vec_id"), col("neighbor_id"), col("cos_sim"))
           .orderBy(col("vec_id"), col("neighbor_id"))
       },

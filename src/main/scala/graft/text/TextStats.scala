@@ -1,0 +1,84 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis primitives as a library over caller-named columns: token
+  * and quality statistics, language identification, token-count
+  * estimators, and normalization fingerprints. All counts are codegen'd
+  * regexp primitives (a token is exactly an [a-z0-9]+ run), never
+  * per-token lambda evaluation — the hot shape for corpus-scale scoring.
+  * The driver-verified queries (q21/q22/q23/q54) apply these to the
+  * testdata `documents` table; their DuckDB oracles pin the semantics. */
+object TextStats {
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is",
+    "on", "for", "with")
+
+  /** Adds n_tokens, avg_token_len, stop_ratio, n_punct, text_len, quality. */
+  def quality(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val lowered = lower(col(textCol))
+    val stopPat = "\\b(?:" + Stopwords.mkString("|") + ")\\b"
+    docs
+      .withColumn("n_tokens",
+        size(regexp_extract_all(lowered, lit("[a-z0-9]+"), lit(0))))
+      .withColumn("__alnum_len",
+        length(regexp_replace(lowered, "[^a-z0-9]+", "")))
+      .withColumn("__n_stop",
+        size(regexp_extract_all(lowered, lit(stopPat), lit(0))))
+      .withColumn("n_punct", size(split(col(textCol), "[.,;:!?]")) - 1)
+      .withColumn("text_len", length(col(textCol)))
+      .withColumn("avg_token_len",
+        col("__alnum_len").cast("double") / nullif(col("n_tokens"), lit(0)))
+      .withColumn("stop_ratio",
+        col("__n_stop").cast("double") / nullif(col("n_tokens"), lit(0)))
+      .withColumn("quality",
+        lit(0.5) * least(lit(1.0), col("n_tokens") / 100.0) +
+          lit(0.3) * col("stop_ratio") +
+          lit(0.2) * least(lit(1.0), col("avg_token_len") / 8.0))
+      .drop("__alnum_len", "__n_stop")
+  }
+
+  private val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(?:the|and|of|to|in|that)\\b",
+    "de" -> "\\b(?:der|die|und|das|ist|nicht)\\b",
+    "fr" -> "\\b(?:le|les|et|des|une|est)\\b",
+    "es" -> "\\b(?:el|los|y|que|una|como)\\b")
+
+  /** Adds c_<lang> marker counts and predicted_lang (deterministic argmax,
+    * earlier language wins ties). */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val lowered = lower(col(textCol))
+    val withCounts = LangMarkers.foldLeft(docs) { case (df, (l, pat)) =>
+      df.withColumn(s"c_$l",
+        size(regexp_extract_all(lowered, lit(pat), lit(0))))
+    }
+    val langs = LangMarkers.map(_._1)
+    val argmax = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((l, i), rest) =>
+        val laterMax = langs.drop(i + 1)
+          .map(o => col(s"c_$l") >= col(s"c_$o")).reduce(_ && _)
+        when(laterMax, l).otherwise(rest)
+    }
+    withCounts.withColumn("predicted_lang", argmax)
+  }
+
+  /** Adds n_ws_tokens (whitespace), n_bpe_tokens (GPT-2-ish pre-tokenizer
+    * regex: letter runs | single digits | single symbols), est_tokens
+    * (chars/4 rule of thumb over `charsCol`). */
+  def tokenEstimates(docs: DataFrame, textCol: String = "text",
+      charsCol: String = "n_chars"): DataFrame =
+    docs
+      .withColumn("n_ws_tokens",
+        size(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))))
+      .withColumn("n_bpe_tokens",
+        size(regexp_extract_all(col(textCol),
+          lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))))
+      .withColumn("est_tokens",
+        ceil(col(charsCol) / 4.0).cast("long"))
+
+  /** Normalized-content digest: whitespace/case/punctuation-insensitive
+    * near-exact dedup key. */
+  def fingerprint(textCol: Column): Column =
+    md5(trim(regexp_replace(lower(textCol), "[^a-z0-9]+", " ")))
+}
