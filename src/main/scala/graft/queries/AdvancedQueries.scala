@@ -226,6 +226,36 @@ object AdvancedQueries {
           |        FROM orders GROUP BY o_custkey) r
           |  JOIN customer c ON c.c_custkey = r.o_custkey
           |  JOIN nation n ON n.n_nationkey = c.c_nationkey
-          |) t WHERE rk <= 2 ORDER BY n_name, rk""".stripMargin))
+          |) t WHERE rk <= 2 ORDER BY n_name, rk""".stripMargin)),
+
+    // Two-sided as-of join (graft.analytics.AsOf): each purchase event
+    // picks up the latest same-user click at-or-before it. One union +
+    // keyed window — a single shuffle by user_id — against DuckDB's
+    // native ASOF JOIN as the oracle. The naive range-join encoding
+    // explodes quadratically in hot keys; this shape is O(n log n) per
+    // key shard.
+    Q("q60_asof_join",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"),
+            col("event_id").as("click_id"), col("value").as("click_value"))
+        graft.analytics.AsOf
+          .asofJoin(purchases, clicks, keyCol = "user_id",
+            seqCol = "event_id", valueCols = Seq("click_id", "click_value"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some(
+        """WITH p AS (SELECT user_id, event_id FROM events
+          |           WHERE event_type = 'purchase'),
+          |c AS (SELECT user_id, event_id AS click_id, value AS click_value
+          |      FROM events WHERE event_type = 'click')
+          |SELECT p.user_id, p.event_id,
+          |  c.click_id AS asof_click_id, c.click_value AS asof_click_value
+          |FROM p ASOF LEFT JOIN c
+          |  ON p.user_id = c.user_id AND c.click_id <= p.event_id
+          |ORDER BY p.user_id, p.event_id""".stripMargin))
   )
 }
