@@ -125,21 +125,11 @@ object AdvancedQueries {
     // breaks, then two key-local aggregations. Everything shards by
     // user_id; no global order anywhere.
     Q("q52_sessionize",
-      (s, dir) => {
-        val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-        val gap = col("event_id") - lag(col("event_id"), 1).over(byUser)
-        val sessions = Tables(s, dir, "events")
-          .select(col("user_id"), col("event_id"))
-          .withColumn("brk", when(gap.isNull || (gap > 500), 1).otherwise(0))
-          .withColumn("sess", sum(col("brk")).over(byUser))
-          .groupBy(col("user_id"), col("sess"))
-          .agg(count(lit(1)).as("sess_len"))
-        sessions.groupBy(col("user_id"))
-          .agg(count(lit(1)).as("n_sessions"),
-            max(col("sess_len")).as("max_sess_len"),
-            sum(col("sess_len")).cast("long").as("n_events"))
-          .orderBy(col("user_id"))
-      },
+      (s, dir) =>
+        graft.analytics.Sessions
+          .sessionStats(Tables(s, dir, "events"), keyCol = "user_id",
+            seqCol = "event_id", gap = 500)
+          .orderBy(col("user_id")),
       Some(
         """WITH g AS (
           |  SELECT user_id, event_id,
@@ -256,6 +246,28 @@ object AdvancedQueries {
           |  c.click_id AS asof_click_id, c.click_value AS asof_click_value
           |FROM p ASOF LEFT JOIN c
           |  ON p.user_id = c.user_id AND c.click_id <= p.event_id
-          |ORDER BY p.user_id, p.event_id""".stripMargin))
+          |ORDER BY p.user_id, p.event_id""".stripMargin)),
+
+    // Deterministic stratified sampling (graft.analytics.Sampling): the 5
+    // docs per source with the smallest salted digest. A pure function of
+    // (doc_id, salt) — retried tasks, re-runs, and the oracle select
+    // identical rows, which rand() cannot promise; WindowGroupLimit keeps
+    // ≤5 rows per stratum on the map side.
+    Q("q61_stratified_sample",
+      (s, dir) =>
+        graft.analytics.Sampling
+          .stratifiedPriority(
+            Tables(s, dir, "documents").select(col("doc_id"), col("source")),
+            strataCol = "source", idCol = "doc_id", k = 5)
+          .select(col("source"), col("doc_id"), col("priority"))
+          .orderBy(col("source"), col("doc_id")),
+      Some(
+        """SELECT source, doc_id, priority FROM (
+          |  SELECT source, doc_id,
+          |    md5(CAST(doc_id AS VARCHAR) || ':s1') AS priority,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':s1'), doc_id) AS rk
+          |  FROM documents
+          |) t WHERE rk <= 5 ORDER BY source, doc_id""".stripMargin))
   )
 }
