@@ -268,6 +268,25 @@ object AdvancedQueries {
           |    row_number() OVER (PARTITION BY source
           |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':s1'), doc_id) AS rk
           |  FROM documents
-          |) t WHERE rk <= 5 ORDER BY source, doc_id""".stripMargin))
+          |) t WHERE rk <= 5 ORDER BY source, doc_id""".stripMargin)),
+
+    // REAL event-time tumbling windows: the parquet TIMESTAMP(NANOS)
+    // column read via the nanos-as-long escape hatch (see Tables), hour-
+    // truncated after a nanos→micros division. q42 synthesizes time from
+    // event_id; this one proves the engine handles the file's own clock.
+    Q("q62_event_time_hourly",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .select(col("event_type"),
+            date_trunc("hour",
+              timestamp_micros((col("ts") / 1000).cast("long"))).as("hour"),
+            col("value"))
+          .groupBy(col("event_type"), col("hour"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+          .orderBy(col("event_type"), col("hour")),
+      Some(
+        """SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+          |  count(*) AS n, sum(value) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY event_type, hour""".stripMargin))
   )
 }

@@ -15,17 +15,20 @@ final case class Q(
 
 object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * outright at schema conversion. No query needs it (ordering uses
-    * event_id), so events is read with an explicit clipped schema — parquet
-    * schema clipping then never touches the nanos column, independent of any
-    * session config the caller might have. */
+    * outright at schema conversion — UNLESS the legacy nanos escape hatch
+    * is on, which maps the column to a plain BIGINT of nanos since epoch
+    * (SPARK-40819). Events therefore reads with that conf plus an explicit
+    * schema declaring `ts BIGINT`; callers needing a timestamp derive one
+    * with `timestamp_micros(ts div 1000)` (see q62). */
   private val eventsSchema = org.apache.spark.sql.types.StructType.fromDDL(
-    "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+      "value DOUBLE, props STRING")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.schema(eventsSchema).parquet(s"$dir/$name.parquet")
-    else spark.read.parquet(s"$dir/$name.parquet")
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Table fanned out across the cluster, hash-sharded by `key`. The
     * testdata parquet files have a single row group, so a scan yields ONE
