@@ -25,11 +25,11 @@ object Bench {
     // one relational and one document-pipeline query.
     Seq("q01_pricing_summary", "q22_langid").foreach(n =>
       Registry.byName.get(n).foreach(q => q.run(spark, sfDir).count()))
-    // best of two runs per query: single-shot timings on a shared host are
-    // dominated by ambient noise (CPU steal, GC); min-of-2 reports the
-    // engine's cost, not the host's worst moment
+    // best of three runs per query: single-shot timings on this shared
+    // host swing up to 5x on identical code (CPU steal, GC); the min
+    // reports the engine's cost, not the host's worst moment
     val results = Registry.all.filter(_.bench).map { q =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>

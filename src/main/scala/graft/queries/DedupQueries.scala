@@ -120,7 +120,9 @@ object DedupQueries {
         val rare = e.groupBy(col("gram"))
           .agg(count(lit(1)).as("df")).where(col("df") <= DfCap)
           .select(col("gram"))
-        val er = e.join(rare, "gram")
+        // cache: er feeds sizes and BOTH sides of the pair join — without
+        // the barrier the DF aggregation + join runs three times
+        val er = e.join(rare, "gram").cache()
         val sizes = er.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val pairs = er.as("a")
           .join(er.as("b"),
