@@ -69,4 +69,49 @@ object Multimodal {
         col("text").cast("binary").as("payload"))
       .as[MediaFile]
   }
+
+  /** Resize: the 1:1 payload-transform batch shape. The stub emits a
+    * deterministic digest-derived payload of w*h/64 bytes; a real
+    * implementation swaps `resizer` for a codec call. The envelope records
+    * the new dimensions so downstream stages never re-decode. */
+  def resize(ds: Dataset[MediaFile], w: Int, h: Int,
+      resizer: (Array[Byte], Int, Int) => Array[Byte] = stubResizer)
+      : Dataset[MediaMeta] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      val rs = resizer // per-partition init point
+      it.map { m =>
+        val out = rs(m.payload, w, h)
+        MediaMeta(m.docId, m.kind, out.length, w, h, 1, md5Hex(out))
+      }
+    }
+  }
+
+  val stubResizer: (Array[Byte], Int, Int) => Array[Byte] = { (bytes, w, h) =>
+    val n = math.max(1, w * h / 64)
+    val seed = MessageDigest.getInstance("MD5").digest(bytes)
+    Array.tabulate(n)(i => seed(i % seed.length))
+  }
+
+  /** One row per sampled frame — the 1:N fan-out batch shape (video →
+    * frames). Frame payloads derive deterministically from (payload,
+    * frameIdx); `every` controls the stride. flatMap streams frames out of
+    * the iterator, so a long video never materializes in memory at once. */
+  def sampleFrames(ds: Dataset[MediaFile], every: Int,
+      decoder: Decoder = stubDecoder): Dataset[FrameSample] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.flatMap { m =>
+      val (_, _, nFrames) = decoder(m.payload)
+      (0 until nFrames by every).map { f =>
+        FrameSample(m.docId, f,
+          md5Hex(m.payload ++ BigInt(f).toByteArray))
+      }
+    }
+  }
 }
+
+/** One sampled frame: parent doc, frame index, frame digest (the stub's
+  * stand-in for decoded frame bytes). */
+case class FrameSample(docId: Long, frameIdx: Int, frameDigest: String)

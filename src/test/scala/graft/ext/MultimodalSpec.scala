@@ -52,4 +52,32 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     // full value parsed — no reference truncation bug (SURVEY §2.5 Q10)
     assert(r.getAs[Double]("value") === -0.0442)
   }
+
+  test("resize: 1:1 transform with new envelope dims, deterministic") {
+    val ds = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
+    val out = Multimodal.resize(ds, 64, 32).collect()
+    assert(out.length === 500)
+    assert(out.forall(m => m.width == 64 && m.height == 32 && m.nFrames == 1))
+    assert(out.forall(_.byteLen == 64 * 32 / 64))
+    val again = Multimodal.resize(
+      Multimodal.fromDocuments(spark, "/root/testdata/sf0.001"), 64, 32)
+      .collect()
+    assert(out.sortBy(_.docId).map(_.fingerprint).toSeq ===
+      again.sortBy(_.docId).map(_.fingerprint).toSeq)
+  }
+
+  test("sampleFrames: 1:N fan-out matches the decoded frame count") {
+    val ds = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
+    val frames = Multimodal.sampleFrames(ds, every = 2).collect()
+    val metas = Multimodal.decodeMeta(
+      Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")).collect()
+    val expected = metas.map(m => (m.nFrames + 1) / 2).sum
+    assert(frames.length === expected)
+    // frame indices respect the stride and are unique per doc
+    val byDoc = frames.groupBy(_.docId)
+    byDoc.values.foreach { fs =>
+      assert(fs.map(_.frameIdx).distinct.length === fs.length)
+      assert(fs.forall(_.frameIdx % 2 == 0))
+    }
+  }
 }
