@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Registry
+
+/** Physical-plan regression audit: the properties PLANS.md documents,
+  * asserted on the actual executed plans so a future change that silently
+  * loses a pushdown, a broadcast, or a top-k optimization fails CI. */
+class PlanAuditSpec extends AnyFunSuite with SparkTestBase
+    with AdaptiveSparkPlanHelper {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): SparkPlan =
+    Registry.byName(name).run(spark, dir).queryExecution.executedPlan
+
+  test("q01: filter reaches the parquet scan and columns are pruned") {
+    val scans = collectWithSubqueries(plan("q01_pricing_summary")) {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val s = scans.head
+    assert(s.metadata("PushedFilters").contains("LessThan(l_shipdate"),
+      s.metadata("PushedFilters"))
+    // 6 of 11 lineitem columns read
+    assert(s.schema.fieldNames.length <= 6, s.schema.fieldNames.mkString(","))
+  }
+
+  test("q13: every dimension join broadcasts; the fact side never shuffles") {
+    val p = plan("q13_nation_revenue")
+    val bhj = collectWithSubqueries(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size === 4, s"expected 4 broadcast joins:\n$p")
+  }
+
+  test("q31: global top-k plans as TakeOrderedAndProject, not a window") {
+    val p = plan("q31_embedding_pairs")
+    assert(collectWithSubqueries(p) {
+      case t: TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"$p")
+  }
+
+  test("q56: rank-limit pushdown keeps k rows per group on the map side") {
+    val p = plan("q56_grouped_topk")
+    val limits = collectWithSubqueries(p) { case w: WindowGroupLimitExec => w }
+    assert(limits.size >= 2, s"expected partial+final WindowGroupLimit:\n$p")
+  }
+
+  test("q50: band join broadcasts the bounds table") {
+    val p = plan("q50_band_join")
+    assert(collectWithSubqueries(p) {
+      case j: BroadcastNestedLoopJoinExec => j
+    }.nonEmpty, s"$p")
+  }
+
+  test("q27: the MinHash sketch is map-local — no exchange after the cache") {
+    // shuffles in the whole query: the shingle cache fan-out (inside the
+    // InMemoryRelation) and the final orderBy sort; the sketch itself adds
+    // NONE (outside the cached relation: only the sort exchange)
+    val p = plan("q27_minhash_bands")
+    val outer = collect(p) { case e: ShuffleExchangeExec => e }
+    assert(outer.size <= 1, s"sketch stage must not shuffle:\n$p")
+  }
+
+  test("q18: partition-pruning-shaped date filter is pushed to the scan") {
+    val scans = collectWithSubqueries(plan("q18_order_priority")) {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.head.metadata("PushedFilters")
+      .contains("GreaterThanOrEqual(o_orderdate"))
+  }
+}
