@@ -23,7 +23,7 @@ object AsOf {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       seqCol: String, valueCols: Seq[String], prefix: String = "asof_")
       : DataFrame = {
-    val leftPayload = struct(left.columns.map(col): _*)
+    val leftPayload = struct(left.columns.toIndexedSeq.map(col): _*)
     val l = left.select(
       Seq(col(keyCol).as("__k"), col(seqCol).as("__s"),
         lit(0).as("__side"), leftPayload.as("__lp")) ++
@@ -44,7 +44,7 @@ object AsOf {
         last(col(s"$prefix$v"), ignoreNulls = true).over(w)
           .as(s"$prefix$v")): _*)
     carried.where(col("__side") === 0)
-      .select(left.columns.map(c => col(s"__lp.$c")) ++
+      .select(left.columns.toIndexedSeq.map(c => col(s"__lp.$c")) ++
         valueCols.map(v => col(s"$prefix$v")): _*)
   }
 }

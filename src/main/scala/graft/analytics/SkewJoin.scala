@@ -19,7 +19,7 @@ object SkewJoin {
       nSalts: Int): DataFrame = {
     // row-deterministic salt: hash of the whole big row, not rand() —
     // retried tasks produce identical output
-    val saltExpr = pmod(hash(big.columns.map(col): _*), lit(nSalts))
+    val saltExpr = pmod(hash(big.columns.toIndexedSeq.map(col): _*), lit(nSalts))
     val b = big.withColumn("__salt", saltExpr)
     val s = small.crossJoin(
       small.sparkSession.range(0, nSalts).select(col("id").cast("int").as("__salt")))
