@@ -287,6 +287,38 @@ object AdvancedQueries {
       Some(
         """SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
           |  count(*) AS n, sum(value) AS sum_value
-          |FROM events GROUP BY 1, 2 ORDER BY event_type, hour""".stripMargin))
+          |FROM events GROUP BY 1, 2 ORDER BY event_type, hour""".stripMargin)),
+
+    // Winnowing (MOSS) rolling-window fingerprints: min-hash of every
+    // window of 4 consecutive char-8-gram hashes — any shared substring of
+    // length ≥ 11 chars contributes a shared fingerprint at ~1/4 the
+    // storage of full k-gram hashing. graft.text.TextStats.winnowing.
+    Q("q63_winnowing",
+      (s, dir) =>
+        graft.text.TextStats
+          .winnowing(Tables.sharded(s, dir, "documents", "doc_id"))
+          .select(col("doc_id"), size(col("fingerprints")).as("n_fp"),
+            md5(array_join(col("fingerprints"), ",")).as("fp_digest"))
+          .orderBy(col("doc_id")),
+      Some(
+        """WITH nrm AS (SELECT doc_id,
+          |    regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS norm
+          |  FROM documents),
+          |kh AS (SELECT doc_id,
+          |    CASE WHEN len(norm) - 7 >= 1
+          |      THEN list_transform(generate_series(1, len(norm) - 7),
+          |           i -> md5(substr(norm, i, 8)))
+          |      ELSE [] END AS hs
+          |  FROM nrm),
+          |wins AS (SELECT doc_id,
+          |    CASE WHEN len(hs) >= 4
+          |      THEN list_sort(list_distinct(
+          |           list_transform(generate_series(1, len(hs) - 3),
+          |             j -> list_aggregate(hs[j:j+3], 'min'))))
+          |      ELSE [] END AS fps
+          |  FROM kh)
+          |SELECT doc_id, len(fps) AS n_fp,
+          |  md5(array_to_string(fps, ',')) AS fp_digest
+          |FROM wins ORDER BY doc_id""".stripMargin))
   )
 }

@@ -81,4 +81,32 @@ object TextStats {
     * near-exact dedup key. */
   def fingerprint(textCol: Column): Column =
     md5(trim(regexp_replace(lower(textCol), "[^a-z0-9]+", " ")))
+
+  /** Winnowing fingerprints (the MOSS rolling-window scheme): hash every
+    * character k-gram of the normalized text, then keep the minimum hash
+    * of each sliding window of `w` consecutive k-grams — guaranteeing any
+    * shared substring of length ≥ k+w-1 contributes a shared fingerprint,
+    * while storing ~1/w of the hashes. Hashes are md5 strings and the
+    * winnow min is lexicographic (any total order works), so the math is
+    * engine-portable.
+    *
+    * Two selects with an exchange barrier between them: the k-gram hash
+    * array must materialize as a column BEFORE the window pass — inlined,
+    * the md5 array would recompute per window position (O(n²·k)). */
+  def winnowing(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 8, w: Int = 4): DataFrame = {
+    val norm = regexp_replace(lower(col(textCol)), "[^a-z0-9]+", "")
+    val nGrams = length(norm) - (k - 1)
+    val hashes = when(nGrams >= 1,
+      transform(sequence(lit(1), nGrams), i => md5(norm.substr(i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    val mins = transform(sequence(lit(1), size(col("__kh")) - (w - 1)),
+      j => array_min(slice(col("__kh"), j, lit(w))))
+    docs
+      .select(col(idCol), hashes.as("__kh"))
+      .repartition(col(idCol)) // barrier: hash once, not once per window
+      .select(col(idCol),
+        when(size(col("__kh")) >= w, sort_array(array_distinct(mins)))
+          .otherwise(array().cast("array<string>")).as("fingerprints"))
+  }
 }
