@@ -90,23 +90,30 @@ object TextStats {
     * winnow min is lexicographic (any total order works), so the math is
     * engine-portable.
     *
-    * Two selects with an exchange barrier between them: the k-gram hash
-    * array must materialize as a column BEFORE the window pass — inlined,
-    * the md5 array would recompute per window position (O(n²·k)). */
+    * The normalized text and the k-gram hash array are LET-BOUND via
+    * single-element `transform`s (lambda vars evaluate once per row):
+    * expressed as plain columns, CollapseProject would inline the md5
+    * array into every window position (O(n²·k) hashing) and the regex
+    * normalization into every k-gram. One projection, no exchanges —
+    * winnowing stays a pure map stage. */
   def winnowing(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 8, w: Int = 4): DataFrame = {
+    val emptyArr = array().cast("array<string>")
+    def let(value: Column)(body: Column => Column): Column =
+      element_at(transform(array(value), body), 1)
     val norm = regexp_replace(lower(col(textCol)), "[^a-z0-9]+", "")
-    val nGrams = length(norm) - (k - 1)
-    val hashes = when(nGrams >= 1,
-      transform(sequence(lit(1), nGrams), i => md5(norm.substr(i, lit(k)))))
-      .otherwise(array().cast("array<string>"))
-    val mins = transform(sequence(lit(1), size(col("__kh")) - (w - 1)),
-      j => array_min(slice(col("__kh"), j, lit(w))))
-    docs
-      .select(col(idCol), hashes.as("__kh"))
-      .repartition(col(idCol)) // barrier: hash once, not once per window
-      .select(col(idCol),
-        when(size(col("__kh")) >= w, sort_array(array_distinct(mins)))
-          .otherwise(array().cast("array<string>")).as("fingerprints"))
+    val fps = let(norm) { nv =>
+      val nGrams = length(nv) - (k - 1)
+      val hashes = when(nGrams >= 1,
+        transform(sequence(lit(1), nGrams), i => md5(nv.substr(i, lit(k)))))
+        .otherwise(emptyArr)
+      let(hashes) { hs =>
+        when(size(hs) >= w, sort_array(array_distinct(
+          transform(sequence(lit(1), size(hs) - (w - 1)),
+            j => array_min(slice(hs, j, lit(w)))))))
+          .otherwise(emptyArr)
+      }
+    }
+    docs.select(col(idCol), fps.as("fingerprints"))
   }
 }
