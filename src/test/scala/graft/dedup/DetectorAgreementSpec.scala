@@ -1,0 +1,46 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.queries.Registry
+
+/** The four independent near-dup detector families — exact n-gram Jaccard,
+  * MinHash-LSH + verify, shingle SimHash, and winnowing — must agree on
+  * the planted near-duplicates: different sketches, same truth. */
+class DetectorAgreementSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def pairs(name: String, aCol: String = "doc_a",
+      bCol: String = "doc_b") =
+    Registry.byName(name).run(spark, dir)
+      .select(col(aCol), col(bCol)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("LSH-verified pairs at threshold == exact Jaccard pairs") {
+    val exact = pairs("q26_jaccard_pairs")
+    val lsh = Registry.byName("q28_minhash_pairs").run(spark, dir)
+      .where(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh === exact,
+      s"missing=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
+  test("winnowing pairs and simhash pairs recover the Jaccard truth") {
+    val exact = pairs("q26_jaccard_pairs")
+    val winnow = pairs("q64_winnowing_pairs")
+    val simhash = pairs("q58_simhash_shingle_pairs")
+    // winnowing measures shared substrings, not shingle-set Jaccard: full
+    // recall of the planted pairs, with at most a few near-threshold extras
+    assert((exact -- winnow).isEmpty, s"missing=${exact -- winnow}")
+    assert((winnow -- exact).size <= exact.size / 5,
+      s"too many extras: ${winnow -- exact}")
+    // simhash(hamming<=3) is a high-precision subset (no false positives)
+    assert(simhash.subsetOf(exact), s"false positives: ${simhash -- exact}")
+    assert(simhash.nonEmpty)
+  }
+}
