@@ -68,6 +68,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase
     assert(outer.size <= 1, s"sketch stage must not shuffle:\n$p")
   }
 
+  test("q60: the as-of join costs exactly one data shuffle") {
+    // union-tag + keyed window: ONE hash exchange by user_id (plus the
+    // final presentation sort) — never a quadratic range join
+    val p = plan("q60_asof_join")
+    val shuffles = collectWithSubqueries(p) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 2, s"as-of must shuffle once (+sort):\n$p")
+  }
+
   test("q18: partition-pruning-shaped date filter is pushed to the scan") {
     val scans = collectWithSubqueries(plan("q18_order_priority")) {
       case s: FileSourceScanExec => s
