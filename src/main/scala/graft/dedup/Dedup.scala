@@ -114,16 +114,20 @@ object Dedup {
     val banded = sim.select(col(idCol), col(fpCol),
       posexplode(transform(sequence(lit(0), lit(nBlocks - 1)), b =>
         col(fpCol).substr(b * blockLen + 1, blockLen))).as(Seq("blk", "block")))
-    val ham = graft.functions.HammingDistance(spark)(col("a_fp"), col("b_fp"))
+    // hamming (native codegen, cheap) computed and filtered BEFORE the
+    // distinct: the dedup shuffle then carries (id, id, int) instead of
+    // two fingerprint strings per row, and over-threshold candidates
+    // never reach the exchange
+    val ham = graft.functions.HammingDistance(spark)(
+      col(s"x.$fpCol"), col(s"y.$fpCol"))
     banded.as("x")
       .join(banded.as("y"),
         col("x.blk") === col("y.blk") && col("x.block") === col("y.block") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
-        col(s"x.$fpCol").as("a_fp"), col(s"y.$fpCol").as("b_fp"))
-      .distinct()
-      .select(col("id_a"), col("id_b"), ham.as("hamming"))
+        ham.as("hamming"))
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Connected components over an undirected pair graph: every id in

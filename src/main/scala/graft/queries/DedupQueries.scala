@@ -288,15 +288,17 @@ object DedupQueries {
         // native codegen'd byte-compare (graft.functions.HammingDistance);
         // the interpreted transform-per-bit formulation was the hot inner
         // loop of the candidate verify
-        val hamming = graft.functions.HammingDistance(s)(col("a_sh"), col("b_sh"))
+        // hamming computed + filtered BEFORE the distinct: the dedup
+        // shuffle carries (long, long, int) rows, not fingerprint strings
+        val hamming = graft.functions.HammingDistance(s)(
+          col("x.simhash16"), col("y.simhash16"))
         banded.as("x")
           .join(banded.as("y"),
             col("x.block") === col("y.block") && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-            col("x.simhash16").as("a_sh"), col("y.simhash16").as("b_sh"))
-          .distinct()
-          .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+            hamming.as("hamming"))
           .where(col("hamming") <= 1)
+          .distinct()
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(
