@@ -76,8 +76,13 @@ object AlertPipeline {
     val spark = ev.sparkSession
     import spark.implicits._
     val v = col(vCol)
-    val cached = ev.cache()
-    val head = cached.agg(
+    // ONE ranked frame feeds both threshold passes (ranking is distributed —
+    // range shuffle + zipWithIndex — never a one-task sort) and is cached so
+    // the rank build and the source scan run once. Pass 2 depends on pass
+    // 1's n and mean, so two driver actions is the floor; what matters is
+    // that neither re-reads the source.
+    val ranked = Ranks.withGlobalRank(ev, Seq(v), "thr_rn").cache()
+    val head = ranked.agg(
       count(lit(1)), avg(v),
       expr(s"percentile($vCol, 0.5)"), expr(s"percentile($vCol, 0.1)")).head()
     val n = head.getLong(0)
@@ -85,9 +90,8 @@ object AlertPipeline {
     val med = head.getDouble(2)
     val q = head.getDouble(3)
     val k = (n / 10).toInt
-    // tail mean, MAD and the GMD rank-sum share one ranked pass; ranking is
-    // distributed (range shuffle + zipWithIndex), never a one-task sort
-    val ranked = Ranks.withGlobalRank(cached, Seq(v), "thr_rn")
+    // tail mean, MAD and the GMD rank-sum share the second pass; the
+    // per-element (2i−n−1)·v form is kept bit-compatible with the oracle
     val row2 = ranked.agg(
       avg(when(col("thr_rn") <= k, v)),
       avg(abs(v - m)),
@@ -95,7 +99,7 @@ object AlertPipeline {
     val tail = row2.getDouble(0)
     val mad = row2.getDouble(1)
     val gsum = row2.getDouble(2)
-    cached.unpersist(blocking = false)
+    ranked.unpersist(blocking = false)
     Seq(
       Measures.Mean -> m,
       Measures.Median -> med,

@@ -16,8 +16,11 @@ object AnalyticsQueries {
     .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
 
   def cachedAlerts(s: org.apache.spark.sql.SparkSession, dir: String) =
-    alertsCache.getOrElseUpdate((s, dir),
-      AlertPipeline.eventAlerts(Tables(s, dir, "events")).cache())
+    alertsCache.getOrElseUpdate((s, dir), {
+      val alerts = AlertPipeline.eventAlerts(Tables(s, dir, "events")).cache()
+      alerts.count() // materialize eagerly: downstream analytics (q19/q32)
+      alerts //        then pay only their own aggregation, never the build
+    })
 
   val all: Seq[Q] = Seq(
     // P3: alert counts per (stat, key) — countings.txt analog.

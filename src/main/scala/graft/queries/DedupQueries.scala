@@ -76,6 +76,24 @@ object DedupQueries {
       |                 md5(string_agg(h, ',' ORDER BY i)) AS band_key
       |          FROM eh GROUP BY doc_id, (i-1)//$RowsPerBand)""".stripMargin
 
+  /** Near-dup cluster edges from the SCALE path: LSH band-key candidates
+    * (a fixed-fan-out equi-join on the sketch keys) verified with exact
+    * Jaccard at the same ≥0.5 threshold the oracle's exact edge set uses —
+    * never the uncapped gram self-join (q26), whose hot-shingle fan-out is
+    * quadratic. On a corpus where the band configuration's recall is
+    * complete at the threshold (as here — DetectorAgreementSpec pins all
+    * four detector families to the same planted pairs) the downstream
+    * cluster answer is identical to the exact-edge answer, which is what
+    * the DuckDB oracle computes. PlanAuditSpec asserts every gram-keyed
+    * join in this plan is candidate-driven. */
+  def clusterEdges(s: SparkSession, dir: String): DataFrame = {
+    val bands = bandsDf(s, dir).cache()
+    graft.dedup.Dedup
+      .jaccardVerify(graft.dedup.Dedup.lshCandidates(bands), grams(s, dir))
+      .where(col("jaccard") >= 0.5)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+  }
+
   val all: Seq[Q] = Seq(
     // Exact n-gram Jaccard near-dup pairs (threshold 0.5) — the baseline
     // the LSH path is verified against.
@@ -401,18 +419,19 @@ object DedupQueries {
 
     // Dedup endgame: connected components over the near-dup pair graph —
     // every document mapped to its cluster's canonical (minimum) doc_id.
-    // Distributed min-label propagation: each round is one key-partitioned
-    // join + aggregation (the Pregel shape — at scale this is exactly
-    // GraphX/connected-components); rounds = component diameter, and
-    // near-dup components are tiny by construction. localCheckpoint
-    // truncates the growing lineage between rounds. The driver-side loop
-    // only moves a scalar convergence count, never data.
+    // Edges come from the LSH candidate path (clusterEdges), NOT the
+    // all-pairs gram join. Distributed min-label propagation: each round
+    // is one key-partitioned join + aggregation (the Pregel shape — at
+    // scale this is exactly GraphX/connected-components); rounds =
+    // component diameter, and near-dup components are tiny by
+    // construction. localCheckpoint truncates the growing lineage between
+    // rounds. The driver-side loop only moves a scalar convergence count,
+    // never data.
     Q("q55_dedup_clusters",
       (s, dir) => {
-        val pairs = Registry.byName("q26_jaccard_pairs").run(s, dir)
-          .select(col("doc_a"), col("doc_b"))
         graft.dedup.Dedup
-          .clusters(Tables(s, dir, "documents").select(col("doc_id")), pairs)
+          .clusters(Tables(s, dir, "documents").select(col("doc_id")),
+            clusterEdges(s, dir))
           .orderBy(col("doc_id"))
       },
       Some(duckGrams.replaceFirst("WITH ", "WITH RECURSIVE ") + """,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
 import org.apache.spark.sql.execution.window.WindowGroupLimitExec
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -74,6 +74,29 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase
     val p = plan("q60_asof_join")
     val shuffles = collectWithSubqueries(p) { case e: ShuffleExchangeExec => e }
     assert(shuffles.size <= 2, s"as-of must shuffle once (+sort):\n$p")
+  }
+
+  test("q55/q59 edges: every gram join is candidate-driven (no uncapped " +
+      "gram self-join)") {
+    // clusters() localCheckpoints its output, so the audit runs on the edge
+    // frame itself — the part of q55/q59 where a quadratic join could hide.
+    val edges = graft.queries.DedupQueries.clusterEdges(spark, dir)
+    val p = edges.queryExecution.executedPlan
+    val keySets = collectWithSubqueries(p) {
+      case j: SortMergeJoinExec => j.leftKeys
+      case j: ShuffledHashJoinExec => j.leftKeys
+      case j: BroadcastHashJoinExec => j.leftKeys
+    }.map(_.map(_.toString.toLowerCase))
+    assert(keySets.nonEmpty, s"$p")
+    // the LSH band-bucket join generates the candidates…
+    assert(keySets.exists(_.exists(_.contains("band_key"))), s"$p")
+    // …and any join keyed on gram must ALSO carry a doc-id key (i.e. it is
+    // the per-candidate verify, never the all-pairs shingle self-join,
+    // whose only equi-key is the gram itself)
+    keySets.filter(_.exists(_.contains("gram"))).foreach { ks =>
+      assert(ks.exists(k => k.contains("id") && !k.contains("band")),
+        s"uncapped gram self-join in cluster edge plan:\n$p")
+    }
   }
 
   test("q18: partition-pruning-shaped date filter is pushed to the scan") {
