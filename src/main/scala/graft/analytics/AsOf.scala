@@ -24,27 +24,32 @@ object AsOf {
       seqCol: String, valueCols: Seq[String], prefix: String = "asof_")
       : DataFrame = {
     val leftPayload = struct(left.columns.toIndexedSeq.map(col): _*)
+    // The right side's value columns travel as ONE struct so that every
+    // carried value comes from the SAME latest right row: last(struct,
+    // ignoreNulls) skips left rows (whole struct null) but keeps a matched
+    // right row's interior NULLs, instead of back-filling each column
+    // independently from different (older) right rows.
+    val rightPayload = struct(valueCols.toIndexedSeq.map(col): _*)
     val l = left.select(
-      Seq(col(keyCol).as("__k"), col(seqCol).as("__s"),
-        lit(0).as("__side"), leftPayload.as("__lp")) ++
-        valueCols.map(v =>
-          lit(null).cast(right.schema(v).dataType).as(s"$prefix$v")): _*)
+      col(keyCol).as("__k"), col(seqCol).as("__s"),
+      lit(0).as("__side"), leftPayload.as("__lp"),
+      lit(null).cast(right.select(rightPayload).schema.head.dataType)
+        .as("__rv"))
     val r = right.select(
-      Seq(col(keyCol).as("__k"), col(seqCol).as("__s"),
-        lit(1).as("__side"),
-        lit(null).cast(l.schema("__lp").dataType).as("__lp")) ++
-        valueCols.map(v => col(v).as(s"$prefix$v")): _*)
+      col(keyCol).as("__k"), col(seqCol).as("__s"),
+      lit(1).as("__side"),
+      lit(null).cast(l.schema("__lp").dataType).as("__lp"),
+      rightPayload.as("__rv"))
     // right rows sort BEFORE left rows at equal seq (side desc) so an
     // equal-timestamp right row is visible to the left row
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__s").asc, col("__side").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = l.unionByName(r)
-      .select(Seq(col("__side"), col("__lp")) ++ valueCols.map(v =>
-        last(col(s"$prefix$v"), ignoreNulls = true).over(w)
-          .as(s"$prefix$v")): _*)
+      .select(col("__side"), col("__lp"),
+        last(col("__rv"), ignoreNulls = true).over(w).as("__rv"))
     carried.where(col("__side") === 0)
       .select(left.columns.toIndexedSeq.map(c => col(s"__lp.$c")) ++
-        valueCols.map(v => col(s"$prefix$v")): _*)
+        valueCols.map(v => col(s"__rv.$v").as(s"$prefix$v")): _*)
   }
 }

@@ -110,10 +110,15 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val spark = sim.sparkSession
     val width = length(col(fpCol))
-    val blockLen = (width / nBlocks)
+    // integer block boundaries covering the WHOLE string: block b spans
+    // positions floor(w*b/n)+1 .. floor(w*(b+1)/n). A plain width/nBlocks
+    // division is fractional when n does not divide w, leaving trailing
+    // characters outside every block and voiding the pigeonhole guarantee.
+    def bound(b: Column): Column = floor(width * b / nBlocks).cast("int")
     val banded = sim.select(col(idCol), col(fpCol),
       posexplode(transform(sequence(lit(0), lit(nBlocks - 1)), b =>
-        col(fpCol).substr(b * blockLen + 1, blockLen))).as(Seq("blk", "block")))
+        col(fpCol).substr(bound(b) + 1, bound(b + 1) - bound(b))))
+        .as(Seq("blk", "block")))
     // hamming (native codegen, cheap) computed and filtered BEFORE the
     // distinct: the dedup shuffle then carries (id, id, int) instead of
     // two fingerprint strings per row, and over-threshold candidates
@@ -133,7 +138,12 @@ object Dedup {
   /** Connected components over an undirected pair graph: every id in
     * `ids` labeled with its component's minimum id. Distributed min-label
     * propagation (one join + aggregation per round, rounds = component
-    * diameter); the driver loop moves only a convergence count. */
+    * diameter); the driver loop moves only a convergence count.
+    *
+    * Components with diameter > `maxRounds` would be silently mislabeled,
+    * so non-convergence after `maxRounds` throws rather than returning
+    * wrong labels — raise `maxRounds` (cost is one join per round) if a
+    * real graph trips it. */
   def clusters(ids: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", maxRounds: Int = 20): DataFrame = {
     val edges = pairs.toDF("a", "b")
@@ -157,6 +167,11 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"Dedup.clusters: min-label propagation did not converge after " +
+          s"$maxRounds rounds ($changed labels still changing) — a " +
+          s"component's diameter exceeds maxRounds; raise it")
     labels
   }
 }

@@ -24,9 +24,22 @@ object Tables {
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
       "value DOUBLE, props STRING")
 
+  /** Sessions we construct set this at build time (see Verify/Bench/
+    * SparkTestBase); there is no per-read parquet option for it in Spark
+    * 4.1, so for externally-constructed sessions (the driver's) this is an
+    * idempotent fallback — it writes a constant, so concurrent first reads
+    * race benignly, and it only affects files that actually contain
+    * TIMESTAMP(NANOS) columns (events.parquet is the only one). */
+  def ensureNanosConf(spark: SparkSession): Unit =
+    if (spark.conf.get(NanosConf._1, "false") != "true")
+      spark.conf.set(NanosConf._1, NanosConf._2)
+
+  val NanosConf: (String, String) =
+    ("spark.sql.legacy.parquet.nanosAsLong", "true")
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      ensureNanosConf(spark)
       spark.read.schema(eventsSchema).parquet(s"$dir/$name.parquet")
     } else spark.read.parquet(s"$dir/$name.parquet")
 

@@ -39,10 +39,22 @@ object StreamingNearDup {
   /** Candidate near-dup pairs (docA < docB), streamed: one pair per
     * (new doc, earlier doc) sharing a bucket. Pairs can repeat across
     * buckets (batch dedups with DISTINCT; a streaming consumer dedups
-    * downstream or tolerates at-least-once candidates). */
+    * downstream or tolerates at-least-once candidates).
+    *
+    * Equality with the batch self-join holds only while every bucket stays
+    * BELOW `maxBucket` members: once a bucket overflows, later arrivals
+    * still pair against the stored members but are not themselves stored,
+    * so two post-overflow documents sharing ONLY that bucket are never
+    * paired. That is the deliberate hot-bucket bound (the streaming analog
+    * of the batch DF-cap, which drops hot shingles entirely); overflow is
+    * counted in the `graft.neardup.bucketOverflow` accumulator so an
+    * operator can see when the cap was hit rather than discovering missing
+    * candidates downstream. */
   def candidatePairs(banded: Dataset[BucketDoc],
       maxBucket: Int = 64): Dataset[CandPair] = {
     import banded.sparkSession.implicits._
+    val overflow = banded.sparkSession.sparkContext
+      .longAccumulator("graft.neardup.bucketOverflow")
     banded.groupByKey(_.bucket)
       .flatMapGroupsWithState[Array[Long], CandPair](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -56,6 +68,7 @@ object StreamingNearDup {
                 pairs += CandPair(a, b)
               }
               if (seen.length < maxBucket) seen = seen :+ r.docId
+              else overflow.add(1)
             }
           }
           state.update(seen)
