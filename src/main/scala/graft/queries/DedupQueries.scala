@@ -78,14 +78,15 @@ object DedupQueries {
 
   /** Near-dup cluster edges from the SCALE path: LSH band-key candidates
     * (a fixed-fan-out equi-join on the sketch keys) verified with exact
-    * Jaccard at the same ≥0.5 threshold the oracle's exact edge set uses —
-    * never the uncapped gram self-join (q26), whose hot-shingle fan-out is
-    * quadratic. On a corpus where the band configuration's recall is
-    * complete at the threshold (as here — DetectorAgreementSpec pins all
-    * four detector families to the same planted pairs) the downstream
-    * cluster answer is identical to the exact-edge answer, which is what
-    * the DuckDB oracle computes. PlanAuditSpec asserts every gram-keyed
-    * join in this plan is candidate-driven. */
+    * Jaccard at the ≥0.5 threshold — never the uncapped gram self-join
+    * (q26), whose hot-shingle fan-out is quadratic. The DuckDB oracle
+    * ([[duckLshEdges]]) replays the SAME candidate generation, so the
+    * cluster check is exact at any scale — it does not depend on the band
+    * configuration's recall being complete (at sf0.1 one true pair misses
+    * all 4 bands, which an exact-edge oracle would flag as a failure of a
+    * correct LSH implementation). DetectorAgreementSpec separately pins
+    * all four detector families to the planted pairs, and PlanAuditSpec
+    * asserts every gram-keyed join in this plan is candidate-driven. */
   def clusterEdges(s: SparkSession, dir: String): DataFrame = {
     val bands = bandsDf(s, dir).cache()
     graft.dedup.Dedup
@@ -93,6 +94,24 @@ object DedupQueries {
       .where(col("jaccard") >= 0.5)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
   }
+
+  /** Oracle fragment mirroring [[clusterEdges]]: band-key collision
+    * candidates (from [[duckMinhash]] — all md5, engine-portable) verified
+    * with exact Jaccard at ≥0.5, as CTE `jp`. */
+  private def duckLshEdges: String = duckMinhash + """,
+    |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+    |         FROM bands x JOIN bands y ON x.band = y.band
+    |           AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+    |         GROUP BY 1, 2),
+    |pairs AS (SELECT c.doc_a, c.doc_b, count(*) AS common
+    |          FROM cand c
+    |          JOIN e a ON c.doc_a = a.doc_id
+    |          JOIN e b ON c.doc_b = b.doc_id AND a.gram = b.gram
+    |          GROUP BY 1, 2),
+    |jp AS (SELECT doc_a, doc_b FROM pairs
+    |       JOIN sizes sa ON doc_a = sa.doc_id
+    |       JOIN sizes sb ON doc_b = sb.doc_id
+    |       WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5)""".stripMargin
 
   val all: Seq[Q] = Seq(
     // Exact n-gram Jaccard near-dup pairs (threshold 0.5) — the baseline
@@ -434,14 +453,7 @@ object DedupQueries {
             clusterEdges(s, dir))
           .orderBy(col("doc_id"))
       },
-      Some(duckGrams.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
-        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |          FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2),
-        |jp AS (SELECT doc_a, doc_b FROM pairs
-        |       JOIN sizes sa ON doc_a = sa.doc_id
-        |       JOIN sizes sb ON doc_b = sb.doc_id
-        |       WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5),
+      Some(duckLshEdges.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
         |und AS (SELECT doc_a AS s, doc_b AS t FROM jp
         |        UNION ALL SELECT doc_b, doc_a FROM jp),
         |reach AS (SELECT s, t FROM und
@@ -481,14 +493,7 @@ object DedupQueries {
             round(avg(col("quality")), 6).as("avg_quality"))
           .orderBy(col("source"))
       },
-      Some(duckGrams.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
-        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |          FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2),
-        |jp AS (SELECT doc_a, doc_b FROM pairs
-        |       JOIN sizes sa ON doc_a = sa.doc_id
-        |       JOIN sizes sb ON doc_b = sb.doc_id
-        |       WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5),
+      Some(duckLshEdges.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
         |und AS (SELECT doc_a AS s, doc_b AS t FROM jp
         |        UNION ALL SELECT doc_b, doc_a FROM jp),
         |reach AS (SELECT s, t FROM und

@@ -22,6 +22,39 @@ object ExtQueries {
     "on", "for", "with")
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** DuckDB replica of [[graft.similarity.Similarity.trainCells]]: the
+    * Lloyd loop unrolled into CTEs (`c0 → a1 → c1 → … → c$iters`), ending
+    * with every vector assigned to its final centroid as CTE `afin`.
+    * Training is deterministic given the round-6 contract (seeds ranked by
+    * md5(id); assignment = round-6 cosine argmax with min-cell tiebreak;
+    * centroid = per-dim avg rounded to 6), so both engines walk identical
+    * centroid sequences. */
+  private def ivfTrainCtes(k: Int, iters: Int, dim: Int): String = {
+    val avgVec = (1 to dim).map(i => s"round(avg(e[$i]), 6)")
+      .mkString("[", ", ", "]")
+    def assign(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, e, cell, cell_sim FROM (
+         |    SELECT emb.vec_id, emb.e, $cents.cell,
+         |      round(list_cosine_similarity(emb.e, $cents.c), 6) AS cell_sim,
+         |      row_number() OVER (PARTITION BY emb.vec_id
+         |        ORDER BY round(list_cosine_similarity(emb.e, $cents.c), 6) DESC,
+         |          $cents.cell) AS rk
+         |    FROM emb CROSS JOIN $cents) t WHERE rk = 1)""".stripMargin
+    val steps = (1 to iters).flatMap { it =>
+      Seq(assign(s"a$it", s"c${it - 1}"),
+        s"c$it AS (SELECT cell, $avgVec AS c FROM a$it GROUP BY cell)")
+    } :+ assign("afin", s"c$iters")
+    (Seq(
+      "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+      s"""c0 AS (
+         |  SELECT rn - 1 AS cell, e AS c FROM (
+         |    SELECT e, row_number() OVER (
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |    FROM emb) t WHERE rn <= $k)""".stripMargin) ++ steps)
+      .mkString("WITH ", ",\n", "")
+  }
+
   val all: Seq[Q] = Seq(
     // ---- Deduplication -------------------------------------------------
     // Exact dedup: hash-groupBy on content digest; canonical id = min doc_id.
@@ -155,6 +188,50 @@ object ExtQueries {
           |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) a
           |  JOIN (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) b
           |    ON a.label = b.label AND a.vec_id <> b.vec_id
+          |) t WHERE rk <= 3 ORDER BY vec_id, neighbor_id""".stripMargin)),
+
+    // IVF with the coarse quantizer TRAINED IN-ENGINE (no pre-existing
+    // label): spherical k-means (k=8, 2 Lloyd iterations), then every
+    // vector labeled with its final cell + round-6 cosine to the centroid.
+    // The DuckDB oracle replays the identical training trajectory (unrolled
+    // CTEs), pinning init ranking, argmax tiebreaks, and centroid rounding.
+    Q("q65_ivf_train_assign",
+      (s, dir) => {
+        val emb = Tables.sharded(s, dir, "embeddings", "vec_id")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        val cents = graft.similarity.Similarity
+          .trainCells(emb, k = 8, iters = 2)
+        graft.similarity.Similarity.assignCells(emb, cents)
+          .select(col("vec_id"), col("cell"), col("cell_sim"))
+          .orderBy(col("vec_id"))
+      },
+      Some(ivfTrainCtes(k = 8, iters = 2, dim = 64) +
+        "\nSELECT vec_id, cell, cell_sim FROM afin ORDER BY vec_id")),
+
+    // ANN search inside the TRAINED cells — q25's shape with the quantizer
+    // built by q65's training instead of the dataset's planted label. The
+    // cell is still the shuffle key; search cost tracks cell occupancy.
+    Q("q66_ann_ivf_trained",
+      (s, dir) => {
+        val emb = Tables.sharded(s, dir, "embeddings", "vec_id")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        val cents = graft.similarity.Similarity
+          .trainCells(emb, k = 8, iters = 2)
+        val assigned = graft.similarity.Similarity.assignCells(emb, cents)
+          .select(col("vec_id"), col("cell"), col("e"))
+        graft.similarity.Similarity.ivfTopK(assigned, k = 3, labelCol = "cell")
+          .select(col("vec_id"), col("neighbor_id"), col("cos_sim"))
+          .orderBy(col("vec_id"), col("neighbor_id"))
+      },
+      Some(ivfTrainCtes(k = 8, iters = 2, dim = 64) +
+        """
+          |SELECT vec_id, neighbor_id, cos_sim FROM (
+          |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+          |    round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim,
+          |    row_number() OVER (PARTITION BY a.vec_id
+          |      ORDER BY round(list_cosine_similarity(a.e, b.e), 6) DESC,
+          |        b.vec_id) AS rk
+          |  FROM afin a JOIN afin b ON a.cell = b.cell AND a.vec_id <> b.vec_id
           |) t WHERE rk <= 3 ORDER BY vec_id, neighbor_id""".stripMargin)),
 
     // ---- Multimodal metadata ------------------------------------------

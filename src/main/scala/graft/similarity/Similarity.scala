@@ -65,6 +65,76 @@ object Similarity {
     concat(bits: _*)
   }
 
+  /** Trained coarse-quantizer cells: spherical k-means over the embedding
+    * column, entirely in-engine. Seeds are the `k` vectors ranked first by
+    * `(md5(id), id)` (deterministic, engine-portable pseudo-random spread);
+    * each Lloyd iteration assigns every vector to its max-cosine centroid
+    * (round-6 with min-cell tiebreak — the same determinism contract as the
+    * top-k queries) and recomputes centroids as the per-dimension member
+    * mean, rounded to 6 decimals so the next iteration's inputs are
+    * bit-identical across engines regardless of summation order.
+    *
+    * Scale shape: assignment is a PURE MAP stage (centroids travel as a
+    * k×dim literal, no join); the update is one partial-aggregated shuffle
+    * of k×dim averages. Only k×dim doubles ever move through the driver
+    * per iteration — the legitimate "small side" (same class as the 6-row
+    * threshold tables). Cosine is scale-invariant in the centroid, so the
+    * unnormalized mean is a faithful spherical-k-means step.
+    *
+    * Returns centroids ordered by cell id; cells emptied during training
+    * drop out (consistent across engines — GROUP BY keeps only members). */
+  def trainCells(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "e")
+      : Array[(Int, Array[Double])] = {
+    val init = emb
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(k)
+      .select(col(vecCol))
+      .collect()
+    var cents = init.zipWithIndex.map { case (r, i) =>
+      i -> r.getSeq[Double](0).toArray
+    }
+    val dim = cents.head._2.length
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(emb, cents, idCol, vecCol)
+      cents = assigned
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("__n"),
+          (0 until dim).map(i =>
+            round(avg(col(vecCol)(i)), 6).as(s"__c$i")): _*)
+        .collect()
+        .map(r => r.getInt(0) -> (0 until dim).map(i =>
+          r.getDouble(r.fieldIndex(s"__c$i"))).toArray)
+        .sortBy(_._1)
+    }
+    cents
+  }
+
+  /** Every row of `emb` plus its quantizer cell (`cell`) and the round-6
+    * cosine to that cell's centroid (`cell_sim`): argmax over the given
+    * centroids, min-cell tiebreak. Centroids are inlined as a literal
+    * array-of-structs, so this is a shuffle-free map stage at any scale. */
+  def assignCells(emb: DataFrame, cents: Array[(Int, Array[Double])],
+      idCol: String = "vec_id", vecCol: String = "e"): DataFrame = {
+    val spark = emb.sparkSession
+    val centsLit = array(cents.map { case (c, v) =>
+      struct(lit(c).as("cell"),
+        array(v.toIndexedSeq.map(lit): _*).as("centroid"))
+    }.toIndexedSeq: _*)
+    // argmax cos (tiebreak min cell) == array_min over struct(-cos, cell).
+    // `+ 0.0` normalizes IEEE -0.0 to +0.0: Spark's struct ordering ranks
+    // -0.0 below +0.0 while SQL engines compare them equal, so a cosine
+    // that rounds to zero must not leak a sign bit into the ordering.
+    val best = array_min(transform(centsLit, c =>
+      struct(
+        (-round(CosineSimilarity(spark)(col(vecCol), c.getField("centroid")),
+          6) + 0.0).as("negcos"),
+        c.getField("cell").as("cell"))))
+    emb.select(emb.columns.toIndexedSeq.map(col) ++ Seq(
+      best.getField("cell").as("cell"),
+      (-best.getField("negcos") + 0.0).as("cell_sim")): _*)
+  }
+
   /** Global top-k most-similar pairs, exact — `orderBy().limit()` plans as
     * TakeOrderedAndProject (per-partition heaps + driver merge), never a
     * single-partition window. */
