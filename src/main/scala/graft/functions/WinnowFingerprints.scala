@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: winnowing (MOSS) fingerprints of an
+  * already-normalized ASCII string, in ONE fused pass — polynomial k-gram
+  * hashes, sliding-window minima, distinct, sort. Output is the sorted
+  * array of window-min hashes (`array<long>`).
+  *
+  * Replaces the md5-per-k-gram higher-order-function formulation, which
+  * paid an interpreted lambda frame plus a 32-char digest-string
+  * allocation per character position — the dominant cost of q63/q64.
+  * The polynomial hash is plain integer arithmetic
+  * (`Σ byte_j · B^(k-1-j) mod M`, B=131, M=2^31−1, per-term powers
+  * pre-reduced mod M so the 8-term sum stays far from overflow), which the
+  * DuckDB oracle reproduces bit-for-bit with BIGINT math — no digest
+  * function in either engine's hot path. Winnowing needs only SOME total
+  * order on hashes; numeric min replaces the previous lexicographic-md5
+  * min (both are valid MOSS schemes).
+  *
+  * Precondition: the input is the normalization-regex output `[a-z0-9]*`
+  * (single-byte ASCII), so byte offsets are character offsets and
+  * `ascii()` in the oracle equals the byte value here.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      WinnowFingerprints.compute(input.asInstanceOf[UTF8String], k, w))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(
+         |    graft.functions.WinnowFingerprints.compute($c, $k, $w));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object WinnowFingerprints {
+  val B = 131L
+  val M = 2147483647L // 2^31 - 1
+
+  /** B^t mod M for t in [0, k). */
+  def powers(k: Int): Array[Long] = {
+    val p = new Array[Long](k)
+    p(0) = 1L
+    for (t <- 1 until k) p(t) = p(t - 1) * B % M
+    p
+  }
+
+  /** Sorted distinct minima of each w-window over the k-gram hashes of
+    * `s`. Shorter-than-(k+w-1) inputs yield an empty array. */
+  def compute(s: UTF8String, k: Int, w: Int): Array[Long] = {
+    val n = s.numBytes()
+    val g = n - k + 1
+    val nw = g - w + 1
+    if (nw < 1) return Array.emptyLongArray
+    val pows = powers(k)
+    val h = new Array[Long](g)
+    var i = 0
+    while (i < g) {
+      var acc = 0L
+      var j = 0
+      while (j < k) {
+        acc += (s.getByte(i + j) & 0xffL) * pows(k - 1 - j)
+        j += 1
+      }
+      h(i) = acc % M
+      i += 1
+    }
+    val mins = new Array[Long](nw)
+    var t = 0
+    while (t < nw) {
+      var m = h(t)
+      var j = 1
+      while (j < w) {
+        if (h(t + j) < m) m = h(t + j)
+        j += 1
+      }
+      mins(t) = m
+      t += 1
+    }
+    java.util.Arrays.sort(mins)
+    var out = 1
+    var r = 1
+    while (r < nw) {
+      if (mins(r) != mins(out - 1)) { mins(out) = mins(r); out += 1 }
+      r += 1
+    }
+    java.util.Arrays.copyOf(mins, out)
+  }
+
+  /** SQL fragment computing the same hash for the gram at 1-based position
+    * `i` of column `col` — the DuckDB oracle side of [[compute]]. */
+  def duckGramHash(col: String, i: String, k: Int): String = {
+    val pows = powers(k)
+    // the BIGINT cast matters: DuckDB's ascii() is INT32 and the product
+    // with a ~2^31 power overflows before any promotion
+    (0 until k).map(j =>
+      s"CAST(ascii(substr($col, $i + $j, 1)) AS BIGINT) * ${pows(k - 1 - j)}")
+      .mkString("(", " + ", s") % $M")
+  }
+
+  /** Registers (idempotently) and returns the expression as a Column. */
+  def apply(spark: SparkSession, k: Int, w: Int)(c: Column): Column = {
+    val name = s"graft_winnow_${k}_$w"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => WinnowFingerprints(exprs.head, k, w), "built-in")
+    org.apache.spark.sql.functions.call_function(name, c)
+  }
+}

@@ -86,34 +86,19 @@ object TextStats {
     * character k-gram of the normalized text, then keep the minimum hash
     * of each sliding window of `w` consecutive k-grams — guaranteeing any
     * shared substring of length ≥ k+w-1 contributes a shared fingerprint,
-    * while storing ~1/w of the hashes. Hashes are md5 strings and the
-    * winnow min is lexicographic (any total order works), so the math is
-    * engine-portable.
-    *
-    * The normalized text and the k-gram hash array are LET-BOUND via
-    * single-element `transform`s (lambda vars evaluate once per row):
-    * expressed as plain columns, CollapseProject would inline the md5
-    * array into every window position (O(n²·k) hashing) and the regex
-    * normalization into every k-gram. One projection, no exchanges —
-    * winnowing stays a pure map stage. */
+    * while storing ~1/w of the hashes. Fingerprints are polynomial k-gram
+    * hashes (`array<long>`, see
+    * [[graft.functions.WinnowFingerprints]]) — integer arithmetic both
+    * engines reproduce bit-for-bit, fused into ONE native codegen'd pass
+    * (the earlier md5-per-position HOF formulation paid an interpreted
+    * lambda frame plus a digest-string allocation per character and was
+    * q63/q64's dominant cost). A pure map stage: one projection, no
+    * exchanges. */
   def winnowing(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 8, w: Int = 4): DataFrame = {
-    val emptyArr = array().cast("array<string>")
-    def let(value: Column)(body: Column => Column): Column =
-      element_at(transform(array(value), body), 1)
     val norm = regexp_replace(lower(col(textCol)), "[^a-z0-9]+", "")
-    val fps = let(norm) { nv =>
-      val nGrams = length(nv) - (k - 1)
-      val hashes = when(nGrams >= 1,
-        transform(sequence(lit(1), nGrams), i => md5(nv.substr(i, lit(k)))))
-        .otherwise(emptyArr)
-      let(hashes) { hs =>
-        when(size(hs) >= w, sort_array(array_distinct(
-          transform(sequence(lit(1), size(hs) - (w - 1)),
-            j => array_min(slice(hs, j, lit(w)))))))
-          .otherwise(emptyArr)
-      }
-    }
-    docs.select(col(idCol), fps.as("fingerprints"))
+    docs.select(col(idCol),
+      graft.functions.WinnowFingerprints(docs.sparkSession, k, w)(norm)
+        .as("fingerprints"))
   }
 }

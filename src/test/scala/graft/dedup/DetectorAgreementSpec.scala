@@ -34,11 +34,11 @@ class DetectorAgreementSpec extends AnyFunSuite with SparkTestBase {
     val exact = pairs("q26_jaccard_pairs")
     val winnow = pairs("q64_winnowing_pairs")
     val simhash = pairs("q58_simhash_shingle_pairs")
-    // winnowing measures shared substrings, not shingle-set Jaccard: full
-    // recall of the planted pairs, with at most a few near-threshold extras
-    assert((exact -- winnow).isEmpty, s"missing=${exact -- winnow}")
-    assert((winnow -- exact).size <= exact.size / 5,
-      s"too many extras: ${winnow -- exact}")
+    // winnowing measures shared substrings, not shingle-set Jaccard, but
+    // the containment score (shared/min n_fp >= 0.4) separates planted
+    // pairs from noise with a ~2x margin on this corpus: exact agreement
+    assert(winnow === exact,
+      s"missing=${exact -- winnow} extras=${winnow -- exact}")
     // simhash(hamming<=3) is a high-precision subset (no false positives)
     assert(simhash.subsetOf(exact), s"false positives: ${simhash -- exact}")
     assert(simhash.nonEmpty)

@@ -15,7 +15,7 @@ class TextStatsSpec extends AnyFunSuite with SparkTestBase {
       (3L, "nothing in common with the others at all, completely disjoint"))
       .toDF("doc_id", "text")
     val fps = TextStats.winnowing(docs)
-      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
     assert((fps(1L) & fps(2L)).nonEmpty, "shared substring must share a fp")
     // winnowing compresses: fewer fingerprints than k-gram positions
     assert(fps(1L).size < docs.where($"doc_id" === 1L).head.getString(1)
@@ -26,7 +26,7 @@ class TextStatsSpec extends AnyFunSuite with SparkTestBase {
     import spark.implicits._
     val docs = Seq((1L, "tiny"), (2L, "")).toDF("doc_id", "text")
     val fps = TextStats.winnowing(docs)
-      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(fps(1L).isEmpty && fps(2L).isEmpty)
   }
 
