@@ -10,17 +10,14 @@ import graft.pipeline.AlertPipeline
 object AnalyticsQueries {
 
   /** The alert table is the shared input of q10/q19/q32 — computed once per
-    * (session, sf dir) and cached, exactly as a production pipeline would
-    * materialize the alert Dataset before analytics fan-out. */
-  private val alertsCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
-
+    * (session, sf dir) and cached (eagerly: downstream analytics then pay
+    * only their own aggregation, never the build), exactly as a production
+    * pipeline would materialize the alert Dataset before analytics
+    * fan-out. Released by [[Caches.evict]]. */
   def cachedAlerts(s: org.apache.spark.sql.SparkSession, dir: String) =
-    alertsCache.getOrElseUpdate((s, dir), {
-      val alerts = AlertPipeline.eventAlerts(Tables(s, dir, "events")).cache()
-      alerts.count() // materialize eagerly: downstream analytics (q19/q32)
-      alerts //        then pay only their own aggregation, never the build
-    })
+    Caches.frame(s, dir, "alerts", eager = true) {
+      AlertPipeline.eventAlerts(Tables(s, dir, "events"))
+    }
 
   val all: Seq[Q] = Seq(
     // P3: alert counts per (stat, key) — countings.txt analog.

@@ -27,14 +27,10 @@ object DedupQueries {
     * (including the explode's size filter), re-evaluating it several times
     * per row. At cluster scale this intermediate is exactly what you would
     * persist/checkpoint before the pair phase. */
-  private def grams(s: SparkSession, dir: String): DataFrame = gramsCache
-    .getOrElseUpdate((s, dir), gramsUncached(s, dir).cache())
-
-  private val gramsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
-  private def gramsUncached(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.Dedup.shingles(Tables.sharded(s, dir, "documents", "doc_id"))
+  private def grams(s: SparkSession, dir: String): DataFrame =
+    Caches.frame(s, dir, "grams") {
+      graft.dedup.Dedup.shingles(Tables.sharded(s, dir, "documents", "doc_id"))
+    }
 
   private def gramRows(s: SparkSession, dir: String): DataFrame =
     grams(s, dir).select(col("doc_id"), explode(col("grams")).as("gram"))
@@ -63,9 +59,13 @@ object DedupQueries {
     // Library core: graft.dedup.Dedup.minhashBands. Benched tradeoff vs an
     // explode + per-slot min() aggregation: that variant keeps md5 in
     // codegen but pays a shuffle, and string min() forces SortAggregate —
-    // 1.3s vs 0.76s at sf0.1 for the document-local shape.
-    graft.dedup.Dedup.minhashBands(grams(s, dir), k = K,
-      rowsPerBand = RowsPerBand)
+    // 1.3s vs 0.76s at sf0.1 for the document-local shape. Cached: the
+    // band table sits on both sides of the bucket self-join in q28, and
+    // q55/q59 reuse it for cluster edges.
+    Caches.frame(s, dir, "bands") {
+      graft.dedup.Dedup.minhashBands(grams(s, dir), k = K,
+        rowsPerBand = RowsPerBand)
+    }
 
   private val duckMinhash: String =
     duckGrams + s""",
@@ -88,7 +88,7 @@ object DedupQueries {
     * all four detector families to the planted pairs, and PlanAuditSpec
     * asserts every gram-keyed join in this plan is candidate-driven. */
   def clusterEdges(s: SparkSession, dir: String): DataFrame = {
-    val bands = bandsDf(s, dir).cache()
+    val bands = bandsDf(s, dir)
     graft.dedup.Dedup
       .jaccardVerify(graft.dedup.Dedup.lshCandidates(bands), grams(s, dir))
       .where(col("jaccard") >= 0.5)
@@ -201,9 +201,7 @@ object DedupQueries {
     // bucket collisions, never the full pair space.
     Q("q28_minhash_pairs",
       (s, dir) => {
-        // cache: the band table sits on both sides of the bucket self-join
-        val bands = bandsDf(s, dir).cache()
-        val cands = graft.dedup.Dedup.lshCandidates(bands)
+        val cands = graft.dedup.Dedup.lshCandidates(bandsDf(s, dir))
         graft.dedup.Dedup.jaccardVerify(cands, grams(s, dir))
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
             col("jaccard"))

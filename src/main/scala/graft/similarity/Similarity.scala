@@ -34,7 +34,14 @@ object Similarity {
   }
 
   /** Top-k neighbors per vector, searched only within the vector's coarse
-    * cell (`labelCol`) — IVF-style pruning; the cell is the shuffle key. */
+    * cell (`labelCol`) — IVF-style pruning; the cell is the shuffle key.
+    *
+    * NOTE: this is the cell-pruning MECHANISM on a GIVEN partitioning. Its
+    * quality is exactly the quality of that partitioning: on this repo's
+    * testdata the planted `label` yields recall@3 ≈ random (AnnQualitySpec),
+    * so the recommended production path is [[trainCells]] +
+    * [[assignCells]] (+ [[ivfMultiProbeTopK]] for tunable recall), which
+    * trains the cells from the data itself. */
   def ivfTopK(emb: DataFrame, k: Int, idCol: String = "vec_id",
       labelCol: String = "label", vecCol: String = "e"): DataFrame = {
     val spark = emb.sparkSession
@@ -84,9 +91,18 @@ object Similarity {
     * Returns centroids ordered by cell id; cells emptied during training
     * drop out (consistent across engines — GROUP BY keeps only members). */
   def trainCells(emb: DataFrame, k: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "e")
-      : Array[(Int, Array[Double])] = {
-    val init = emb
+      idCol: String = "vec_id", vecCol: String = "e",
+      sampleFraction: Double = 1.0): Array[(Int, Array[Double])] = {
+    // The 100 TB variant: train the quantizer on a deterministic id-stable
+    // sample (same digest-priority scheme as graft.analytics.Sampling), then
+    // assign the FULL table with the same shuffle-free map stage. k-means
+    // centroids are distributional estimates, so a uniform sample preserves
+    // them; AnnQualitySpec pins sample-trained recall within 0.05 of
+    // full-data recall.
+    val train =
+      if (sampleFraction >= 1.0) emb
+      else graft.analytics.Sampling.bernoulli(emb, idCol, sampleFraction)
+    val init = train
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .limit(k)
       .select(col(vecCol))
@@ -96,7 +112,7 @@ object Similarity {
     }
     val dim = cents.head._2.length
     for (_ <- 1 to iters) {
-      val assigned = assignCells(emb, cents, idCol, vecCol)
+      val assigned = assignCells(train, cents, idCol, vecCol)
       cents = assigned
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("__n"),
@@ -114,25 +130,80 @@ object Similarity {
     * cosine to that cell's centroid (`cell_sim`): argmax over the given
     * centroids, min-cell tiebreak. Centroids are inlined as a literal
     * array-of-structs, so this is a shuffle-free map stage at any scale. */
-  def assignCells(emb: DataFrame, cents: Array[(Int, Array[Double])],
-      idCol: String = "vec_id", vecCol: String = "e"): DataFrame = {
-    val spark = emb.sparkSession
+  /** `(negcos, cell)` structs for every centroid, cosine-ranked ascending
+    * by `array_sort`'s struct ordering — i.e. round-6 cosine DESC with
+    * min-cell tiebreak, the engine-portable determinism contract.
+    * `+ 0.0` normalizes IEEE -0.0 to +0.0: Spark's struct ordering ranks
+    * -0.0 below +0.0 while SQL engines compare them equal, so a cosine
+    * that rounds to zero must not leak a sign bit into the ordering. */
+  private def rankedCells(spark: org.apache.spark.sql.SparkSession,
+      vecCol: String, cents: Array[(Int, Array[Double])]): Column = {
     val centsLit = array(cents.map { case (c, v) =>
       struct(lit(c).as("cell"),
         array(v.toIndexedSeq.map(lit): _*).as("centroid"))
     }.toIndexedSeq: _*)
-    // argmax cos (tiebreak min cell) == array_min over struct(-cos, cell).
-    // `+ 0.0` normalizes IEEE -0.0 to +0.0: Spark's struct ordering ranks
-    // -0.0 below +0.0 while SQL engines compare them equal, so a cosine
-    // that rounds to zero must not leak a sign bit into the ordering.
-    val best = array_min(transform(centsLit, c =>
+    array_sort(transform(centsLit, c =>
       struct(
         (-round(CosineSimilarity(spark)(col(vecCol), c.getField("centroid")),
           6) + 0.0).as("negcos"),
         c.getField("cell").as("cell"))))
+  }
+
+  def assignCells(emb: DataFrame, cents: Array[(Int, Array[Double])],
+      idCol: String = "vec_id", vecCol: String = "e"): DataFrame = {
+    // argmax cos (tiebreak min cell) == first element of the ranked array.
+    val best = rankedCells(emb.sparkSession, vecCol, cents).getItem(0)
     emb.select(emb.columns.toIndexedSeq.map(col) ++ Seq(
       best.getField("cell").as("cell"),
       (-best.getField("negcos") + 0.0).as("cell_sim")): _*)
+  }
+
+  /** One row per (vector, probed cell): the vector's `probes` nearest
+    * quantizer cells by round-6 cosine (min-cell tiebreak), ranked 1..p in
+    * `probe_rank`. Like [[assignCells]] this is a shuffle-free map stage —
+    * the centroids travel as a literal; the output is `probes`× the input
+    * rows, which downstream joins key by `cell`. */
+  def probeCells(emb: DataFrame, cents: Array[(Int, Array[Double])],
+      probes: Int, idCol: String = "vec_id", vecCol: String = "e")
+      : DataFrame = {
+    val ranked = rankedCells(emb.sparkSession, vecCol, cents)
+    emb.select(emb.columns.toIndexedSeq.map(col) :+
+        posexplode(slice(ranked, 1, probes)): _*)
+      .select(emb.columns.toIndexedSeq.map(col) ++ Seq(
+        (col("pos") + 1).as("probe_rank"),
+        col("col").getField("cell").as("cell"),
+        (-col("col").getField("negcos") + 0.0).as("cell_sim")): _*)
+  }
+
+  /** Multi-probe trained-IVF search: every vector probes its `probes`
+    * nearest cells and is searched against the candidates ASSIGNED
+    * (single-cell) to those cells — the standard IVF recall knob (recall
+    * rises with p, cost is ~p× the single-probe join). Each candidate
+    * lives in exactly one cell, so the per-query candidate lists are
+    * disjoint and no post-union dedup is needed; `cell` remains the
+    * shuffle key, so cost tracks probed-cell occupancy, not the pair
+    * space. `probes = 1` degenerates to [[ivfTopK]] over [[assignCells]].
+    *
+    * This is the RECOMMENDED similarity-search configuration (see
+    * AnnQualitySpec/PLANS.md: recall@3 0.352 @p=1 → ≥0.6 @p=3 on the
+    * test corpus, vs 0.088 for the planted label). */
+  def ivfMultiProbeTopK(emb: DataFrame, cents: Array[(Int, Array[Double])],
+      k: Int, probes: Int, idCol: String = "vec_id", vecCol: String = "e")
+      : DataFrame = {
+    val spark = emb.sparkSession
+    val cand = assignCells(emb, cents, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("cell"),
+        col(vecCol).as("__ne"))
+    val probed = probeCells(emb, cents, probes, idCol, vecCol)
+      .select(col(idCol), col("cell"), col(vecCol))
+    val cos = CosineSimilarity(spark)(col(vecCol), col("__ne"))
+    probed.join(cand, "cell")
+      .where(col(idCol) =!= col("neighbor_id"))
+      .select(col(idCol), round(cos, 6).as("cos_sim"), col("neighbor_id"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .where(col("rk") <= k)
+      .drop("rk")
   }
 
   /** Global top-k most-similar pairs, exact — `orderBy().limit()` plans as

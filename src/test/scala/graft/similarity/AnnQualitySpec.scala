@@ -57,13 +57,20 @@ class AnnQualitySpec extends AnyFunSuite with SparkTestBase {
   private lazy val labelRecall =
     recallAt(topkMap(Similarity.ivfTopK(emb, K, labelCol = "label")))
 
+  private lazy val cents = {
+    val c = Similarity.trainCells(emb, k = 8, iters = 2)
+    assert(c.length > 1 && c.length <= 8)
+    c
+  }
+
   private lazy val trainedRecall = {
-    val cents = Similarity.trainCells(emb, k = 8, iters = 2)
-    assert(cents.length > 1 && cents.length <= 8)
     val assigned = Similarity.assignCells(emb, cents)
       .select(col("vec_id"), col("cell"), col("e"))
     recallAt(topkMap(Similarity.ivfTopK(assigned, K, labelCol = "cell")))
   }
+
+  private def multiProbeRecall(p: Int): Double =
+    recallAt(topkMap(Similarity.ivfMultiProbeTopK(emb, cents, K, probes = p)))
 
   test("trained quantizer beats the planted label by >2x recall@3") {
     info(f"IVF(label)       recall@$K = $labelRecall%.4f (random baseline 0.100)")
@@ -76,6 +83,55 @@ class AnnQualitySpec extends AnyFunSuite with SparkTestBase {
   test("recall regression floors: IVF paths") {
     assert(labelRecall >= 0.07, f"label recall $labelRecall%.4f")
     assert(trainedRecall >= 0.30, f"trained recall $trainedRecall%.4f")
+  }
+
+  test("multi-probe IVF: recall rises with probes; p=3 reaches 0.6") {
+    val r = (1 to 4).map(p => p -> multiProbeRecall(p)).toMap
+    r.toSeq.sortBy(_._1).foreach { case (p, v) =>
+      info(f"IVF(trained, probes=$p) recall@$K = $v%.4f (cost ~ $p/8 of pairs)")
+    }
+    // p=1 must equal the single-probe trained path exactly (same cells,
+    // same ranking contract) — the knob degenerates cleanly.
+    assert(math.abs(r(1) - trainedRecall) < 1e-12,
+      s"p=1 ${r(1)} != single-probe $trainedRecall")
+    assert(r(1) < r(2) && r(2) < r(3) && r(3) <= r(4),
+      s"recall must rise with probes: $r")
+    // The tunable-recall contract: 3 of 8 cells recovers >= 0.6 of the
+    // exact top-3 on this corpus (vs 0.352 single-probe).
+    assert(r(3) >= 0.6, f"recall@$K at p=3 = ${r(3)}%.4f < 0.6")
+  }
+
+  test("sample-trained quantizer: 10% sample within 0.05 of full recall") {
+    // The 100 TB training story: centroids are distributional estimates,
+    // so a deterministic 10% id-sample must land essentially the same
+    // quantizer quality as training on everything. Measured on the LARGEST
+    // corpus (sf0.1, 2000 vectors → ~200-vector sample); at 500 vectors a
+    // 10% sample is 50 points for 8 cells and the estimate is legitimately
+    // noisy — sample size, not sample fraction, is what k-means needs.
+    val bigEmb = Tables(spark, "/root/testdata/sf0.1", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .cache()
+    val exactBig = topkMap(
+      Similarity.ivfTopK(bigEmb.withColumn("c0", lit(0)), K, labelCol = "c0"))
+    def recallBig(approx: Map[Long, Set[Long]]): Double =
+      exactBig.iterator.map { case (id, ex) =>
+        (ex intersect approx.getOrElse(id, Set.empty)).size
+      }.sum.toDouble / (exactBig.size * K)
+    def recallFor(fraction: Double): Double = {
+      val c = Similarity.trainCells(bigEmb, k = 8, iters = 2,
+        sampleFraction = fraction)
+      assert(c.length > 1 && c.length <= 8)
+      val assigned = Similarity.assignCells(bigEmb, c)
+        .select(col("vec_id"), col("cell"), col("e"))
+      recallBig(topkMap(Similarity.ivfTopK(assigned, K, labelCol = "cell")))
+    }
+    val full = recallFor(1.0)
+    val sampled = recallFor(0.1)
+    bigEmb.unpersist()
+    info(f"sf0.1 IVF(trained full)          recall@$K = $full%.4f")
+    info(f"sf0.1 IVF(trained on 10%% sample) recall@$K = $sampled%.4f")
+    assert(sampled >= full - 0.05,
+      f"sample-trained recall $sampled%.4f fell >0.05 below full $full%.4f")
   }
 
   test("hyperplane LSH: recall falls as planes rise; lift over random holds") {
