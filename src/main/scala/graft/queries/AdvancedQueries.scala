@@ -334,63 +334,88 @@ object AdvancedQueries {
           |  md5(array_to_string(fps, ',')) AS fp_digest
           |FROM wins ORDER BY doc_id""".stripMargin)),
 
-    // The MOSS detector completed: candidate pairs from a DF-capped
+    // The MOSS detector completed. Candidates come from TWO bounded
+    // sources, unioned before a single verify: (1) the DF-capped
     // fingerprint equi-join (the stop-shingle trick — boilerplate
-    // fingerprints are dropped before pairing), kept when EITHER enough
-    // absolute overlap survives the cap (shared >= 10) OR the CONTAINMENT
-    // fraction (shared / min fingerprint count) reaches 0.4 — the latter
-    // admits short documents whose few fingerprints can never total 10,
-    // the former long near-dups whose full containment the cap dilutes.
-    // Against the exact Jaccard>=0.5 truth: sf0.001 28/28, sf0.01 25/25,
-    // sf0.1 223/256 — zero false positives at every scale, and strictly
-    // better than the round-2 absolute-only detector (which missed 30 at
-    // sf0.1 and a short-doc pair at sf0.001). The sf0.1 misses are
-    // >20-member near-dup cliques whose every shared fingerprint exceeds
-    // the DF cap — the documented price of bounding fan-out (the cap
-    // can't simply rise: boilerplate df sits just above it at the small
-    // scales). The fp equi-join is the shuffle key; the cap bounds each
-    // fingerprint's pair fan-out at cap^2, so candidate cost tracks
-    // collisions, never the pair space.
+    // fingerprints are dropped before pairing; the cap bounds each
+    // fingerprint's pair fan-out at cap^2), and (2) the MinHash-LSH
+    // band-key collisions (DedupQueries.lshCandidatePairs — fixed-size
+    // sketch keys, fan-out tracks bucket occupancy). The union exists for
+    // >cap near-dup CLIQUES: a 20+-member clique's every shared
+    // fingerprint has df > cap, so source (1) alone drops the whole
+    // clique (the round-3 detector missed 33 such pairs at sf0.1); the
+    // LSH sketch keys are document-local signatures the clique cannot
+    // saturate. The verify stage then counts shared fingerprints over the
+    // FULL (uncapped) fingerprint sets, doc-id-keyed and candidate-driven
+    // — exact per pair, never quadratic — and keeps a pair when the
+    // CONTAINMENT fraction (shared / min fingerprint count) reaches 0.75.
+    // The threshold is measured, not guessed (WinnowTuning): true pairs
+    // sit at containment 1.0 at every scale while false candidates top
+    // out at 0.625 (boilerplate fingerprints shared between unrelated
+    // docs — also why the round-3 absolute shared>=10 gate cannot survive
+    // uncapped counting). Against the exact Jaccard>=0.5 truth: sf0.001
+    // 28/28, sf0.01 25/25, sf0.1 256/256 — zero false positives at every
+    // scale (DetectorAgreementSpec pins sf0.001 and sf0.1).
     Q("q64_winnowing_pairs",
       (s, dir) => {
         val DfCap = 20
-        val win = graft.text.TextStats
-          .winnowing(Tables.sharded(s, dir, "documents", "doc_id"))
-          .cache()
+        val win = Caches.frame(s, dir, "winnow") {
+          graft.text.TextStats
+            .winnowing(Tables.sharded(s, dir, "documents", "doc_id"))
+        }
         val nf = win.select(col("doc_id"), size(col("fingerprints")).as("n_fp"))
         val e = win.select(col("doc_id"), explode(col("fingerprints")).as("fp"))
         val rare = e.groupBy(col("fp"))
           .agg(count(lit(1)).as("c")).where(col("c") <= DfCap)
           .select(col("fp"))
         val er = e.join(rare, "fp")
-        er.as("a")
+        val fpCands = er.as("a")
           .join(er.as("b"),
             col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        val lshCands = DedupQueries.lshCandidatePairs(s, dir)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        val cands = fpCands.union(lshCands).distinct()
+        cands
+          .join(e.select(col("doc_id").as("doc_a"), col("fp")), "doc_a")
+          .join(e.select(col("doc_id").as("doc_b"), col("fp").as("__bfp")),
+            Seq("doc_b"))
+          .where(col("fp") === col("__bfp"))
+          .groupBy(col("doc_a"), col("doc_b"))
           .agg(count(lit(1)).as("shared"))
           .join(nf.select(col("doc_id").as("doc_a"), col("n_fp").as("__na")), "doc_a")
           .join(nf.select(col("doc_id").as("doc_b"), col("n_fp").as("__nb")), "doc_b")
           .select(col("doc_a"), col("doc_b"), col("shared"),
             (col("shared") / least(col("__na"), col("__nb"))).as("overlap"))
-          .where(col("shared") >= 10 || col("overlap") >= 0.4)
+          .where(col("overlap") >= 0.75)
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      Some(duckWinnow +
+      Some(duckWinnow + "," +
+        DedupQueries.duckMinhash.stripPrefix("WITH ") +
         """,
           |nf AS (SELECT doc_id, len(fps) AS n_fp FROM wins),
-          |e AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
-          |df AS (SELECT fp, count(*) AS c FROM e GROUP BY fp),
-          |er AS (SELECT e.doc_id, e.fp FROM e JOIN df USING (fp)
-          |       WHERE c <= 20),
-          |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-          |       FROM er a JOIN er b ON a.fp = b.fp AND a.doc_id < b.doc_id
-          |       GROUP BY 1, 2)
+          |ew AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
+          |dfw AS (SELECT fp, count(*) AS c FROM ew GROUP BY fp),
+          |erw AS (SELECT ew.doc_id, ew.fp FROM ew JOIN dfw USING (fp)
+          |        WHERE c <= 20),
+          |fpc AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |        FROM erw a JOIN erw b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+          |lshc AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+          |         FROM bands x JOIN bands y ON x.band = y.band
+          |           AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+          |         GROUP BY 1, 2),
+          |cand AS (SELECT doc_a, doc_b FROM fpc
+          |         UNION SELECT doc_a, doc_b FROM lshc),
+          |shw AS (SELECT c.doc_a, c.doc_b, count(*) AS shared
+          |        FROM cand c
+          |        JOIN ew a ON c.doc_a = a.doc_id
+          |        JOIN ew b ON c.doc_b = b.doc_id AND a.fp = b.fp
+          |        GROUP BY 1, 2)
           |SELECT doc_a, doc_b, shared,
           |  CAST(shared AS DOUBLE) / least(na.n_fp, nb.n_fp) AS overlap
-          |FROM sh JOIN nf na ON doc_a = na.doc_id
-          |        JOIN nf nb ON doc_b = nb.doc_id
-          |WHERE shared >= 10
-          |   OR CAST(shared AS DOUBLE) / least(na.n_fp, nb.n_fp) >= 0.4
+          |FROM shw JOIN nf na ON doc_a = na.doc_id
+          |         JOIN nf nb ON doc_b = nb.doc_id
+          |WHERE CAST(shared AS DOUBLE) / least(na.n_fp, nb.n_fp) >= 0.75
           |ORDER BY doc_a, doc_b""".stripMargin))
   )
 }

@@ -67,7 +67,15 @@ object DedupQueries {
         rowsPerBand = RowsPerBand)
     }
 
-  private val duckMinhash: String =
+  /** LSH band-key collision candidate pairs `(id_a, id_b)` — the scale
+    * candidate source shared beyond this module: q64's winnowing detector
+    * unions these with its fingerprint-collision candidates so >DF-cap
+    * near-dup cliques (whose every shared fingerprint is capped away)
+    * still reach the verify stage. */
+  def lshCandidatePairs(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.lshCandidates(bandsDf(s, dir))
+
+  private[queries] val duckMinhash: String =
     duckGrams + s""",
       |hs AS (SELECT unnest(generate_series(1, $K)) AS i),
       |eh AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '_' || gram)) AS h

@@ -16,8 +16,14 @@ case class MeasureRow(key: Long, seq: Long, stat: String, m: Double)
   * by the window-end seq — SURVEY §2.5 Q7 deliberate deviation). */
 case class StreamAlert(key: Long, seq: Long, stat: String, m: Double, thr: Double)
 
-/** Ring-buffer state per key: the trailing < n values, newest last. */
-case class Ring(values: List[Double], lastSeq: Long)
+/** Ring-buffer state per key: a fixed n-slot array with `head` = the next
+  * write slot and `count` ≤ n slots filled; chronological (oldest-first)
+  * order is `buf((head + i) % n)` once full. Appending is O(1) — no
+  * per-row copy of the window — so state-update cost is flat in n and the
+  * operator stays the right shape at n = 10⁴ as well as the reference's
+  * n = 30 (the O(n) work per fire is the six-measure recompute itself,
+  * which is the reference's live recompute-per-fire contract). */
+case class Ring(buf: Array[Double], head: Int, count: Int, lastSeq: Long)
 
 /** Count-based sliding window (size n, slide 1) for Structured Streaming —
   * the operator Spark lacks natively (SURVEY §7.4). countWindowAll(30,1)
@@ -43,21 +49,31 @@ object CountSlidingWindow {
       .flatMapGroupsWithState[Ring, MeasureRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: Long, it: Iterator[Sample], state: GroupState[Ring]) =>
-          val prev = state.getOption.getOrElse(Ring(Nil, Long.MinValue))
+          val prev = state.getOption
+            .filter(_.buf.length == n) // window size changed → reset state
+            .getOrElse(Ring(Array.ofDim[Double](n), 0, 0, Long.MinValue))
           val batch = it.toArray.sortBy(_.seq)
-          var buf = prev.values
-          val out = Seq.newBuilder[MeasureRow]
+          // the deserialized state array is private to this group/batch, so
+          // in-place writes are safe; one fresh Ring is stored at the end
+          val buf = prev.buf
+          var head = prev.head
+          var count = prev.count
           var last = prev.lastSeq
+          val out = Seq.newBuilder[MeasureRow]
           batch.foreach { s =>
-            buf = (buf :+ s.v).takeRight(n)
+            buf(head) = s.v
+            head = (head + 1) % n
+            if (count < n) count += 1
             last = s.seq
-            if (buf.length == n) {
-              MeasuresRef.all(buf.toArray).foreach { case (stat, m) =>
+            if (count == n) {
+              // oldest-first snapshot of the trailing n values for the fire
+              val window = Array.tabulate(n)(i => buf((head + i) % n))
+              MeasuresRef.all(window).foreach { case (stat, m) =>
                 out += MeasureRow(key, s.seq, stat, m)
               }
             }
           }
-          state.update(Ring(buf, last))
+          state.update(Ring(buf, head, count, last))
           out.result().iterator
       }
   }

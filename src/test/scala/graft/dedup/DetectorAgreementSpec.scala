@@ -35,12 +35,31 @@ class DetectorAgreementSpec extends AnyFunSuite with SparkTestBase {
     val winnow = pairs("q64_winnowing_pairs")
     val simhash = pairs("q58_simhash_shingle_pairs")
     // winnowing measures shared substrings, not shingle-set Jaccard, but
-    // the containment score (shared/min n_fp >= 0.4) separates planted
-    // pairs from noise with a ~2x margin on this corpus: exact agreement
+    // the uncapped containment score (shared/min n_fp >= 0.75) separates
+    // planted pairs from noise (true pairs sit at 1.0, false candidates
+    // below 0.63 — see WinnowTuning): exact agreement
     assert(winnow === exact,
       s"missing=${exact -- winnow} extras=${winnow -- exact}")
     // simhash(hamming<=3) is a high-precision subset (no false positives)
     assert(simhash.subsetOf(exact), s"false positives: ${simhash -- exact}")
     assert(simhash.nonEmpty)
+  }
+
+  test("winnowing recovers >DF-cap cliques at sf0.1: all 256 pairs, no FPs") {
+    // The scale where near-dup cliques exceed the DF cap (20+members →
+    // every shared fingerprint capped away): the LSH-candidate union must
+    // carry those pairs to the verify stage. Round-3's fp-only candidates
+    // missed 33 of these; the union detector must find every true pair
+    // with zero false positives.
+    val big = "/root/testdata/sf0.1"
+    def bigPairs(name: String) =
+      Registry.byName(name).run(spark, big)
+        .select(col("doc_a"), col("doc_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = bigPairs("q26_jaccard_pairs")
+    val winnow = bigPairs("q64_winnowing_pairs")
+    assert(exact.size >= 200, s"expected the planted sf0.1 truth, got ${exact.size}")
+    assert(winnow === exact,
+      s"missing=${(exact -- winnow).size} extras=${(winnow -- exact).size}")
   }
 }

@@ -52,6 +52,41 @@ class CountSlidingWindowSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ring-buffer state holds at n=1000: semantics across micro-batches") {
+    // The large-window shape check: state update must be O(1) per row (a
+    // ring-buffer slot write, never a window copy), so a 1000-deep window
+    // over 3000 rows streams through in fire-cost time. Semantics pinned
+    // against a naive sliding recompute with the same measure code.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val n = 1000
+    val data = samples(keys = 1, n = 3000)
+    val input = MemoryStream[Sample]
+    val q = CountSlidingWindow.measures(input.toDS(), n)
+      .writeStream.format("memory").queryName("big_out")
+      .outputMode("append").start()
+    try {
+      // two micro-batches straddling the window-full boundary
+      input.addData(data.filter(_.seq < 1500))
+      q.processAllAvailable()
+      input.addData(data.filter(_.seq >= 1500))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("big_out").as[MeasureRow].collect()
+      .map(r => (r.seq, r.stat) -> r.m).toMap
+    assert(got.size === (3000 - (n - 1)) * 6)
+    val vs = data.map(_.v).toArray
+    // spot-check every 100th window end against the naive trailing slice
+    (n - 1 until 3000 by 100).foreach { end =>
+      val expect = graft.measures.MeasuresRef.all(
+        vs.slice(end - n + 1, end + 1))
+      expect.foreach { case (stat, m) =>
+        assert(math.abs(got((end.toLong, stat)) - m) < 1e-9,
+          s"seq $end $stat")
+      }
+    }
+  }
+
   test("alerts start exactly at row 30 and respect thresholds") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
