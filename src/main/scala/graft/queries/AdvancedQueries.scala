@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -38,6 +39,68 @@ object AdvancedQueries {
        |             j -> list_aggregate(hs[j:j+3], 'min'))))
        |      ELSE [] END AS fps
        |  FROM kh)""".stripMargin
+  }
+
+  /** The winnowing fingerprint table, cached once per (session, dir) —
+    * q63 reports per-document digests over it and q64's detector explodes
+    * it for the pair verify; both scan the same InMemoryRelation. */
+  private[graft] def winnowFrame(s: SparkSession, dir: String): DataFrame =
+    Caches.frame(s, dir, "winnow") {
+      graft.text.TextStats
+        .winnowing(Tables.sharded(s, dir, "documents", "doc_id"))
+    }
+
+  /** The BOUNDED candidate set of the winnowing near-dup detector (q64):
+    * the union of two linear-in-corpus sources, each already scored or
+    * sketch-keyed — NEVER the raw fingerprint-collision pair set, whose
+    * cardinality grows with corpus × DF-cap² (602k pairs on 5k docs at
+    * sf0.1 — 4.8% of the whole pair space, measured via WinnowTuning).
+    *
+    * Source 1 — cap-rule survivors: the df≤20 fingerprint equi-join is
+    * pushed through ONE aggregation to (doc_a, doc_b, shared_cap) — cheap,
+    * count-only, the shuffle carries one int per colliding pair — and only
+    * pairs with shared_cap ≥ 5 OR shared_cap/min(n_fp) ≥ 0.25 survive.
+    * Thresholds measured (WinnowRuleCheck at sf0.1): this rule ∪ LSH is
+    * 441 candidates with 256/256 true-pair recall; the next-looser rule
+    * (3, 0.15) balloons to 14k candidates for the same recall, and the
+    * next-tighter (10, 0.4) drops a true pair whose LSH signature also
+    * misses all 4 bands (shared_cap 8, ov_cap 0.348).
+    *
+    * Source 2 — MinHash-LSH band collisions
+    * ([[DedupQueries.lshCandidatePairs]]): document-local sketch keys that
+    * >cap near-dup CLIQUES cannot saturate — a 20+-member clique's every
+    * shared fingerprint has df > cap, so source 1 alone drops the whole
+    * clique (33 such pairs at sf0.1).
+    *
+    * The expensive uncapped verify then runs ONLY on this union —
+    * O(thousands) rows, linear in corpus size. PlanAuditSpec asserts the
+    * bound so a regression to quadratic candidates fails CI. */
+  private[graft] def winnowCandidates(s: SparkSession, dir: String)
+      : DataFrame = {
+    val DfCap = 20
+    val win = winnowFrame(s, dir)
+    val nf = win.select(col("doc_id"), size(col("fingerprints")).as("n_fp"))
+    val e = win.select(col("doc_id"), explode(col("fingerprints")).as("fp"))
+    val rare = e.groupBy(col("fp"))
+      .agg(count(lit(1)).as("c")).where(col("c") <= DfCap)
+      .select(col("fp"))
+    val er = e.join(rare, "fp")
+    val capScores = er.as("a")
+      .join(er.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_cap"))
+    val capSurvivors = capScores
+      .join(nf.select(col("doc_id").as("doc_a"), col("n_fp").as("__na")),
+        "doc_a")
+      .join(nf.select(col("doc_id").as("doc_b"), col("n_fp").as("__nb")),
+        "doc_b")
+      .where(col("shared_cap") >= 5 ||
+        col("shared_cap") / least(col("__na"), col("__nb")) >= 0.25)
+      .select(col("doc_a"), col("doc_b"))
+    val lshCands = DedupQueries.lshCandidatePairs(s, dir)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    capSurvivors.union(lshCands).distinct()
   }
 
   val all: Seq[Q] = Seq(
@@ -322,8 +385,7 @@ object AdvancedQueries {
     // reproduces the polynomial hash with plain BIGINT arithmetic.
     Q("q63_winnowing",
       (s, dir) =>
-        graft.text.TextStats
-          .winnowing(Tables.sharded(s, dir, "documents", "doc_id"))
+        winnowFrame(s, dir)
           .select(col("doc_id"), size(col("fingerprints")).as("n_fp"),
             md5(array_join(col("fingerprints").cast("array<string>"), ","))
               .as("fp_digest"))
@@ -334,49 +396,28 @@ object AdvancedQueries {
           |  md5(array_to_string(fps, ',')) AS fp_digest
           |FROM wins ORDER BY doc_id""".stripMargin)),
 
-    // The MOSS detector completed. Candidates come from TWO bounded
-    // sources, unioned before a single verify: (1) the DF-capped
-    // fingerprint equi-join (the stop-shingle trick — boilerplate
-    // fingerprints are dropped before pairing; the cap bounds each
-    // fingerprint's pair fan-out at cap^2), and (2) the MinHash-LSH
-    // band-key collisions (DedupQueries.lshCandidatePairs — fixed-size
-    // sketch keys, fan-out tracks bucket occupancy). The union exists for
-    // >cap near-dup CLIQUES: a 20+-member clique's every shared
-    // fingerprint has df > cap, so source (1) alone drops the whole
-    // clique (the round-3 detector missed 33 such pairs at sf0.1); the
-    // LSH sketch keys are document-local signatures the clique cannot
-    // saturate. The verify stage then counts shared fingerprints over the
-    // FULL (uncapped) fingerprint sets, doc-id-keyed and candidate-driven
-    // — exact per pair, never quadratic — and keeps a pair when the
+    // The MOSS detector completed. Candidates are [[winnowCandidates]]:
+    // (cap-rule survivors of ONE aggregation over the df≤20 fingerprint
+    // equi-join) ∪ (MinHash-LSH band collisions, which carry the >cap
+    // near-dup cliques the DF cap would drop) — a set LINEAR in corpus
+    // size, never the raw collision pair set (the round-4 shape
+    // materialized 602k pairs on 5k docs and went 16× slower; see the
+    // winnowCandidates scaladoc). The verify stage then counts shared
+    // fingerprints over the FULL (uncapped) fingerprint sets, doc-id-keyed
+    // and candidate-driven — exact per pair — and keeps a pair when the
     // CONTAINMENT fraction (shared / min fingerprint count) reaches 0.75.
-    // The threshold is measured, not guessed (WinnowTuning): true pairs
-    // sit at containment 1.0 at every scale while false candidates top
-    // out at 0.625 (boilerplate fingerprints shared between unrelated
-    // docs — also why the round-3 absolute shared>=10 gate cannot survive
-    // uncapped counting). Against the exact Jaccard>=0.5 truth: sf0.001
-    // 28/28, sf0.01 25/25, sf0.1 256/256 — zero false positives at every
-    // scale (DetectorAgreementSpec pins sf0.001 and sf0.1).
+    // Thresholds are measured, not guessed (WinnowTuning): true pairs sit
+    // at containment 1.0 at every scale while false candidates top out at
+    // 0.625 (boilerplate fingerprints shared between unrelated docs).
+    // Against the exact Jaccard>=0.5 truth: sf0.001 28/28, sf0.01 25/25,
+    // sf0.1 256/256 — zero false positives at every scale
+    // (DetectorAgreementSpec pins sf0.001 and sf0.1).
     Q("q64_winnowing_pairs",
       (s, dir) => {
-        val DfCap = 20
-        val win = Caches.frame(s, dir, "winnow") {
-          graft.text.TextStats
-            .winnowing(Tables.sharded(s, dir, "documents", "doc_id"))
-        }
+        val win = winnowFrame(s, dir)
         val nf = win.select(col("doc_id"), size(col("fingerprints")).as("n_fp"))
         val e = win.select(col("doc_id"), explode(col("fingerprints")).as("fp"))
-        val rare = e.groupBy(col("fp"))
-          .agg(count(lit(1)).as("c")).where(col("c") <= DfCap)
-          .select(col("fp"))
-        val er = e.join(rare, "fp")
-        val fpCands = er.as("a")
-          .join(er.as("b"),
-            col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        val lshCands = DedupQueries.lshCandidatePairs(s, dir)
-          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-        val cands = fpCands.union(lshCands).distinct()
-        cands
+        winnowCandidates(s, dir)
           .join(e.select(col("doc_id").as("doc_a"), col("fp")), "doc_a")
           .join(e.select(col("doc_id").as("doc_b"), col("fp").as("__bfp")),
             Seq("doc_b"))
@@ -398,13 +439,21 @@ object AdvancedQueries {
           |dfw AS (SELECT fp, count(*) AS c FROM ew GROUP BY fp),
           |erw AS (SELECT ew.doc_id, ew.fp FROM ew JOIN dfw USING (fp)
           |        WHERE c <= 20),
-          |fpc AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |        FROM erw a JOIN erw b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+          |caps AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |               count(*) AS shared_cap
+          |        FROM erw a JOIN erw b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          |        GROUP BY 1, 2),
+          |capok AS (SELECT doc_a, doc_b FROM caps
+          |          JOIN nf na ON doc_a = na.doc_id
+          |          JOIN nf nb ON doc_b = nb.doc_id
+          |          WHERE shared_cap >= 5
+          |             OR CAST(shared_cap AS DOUBLE) / least(na.n_fp, nb.n_fp)
+          |                >= 0.25),
           |lshc AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
           |         FROM bands x JOIN bands y ON x.band = y.band
           |           AND x.band_key = y.band_key AND x.doc_id < y.doc_id
           |         GROUP BY 1, 2),
-          |cand AS (SELECT doc_a, doc_b FROM fpc
+          |cand AS (SELECT doc_a, doc_b FROM capok
           |         UNION SELECT doc_a, doc_b FROM lshc),
           |shw AS (SELECT c.doc_a, c.doc_b, count(*) AS shared
           |        FROM cand c
