@@ -43,11 +43,24 @@ object Caches {
       build: => Array[(Int, Array[Double])]): Array[(Int, Array[Double])] =
     centroids.getOrElseUpdate((s, dir, config), build)
 
-  /** Unpersist and drop every cache entry owned by `session`. */
+  /** Unpersist and drop every cache entry owned by `session`.
+    *
+    * Spark's CacheManager is PLAN-keyed and shared by every session of one
+    * SparkContext, so two sessions that cached the same (dir, tag) share
+    * one InMemoryRelation — a blind `unpersist()` here would silently drop
+    * the other session's storage too. Storage is therefore released only
+    * when no OTHER live session holds the same (dir, tag); the map entry
+    * is dropped either way (tag names the computation, so same (dir, tag)
+    * across sessions means a plan-equal frame). */
   def evict(session: SparkSession): Unit = {
-    frames.keys.filter(_._1 eq session).foreach { k =>
+    frames.keys.filter(_._1 eq session).foreach { case k @ (_, dir, tag) =>
       frames.remove(k).foreach { df =>
-        try df.unpersist() catch { case scala.util.control.NonFatal(_) => () }
+        val sharedElsewhere = frames.keys
+          .exists { case (s2, d2, t2) =>
+            (s2 ne session) && d2 == dir && t2 == tag
+          }
+        if (!sharedElsewhere)
+          try df.unpersist() catch { case scala.util.control.NonFatal(_) => () }
       }
     }
     centroids.keys.filter(_._1 eq session).foreach(centroids.remove)

@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.storage.StorageLevel
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** The cache lifecycle contract an embedding user relies on: entries are
+  * identity-keyed per session, `evict(session)` releases that session's
+  * storage and ONLY that session's, and a post-evict rebuild works.
+  *
+  * Spark's CacheManager is plan-keyed and shared across sessions of one
+  * context, so a (dir, tag) cached by TWO sessions is one shared
+  * InMemoryRelation: evicting one session must keep it (the other still
+  * uses it) and evicting the last holder must release it. */
+class CachesSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("evict releases one session's frames and centroids, spares the " +
+      "other's, and a rebuild works") {
+    val s1 = spark.newSession()
+    val s2 = spark.newSession()
+    val base2 = Caches.liveEntries(s2)
+
+    var builds1 = 0
+    def build1() = { builds1 += 1; Tables(s1, dir, "documents") }
+    val shared1 = Caches.frame(s1, dir, "spec-docs")(build1())
+    Caches.frame(s1, dir, "spec-docs")(build1()) // cache hit, no rebuild
+    assert(builds1 === 1)
+    val only1 = Caches.frame(s1, dir, "spec-only-s1")(
+      Tables(s1, dir, "nation"))
+    val c1 = Caches.cells(s1, dir, "spec-cfg")(
+      Array((0, Array(1.0, 0.0)), (1, Array(0.0, 1.0))))
+    val shared2 = Caches.frame(s2, dir, "spec-docs")(
+      Tables(s2, dir, "documents"))
+    assert(shared1.count() > 0 && shared2.count() > 0 && only1.count() > 0)
+    assert(c1.length === 2)
+    assert(Caches.liveEntries(s1) === 3)
+    assert(Caches.liveEntries(s2) === base2 + 1)
+    assert(only1.storageLevel !== StorageLevel.NONE)
+    assert(shared2.storageLevel !== StorageLevel.NONE)
+
+    Caches.evict(s1)
+    assert(Caches.liveEntries(s1) === 0)
+    // s1-only storage actually released, not just the map entry dropped
+    assert(only1.storageLevel === StorageLevel.NONE)
+    // the OTHER session's entries and the SHARED storage survive
+    assert(Caches.liveEntries(s2) === base2 + 1)
+    assert(shared2.storageLevel !== StorageLevel.NONE)
+
+    // post-evict rebuild: the builder runs again and the entry is live
+    val rebuilt = Caches.frame(s1, dir, "spec-docs")(build1())
+    assert(builds1 === 2)
+    assert(rebuilt.count() > 0)
+    assert(Caches.liveEntries(s1) === 1)
+
+    // once the LAST holder of the shared (dir, tag) evicts, storage goes
+    Caches.evict(s1)
+    Caches.evict(s2)
+    assert(Caches.liveEntries(s2) === base2)
+    assert(shared2.storageLevel === StorageLevel.NONE)
+  }
+}
