@@ -539,6 +539,48 @@ object DedupQueries {
         |JOIN qual q USING (doc_id)
         |JOIN lang USING (doc_id)
         |WHERE q.quality >= 0.25 AND predicted_lang = 'en'
-        |GROUP BY dd.source ORDER BY dd.source""".stripMargin))
+        |GROUP BY dd.source ORDER BY dd.source""".stripMargin)),
+
+    // Embedding-cosine near-dup DECISION path (vs q31's exact top-k
+    // baseline and q37's per-vector ANN): banded hyperplane LSH — the
+    // cosine analog of MinHash banding — generates candidates on a bucket
+    // equi-join, and the exact round-6 cosine verifies at the 0.4
+    // threshold. Precision is exact by construction; recall is the
+    // banding's (6 bands × 3 planes ≈ 0.8 for cos≥0.4 on this corpus,
+    // EmbeddingNearDupSpec measures it). The oracle replays the SAME
+    // candidate generation (integer plane weights), so the check is exact
+    // at any scale without depending on LSH recall being complete.
+    Q("q68_embedding_neardup",
+      (s, dir) => {
+        val emb = Tables.sharded(s, dir, "embeddings", "vec_id")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        graft.similarity.Similarity
+          .cosineNearDupPairs(emb, dim = 64, threshold = 0.4,
+            bands = 6, planesPerBand = 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        def bit(p: Int): String =
+          s"CASE WHEN list_aggregate(list_transform(e, (x,j) -> x * " +
+            s"CAST(((($p*64 + j-1) * 2654435761) % 97) - 48 AS DOUBLE)), " +
+            s"'sum') >= 0 THEN '1' ELSE '0' END"
+        val bits = (0 until 18).map(bit).mkString(",\n|      ")
+        s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          |bits AS (SELECT vec_id, concat(
+          |      $bits
+          |    ) AS bs FROM emb),
+          |bands AS (SELECT vec_id,
+          |    CAST(i AS VARCHAR) || ':' || substr(bs, i*3+1, 3) AS bucket
+          |  FROM bits CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS i)),
+          |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+          |         FROM bands x JOIN bands y
+          |           ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+          |SELECT c.id_a, c.id_b,
+          |  round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+          |FROM cand c JOIN emb a ON c.id_a = a.vec_id
+          |            JOIN emb b ON c.id_b = b.vec_id
+          |WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
+          |ORDER BY id_a, id_b""".stripMargin
+      })
   )
 }

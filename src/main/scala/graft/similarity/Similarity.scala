@@ -206,6 +206,55 @@ object Similarity {
       .drop("rk")
   }
 
+  /** Banded hyperplane buckets: `bands` keys per vector, band b = the
+    * sign bits of planes [b·r, b·r+r) prefixed with the band index — the
+    * cosine-LSH analog of MinHash banding (a pair is a candidate when ALL
+    * r bits of SOME band agree; r tunes per-band selectivity, `bands`
+    * tunes recall). The full bit string is computed ONCE per vector
+    * behind a repartition barrier (CollapseProject would otherwise
+    * re-inline the plane aggregates into every band's substring). */
+  def hyperplaneBands(emb: DataFrame, dim: Int, bands: Int,
+      planesPerBand: Int, idCol: String = "vec_id", vecCol: String = "e")
+      : DataFrame = {
+    val r = planesPerBand
+    emb
+      .select(col(idCol), col(vecCol),
+        hyperplaneBucket(col(vecCol), dim, bands * r).as("__bits"))
+      .repartition(col(idCol)) // barrier: bits once, not once per band
+      .select(col(idCol), col(vecCol),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          concat(b.cast("string"), lit(":"),
+            col("__bits").substr(b * r + 1, lit(r))))).as("bucket"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: banded-LSH candidates
+    * (equi-join on the bucket — the shuffle key) verified with the EXACT
+    * round-6 cosine at `threshold`. Precision is exact by construction
+    * (every returned pair passed the true cosine test); recall is the LSH
+    * banding's and is measured, not assumed (EmbeddingNearDupSpec). The
+    * scale shape is identical to the MinHash path (q28): document-local
+    * sketch, fixed fan-out equi-join, candidate-driven verify — never the
+    * all-pairs cross join. */
+  def cosineNearDupPairs(emb: DataFrame, dim: Int, threshold: Double,
+      bands: Int = 6, planesPerBand: Int = 3, idCol: String = "vec_id",
+      vecCol: String = "e"): DataFrame = {
+    val spark = emb.sparkSession
+    val banded = hyperplaneBands(emb, dim, bands, planesPerBand, idCol, vecCol)
+      .select(col(idCol), col("bucket"))
+    val cands = banded.as("x")
+      .join(banded.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+    val cos = CosineSimilarity(spark)(col("__ae"), col("__be"))
+    cands
+      .join(emb.select(col(idCol).as("id_a"), col(vecCol).as("__ae")), "id_a")
+      .join(emb.select(col(idCol).as("id_b"), col(vecCol).as("__be")), "id_b")
+      .select(col("id_a"), col("id_b"), round(cos, 6).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+
   /** Global top-k most-similar pairs, exact — `orderBy().limit()` plans as
     * TakeOrderedAndProject (per-partition heaps + driver merge), never a
     * single-partition window. */
