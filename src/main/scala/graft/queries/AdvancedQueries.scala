@@ -208,6 +208,27 @@ object AdvancedQueries {
           |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // The scale path beside q51's exact quantiles: percentile_approx is
+    // Spark's mergeable quantile sketch — per-partition sketches of
+    // bounded size merge associatively, so the per-group state is O(sketch)
+    // instead of the group's full value multiset. At 100 TB this is the
+    // default; q51 stays the exact reference. Sketch internals differ
+    // across engines, so (like q43's HLL) there is no DuckDB hash oracle —
+    // ApproxQuantileSpec bounds the rank error against the exact answer
+    // at two scales instead.
+    Q("q70_approx_quantiles",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ps"))
+          .select(col("l_returnflag"),
+            element_at(col("ps"), 1).as("p50"),
+            element_at(col("ps"), 2).as("p90"),
+            element_at(col("ps"), 3).as("p99"))
+          .orderBy(col("l_returnflag")),
+      None),
+
     // Gap sessionization: the batch analog of streaming session windows —
     // per-user ordered scan (lag), session id = running count of gap
     // breaks, then two key-local aggregations. Everything shards by
@@ -274,6 +295,43 @@ object AdvancedQueries {
           |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
           |  CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_tokens
           |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Gopher-style repetition quality gates (graft.text.TextStats
+    // .repetitionStats): top-2-gram dominance and duplicated-3-gram share
+    // per document — the "drop machine-generated / boilerplate text"
+    // filters of a training-corpus pipeline. Overlapping gram OCCURRENCES
+    // (not distinct shingles) explode and aggregate keyed by doc_id, so
+    // the computation shards by document; nothing is corpus-global.
+    Q("q69_repetition_stats",
+      (s, dir) =>
+        graft.text.TextStats
+          .repetitionStats(Tables.sharded(s, dir, "documents", "doc_id"))
+          .orderBy(col("doc_id")),
+      Some(
+        """WITH d AS (SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+          |                t -> len(t) > 0) AS toks
+          |  FROM documents),
+          |g2 AS (SELECT doc_id,
+          |    unnest(list_transform(generate_series(1, len(toks) - 1),
+          |      i -> toks[i] || ' ' || toks[i+1])) AS g
+          |  FROM d WHERE len(toks) >= 2),
+          |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+          |t2 AS (SELECT doc_id,
+          |    round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top2_frac
+          |  FROM c2 GROUP BY 1),
+          |g3 AS (SELECT doc_id,
+          |    unnest(list_transform(generate_series(1, len(toks) - 2),
+          |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+          |  FROM d WHERE len(toks) >= 3),
+          |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+          |t3 AS (SELECT doc_id,
+          |    round(CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+          |          / sum(c), 6) AS dup3_frac
+          |  FROM c3 GROUP BY 1)
+          |SELECT d.doc_id, len(toks) AS n_words, top2_frac, dup3_frac
+          |FROM d JOIN t2 USING (doc_id) JOIN t3 USING (doc_id)
+          |ORDER BY doc_id""".stripMargin)),
 
     // Per-group top-k: rank inside each nation partition (the partitioned
     // counterpart of q31's global TakeOrdered). Ranking key is rounded so

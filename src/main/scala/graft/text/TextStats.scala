@@ -82,6 +82,42 @@ object TextStats {
   def fingerprint(textCol: Column): Column =
     md5(trim(regexp_replace(lower(textCol), "[^a-z0-9]+", " ")))
 
+  /** Gopher-style repetition statistics — the standard "remove
+    * machine-generated / boilerplate-heavy text" quality gates for
+    * training-corpus preparation: per document,
+    *  - `top2_frac`: the most frequent word 2-gram's share of all 2-gram
+    *    occurrences (high = one phrase dominates), and
+    *  - `dup3_frac`: the share of word-3-gram occurrences whose gram
+    *    repeats within the document (high = internally repetitive).
+    *
+    * Shape: overlapping n-grams (occurrences, NOT the distinct shingle
+    * set — repetition is the signal here) explode to (doc, gram) rows and
+    * aggregate twice keyed by doc_id, so the whole computation shards by
+    * document; nothing is corpus-global. Documents with fewer than n
+    * tokens have no n-grams and drop out (mirrored by the oracle's inner
+    * joins). */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs
+      .select(col(idCol), graft.dedup.Dedup.tokens(col(textCol)).as("toks"))
+    def gramRows(n: Int) = base
+      .where(size(col("toks")) >= n)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(o => element_at(col("toks"), i + o)): _*)))
+          .as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+    val top2 = gramRows(2).groupBy(col(idCol))
+      .agg(round(max(col("c")) / sum(col("c")), 6).as("top2_frac"))
+    val dup3 = gramRows(3).groupBy(col(idCol))
+      .agg(round(
+        sum(when(col("c") >= 2, col("c")).otherwise(lit(0))) / sum(col("c")),
+        6).as("dup3_frac"))
+    base.select(col(idCol), size(col("toks")).as("n_words"))
+      .join(top2, idCol).join(dup3, idCol)
+  }
+
   /** Winnowing fingerprints (the MOSS rolling-window scheme): hash every
     * character k-gram of the normalized text, then keep the minimum hash
     * of each sliding window of `w` consecutive k-grams — guaranteeing any
