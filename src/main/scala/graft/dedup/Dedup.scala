@@ -21,17 +21,19 @@ object Dedup {
   def tokens(textCol: Column): Column =
     filter(split(lower(textCol), "[^a-z0-9]+"), t => length(t) > 0)
 
-  /** (id, grams): distinct word-3-gram shingles per document. Documents
-    * with fewer than 3 tokens get an empty shingle set. */
+  /** (id, grams): distinct word-`n`-gram shingles per document (default 3,
+    * the near-dup configuration; decontamination uses longer grams).
+    * Documents with fewer than `n` tokens get an empty shingle set. */
   def shingles(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", n: Int = 3): DataFrame = {
     docs
       .select(col(idCol), tokens(col(textCol)).as("toks"))
       .select(col(idCol),
-        when(size(col("toks")) >= 3,
-          array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
-            i => concat_ws(" ", element_at(col("toks"), i),
-              element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))))
+        when(size(col("toks")) >= n,
+          array_distinct(transform(
+            sequence(lit(1), size(col("toks")) - (n - 1)),
+            i => concat_ws(" ",
+              (0 until n).map(o => element_at(col("toks"), i + o)): _*))))
           .otherwise(array().cast("array<string>")).as("grams"))
   }
 

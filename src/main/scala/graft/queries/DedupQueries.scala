@@ -541,6 +541,49 @@ object DedupQueries {
         |WHERE q.quality >= 0.25 AND predicted_lang = 'en'
         |GROUP BY dd.source ORDER BY dd.source""".stripMargin)),
 
+    // Benchmark DECONTAMINATION — the corpus-prep step that removes
+    // training documents overlapping an evaluation set: the benchmark's
+    // distinct word-8-grams (here: the docs with doc_id % 10 = 7 stand in
+    // for an eval suite) are the SMALL side, broadcast to every executor;
+    // the corpus gram stream map-side hash-joins against them, so the
+    // only corpus shuffle is the per-doc hit count keyed by doc_id. At
+    // 100 TB the benchmark side stays a few MB (real eval suites are
+    // thousands of documents) while the corpus side never moves — the
+    // same broadcast discipline as the dimension joins. 8-token grams
+    // make accidental overlap vanishingly rare (hits on this corpus are
+    // the planted near-dups of benchmark docs), matching the 10-13-gram
+    // windows used by real decontamination pipelines.
+    Q("q71_decontaminate",
+      (s, dir) => {
+        val g = graft.dedup.Dedup
+          .shingles(Tables.sharded(s, dir, "documents", "doc_id"), n = 8)
+          .select(col("doc_id"), explode(col("grams")).as("gram"))
+        val bench = g.where(col("doc_id") % 10 === 7)
+          .select(col("gram")).distinct()
+        g.where(col("doc_id") % 10 =!= 7)
+          .join(broadcast(bench), "gram")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH d AS (SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+          |                t -> len(t) > 0) AS toks
+          |  FROM documents),
+          |g AS (SELECT doc_id, unnest(list_distinct(
+          |    CASE WHEN len(toks) >= 8
+          |      THEN list_transform(generate_series(1, len(toks) - 7),
+          |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+          |          || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5]
+          |          || ' ' || toks[i+6] || ' ' || toks[i+7])
+          |      ELSE [] END)) AS gram
+          |  FROM d),
+          |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 7)
+          |SELECT g.doc_id, count(*) AS n_hits
+          |FROM g JOIN bench USING (gram)
+          |WHERE g.doc_id % 10 <> 7
+          |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin)),
+
     // Embedding-cosine near-dup DECISION path (vs q31's exact top-k
     // baseline and q37's per-vector ANN): banded hyperplane LSH — the
     // cosine analog of MinHash banding — generates candidates on a bucket

@@ -116,6 +116,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase
         "linear in corpus size — the verify stage would go quadratic")
   }
 
+  test("q71: the benchmark gram set broadcasts; the corpus side never " +
+      "shuffles before the hit count") {
+    val p = plan("q71_decontaminate")
+    assert(collectWithSubqueries(p) {
+      case j: BroadcastHashJoinExec => j
+    }.nonEmpty, s"decontamination must map-side join the benchmark:\n$p")
+  }
+
   test("q18: partition-pruning-shaped date filter is pushed to the scan") {
     val scans = collectWithSubqueries(plan("q18_order_priority")) {
       case s: FileSourceScanExec => s
