@@ -555,9 +555,14 @@ object DedupQueries {
     // windows used by real decontamination pipelines.
     Q("q71_decontaminate",
       (s, dir) => {
-        val g = graft.dedup.Dedup
-          .shingles(Tables.sharded(s, dir, "documents", "doc_id"), n = 8)
-          .select(col("doc_id"), explode(col("grams")).as("gram"))
+        // cached like grams(): without the barrier CollapseProject inlines
+        // the tokenize tree into every element_at of the 8-gram lambda —
+        // ~900 full-text re-tokenizations per document (measured 52 s at
+        // sf0.1; 1.2 s cached)
+        val g = Caches.frame(s, dir, "grams8") {
+            graft.dedup.Dedup.shingles(
+              Tables.sharded(s, dir, "documents", "doc_id"), n = 8)
+          }.select(col("doc_id"), explode(col("grams")).as("gram"))
         val bench = g.where(col("doc_id") % 10 === 7)
           .select(col("gram")).distinct()
         g.where(col("doc_id") % 10 =!= 7)

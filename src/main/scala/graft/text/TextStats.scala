@@ -98,8 +98,14 @@ object TextStats {
     * joins). */
   def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // tokenize ONCE behind an exchange barrier (the Dedup.simhash
+    // pattern): the gram lambdas below read element_at(toks, …) several
+    // times per window, and without the barrier CollapseProject inlines
+    // the full tokenizer into each read. The three consumers (n_words,
+    // 2-grams, 3-grams) share the one exchange via ReuseExchange.
     val base = docs
       .select(col(idCol), graft.dedup.Dedup.tokens(col(textCol)).as("toks"))
+      .repartition(col(idCol))
     def gramRows(n: Int) = base
       .where(size(col("toks")) >= n)
       .select(col(idCol),
