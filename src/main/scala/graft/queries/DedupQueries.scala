@@ -541,6 +541,52 @@ object DedupQueries {
         |WHERE q.quality >= 0.25 AND predicted_lang = 'en'
         |GROUP BY dd.source ORDER BY dd.source""".stripMargin)),
 
+    // INCREMENTAL dedup — the operational shape: an incoming batch (odd
+    // doc_ids stand in for a new crawl) deduped against the EXISTING
+    // corpus (even doc_ids) without ever comparing batch×corpus all-pairs.
+    // The corpus's LSH band table is the persistent index (here: the same
+    // cached band frame the batch queries share; at scale it is a stored
+    // table keyed by (band, band_key)); the new batch sketches
+    // document-locally, equi-joins the index, and exact-verifies only the
+    // candidates. Output: each batch doc with its count of corpus
+    // near-dups (Jaccard >= 0.5) and the best match score — the rows a
+    // pipeline would drop (or link) before appending the batch.
+    Q("q72_incremental_dedup",
+      (s, dir) => {
+        val bands = bandsDf(s, dir)
+        val cands = bands.where(col("doc_id") % 2 === 1).as("x")
+          .join(bands.where(col("doc_id") % 2 === 0).as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.band_key") === col("y.band_key"))
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+          .distinct()
+        graft.dedup.Dedup.jaccardVerify(cands, grams(s, dir))
+          .where(col("jaccard") >= 0.5)
+          .groupBy(col("id_a").as("doc_id"))
+          .agg(count(lit(1)).as("n_dups"),
+            round(max(col("jaccard")), 6).as("best_jaccard"))
+          .orderBy(col("doc_id"))
+      },
+      Some(duckMinhash + """,
+        |cand AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b
+        |         FROM bands x JOIN bands y
+        |           ON x.band = y.band AND x.band_key = y.band_key
+        |         WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0
+        |         GROUP BY 1, 2),
+        |vj AS (SELECT c.id_a, c.id_b, count(*) AS common
+        |       FROM cand c
+        |       JOIN e a ON c.id_a = a.doc_id
+        |       JOIN e b ON c.id_b = b.doc_id AND a.gram = b.gram
+        |       GROUP BY 1, 2),
+        |scored AS (SELECT id_a, id_b,
+        |    CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+        |  FROM vj JOIN sizes sa ON id_a = sa.doc_id
+        |          JOIN sizes sb ON id_b = sb.doc_id)
+        |SELECT id_a AS doc_id, count(*) AS n_dups,
+        |  round(max(jaccard), 6) AS best_jaccard
+        |FROM scored WHERE jaccard >= 0.5
+        |GROUP BY id_a ORDER BY doc_id""".stripMargin)),
+
     // Benchmark DECONTAMINATION — the corpus-prep step that removes
     // training documents overlapping an evaluation set: the benchmark's
     // distinct word-8-grams (here: the docs with doc_id % 10 = 7 stand in
