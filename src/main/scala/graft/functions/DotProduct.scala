@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression: dot product of two ArrayType(Double)
+  * columns with whole-stage codegen — the sign-projection kernel of the
+  * hyperplane-LSH sketches ([[graft.similarity.Similarity]]), where the
+  * interpreted `aggregate(zip_with(...))` formulation pays a lambda frame
+  * per element × planes-per-vector. Same strict left-to-right summation
+  * as the HOF form and DuckDB's `list_aggregate(list_transform(...),
+  * 'sum')`, so oracle results are unchanged (sign decisions doubly so).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += xs.getDouble(i) * ys.getDouble(i)
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
+object DotProduct {
+  private val FnName = "graft_dot_product"
+
+  /** Registers the SQL function (idempotent) and returns a Column builder. */
+  def apply(spark: SparkSession)(a: Column, b: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    org.apache.spark.sql.functions.call_function(FnName, a, b)
+  }
+}

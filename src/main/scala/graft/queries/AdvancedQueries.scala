@@ -333,6 +333,24 @@ object AdvancedQueries {
           |FROM d JOIN t2 USING (doc_id) JOIN t3 USING (doc_id)
           |ORDER BY doc_id""".stripMargin)),
 
+    // Corpus vocabulary head: global token frequencies, top-20. The
+    // classic corpus profile — explode is map-local, the count partial-
+    // aggregates before the token shuffle (vocabulary-sized, not
+    // corpus-sized), and the top-k is TakeOrderedAndProject (per-partition
+    // heaps, driver merges 20 rows), never a global sort.
+    Q("q73_top_tokens",
+      (s, dir) =>
+        Tables.sharded(s, dir, "documents", "doc_id")
+          .select(explode(graft.dedup.Dedup.tokens(col("text"))).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token")).limit(20),
+      Some(
+        """SELECT token, CAST(count(*) AS BIGINT) AS n
+          |FROM (SELECT unnest(list_filter(
+          |    string_split_regex(lower(text), '[^a-z0-9]+'),
+          |    t -> len(t) > 0)) AS token FROM documents)
+          |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)),
+
     // Per-group top-k: rank inside each nation partition (the partitioned
     // counterpart of q31's global TakeOrdered). Ranking key is rounded so
     // both engines order identical values; custkey breaks ties.

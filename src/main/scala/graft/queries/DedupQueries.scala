@@ -282,7 +282,7 @@ object DedupQueries {
           .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
         val bucketed = emb
           .select(col("vec_id"), col("e"), graft.similarity.Similarity
-            .hyperplaneBucket(col("e"), dim = 64, planes = 8).as("bucket"))
+            .hyperplaneBucket(s, col("e"), dim = 64, planes = 8).as("bucket"))
           .repartition(col("bucket")) // bucket = the shuffle key at scale
         graft.similarity.Similarity
           .ivfTopK(bucketed, k = 3, labelCol = "bucket")

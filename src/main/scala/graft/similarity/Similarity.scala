@@ -60,14 +60,20 @@ object Similarity {
   }
 
   /** Sign-bit bucket of `planes` deterministic pseudo-random hyperplanes
-    * (integer weights, engine-portable) — the cosine-LSH shuffle key. */
-  def hyperplaneBucket(vecCol: Column, dim: Int, planes: Int): Column = {
+    * (integer weights, engine-portable) — the cosine-LSH shuffle key.
+    * Each sign projection is the native codegen'd
+    * [[graft.functions.DotProduct]] against a literal plane (the
+    * interpreted `aggregate(zip_with(...))` form paid a lambda frame per
+    * element × planes); summation order is unchanged, so the bits — and
+    * the DuckDB oracle — are identical. */
+  def hyperplaneBucket(spark: org.apache.spark.sql.SparkSession,
+      vecCol: Column, dim: Int, planes: Int): Column = {
     def weight(p: Int, j: Int): Long =
       ((p.toLong * dim + j) * 2654435761L) % 97 - 48
     val bits = (0 until planes).map { p =>
       val hp = array((0 until dim).map(j => lit(weight(p, j).toDouble)): _*)
-      when(aggregate(zip_with(vecCol, hp, (a, b) => a * b),
-        lit(0.0), (acc, x) => acc + x) >= 0, lit("1")).otherwise(lit("0"))
+      when(graft.functions.DotProduct(spark)(vecCol, hp) >= 0,
+        lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)
   }
@@ -219,7 +225,8 @@ object Similarity {
     val r = planesPerBand
     emb
       .select(col(idCol), col(vecCol),
-        hyperplaneBucket(col(vecCol), dim, bands * r).as("__bits"))
+        hyperplaneBucket(emb.sparkSession, col(vecCol), dim, bands * r)
+          .as("__bits"))
       .repartition(col(idCol)) // barrier: bits once, not once per band
       .select(col(idCol), col(vecCol),
         explode(transform(sequence(lit(0), lit(bands - 1)), b =>

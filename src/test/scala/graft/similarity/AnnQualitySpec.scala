@@ -137,7 +137,7 @@ class AnnQualitySpec extends AnyFunSuite with SparkTestBase {
   test("hyperplane LSH: recall falls as planes rise; lift over random holds") {
     val rs = Seq(4, 8, 16).map { planes =>
       val bucketed = emb.select(col("vec_id"), col("e"),
-        Similarity.hyperplaneBucket(col("e"), dim = 64, planes = planes)
+        Similarity.hyperplaneBucket(spark, col("e"), dim = 64, planes = planes)
           .as("bucket"))
       val r = recallAt(topkMap(
         Similarity.ivfTopK(bucketed, K, labelCol = "bucket")))
