@@ -176,4 +176,71 @@ object Dedup {
           s"component's diameter exceeds maxRounds; raise it")
     labels
   }
+
+  /** (id, pos, hv): positional char-`k`-gram hashes of the normalized
+    * (`[^a-z0-9]+` stripped, lowercased) text, exploded — the input of
+    * exact-substring duplicate detection ([[dupSpans]]). One O(n) rolling
+    * pass per document ([[graft.functions.GramHashes]]); `pos` is the
+    * 0-based gram start offset in the normalized string. */
+  def gramPositions(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 40): DataFrame = {
+    val norm = regexp_replace(lower(col(textCol)), "[^a-z0-9]+", "")
+    docs
+      .select(col(idCol),
+        graft.functions.GramHashes(docs.sparkSession, k)(norm).as("__hs"))
+      .select(col(idCol), posexplode(col("__hs")).as(Seq("pos", "hv")))
+  }
+
+  /** Exact-substring duplicate spans per document, in the style of Lee et
+    * al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better"): a char position is *duplicated* when some `k`-gram covering
+    * its run occurs at least `minCount` times corpus-wide (cross-document
+    * boilerplate AND within-document self-repetition both count, as in the
+    * suffix-array formulation). Per document: duplicated gram starts are
+    * merged into maximal spans (interval union — consecutive starts ≤ k
+    * apart overlap), reported as
+    * `(id, n_dup_grams, n_spans, dup_chars, dup_frac)` for every input
+    * document, zeros when nothing is duplicated.
+    *
+    * Scale: gram frequency is a hash-keyed shuffle with map-side partial
+    * aggregation (vocabulary-sized state); the duplicated-hash join back
+    * to positions is an equi-join on `hv`; the span merge is a per-document
+    * window — everything is linear in corpus size, and unlike pair-based
+    * detectors there is NO candidate pair set at all. The union length
+    * needs no explicit span grouping: sorted by `pos`, each duplicated
+    * gram contributes `min(pos − prev_pos, k)` new chars (`k` for a span
+    * head).
+    *
+    * `positions` is [[gramPositions]] output (pass a cached frame — it
+    * sits on both sides of the frequency join); `docs` supplies the
+    * per-document normalized length for `dup_frac`. */
+  def dupSpans(positions: DataFrame, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", k: Int = 40,
+      minCount: Int = 2): DataFrame = {
+    val dupH = positions.groupBy(col("hv"))
+      .agg(count(lit(1)).as("__c")).where(col("__c") >= minCount)
+      .select(col("hv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val gaps = positions.join(dupH, "hv")
+      .select(col(idCol),
+        (col("pos") - lag(col("pos"), 1).over(w)).as("__gap"))
+    val perDoc = gaps.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_dup_grams"),
+      sum(when(col("__gap").isNull || col("__gap") > k, 1L).otherwise(0L))
+        .as("n_spans"),
+      sum(when(col("__gap").isNull, k.toLong)
+        .otherwise(least(col("__gap"), lit(k.toLong)))).as("dup_chars"))
+    docs
+      .select(col(idCol),
+        length(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", ""))
+          .as("__len"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        round(coalesce(col("dup_chars"), lit(0L)) /
+          greatest(col("__len"), lit(1)), 6).as("dup_frac"))
+  }
 }

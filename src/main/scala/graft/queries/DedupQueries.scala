@@ -20,6 +20,17 @@ object DedupQueries {
 
   private val K = 12 // minhash functions
   private val RowsPerBand = 3 // → 4 bands
+  private val DupK = 40 // exact-substring gram length (chars, normalized)
+
+  /** Positional char-40-gram hash table for q74, cached — it sits on both
+    * sides of the gram-frequency join (the duplicated-hash set and the
+    * positions it selects), and without the barrier the O(n) rolling-hash
+    * pass and the explode re-run per consumer. */
+  private def dupGramPos(s: SparkSession, dir: String): DataFrame =
+    Caches.frame(s, dir, "dupgrams") {
+      graft.dedup.Dedup.gramPositions(
+        Tables.sharded(s, dir, "documents", "doc_id"), k = DupK)
+    }
 
   /** Distinct word 3-gram shingles per document. Cached: every dedup query
     * reuses it on both sides of a self-join, and without the barrier
@@ -675,6 +686,54 @@ object DedupQueries {
           |            JOIN emb b ON c.id_b = b.vec_id
           |WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // Exact-substring duplicate spans (graft.dedup.Dedup.dupSpans), the
+    // Lee et al. 2021 suffix-array-style dedup family re-expressed as
+    // dataflow: positional char-40-gram rolling hashes (native
+    // GramHashes), grams occurring ≥2× corpus-wide (cross-doc boilerplate
+    // AND self-repetition) mark their covered chars duplicated, and the
+    // per-doc interval union reports span count + duplicated-char
+    // fraction. No pair set exists anywhere — candidate volume cannot
+    // explode; the heavy state is the vocabulary-keyed gram frequency,
+    // a partial-aggregated hash shuffle. The oracle replays the exact
+    // polynomial hash with BIGINT arithmetic.
+    Q("q74_dup_spans",
+      (s, dir) =>
+        graft.dedup.Dedup.dupSpans(
+          dupGramPos(s, dir), Tables(s, dir, "documents"), k = DupK)
+          .orderBy(col("doc_id")),
+      Some {
+        val hash = graft.functions.WinnowFingerprints
+          .duckGramHash("norm", "i", DupK)
+        s"""WITH nrm AS (SELECT doc_id,
+          |    regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS norm
+          |  FROM documents),
+          |hs AS (SELECT doc_id, len(norm) AS n_norm,
+          |    CASE WHEN len(norm) >= $DupK
+          |      THEN list_transform(generate_series(1, len(norm) - ${DupK - 1}),
+          |           i -> $hash)
+          |      ELSE [] END AS h
+          |  FROM nrm),
+          |p AS (SELECT doc_id, unnest(generate_series(1, len(h))) AS pos,
+          |             unnest(h) AS hv FROM hs),
+          |dh AS (SELECT hv FROM p GROUP BY hv HAVING count(*) >= 2),
+          |g AS (SELECT doc_id,
+          |    pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+          |  FROM p JOIN dh USING (hv)),
+          |a AS (SELECT doc_id, count(*) AS n_dup_grams,
+          |    CAST(count(*) FILTER (WHERE gap IS NULL OR gap > $DupK)
+          |      AS BIGINT) AS n_spans,
+          |    CAST(sum(CASE WHEN gap IS NULL THEN $DupK
+          |                  ELSE least(gap, $DupK) END) AS BIGINT) AS dup_chars
+          |  FROM g GROUP BY doc_id)
+          |SELECT h.doc_id,
+          |  coalesce(n_dup_grams, 0) AS n_dup_grams,
+          |  coalesce(n_spans, 0) AS n_spans,
+          |  coalesce(dup_chars, 0) AS dup_chars,
+          |  round(CAST(coalesce(dup_chars, 0) AS DOUBLE)
+          |        / greatest(n_norm, 1), 6) AS dup_frac
+          |FROM hs h LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin
       })
   )
 }

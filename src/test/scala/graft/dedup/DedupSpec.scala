@@ -60,4 +60,35 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // unrelated docs never pair
     assert(!pairs.exists { case (a, b) => a / 10 != b / 10 })
   }
+
+  test("dupSpans: exact-substring spans from shared and self-repeated text") {
+    import spark.implicits._
+    // All-lowercase-letter strings, so text == its normalization and char
+    // offsets are stable.
+    val shared = ("abcdefghijklmnopqrstuvwxyz" * 3).take(60) // 60 chars
+    val y = ("zyxwvutsrqponmlkjihgfedcba" * 2).take(50) // 50 chars
+    val docs = Seq(
+      // 1 & 2 share exactly the 60-char prefix; suffixes are disjoint
+      (1L, shared + "q" * 25),
+      (2L, shared + "r" * 25),
+      // 3 is Y+Y: pure self-repetition, nothing shared with others
+      (3L, y + y),
+      // 4: natural aperiodic text — no duplicated 40-gram anywhere
+      (4L, "thequickbrownfoxjumpsoverthelazydogwhilesparkshufflespartitionsdata")
+    ).toDF("doc_id", "text")
+    val pos = Dedup.gramPositions(docs, k = 40).cache()
+    val out = Dedup.dupSpans(pos, docs, k = 40)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // shared 60-char prefix: gram starts 0..20 in both docs -> one span of
+    // exactly the prefix (40 + 20 gaps of 1); frac rounds to 6dp
+    assert(out(1L) === ((21L, 1L, 60L, 0.705882)))
+    assert(out(2L) === ((21L, 1L, 60L, 0.705882)))
+    // Y+Y self-repetition: gram at p matches p+50 for p in 0..10; the two
+    // duplicated runs are interval-adjacent and union to the whole doc
+    assert(out(3L)._3 === 100L)
+    assert(out(3L)._4 === 1.0)
+    // clean doc: all zeros
+    assert(out(4L) === ((0L, 0L, 0L, 0.0)))
+  }
 }
