@@ -276,6 +276,30 @@ object ExtQueries {
           |  FROM aprobe q JOIN afin b ON q.cell = b.cell AND q.vec_id <> b.vec_id
           |) t WHERE rk <= 3 ORDER BY vec_id, neighbor_id""".stripMargin)),
 
+    // SemDeDup (Abbas et al. 2023): semantic dedup composed from the
+    // trained-IVF pieces — assign to the shared k=8 quantizer cells, then
+    // within-cell pairwise round-6 cosine >= 0.45 marks duplicates, each
+    // pointing at its min-id representative. The pair stage is keyed by
+    // cell (cost sums cell_size^2, not corpus^2); the oracle replays the
+    // identical Lloyd trajectory plus the same-cell min-id rule.
+    Q("q75_semdedup",
+      (s, dir) => {
+        val assigned = graft.similarity.Similarity
+          .assignCells(embFrame(s, dir), trainedCells(s, dir))
+        graft.similarity.Similarity.semanticDupes(assigned, threshold = 0.45)
+          .orderBy(col("vec_id"))
+      },
+      Some(ivfTrainCtes(k = 8, iters = 2, dim = 64) +
+        """,
+          |sem AS (SELECT a.vec_id, min(b.vec_id) AS dup_of
+          |        FROM afin a JOIN afin b ON a.cell = b.cell
+          |          AND b.vec_id < a.vec_id
+          |          AND round(list_cosine_similarity(a.e, b.e), 6) >= 0.45
+          |        GROUP BY 1)
+          |SELECT f.vec_id, f.cell, s.dup_of, s.dup_of IS NOT NULL AS is_dup
+          |FROM afin f LEFT JOIN sem s ON f.vec_id = s.vec_id
+          |ORDER BY f.vec_id""".stripMargin)),
+
     // ---- Multimodal metadata ------------------------------------------
     // Opaque-binary pipeline shape: payload as bytes + typed metadata; the
     // "decode" is a deterministic md5-derived stub (no media libs in this

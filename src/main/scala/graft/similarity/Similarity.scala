@@ -276,4 +276,33 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
       .limit(k)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication via quantizer cells — a vector is a *semantic
+    * duplicate* when some SAME-CELL member with a smaller id has round-6
+    * cosine ≥ `threshold`; the minimum such id is its representative
+    * (`dup_of`). Pruning the `is_dup` rows keeps exactly one member per
+    * within-cell duplicate group (the min id — deterministic across
+    * engines and retries).
+    *
+    * Input is [[assignCells]] output. The pairwise cosine runs ONLY
+    * within cells — the cell is the shuffle key, cost tracks
+    * Σ cell_size², never the corpus pair space; cross-cell duplicates are
+    * the method's documented recall tradeoff (raise k and the cells
+    * shrink; SemDeDup's own evaluation accepts it). */
+  def semanticDupes(assigned: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "e"): DataFrame = {
+    val spark = assigned.sparkSession
+    val cos = round(CosineSimilarity(spark)(col(vecCol), col("__be")), 6)
+    val dupOf = assigned.select(col(idCol), col("cell"), col(vecCol))
+      .join(assigned.select(col(idCol).as("__bid"), col("cell"),
+        col(vecCol).as("__be")), "cell")
+      .where(col("__bid") < col(idCol) && cos >= threshold)
+      .groupBy(col(idCol), col("cell"))
+      .agg(min(col("__bid")).as("dup_of"))
+    assigned.select(col(idCol), col("cell"))
+      .join(dupOf.select(col(idCol), col("dup_of")), Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("dup_of"),
+        col("dup_of").isNotNull.as("is_dup"))
+  }
 }
