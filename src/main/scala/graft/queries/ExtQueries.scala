@@ -300,6 +300,46 @@ object ExtQueries {
           |FROM afin f LEFT JOIN sem s ON f.vec_id = s.vec_id
           |ORDER BY f.vec_id""".stripMargin)),
 
+    // BM25 ranking (Robertson/Lucene form) against a 3-token query mixing
+    // common (join, vector: df ~0.8N) and rare (dup: df ~0.025N) terms —
+    // the inverted-index scoring shape. The token explode filters to the
+    // query set BEFORE any exchange, so only query-token occurrences
+    // shuffle; df and (N, avgdl) are broadcast; the top-20 is
+    // TakeOrderedAndProject on the round-6 score. Constants (k1=1.5,
+    // b=0.75) are exactly double-representable, so both engines compute
+    // identical IEEE arithmetic.
+    Q("q76_bm25_rank",
+      (s, dir) =>
+        graft.text.TextStats
+          .bm25(Tables.sharded(s, dir, "documents", "doc_id"),
+            queryTokens = Seq("join", "vector", "dup"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20),
+      Some(
+        """WITH dl AS (SELECT doc_id,
+          |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+          |  FROM documents),
+          |c AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |tf AS (SELECT doc_id, tok, count(*) AS tf FROM (
+          |    SELECT doc_id, unnest(list_filter(
+          |      string_split_regex(lower(text), '[^a-z0-9]+'),
+          |      t -> len(t) > 0)) AS tok
+          |    FROM documents)
+          |  WHERE tok IN ('join', 'vector', 'dup') GROUP BY 1, 2),
+          |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+          |s AS (SELECT tf.doc_id,
+          |    ln(CAST(1.0 AS DOUBLE)
+          |       + (c.n - df.df + CAST(0.5 AS DOUBLE))
+          |         / (df.df + CAST(0.5 AS DOUBLE)))
+          |    * (tf.tf * CAST(2.5 AS DOUBLE))
+          |      / (tf.tf + CAST(1.5 AS DOUBLE)
+          |         * (CAST(0.25 AS DOUBLE)
+          |            + CAST(0.75 AS DOUBLE) * dl.dl / c.avgdl)) AS s
+          |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN c)
+          |SELECT doc_id, count(*) AS n_hit, round(sum(s), 6) AS score
+          |FROM s GROUP BY doc_id
+          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
     // ---- Multimodal metadata ------------------------------------------
     // Opaque-binary pipeline shape: payload as bytes + typed metadata; the
     // "decode" is a deterministic md5-derived stub (no media libs in this

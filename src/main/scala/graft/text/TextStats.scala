@@ -143,4 +143,48 @@ object TextStats {
       graft.functions.WinnowFingerprints(docs.sparkSession, k, w)(norm)
         .as("fingerprints"))
   }
+
+  /** BM25 document ranking against a literal query-token set (Robertson/
+    * Lucene form: `idf = ln(1 + (N − df + 0.5)/(df + 0.5))`, tf saturation
+    * `tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))`). Returns
+    * `(id, n_hit, score)` for every document containing ≥1 query token —
+    * inverted-index semantics — with `score` rounded to 6dp.
+    *
+    * Scale shape: the token explode filters to the query set BEFORE the
+    * (id, token) count shuffle, so only query-token occurrences — a
+    * vanishing fraction of the corpus — ever reach an exchange; document
+    * length is a codegen'd regexp count (no explode); `df` and the corpus
+    * aggregate (N, avgdl) are query-set-sized and 1-row frames, both
+    * broadcast. No corpus-global state beyond two scalars. */
+  def bm25(docs: DataFrame, queryTokens: Seq[String], k1: Double = 1.5,
+      b: Double = 0.75, idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    // defaults chosen exactly double-representable (k1+1 = 2.5,
+    // 1−b = 0.25), so an oracle writing the evaluated constants as
+    // literals reproduces the arithmetic bit-for-bit
+    val lowered = lower(col(textCol))
+    val dl = docs.select(col(idCol),
+      size(regexp_extract_all(lowered, lit("[a-z0-9]+"), lit(0))).as("__dl"))
+    val corpus = dl.agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
+    val tf = docs
+      .select(col(idCol),
+        explode(filter(split(lowered, "[^a-z0-9]+"), t => length(t) > 0))
+          .as("__tok"))
+      .where(col("__tok").isin(queryTokens: _*))
+      .groupBy(col(idCol), col("__tok"))
+      .agg(count(lit(1)).as("__tf"))
+    val df = tf.groupBy(col("__tok"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+    val idf = log(lit(1.0) +
+      (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5))
+    val sat = col("__tf") * (k1 + 1) /
+      (col("__tf") + lit(k1) *
+        (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl")))
+    tf.join(broadcast(df), "__tok")
+      .join(dl, idCol)
+      .crossJoin(broadcast(corpus))
+      .select(col(idCol), (idf * sat).as("__s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit"), round(sum(col("__s")), 6).as("score"))
+  }
 }

@@ -42,4 +42,29 @@ class TextStatsSpec extends AnyFunSuite with SparkTestBase {
         r.getAs[String]("predicted_lang")).toMap
     assert(out === Map(1L -> "en", 2L -> "de", 3L -> "fr"))
   }
+
+  test("bm25: rare terms outrank common, tf saturates, length penalizes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "rare signal here"),                      // 1x rare term
+      (2L, "common word and common word again"),     // 2x common term
+      (3L, "common " * 30),                          // 30x common: saturation
+      (4L, "rare signal " + "padding filler " * 40), // rare but long doc
+      (5L, "nothing relevant at all")                // no query token
+    ).toDF("doc_id", "text")
+    val out = TextStats
+      .bm25(docs, queryTokens = Seq("rare", "common"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // docs without any query token are absent (inverted-index semantics)
+    assert(!out.contains(5L))
+    // equal idf (both terms have df=2 of 5): the SHORT rare doc must beat
+    // the LONG rare doc — length normalization
+    assert(out(1L)._2 > out(4L)._2)
+    // tf saturation: 30x occurrences score < 15x the 2x-occurrence doc
+    assert(out(3L)._2 < out(2L)._2 * 15)
+    // but more occurrences still score higher at similar length
+    assert(out(2L)._2 > 0 && out(1L)._2 > 0)
+    assert(out(1L)._1 === 1L && out(4L)._1 === 1L)
+  }
 }
