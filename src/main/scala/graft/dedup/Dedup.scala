@@ -243,4 +243,38 @@ object Dedup {
         round(coalesce(col("dup_chars"), lit(0L)) /
           greatest(col("__len"), lit(1)), 6).as("dup_frac"))
   }
+
+  /** Two-phase benchmark decontamination: a Bloom filter built over the
+    * benchmark gram set prunes the corpus gram stream (native codegen'd
+    * probe, [[graft.functions.BloomMightContain]]), and ONLY the
+    * survivors enter the exact gram equi-join verify. The Bloom probe has
+    * no false negatives, and the verify removes its false positives, so
+    * the result EQUALS the plain exact join (the oracle is the exact
+    * join's SQL) — the filter is purely the scale lever.
+    *
+    * Why this beats broadcasting the gram set itself (the q71 shape) at
+    * 100 TB: a broadcast hash join ships and builds the full benchmark
+    * STRING set per executor, while the Bloom filter is ~10 bits/element
+    * (50–100× smaller), probes in a few cache lines, and drops
+    * ~(1 − fpp) of non-contaminated corpus rows before any join — the
+    * verify join's input shrinks from |corpus grams| to
+    * |true hits| + fpp·|corpus grams|. Building the filter is one
+    * distributed aggregation over the (tiny) benchmark side.
+    *
+    * Returns one row per contaminated corpus document:
+    * `(idCol, n_hits)` — its count of grams shared with the benchmark. */
+  def bloomDecontaminate(corpusGrams: DataFrame, benchGrams: DataFrame,
+      fpp: Double = 0.01, idCol: String = "doc_id",
+      gramCol: String = "gram"): DataFrame = {
+    val spark = corpusGrams.sparkSession
+    val bench = benchGrams.select(col(gramCol)).distinct()
+    val nBench = bench.count() // driver scalar: sizes the filter
+    val bf = bench.select(xxhash64(col(gramCol)).as("__h"))
+      .stat.bloomFilter("__h", math.max(nBench, 1L), fpp)
+    corpusGrams
+      .where(graft.functions.BloomMightContain(spark, bf)(
+        xxhash64(col(gramCol))))
+      .join(broadcast(bench), gramCol)
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+  }
 }

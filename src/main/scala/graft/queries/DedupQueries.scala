@@ -46,6 +46,17 @@ object DedupQueries {
   private def gramRows(s: SparkSession, dir: String): DataFrame =
     grams(s, dir).select(col("doc_id"), explode(col("grams")).as("gram"))
 
+  /** Exploded word-8-gram rows for the decontamination family (q71/q77).
+    * Cached like grams(): without the barrier CollapseProject inlines the
+    * tokenize tree into every element_at of the 8-gram lambda — ~900
+    * full-text re-tokenizations per document (measured 52 s at sf0.1;
+    * 1.2 s cached). */
+  private def gram8Rows(s: SparkSession, dir: String): DataFrame =
+    Caches.frame(s, dir, "grams8") {
+      graft.dedup.Dedup.shingles(
+        Tables.sharded(s, dir, "documents", "doc_id"), n = 8)
+    }.select(col("doc_id"), explode(col("grams")).as("gram"))
+
   /** Shared oracle prefix: tokenize → distinct 3-gram shingles → exploded. */
   private val duckGrams: String =
     """WITH d AS (SELECT doc_id,
@@ -612,19 +623,51 @@ object DedupQueries {
     // windows used by real decontamination pipelines.
     Q("q71_decontaminate",
       (s, dir) => {
-        // cached like grams(): without the barrier CollapseProject inlines
-        // the tokenize tree into every element_at of the 8-gram lambda —
-        // ~900 full-text re-tokenizations per document (measured 52 s at
-        // sf0.1; 1.2 s cached)
-        val g = Caches.frame(s, dir, "grams8") {
-            graft.dedup.Dedup.shingles(
-              Tables.sharded(s, dir, "documents", "doc_id"), n = 8)
-          }.select(col("doc_id"), explode(col("grams")).as("gram"))
+        val g = gram8Rows(s, dir)
         val bench = g.where(col("doc_id") % 10 === 7)
           .select(col("gram")).distinct()
         g.where(col("doc_id") % 10 =!= 7)
           .join(broadcast(bench), "gram")
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH d AS (SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+          |                t -> len(t) > 0) AS toks
+          |  FROM documents),
+          |g AS (SELECT doc_id, unnest(list_distinct(
+          |    CASE WHEN len(toks) >= 8
+          |      THEN list_transform(generate_series(1, len(toks) - 7),
+          |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+          |          || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5]
+          |          || ' ' || toks[i+6] || ' ' || toks[i+7])
+          |      ELSE [] END)) AS gram
+          |  FROM d),
+          |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 7)
+          |SELECT g.doc_id, count(*) AS n_hits
+          |FROM g JOIN bench USING (gram)
+          |WHERE g.doc_id % 10 <> 7
+          |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin)),
+
+    // Bloom-filter decontamination (graft.dedup.Dedup.bloomDecontaminate):
+    // q71's semantics through the TRUE 100 TB membership shape — a Bloom
+    // filter over the benchmark grams (built by one distributed
+    // aggregation, ~10 bits/element) prunes the corpus gram stream via a
+    // native codegen'd probe (BloomMightContain) BEFORE the exact verify
+    // join sees a row. No false negatives + exact verify of survivors ⇒
+    // result equals the exact join, so the oracle IS q71's SQL — the
+    // filter is purely the scale lever (verify input shrinks from
+    // |corpus grams| to |true hits| + fpp·|corpus grams|; the broadcast
+    // side a real pipeline ships drops from the full string set to the
+    // filter's bit array). BloomDecontaminateSpec pins result equality
+    // with q71 and measures the prune rate.
+    Q("q77_bloom_decontaminate",
+      (s, dir) => {
+        val g = gram8Rows(s, dir)
+        graft.dedup.Dedup.bloomDecontaminate(
+          g.where(col("doc_id") % 10 =!= 7),
+          g.where(col("doc_id") % 10 === 7).select(col("gram")))
           .orderBy(col("doc_id"))
       },
       Some(
