@@ -36,4 +36,25 @@ object Sampling {
       .cast("long")
     df.where(bucket < (rate * 65536).toLong)
   }
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis 2006):
+    * each row draws the deterministic uniform `u` = first 13 hex digits
+    * of its salted digest over 16¹³ (a dyadic rational — exactly
+    * double-representable in both engines), and the sample is the top-`k`
+    * rows by `key = ln(u)/weight` (monotone in u^(1/w), the A-ES
+    * priority). Inclusion probability is proportional to weight, the
+    * selection is a pure function of (id, salt, weight) — reproducible
+    * across retries, re-runs, and engines — and the top-k plans as
+    * TakeOrderedAndProject (per-partition heaps, driver merges k rows):
+    * the 100 TB replacement for any sort-by-rand() scheme. Keys are
+    * rounded to 6dp with an id tiebreak so both engines select the same
+    * boundary rows; weights must be strictly positive. */
+  def weightedPriority(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "s1"): DataFrame = {
+    val u = conv(substring(priority(col(idCol), salt), 1, 13), 16, 10)
+      .cast("long").cast("double") / math.pow(16, 13)
+    df.withColumn("sample_key", round(log(u) / col(weightCol), 6))
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -434,6 +434,51 @@ object AdvancedQueries {
           |  FROM documents
           |) t WHERE rk <= 5 ORDER BY source, doc_id""".stripMargin)),
 
+    // Quality-WEIGHTED sampling without replacement (Efraimidis–Spirakis
+    // via graft.analytics.Sampling.weightedPriority): inclusion odds
+    // proportional to the q21 quality score, selection a pure function of
+    // (doc_id, salt) — the reproducible curation step that up-samples
+    // high-quality documents. u is a 52-bit dyadic rational (exact in
+    // both engines); the top-100 by round-6 ln(u)/w plans as
+    // TakeOrderedAndProject. The oracle replays digest, u, and the
+    // quality formula verbatim.
+    Q("q78_weighted_sample",
+      (s, dir) => {
+        val q = graft.text.TextStats
+          .quality(Tables.sharded(s, dir, "documents", "doc_id"))
+          .where(col("n_tokens") > 0)
+          .select(col("doc_id"), col("quality"))
+        graft.analytics.Sampling
+          .weightedPriority(q, idCol = "doc_id", weightCol = "quality",
+            k = 100)
+          .select(col("doc_id"), round(col("quality"), 6).as("quality"),
+            col("sample_key"))
+          .orderBy(col("sample_key").desc, col("doc_id"))
+      },
+      Some(
+        s"""WITH s AS (
+          |  SELECT doc_id,
+          |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+          |    len(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS alnum_len,
+          |    len(regexp_extract_all(lower(text),
+          |      '\\b(?:${graft.text.TextStats.Stopwords.mkString("|")})\\b')) AS n_stop
+          |  FROM documents),
+          |q AS (SELECT doc_id,
+          |    0.5 * least(1.0, n_tokens / 100.0)
+          |      + 0.3 * (CAST(n_stop AS DOUBLE) / nullif(n_tokens, 0))
+          |      + 0.2 * least(1.0, CAST(alnum_len AS DOUBLE)
+          |                         / nullif(n_tokens, 0) / 8.0) AS quality
+          |  FROM s WHERE n_tokens > 0),
+          |k AS (SELECT doc_id, quality,
+          |    round(ln(list_aggregate(list_transform(generate_series(1, 13),
+          |        i -> (strpos('0123456789abcdef',
+          |                substr(md5(CAST(doc_id AS VARCHAR) || ':s1'), i, 1))
+          |              - 1) * power(CAST(16 AS DOUBLE), 13 - i)), 'sum')
+          |      / power(CAST(2 AS DOUBLE), 52)) / quality, 6) AS sample_key
+          |  FROM q)
+          |SELECT doc_id, round(quality, 6) AS quality, sample_key
+          |FROM k ORDER BY sample_key DESC, doc_id LIMIT 100""".stripMargin)),
+
     // REAL event-time tumbling windows: the parquet TIMESTAMP(NANOS)
     // column read via the nanos-as-long escape hatch (see Tables), hour-
     // truncated after a nanos→micros division. q42 synthesizes time from
