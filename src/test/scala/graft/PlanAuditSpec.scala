@@ -131,4 +131,43 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase
     assert(scans.head.metadata("PushedFilters")
       .contains("GreaterThanOrEqual(o_orderdate"))
   }
+
+  test("q76/q78: top-k rankings plan as TakeOrderedAndProject") {
+    for (q <- Seq("q76_bm25_rank", "q78_weighted_sample")) {
+      val p = plan(q)
+      assert(collectWithSubqueries(p) {
+        case t: TakeOrderedAndProjectExec => t
+      }.nonEmpty, s"$q must not sort globally:\n$p")
+    }
+  }
+
+  test("q77: the bloom probe filters the corpus stream BEFORE the verify " +
+      "join") {
+    val p = plan("q77_bloom_decontaminate")
+    val joins = collectWithSubqueries(p) { case j: BroadcastHashJoinExec => j }
+    assert(joins.nonEmpty, s"verify must broadcast the benchmark side:\n$p")
+    // the probe must sit under the join, not above it — some join's
+    // subtree contains the bloom filter predicate
+    assert(joins.exists(j => collect(j) {
+        case f: org.apache.spark.sql.execution.FilterExec
+            if f.condition.toString.toLowerCase.contains("bloommightcontain")
+          => f
+      }.nonEmpty),
+      s"bloom probe is not below the verify join:\n$p")
+  }
+
+  test("q74: duplicate-span detection joins only on the gram hash — no " +
+      "pair set exists in the plan") {
+    val p = plan("q74_dup_spans")
+    val keySets = collectWithSubqueries(p) {
+      case j: SortMergeJoinExec => j.leftKeys
+      case j: ShuffledHashJoinExec => j.leftKeys
+      case j: BroadcastHashJoinExec => j.leftKeys
+    }.map(_.map(_.toString.toLowerCase))
+    // every join is keyed by the hash value or the doc id (frequency join
+    // back to positions; length join) — never by a (doc_a, doc_b) pair
+    keySets.foreach { ks =>
+      assert(ks.size === 1, s"unexpected multi-key (pair-shaped) join:\n$p")
+    }
+  }
 }
