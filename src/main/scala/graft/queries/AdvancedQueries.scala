@@ -229,6 +229,36 @@ object AdvancedQueries {
           .orderBy(col("l_returnflag")),
       None),
 
+    // Count-min-sketch heavy hitters — the third mergeable sketch beside
+    // HLL distinct (q43) and the quantile sketch (q70): per-partition
+    // CMS arrays merge by cell-wise addition (one distributed
+    // aggregation; the sketch is ~depth×width ints regardless of corpus
+    // size), and because the update is commutative the estimates are
+    // deterministic under any partitioning. Estimates are checked against
+    // the exact counts of the exact top-20 (the q73 shape) in-row;
+    // sketch hashing is engine-specific, so (like q43/q70) there is no
+    // DuckDB oracle — CmsHeavyHitterSpec bounds the overestimate by
+    // eps·N at two scales instead.
+    Q("q79_cms_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.sharded(s, dir, "documents", "doc_id")
+          .select(explode(graft.dedup.Dedup.tokens(col("text"))).as("token"))
+        val cms = toks.stat
+          .countMinSketch(col("token"), eps = 0.0001, confidence = 0.99,
+            seed = 42)
+        val top = toks.groupBy(col("token"))
+          .agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("token")).limit(20)
+          .collect() // 20 rows — the q73 top-k contract
+        top.toSeq
+          .map(r => (r.getString(0), r.getLong(1),
+            cms.estimateCount(r.getString(0))))
+          .toDF("token", "n_exact", "n_est")
+          .orderBy(col("n_exact").desc, col("token"))
+      },
+      None),
+
     // Gap sessionization: the batch analog of streaming session windows —
     // per-user ordered scan (lag), session id = running count of gap
     // breaks, then two key-local aggregations. Everything shards by
