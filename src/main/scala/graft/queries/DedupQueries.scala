@@ -609,6 +609,58 @@ object DedupQueries {
         |FROM scored WHERE jaccard >= 0.5
         |GROUP BY id_a ORDER BY doc_id""".stripMargin)),
 
+    // Cross-modal detector QA: every verified text near-dup pair
+    // (LSH-candidate → exact Jaccard ≥ 0.5, the q28 path) annotated with
+    // its embedding cosine — the audit that finds where the embedding
+    // space DISAGREES with lexical dedup (pairs this corpus plants as
+    // text near-dups carry unrelated synthetic embeddings, so the two
+    // signals genuinely diverge; a production pipeline runs exactly this
+    // join to calibrate semantic-dedup thresholds against a lexical
+    // ground truth). Embeddings cover a doc_id prefix; the inner join
+    // keeps pairs where both sides are embedded. All joins are id- or
+    // sketch-keyed — candidate-driven end to end.
+    Q("q80_crossmodal_check",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>"))
+        val pairs = graft.dedup.Dedup
+          .jaccardVerify(graft.dedup.Dedup.lshCandidates(bandsDf(s, dir)),
+            grams(s, dir))
+          .where(col("jaccard") >= 0.5)
+        pairs
+          .join(emb.select(col("vec_id").as("id_a"),
+            col("embedding").as("__ea")), "id_a")
+          .join(emb.select(col("vec_id").as("id_b"),
+            col("embedding").as("__eb")), "id_b")
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+            col("jaccard"),
+            round(graft.functions.CosineSimilarity(s)(col("__ea"),
+              col("__eb")), 6).as("cos_sim"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(duckMinhash + """,
+        |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |          FROM bands x JOIN bands y
+        |            ON x.band = y.band AND x.band_key = y.band_key
+        |           AND x.doc_id < y.doc_id),
+        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |           FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |jac AS (SELECT c.doc_a, c.doc_b,
+        |    CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+        |  FROM cands c
+        |  JOIN common m ON c.doc_a = m.doc_a AND c.doc_b = m.doc_b
+        |  JOIN sizes sa ON c.doc_a = sa.doc_id
+        |  JOIN sizes sb ON c.doc_b = sb.doc_id
+        |  WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5),
+        |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+        |        FROM embeddings)
+        |SELECT j.doc_a, j.doc_b, j.jaccard,
+        |  round(list_cosine_similarity(ea.ev, eb.ev), 6) AS cos_sim
+        |FROM jac j JOIN emb ea ON j.doc_a = ea.vec_id
+        |           JOIN emb eb ON j.doc_b = eb.vec_id
+        |ORDER BY j.doc_a, j.doc_b""".stripMargin)),
+
     // Benchmark DECONTAMINATION — the corpus-prep step that removes
     // training documents overlapping an evaluation set: the benchmark's
     // distinct word-8-grams (here: the docs with doc_id % 10 = 7 stand in
