@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming heavy hitters: sharded SpaceSaving (Metwally et al. 2005)
+  * under `flatMapGroupsWithState` — the bounded-state streaming
+  * counterpart of the exact batch top-k (q73) and the CMS estimates
+  * (q79).
+  *
+  * Each token hashes to ONE shard (a deterministic function of the
+  * token, so a token's whole count lives in a single shard's summary —
+  * no cross-shard merge exists); each shard keeps at most `k` counters.
+  * On arrival: tracked → increment; free slot → adopt; else the MINIMUM
+  * counter is evicted and its count adopted as the newcomer's error
+  * bound. Total state is `nShards × k` counters regardless of stream
+  * length or vocabulary — the contract unbounded `groupBy(token).count`
+  * state cannot give.
+  *
+  * SpaceSaving guarantees, per shard with `n` processed tokens:
+  * `true ≤ est ≤ true + err`, `err ≤ n/k`, and every token with true
+  * shard count > n/k is IN the summary (no false negatives above the
+  * threshold). StreamingHeavyHittersSpec checks all three against batch
+  * exact counts.
+  *
+  * Emitted each micro-batch (Update mode): the shard's full current
+  * summary stamped with its processed count `nProcessed` — monotonically
+  * increasing, so a consumer keeps each shard's max-`nProcessed`
+  * generation as the current answer.
+  */
+object StreamingHeavyHitters {
+
+  final case class Tok(shard: Int, token: String)
+  final case class HH(shard: Int, nProcessed: Long, token: String,
+      est: Long, err: Long)
+  final case class SSState(n: Long, toks: Array[String],
+      counts: Array[Long], errs: Array[Long])
+
+  /** Deterministic token → shard assignment (stream and batch sides of a
+    * comparison must use the same function). */
+  def shardOf(token: String, nShards: Int): Int =
+    (token.hashCode & Int.MaxValue) % nShards
+
+  def heavyHitters(tokens: Dataset[Tok], k: Int): Dataset[HH] = {
+    import tokens.sparkSession.implicits._
+    tokens.groupByKey(_.shard)
+      .flatMapGroupsWithState[SSState, HH](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard, rows, state: GroupState[SSState]) =>
+          val st = state.getOption.getOrElse(
+            SSState(0L, Array.empty, Array.empty, Array.empty))
+          var n = st.n
+          val toks = scala.collection.mutable.ArrayBuffer(
+            st.toks.toIndexedSeq: _*)
+          val counts = scala.collection.mutable.ArrayBuffer(
+            st.counts.toIndexedSeq: _*)
+          val errs = scala.collection.mutable.ArrayBuffer(
+            st.errs.toIndexedSeq: _*)
+          rows.foreach { t =>
+            n += 1
+            val i = toks.indexOf(t.token)
+            if (i >= 0) counts(i) += 1
+            else if (toks.length < k) {
+              toks += t.token; counts += 1L; errs += 0L
+            } else {
+              // evict the minimum counter; its count bounds the error
+              var m = 0
+              var j = 1
+              while (j < counts.length) {
+                if (counts(j) < counts(m)) m = j
+                j += 1
+              }
+              val floor = counts(m)
+              toks(m) = t.token
+              counts(m) = floor + 1
+              errs(m) = floor
+            }
+          }
+          state.update(SSState(n, toks.toArray, counts.toArray, errs.toArray))
+          toks.indices.iterator
+            .map(i => HH(shard, n, toks(i), counts(i), errs(i)))
+      }
+  }
+}
