@@ -37,17 +37,27 @@ object Dedup {
           .otherwise(array().cast("array<string>")).as("grams"))
   }
 
-  /** (id, band, band_key): MinHash-LSH band keys, computed document-locally
-    * (no shuffle). Signature slot i = min over shingles of
-    * md5(i || '_' || shingle); band key = md5 of the band's slice. */
-  def minhashBands(grams: DataFrame, idCol: String = "doc_id",
-      k: Int = 12, rowsPerBand: Int = 3): DataFrame = {
+  /** (id, sig: array<string>): the K-slot MinHash signature, computed
+    * document-locally — slot i = min over shingles of
+    * md5(i || '_' || shingle). Exposed separately from [[minhashBands]]
+    * for sketch-calibration QA (estimated Jaccard = matching-slot
+    * fraction, q82). */
+  def minhashSignature(grams: DataFrame, idCol: String = "doc_id",
+      k: Int = 12): DataFrame = {
     val sig = transform(sequence(lit(1), lit(k)), i =>
       array_min(transform(col("grams"),
         g => md5(concat(i.cast("string"), lit("_"), g)))))
     grams
       .where(size(col("grams")) > 0)
       .select(col(idCol), sig.as("sig"))
+  }
+
+  /** (id, band, band_key): MinHash-LSH band keys, computed document-locally
+    * (no shuffle). Signature slot i = min over shingles of
+    * md5(i || '_' || shingle); band key = md5 of the band's slice. */
+  def minhashBands(grams: DataFrame, idCol: String = "doc_id",
+      k: Int = 12, rowsPerBand: Int = 3): DataFrame = {
+    minhashSignature(grams, idCol, k)
       .select(col(idCol),
         posexplode(transform(sequence(lit(0), lit(k / rowsPerBand - 1)), b =>
           md5(array_join(

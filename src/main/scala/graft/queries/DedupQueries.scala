@@ -32,6 +32,25 @@ object DedupQueries {
         Tables.sharded(s, dir, "documents", "doc_id"), k = DupK)
     }
 
+  /** Shared oracle prefix for q74/q81: normalized text → positional
+    * char-40-gram polynomial hashes as CTE `p(doc_id, pos, hv)` (+
+    * `hs(doc_id, n_norm, h)` for lengths). */
+  private lazy val duckDupGrams: String = {
+    val hash = graft.functions.WinnowFingerprints
+      .duckGramHash("norm", "i", DupK)
+    s"""WITH nrm AS (SELECT doc_id,
+      |    regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS norm
+      |  FROM documents),
+      |hs AS (SELECT doc_id, len(norm) AS n_norm,
+      |    CASE WHEN len(norm) >= $DupK
+      |      THEN list_transform(generate_series(1, len(norm) - ${DupK - 1}),
+      |           i -> $hash)
+      |      ELSE [] END AS h
+      |  FROM nrm),
+      |p AS (SELECT doc_id, unnest(generate_series(1, len(h))) AS pos,
+      |             unnest(h) AS hv FROM hs)""".stripMargin
+  }
+
   /** Distinct word 3-gram shingles per document. Cached: every dedup query
     * reuses it on both sides of a self-join, and without the barrier
     * Catalyst inlines the whole tokenize+shingle tree into each consumer
@@ -798,20 +817,7 @@ object DedupQueries {
         graft.dedup.Dedup.dupSpans(
           dupGramPos(s, dir), Tables(s, dir, "documents"), k = DupK)
           .orderBy(col("doc_id")),
-      Some {
-        val hash = graft.functions.WinnowFingerprints
-          .duckGramHash("norm", "i", DupK)
-        s"""WITH nrm AS (SELECT doc_id,
-          |    regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS norm
-          |  FROM documents),
-          |hs AS (SELECT doc_id, len(norm) AS n_norm,
-          |    CASE WHEN len(norm) >= $DupK
-          |      THEN list_transform(generate_series(1, len(norm) - ${DupK - 1}),
-          |           i -> $hash)
-          |      ELSE [] END AS h
-          |  FROM nrm),
-          |p AS (SELECT doc_id, unnest(generate_series(1, len(h))) AS pos,
-          |             unnest(h) AS hv FROM hs),
+      Some(duckDupGrams + s""",
           |dh AS (SELECT hv FROM p GROUP BY hv HAVING count(*) >= 2),
           |g AS (SELECT doc_id,
           |    pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
@@ -829,6 +835,81 @@ object DedupQueries {
           |  round(CAST(coalesce(dup_chars, 0) AS DOUBLE)
           |        / greatest(n_norm, 1), 6) AS dup_frac
           |FROM hs h LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin
-      })
+      )),
+
+    // The report a pipeline runs AFTER q74 flags duplication: WHICH
+    // passages are the boilerplate — top-10 duplicated char-40-grams by
+    // document spread. The gram-frequency aggregation is the same
+    // vocabulary-keyed shuffle as q74 (shared cached position table);
+    // the top-10 is TakeOrderedAndProject. `hv` is the polynomial gram
+    // hash (deterministic, oracle-replayable); `sample_doc` anchors a
+    // human lookup.
+    Q("q81_boilerplate_passages",
+      (s, dir) =>
+        dupGramPos(s, dir)
+          .groupBy(col("hv"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occ"), min(col("doc_id")).as("sample_doc"))
+          .where(col("n_docs") >= 2)
+          .orderBy(col("n_docs").desc, col("n_occ").desc, col("hv"))
+          .limit(10),
+      Some(duckDupGrams + """
+          |SELECT hv, count(DISTINCT doc_id) AS n_docs,
+          |  count(*) AS n_occ, min(doc_id) AS sample_doc
+          |FROM p GROUP BY hv HAVING count(DISTINCT doc_id) >= 2
+          |ORDER BY n_docs DESC, n_occ DESC, hv LIMIT 10""".stripMargin)),
+
+    // MinHash sketch CALIBRATION — the QA join that tells you whether the
+    // sketch is trustworthy at your K: for every verified near-dup pair,
+    // the signature-estimated Jaccard (matching-slot fraction over K=12)
+    // beside the exact value. Signatures are document-local arrays; the
+    // comparison is a 12-element zip per candidate pair — nothing
+    // corpus-global moves. The oracle replays signatures slot-by-slot.
+    Q("q82_minhash_calibration",
+      (s, dir) => {
+        val sig = graft.dedup.Dedup.minhashSignature(grams(s, dir), k = K)
+        val pairs = graft.dedup.Dedup
+          .jaccardVerify(lshCandidatePairs(s, dir), grams(s, dir))
+          .where(col("jaccard") >= 0.5)
+        pairs
+          .join(sig.select(col("doc_id").as("id_a"), col("sig").as("__sa")),
+            "id_a")
+          .join(sig.select(col("doc_id").as("id_b"), col("sig").as("__sb")),
+            "id_b")
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+            round(col("jaccard"), 6).as("jaccard"),
+            round(aggregate(
+              zip_with(col("__sa"), col("__sb"),
+                (a, b) => when(a === b, 1).otherwise(0)),
+              lit(0), (acc, x) => acc + x).cast("double") / K,
+              6).as("est_jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(duckMinhash + s""",
+          |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          |          FROM bands x JOIN bands y
+          |            ON x.band = y.band AND x.band_key = y.band_key
+          |           AND x.doc_id < y.doc_id),
+          |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |                  count(*) AS common
+          |           FROM e a JOIN e b ON a.gram = b.gram
+          |             AND a.doc_id < b.doc_id
+          |           GROUP BY 1, 2),
+          |jac AS (SELECT c.doc_a, c.doc_b,
+          |    CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+          |  FROM cands c
+          |  JOIN common m ON c.doc_a = m.doc_a AND c.doc_b = m.doc_b
+          |  JOIN sizes sa ON c.doc_a = sa.doc_id
+          |  JOIN sizes sb ON c.doc_b = sb.doc_id
+          |  WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5),
+          |m AS (SELECT j.doc_a, j.doc_b,
+          |    count(*) FILTER (WHERE a.h = b.h) AS matches
+          |  FROM jac j JOIN eh a ON a.doc_id = j.doc_a
+          |             JOIN eh b ON b.doc_id = j.doc_b AND b.i = a.i
+          |  GROUP BY 1, 2)
+          |SELECT j.doc_a, j.doc_b, round(j.jaccard, 6) AS jaccard,
+          |  round(CAST(matches AS DOUBLE) / $K, 6) AS est_jaccard
+          |FROM jac j JOIN m ON j.doc_a = m.doc_a AND j.doc_b = m.doc_b
+          |ORDER BY j.doc_a, j.doc_b""".stripMargin))
   )
 }
