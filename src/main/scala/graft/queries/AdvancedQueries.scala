@@ -528,6 +528,48 @@ object AdvancedQueries {
           |  count(*) AS n, sum(value) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY event_type, hour""".stripMargin)),
 
+    // The reference's MAD risk measure (SM1/O10) generalized from ONE
+    // global 30-row window to millions of independent keys — the SURVEY
+    // §7.6 scale-out story made concrete: per-user exact median + MAD
+    // (two keyed aggregations; the per-key value multiset is the known
+    // price of exact order statistics, as q51) and a robust-z outlier
+    // count at the standard 3σ-equivalent gate (|v − med| > 3·1.4826·mad).
+    // Medians/MADs round to 6dp BEFORE the gate so both engines compare
+    // identical doubles. Everything shards by user_id; no global state.
+    Q("q83_keyed_robust_outliers",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("value"))
+        val med = ev.groupBy(col("user_id"))
+          .agg(round(percentile(col("value"), lit(0.5)), 6).as("med"))
+        val dev = ev.join(med, "user_id")
+          .select(col("user_id"), col("med"),
+            abs(col("value") - col("med")).as("__dev"))
+        val mad = dev.groupBy(col("user_id"))
+          .agg(round(percentile(col("__dev"), lit(0.5)), 6).as("mad"))
+        dev.join(mad, "user_id")
+          .groupBy(col("user_id"), col("med"), col("mad"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("__dev") > lit(4.4478) * col("mad"), 1L)
+              .otherwise(0L)).as("n_outliers"))
+          .select(col("user_id"), col("n_events"), col("med"), col("mad"),
+            col("n_outliers"))
+          .orderBy(col("user_id"))
+      },
+      Some(
+        """WITH med AS (SELECT user_id,
+          |    round(quantile_cont(value, 0.5), 6) AS med
+          |  FROM events GROUP BY user_id),
+          |dev AS (SELECT e.user_id, m.med, abs(e.value - m.med) AS dev
+          |  FROM events e JOIN med m ON e.user_id = m.user_id),
+          |mad AS (SELECT user_id, round(quantile_cont(dev, 0.5), 6) AS mad
+          |  FROM dev GROUP BY user_id)
+          |SELECT d.user_id, count(*) AS n_events, d.med, m.mad,
+          |  CAST(count(*) FILTER (WHERE d.dev >
+          |    CAST(4.4478 AS DOUBLE) * m.mad) AS BIGINT) AS n_outliers
+          |FROM dev d JOIN mad m ON d.user_id = m.user_id
+          |GROUP BY d.user_id, d.med, m.mad ORDER BY d.user_id""".stripMargin)),
+
     // Winnowing (MOSS) rolling-window fingerprints: min-hash of every
     // window of 4 consecutive char-8-gram hashes — any shared substring of
     // length ≥ 11 chars contributes a shared fingerprint at ~1/4 the
