@@ -538,13 +538,19 @@ object AdvancedQueries {
     // identical doubles. Everything shards by user_id; no global state.
     Q("q83_keyed_robust_outliers",
       (s, dir) => {
-        val ev = Tables(s, dir, "events")
-          .select(col("user_id"), col("value"))
-        val med = ev.groupBy(col("user_id"))
-          .agg(round(percentile(col("value"), lit(0.5)), 6).as("med"))
-        val dev = ev.join(med, "user_id")
-          .select(col("user_id"), col("med"),
-            abs(col("value") - col("med")).as("__dev"))
+        val dev = Caches.frame(s, dir, "robustdev") {
+          // cached: the deviation frame sits under BOTH the MAD
+          // aggregation and the outlier count — without the barrier the
+          // fact table is scanned four times (med recomputed per branch);
+          // with it, twice (the production materialize-or-rescan choice)
+          val ev = Tables(s, dir, "events")
+            .select(col("user_id"), col("value"))
+          val med = ev.groupBy(col("user_id"))
+            .agg(round(percentile(col("value"), lit(0.5)), 6).as("med"))
+          ev.join(med, "user_id")
+            .select(col("user_id"), col("med"),
+              abs(col("value") - col("med")).as("__dev"))
+        }
         val mad = dev.groupBy(col("user_id"))
           .agg(round(percentile(col("__dev"), lit(0.5)), 6).as("mad"))
         dev.join(mad, "user_id")
