@@ -301,6 +301,34 @@ object CoreQueries {
              |  count(*) AS n
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Salted JOIN (graft.analytics.SkewJoin.salted) — q38's two-phase
+    // trick applied to a join: the big (skewed) side salts each row
+    // deterministically into one of 8 shards, the small side replicates
+    // 8×, and the hot key's rows spread across 8 reducers instead of
+    // melting one. The oracle is the PLAIN join — salting must be
+    // invisible in the result (SkewJoinSpec measures the partition
+    // spread; round-4 evidence: unsalted hot reducer held 53% of rows,
+    // salted max share 2.07× even). Mechanism demo at this scale (the
+    // tier table would broadcast); the shape is for when the small side
+    // is too big to broadcast AND a key is hot.
+    Q("q84_skew_salted_join",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events").select(col("user_id"), col("value"))
+        val tiers = ev.select(col("user_id")).distinct()
+          .select(col("user_id"), (col("user_id") % 5).as("tier"))
+        graft.analytics.SkewJoin.salted(ev, tiers, "user_id", nSalts = 8)
+          .groupBy(col("tier"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 6).as("sum_value"))
+          .orderBy(col("tier"))
+      },
+      Some("""WITH t AS (SELECT DISTINCT user_id, user_id % 5 AS tier
+             |          FROM events)
+             |SELECT tier, count(*) AS n_events,
+             |  round(sum(e.value), 6) AS sum_value
+             |FROM events e JOIN t USING (user_id)
+             |GROUP BY tier ORDER BY tier""".stripMargin)),
+
     // Tumbling event-time windows (Spark's `window()` operator) — window
     // start emitted as epoch seconds so the oracle reduces to exact
     // integer arithmetic. The same expression drives streaming time

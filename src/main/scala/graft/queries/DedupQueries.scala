@@ -910,6 +910,43 @@ object DedupQueries {
           |SELECT j.doc_a, j.doc_b, round(j.jaccard, 6) AS jaccard,
           |  round(CAST(matches AS DOUBLE) / $K, 6) AS est_jaccard
           |FROM jac j JOIN m ON j.doc_a = m.doc_a AND j.doc_b = m.doc_b
-          |ORDER BY j.doc_a, j.doc_b""".stripMargin))
+          |ORDER BY j.doc_a, j.doc_b""".stripMargin)),
+
+    // Edit-distance verify — the STRING-metric member of the verify
+    // family (set Jaccard q28, Hamming q44, containment q64, cosine q68):
+    // levenshtein over the normalized 100-char PREFIX of each LSH
+    // candidate pair. The prefix cap keeps the O(len²) DP bounded
+    // (100² per pair, candidate-driven — never all-pairs, never
+    // full-text); both engines implement the standard Wagner–Fischer
+    // distance, so values hash-match exactly.
+    Q("q85_fuzzy_prefix_match",
+      (s, dir) => {
+        val pfx = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            substring(regexp_replace(lower(col("text")), "[^a-z0-9]+", ""),
+              1, 100).as("pfx"))
+        lshCandidatePairs(s, dir)
+          .join(pfx.select(col("doc_id").as("id_a"), col("pfx").as("__pa")),
+            "id_a")
+          .join(pfx.select(col("doc_id").as("id_b"), col("pfx").as("__pb")),
+            "id_b")
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+            levenshtein(col("__pa"), col("__pb")).as("edit_dist"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(duckMinhash + """,
+          |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          |          FROM bands x JOIN bands y
+          |            ON x.band = y.band AND x.band_key = y.band_key
+          |           AND x.doc_id < y.doc_id),
+          |pfx AS (SELECT doc_id,
+          |    substr(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'),
+          |           1, 100) AS pfx
+          |  FROM documents)
+          |SELECT c.doc_a, c.doc_b,
+          |  levenshtein(a.pfx, b.pfx) AS edit_dist
+          |FROM cands c JOIN pfx a ON c.doc_a = a.doc_id
+          |             JOIN pfx b ON c.doc_b = b.doc_id
+          |ORDER BY c.doc_a, c.doc_b""".stripMargin))
   )
 }
