@@ -947,6 +947,66 @@ object DedupQueries {
           |  levenshtein(a.pfx, b.pfx) AS edit_dist
           |FROM cands c JOIN pfx a ON c.doc_a = a.doc_id
           |             JOIN pfx b ON c.doc_b = b.doc_id
-          |ORDER BY c.doc_a, c.doc_b""".stripMargin))
+          |ORDER BY c.doc_a, c.doc_b""".stripMargin)),
+
+    // The corpus REPORT CARD — the per-source rollup a curation run ends
+    // with: document count, language spread, mean token count, mean
+    // quality (q21's score), and mean duplicated-char fraction (q74's
+    // span detector). One wide row per source; every input is a
+    // previously-oracled per-doc frame re-aggregated by the source key,
+    // so the rollup shuffles n_sources rows of state and nothing else.
+    Q("q86_source_report",
+      (s, dir) => {
+        val quality = graft.text.TextStats
+          .quality(Tables.sharded(s, dir, "documents", "doc_id"))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            col("quality"))
+        val dup = graft.dedup.Dedup.dupSpans(
+          dupGramPos(s, dir), Tables(s, dir, "documents"), k = DupK)
+          .select(col("doc_id"), col("dup_frac"))
+        quality
+          .join(Tables(s, dir, "documents").select(col("doc_id"), col("lang")),
+            "doc_id")
+          .join(dup, "doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("lang")).as("n_langs"),
+            round(avg(col("n_tokens")), 6).as("mean_tokens"),
+            round(avg(col("quality")), 6).as("mean_quality"),
+            round(avg(col("dup_frac")), 6).as("mean_dup_frac"))
+          .orderBy(col("source"))
+      },
+      Some(duckDupGrams + s""",
+          |dh AS (SELECT hv FROM p GROUP BY hv HAVING count(*) >= 2),
+          |g AS (SELECT doc_id,
+          |    pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+          |  FROM p JOIN dh USING (hv)),
+          |a AS (SELECT doc_id,
+          |    CAST(sum(CASE WHEN gap IS NULL THEN $DupK
+          |                  ELSE least(gap, $DupK) END) AS BIGINT) AS dup_chars
+          |  FROM g GROUP BY doc_id),
+          |dup AS (SELECT h.doc_id,
+          |    round(CAST(coalesce(dup_chars, 0) AS DOUBLE)
+          |          / greatest(n_norm, 1), 6) AS dup_frac
+          |  FROM hs h LEFT JOIN a USING (doc_id)),
+          |q AS (SELECT doc_id, source, lang,
+          |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+          |    len(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS alnum_len,
+          |    len(regexp_extract_all(lower(text),
+          |      '\\b(?:${graft.text.TextStats.Stopwords.mkString("|")})\\b')) AS n_stop
+          |  FROM documents),
+          |qs AS (SELECT doc_id, source, lang, n_tokens,
+          |    0.5 * least(1.0, n_tokens / 100.0)
+          |      + 0.3 * (CAST(n_stop AS DOUBLE) / nullif(n_tokens, 0))
+          |      + 0.2 * least(1.0, CAST(alnum_len AS DOUBLE)
+          |                         / nullif(n_tokens, 0) / 8.0) AS quality
+          |  FROM q)
+          |SELECT qs.source, count(*) AS n_docs,
+          |  count(DISTINCT qs.lang) AS n_langs,
+          |  round(avg(qs.n_tokens), 6) AS mean_tokens,
+          |  round(avg(qs.quality), 6) AS mean_quality,
+          |  round(avg(dup.dup_frac), 6) AS mean_dup_frac
+          |FROM qs JOIN dup ON qs.doc_id = dup.doc_id
+          |GROUP BY qs.source ORDER BY qs.source""".stripMargin))
   )
 }
