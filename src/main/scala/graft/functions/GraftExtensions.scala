@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** SparkSessionExtensions entry point for the engine's native functions —
   * lets pure-SQL users get them without touching the Scala API:
@@ -11,22 +11,41 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *   // or spark.sql.extensions=graft.functions.GraftExtensions
   *   spark.sql("SELECT graft_cosine_similarity(a.e, b.e) FROM ...")
   *
-  * (The DataFrame path registers the same expression lazily via
-  * [[CosineSimilarity.apply]]; this class is the spark-submit-time hook.)
+  * Int parameters (k, w) must be integer literals in SQL:
+  * `graft_winnow_fingerprints(norm_text, 8, 4)`.
+  *
+  * (The DataFrame path registers the same expressions lazily via each
+  * companion's `apply`; this class is the spark-submit-time hook.
+  * `BloomMightContain` is deliberately NOT injected: it closes over a
+  * driver-built BloomFilter object, which has no SQL literal form.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  private[functions] def buildWinnow(exprs: Seq[Expression]): Expression =
+    WinnowFingerprints(exprs(0), intArg(exprs(1), "k"), intArg(exprs(2), "w"))
+
+  private[functions] def buildGramHashes(exprs: Seq[Expression]): Expression =
+    GramHashes(exprs(0), intArg(exprs(1), "k"))
+
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      new FunctionIdentifier("graft_cosine_similarity"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName,
-        "graft_cosine_similarity"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSimilarity(exprs(0), exprs(1))))
-    e.injectFunction((
-      new FunctionIdentifier("graft_hamming_distance"),
-      new ExpressionInfo(classOf[HammingDistance].getName,
-        "graft_hamming_distance"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        HammingDistance(exprs(0), exprs(1))))
+    def inject(name: String, clazz: Class[_],
+        builder: Seq[Expression] => Expression): Unit =
+      e.injectFunction((new FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name), builder))
+    inject("graft_cosine_similarity", classOf[CosineSimilarity],
+      exprs => CosineSimilarity(exprs(0), exprs(1)))
+    inject("graft_hamming_distance", classOf[HammingDistance],
+      exprs => HammingDistance(exprs(0), exprs(1)))
+    inject("graft_dot_product", classOf[DotProduct],
+      exprs => DotProduct(exprs(0), exprs(1)))
+    inject("graft_winnow_fingerprints", classOf[WinnowFingerprints],
+      buildWinnow)
+    inject("graft_gram_hashes", classOf[GramHashes], buildGramHashes)
   }
 }
