@@ -156,6 +156,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase
       s"bloom probe is not below the verify join:\n$p")
   }
 
+  test("AQE re-plans at runtime: small shuffles coalesce below the " +
+      "static partition count") {
+    // the runtime lever the 100 TB story leans on (skew splits, coalesce,
+    // runtime join demotion) — assert it actually engages here
+    val df = Registry.byName("q01_pricing_summary").run(spark, dir)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan
+    val reads = collectWithSubqueries(p) {
+      case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => r
+    }
+    val static = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(reads.nonEmpty, s"AQE produced no shuffle reads:\n$p")
+    assert(reads.forall(_.partitionSpecs.size < static),
+      s"AQE did not coalesce below $static partitions:\n$p")
+  }
+
   test("q74: duplicate-span detection joins only on the gram hash — no " +
       "pair set exists in the plan") {
     val p = plan("q74_dup_spans")
