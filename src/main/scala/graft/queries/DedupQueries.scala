@@ -32,6 +32,15 @@ object DedupQueries {
         Tables.sharded(s, dir, "documents", "doc_id"), k = DupK)
     }
 
+  /** q74's per-document span result, cached — q86's report card
+    * re-aggregates it by source, so the frequency join + span window run
+    * once per (session, dir). */
+  private def dupSpansFrame(s: SparkSession, dir: String): DataFrame =
+    Caches.frame(s, dir, "dupspans") {
+      graft.dedup.Dedup.dupSpans(
+        dupGramPos(s, dir), Tables(s, dir, "documents"), k = DupK)
+    }
+
   /** Shared oracle prefix for q74/q81: normalized text → positional
     * char-40-gram polynomial hashes as CTE `p(doc_id, pos, hv)` (+
     * `hs(doc_id, n_norm, h)` for lengths). */
@@ -813,10 +822,7 @@ object DedupQueries {
     // a partial-aggregated hash shuffle. The oracle replays the exact
     // polynomial hash with BIGINT arithmetic.
     Q("q74_dup_spans",
-      (s, dir) =>
-        graft.dedup.Dedup.dupSpans(
-          dupGramPos(s, dir), Tables(s, dir, "documents"), k = DupK)
-          .orderBy(col("doc_id")),
+      (s, dir) => dupSpansFrame(s, dir).orderBy(col("doc_id")),
       Some(duckDupGrams + s""",
           |dh AS (SELECT hv FROM p GROUP BY hv HAVING count(*) >= 2),
           |g AS (SELECT doc_id,
@@ -961,8 +967,7 @@ object DedupQueries {
           .quality(Tables.sharded(s, dir, "documents", "doc_id"))
           .select(col("doc_id"), col("source"), col("n_tokens"),
             col("quality"))
-        val dup = graft.dedup.Dedup.dupSpans(
-          dupGramPos(s, dir), Tables(s, dir, "documents"), k = DupK)
+        val dup = dupSpansFrame(s, dir)
           .select(col("doc_id"), col("dup_frac"))
         quality
           .join(Tables(s, dir, "documents").select(col("doc_id"), col("lang")),
