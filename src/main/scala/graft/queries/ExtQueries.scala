@@ -340,6 +340,40 @@ object ExtQueries {
           |FROM s GROUP BY doc_id
           |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // Perplexity-style quality filtering, tokenizer-free: an add-one-
+    // smoothed bigram LM trained on the corpus itself in one pass scores
+    // every document by average bigram log-probability
+    // (graft.text.TextStats.bigramLmScore). The model is two partial-
+    // aggregated count tables (unigrams = vocabulary-sized, bigrams =
+    // corpus-bounded) joined back by their own keys — never collected —
+    // and the only global state is the broadcast 1-row vocabulary size.
+    // The oracle replays the same counts and ln arithmetic; round-6 before
+    // compare.
+    Q("q87_bigram_lm_score",
+      (s, dir) =>
+        graft.text.TextStats
+          .bigramLmScore(Tables.sharded(s, dir, "documents", "doc_id"))
+          .orderBy(col("doc_id")),
+      Some(
+        s"""WITH d AS (SELECT doc_id, $duckTokens AS toks FROM documents),
+          |tok AS (SELECT unnest(toks) AS w1 FROM d),
+          |uni AS (SELECT w1, count(*) AS c1 FROM tok GROUP BY 1),
+          |v AS (SELECT count(DISTINCT w1) AS v FROM tok),
+          |bg AS (SELECT doc_id,
+          |    unnest(list_transform(generate_series(1, len(toks) - 1),
+          |      i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS b
+          |  FROM d WHERE len(toks) >= 2),
+          |bgc AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2, count(*) AS c
+          |  FROM bg GROUP BY 1, 2, 3),
+          |cb AS (SELECT w1, w2, sum(c) AS c2 FROM bgc GROUP BY 1, 2),
+          |sc AS (SELECT g.doc_id, g.c,
+          |    ln((cb.c2 + CAST(1.0 AS DOUBLE)) / (uni.c1 + v.v)) AS lp
+          |  FROM bgc g JOIN cb USING (w1, w2) JOIN uni USING (w1)
+          |  CROSS JOIN v)
+          |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+          |  round(sum(c * lp) / sum(c), 6) AS avg_logp
+          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- Multimodal metadata ------------------------------------------
     // Opaque-binary pipeline shape: payload as bytes + typed metadata; the
     // "decode" is a deterministic md5-derived stub (no media libs in this

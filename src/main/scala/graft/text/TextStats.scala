@@ -101,17 +101,22 @@ object TextStats {
     // tokenize ONCE behind an exchange barrier (the Dedup.simhash
     // pattern): the gram lambdas below read element_at(toks, …) several
     // times per window, and without the barrier CollapseProject inlines
-    // the full tokenizer into each read. The three consumers (n_words,
-    // 2-grams, 3-grams) share the one exchange via ReuseExchange.
+    // the full tokenizer into each read. The sub-n-token guard is a
+    // when/otherwise inside the explode — NOT a `.where`, which the
+    // optimizer would push below the exchange as a filter that re-runs
+    // the tokenizer AND makes each branch's exchange subtree distinct;
+    // guarded this way, the n_words/2-gram/3-gram branches are canonically
+    // identical below the explode and AQE executes ONE tokenizer stage.
     val base = docs
       .select(col(idCol), graft.dedup.Dedup.tokens(col(textCol)).as("toks"))
       .repartition(col(idCol))
     def gramRows(n: Int) = base
-      .where(size(col("toks")) >= n)
       .select(col(idCol),
-        explode(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
-          i => concat_ws(" ",
-            (0 until n).map(o => element_at(col("toks"), i + o)): _*)))
+        explode(when(size(col("toks")) >= n,
+          transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+            i => concat_ws(" ",
+              (0 until n).map(o => element_at(col("toks"), i + o)): _*)))
+          .otherwise(array().cast("array<string>")))
           .as("g"))
       .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
     val top2 = gramRows(2).groupBy(col(idCol))
@@ -142,6 +147,73 @@ object TextStats {
     docs.select(col(idCol),
       graft.functions.WinnowFingerprints(docs.sparkSession, k, w)(norm)
         .as("fingerprints"))
+  }
+
+  /** Bigram language-model quality score — the tokenizer-free analog of
+    * perplexity filtering (CCNet / Gopher pipelines score documents under
+    * a reference LM and drop the tails): trains an add-one-smoothed bigram
+    * model ON THE CORPUS ITSELF in one pass, then scores every document by
+    * its average bigram log-probability
+    * `avg_logp = (1/n) · Σ ln((c₂(w₁,w₂)+1) / (c₁(w₁)+V))`.
+    * Boilerplate and within-corpus-typical text scores high; statistically
+    * anomalous token sequences (mojibake, wrong-language, random strings)
+    * score low. Returns `(id, n_bigrams, avg_logp)` for documents with
+    * ≥ 2 tokens, `avg_logp` rounded to 6dp.
+    *
+    * Scale shape: the model IS two count tables — unigrams (vocabulary-
+    * sized) and observed bigrams (corpus-bounded, vocabulary²-capped) —
+    * both built by partial-aggregated shuffles on their own keys, never
+    * collected; scoring joins doc-local bigram counts to the model by
+    * (w₁,w₂) and w₁ equi-keys; the only global state is the 1-row
+    * vocabulary size, broadcast. Every stage is linear in corpus size, so
+    * the same plan trains-and-scores at 100 TB (or trains on a sample via
+    * a `.sample` on `docs` — the counts stay mergeable). */
+  def bigramLmScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    // tokenize once behind an exchange barrier (the repetitionStats
+    // pattern); the bigram and unigram branches read the SAME exchange via
+    // ReuseExchange — the sub-2-token guard is a when/otherwise inside the
+    // explode (explode drops empty arrays) rather than a Filter node,
+    // which would push below the exchange and break subtree identity
+    val base = docs
+      .select(col(idCol), graft.dedup.Dedup.tokens(col(textCol)).as("toks"))
+      .repartition(col(idCol))
+    val docBi = base
+      .select(col(idCol),
+        explode(when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("w1"),
+              element_at(col("toks"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__c"))
+    // the model: corpus bigram counts fold FROM the doc-local counts (one
+    // more partial-aggregated shuffle, no second tokenizer pass)
+    val corpusBi = docBi.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("__c")).as("__c2"))
+    // the when-wrap (a no-op: toks is never null) stops
+    // InferFiltersFromGenerate from pushing a `size(tokenize(text)) > 0`
+    // filter below the exchange, which would re-run the tokenizer in the
+    // filter and make this branch's exchange subtree differ from docBi's —
+    // wrapped, all four model branches reuse ONE tokenizer stage
+    val uni = base
+      .select(explode(when(col("toks").isNotNull, col("toks"))
+        .otherwise(array().cast("array<string>"))).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
+    // V = the unigram table's row count — no extra pass over the corpus
+    val vocab = uni.agg(count(lit(1)).as("__v"))
+    docBi
+      .join(corpusBi, Seq("w1", "w2"))
+      .join(uni, "w1")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_bigrams"),
+        round(
+          sum(col("__c") *
+            log((col("__c2") + lit(1.0)) / (col("__c1") + col("__v")))) /
+            sum(col("__c")), 6).as("avg_logp"))
   }
 
   /** BM25 document ranking against a literal query-token set (Robertson/

@@ -99,6 +99,39 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase
     }
   }
 
+  test("q87: the tokenizer exchange is built once and reused by every " +
+      "model branch at runtime") {
+    // the bigram-LM plan reads the tokenized-docs exchange from four
+    // places (doc bigrams ×2 via corpus counts, unigrams); AQE's stage
+    // cache must unify them into ONE executed tokenizer stage — if the
+    // branches stop being canonically identical (e.g. a Filter slips
+    // below the repartition again), each branch re-tokenizes the full
+    // corpus and this fails
+    val df = Registry.byName("q87_bigram_lm_score").run(spark, dir)
+    df.collect() // materialize THIS QueryExecution so AQE stages exist
+    val p = df.queryExecution.executedPlan
+    val reused = collectWithSubqueries(p) {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+    }
+    assert(reused.size >= 2,
+      s"tokenizer/model stages are not reused — branches re-tokenize:\n$p")
+  }
+
+  test("q69: the n_words/2-gram/3-gram branches reuse one tokenizer " +
+      "stage at runtime") {
+    // same contract as q87: a `.where(size(toks) >= n)` here would push a
+    // full-tokenizer filter below each branch's exchange — three distinct
+    // subtrees, zero reuse, the corpus tokenized six times
+    val df = Registry.byName("q69_repetition_stats").run(spark, dir)
+    df.collect()
+    val reused = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+    }
+    assert(reused.size >= 2,
+      s"gram branches do not reuse the tokenizer stage:\n" +
+        s"${df.queryExecution.executedPlan}")
+  }
+
   test("q64: the winnowing verify input is LINEAR in corpus size, not " +
       "quadratic") {
     // The round-4 regression class: a candidate set that silently grows

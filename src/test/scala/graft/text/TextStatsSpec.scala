@@ -67,4 +67,28 @@ class TextStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2L)._2 > 0 && out(1L)._2 > 0)
     assert(out(1L)._1 === 1L && out(4L)._1 === 1L)
   }
+
+  test("bigramLmScore matches a hand-computed add-one bigram model") {
+    import spark.implicits._
+    // corpus: "a b" x2, "a c", "solo" — vocabulary {a, b, c, solo} (V=4;
+    // the bigram-less doc still contributes its unigram), unigram count
+    // a=3; bigram counts (a,b)=2, (a,c)=1
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a c"),
+      (4L, "solo")) // single token: no bigrams, must be absent
+      .toDF("doc_id", "text")
+    val out = TextStats.bigramLmScore(docs)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logp"))).toMap
+    assert(!out.contains(4L))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // P(b|a) = (2+1)/(3+4) = 3/7 ; P(c|a) = (1+1)/(3+4) = 2/7
+    assert(out(1L) === (1L, r6(math.log(3.0 / 7))))
+    assert(out(2L) === (1L, r6(math.log(3.0 / 7))))
+    assert(out(3L) === (1L, r6(math.log(2.0 / 7))))
+    // the corpus-typical bigram scores strictly higher than the rare one
+    assert(out(1L)._2 > out(3L)._2)
+  }
 }
