@@ -576,6 +576,37 @@ object AdvancedQueries {
           |FROM dev d JOIN mad m ON d.user_id = m.user_id
           |GROUP BY d.user_id, d.med, m.mad ORDER BY d.user_id""".stripMargin)),
 
+    // Z-order (Morton) layout key (graft.analytics.Layout.zorderKey): the
+    // space-filling-curve clustering key behind multi-dimensional scan
+    // pruning — sort 100 TB by THIS before writing and parquet row-group
+    // min/max stats become tight on BOTH user_id and value, so predicates
+    // on either dimension prune (single-column sort prunes only itself;
+    // ZOrderLayoutSpec measures the effect on real range partitions). The
+    // key is pure map-side codegen'd bit arithmetic; the oracle replays
+    // the interleave with DuckDB's integer shift operators.
+    Q("q88_zorder_key",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .select(col("event_id"),
+            col("user_id").bitwiseAND(lit(65535L)).as("ux"),
+            floor(col("value")).cast("long").bitwiseAND(lit(65535L))
+              .as("vy"))
+          .select(col("event_id"), col("ux"), col("vy"),
+            graft.analytics.Layout.zorderKey(col("ux"), col("vy"))
+              .as("zkey"))
+          .orderBy(col("event_id")),
+      Some(
+        """WITH e AS (SELECT event_id,
+          |    CAST(user_id AS BIGINT) & 65535 AS ux,
+          |    CAST(floor(value) AS BIGINT) & 65535 AS vy
+          |  FROM events)
+          |SELECT event_id, ux, vy,
+          |  CAST(list_aggregate(list_transform(generate_series(0, 15),
+          |    i -> (((ux >> i) & 1) << (2 * i))
+          |         + (((vy >> i) & 1) << (2 * i + 1))), 'sum') AS BIGINT)
+          |    AS zkey
+          |FROM e ORDER BY event_id""".stripMargin)),
+
     // Winnowing (MOSS) rolling-window fingerprints: min-hash of every
     // window of 4 consecutive char-8-gram hashes — any shared substring of
     // length ≥ 11 chars contributes a shared fingerprint at ~1/4 the

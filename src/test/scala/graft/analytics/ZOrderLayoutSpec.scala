@@ -1,0 +1,71 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Layout.zorderKey: bit-exactness, and the actual pruning claim — a
+  * z-ordered layout bounds EVERY interleaved dimension per partition,
+  * where a single-column sort bounds only its own. */
+class ZOrderLayoutSpec extends AnyFunSuite with SparkTestBase {
+
+  test("zorderKey reproduces the Morton interleave bit-for-bit") {
+    import spark.implicits._
+    def morton(x: Long, y: Long): Long =
+      (0 until 16).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+    val pts = Seq((5L, 3L), (0L, 0L), (1L, 0L), (0L, 1L),
+      (65535L, 0L), (0L, 65535L), (65535L, 65535L), (12345L, 54321L))
+    val out = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.zorderKey(col("x"), col("y")).as("z"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) =>
+      assert(out((x, y)) === morton(x, y), s"($x, $y)")
+    }
+    // (5, 3) by hand: x bits 1,0,1 at even positions = 1+0+16,
+    // y bits 1,1 at odd positions = 2+8 → 27
+    assert(out((5L, 3L)) === 27L)
+  }
+
+  test("range-partitioning by zkey bounds vy per partition; sorting by " +
+      "ux alone leaves every partition spanning all of vy") {
+    // events sf0.001, quantized as q88: ux = user_id, vy = floor(value).
+    // value is right-skewed (most rows sit at small vy), so the selective
+    // predicate is the tail vy ≥ 128 — on the non-sort dimension of a
+    // plain ux sort it must prune most z-partitions and none of the ux
+    // ones.
+    val ev = graft.queries.Tables(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id").bitwiseAND(lit(65535L)).as("ux"),
+        floor(col("value")).cast("long").bitwiseAND(lit(65535L)).as("vy"))
+      .select(col("ux"), col("vy"),
+        Layout.zorderKey(col("ux"), col("vy")).as("zkey"))
+
+    // per-partition vy bounding interval — the file/row-group min/max
+    // stats a writer would record after this range partitioning
+    def vyBoxes(sortCol: String): Array[(Long, Long)] =
+      ev.repartitionByRange(16, col(sortCol))
+        .select(spark_partition_id().as("p"), col("vy"))
+        .groupBy(col("p"))
+        .agg(min(col("vy")).as("lo"), max(col("vy")).as("hi"))
+        .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+
+    def touched(boxes: Array[(Long, Long)]): Int =
+      boxes.count { case (_, hi) => hi >= 128 }
+
+    val zBoxes = vyBoxes("zkey")
+    val xBoxes = vyBoxes("ux")
+    val (zTouched, xTouched) = (touched(zBoxes), touched(xBoxes))
+    // ux-sorted: vy is unconstrained inside every partition — a vy
+    // predicate reads ~everything
+    assert(xTouched >= 14, s"ux layout: $xTouched of ${xBoxes.length}")
+    // z-ordered: the same predicate skips most partitions outright
+    assert(zTouched <= 4,
+      s"z layout touched $zTouched of ${zBoxes.length}: " +
+        zBoxes.sortBy(_._1).mkString(", "))
+    assert(zTouched < xTouched)
+  }
+}
