@@ -1,0 +1,75 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-shard packing: assign each document to a fixed-token-budget
+  * shard.
+  *
+  * The contract is concatenate-and-cut — documents are laid out in a
+  * deterministic global order, the token stream is cut every `budget`
+  * tokens, and a document belongs to the shard where it BEGINS (documents
+  * are not split; a long document may run past its shard's cut, which is
+  * the standard greedy sequence-packing behavior).
+  *
+  * The global running sum this needs is exactly the operation that does
+  * NOT scale as `Window.orderBy(key)` — an empty partition spec collapses
+  * the corpus onto one task. This is the two-phase distributed prefix sum
+  * instead (the Ranks.withGlobalRank shape, in pure DataFrame operations):
+  *
+  *   1. `repartitionByRange(orderCol)` — p range-ordered partitions;
+  *      partition i holds keys strictly below partition i+1's.
+  *   2. running sum WITHIN each partition — a keyed window, fully parallel.
+  *   3. per-partition totals (p rows — a scalar-sized, legitimate driver
+  *      collect) → exclusive prefix offsets, broadcast-joined back.
+  *
+  * All integer arithmetic end to end: results are deterministic and
+  * engine-exact regardless of partition boundaries (the offsets are
+  * computed from actual content, so the sampling inside
+  * repartitionByRange never changes the output).
+  */
+object Packing {
+
+  /** Appends `shardCol` = 0-based shard index under `budget`-token greedy
+    * packing of `weightCol` in ascending `orderCol` order. `weightCol`
+    * must be an integral type (the prefix sum stays exact). */
+  def packByBudget(df: DataFrame, orderCol: String, weightCol: String,
+      budget: Long, shardCol: String = "shard_id",
+      numPartitions: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = df.sparkSession
+    val p =
+      if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    // localCheckpoint FREEZES the range partitioning: repartitionByRange
+    // samples its bounds with a per-execution seed, and the offsets job
+    // and the final result job are separate executions — without the
+    // checkpoint they can disagree on which partition a row lands in,
+    // silently corrupting the prefix sum (observed at sf0.1). Checkpointed,
+    // both jobs read the SAME materialized partitions, and the window
+    // runs once.
+    val local = df.repartitionByRange(p, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lc",
+        sum(col(weightCol)).over(
+          Window.partitionBy(col("__pid")).orderBy(col(orderCol))))
+      .localCheckpoint()
+    // phase 2→3: per-partition totals, exclusive-prefix-summed on the
+    // driver (p longs), rejoined as a broadcast side table
+    val totals = local.groupBy(col("__pid"))
+      .agg(max(col("__lc")).as("__t"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    import spark.implicits._
+    val offsets = (0 until p).scanLeft(0L) { (acc, i) =>
+      acc + totals.getOrElse(i, 0L)
+    }.init.zipWithIndex.map { case (off, pid) => (pid, off) }
+      .toDF("__pid", "__off")
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(shardCol,
+        floor((col("__lc") + col("__off") - col(weightCol))
+          .cast("double") / budget))
+      .drop("__pid", "__lc", "__off")
+  }
+}

@@ -607,6 +607,37 @@ object AdvancedQueries {
           |    AS zkey
           |FROM e ORDER BY event_id""".stripMargin)),
 
+    // Training-shard packing (graft.analytics.Packing.packByBudget):
+    // concatenate the corpus in doc_id order, cut every 4096 estimated
+    // tokens, assign each document to the shard where it begins — the
+    // sequence-packing step before tokenized-shard writing. The global
+    // running sum is a TWO-PHASE DISTRIBUTED PREFIX SUM (range partitions
+    // → parallel local window → p-row offset table broadcast back), never
+    // a single-task Window.orderBy; PackingSpec asserts the executed plan
+    // carries no SinglePartition exchange. Integer arithmetic end to end,
+    // so the oracle (a plain window sum — DuckDB can afford it at oracle
+    // scale) matches exactly.
+    Q("q89_token_packing",
+      (s, dir) => {
+        val w = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            ceil(col("n_chars") / 4.0).cast("long").as("est_tokens"))
+        graft.analytics.Packing
+          .packByBudget(w, orderCol = "doc_id", weightCol = "est_tokens",
+            budget = 4096L)
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH t AS (SELECT doc_id,
+          |    CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_tokens
+          |  FROM documents),
+          |c AS (SELECT doc_id, est_tokens,
+          |    sum(est_tokens) OVER (ORDER BY doc_id) AS cum FROM t)
+          |SELECT doc_id, est_tokens,
+          |  CAST(floor(CAST(cum - est_tokens AS DOUBLE) / 4096) AS BIGINT)
+          |    AS shard_id
+          |FROM c ORDER BY doc_id""".stripMargin)),
+
     // Winnowing (MOSS) rolling-window fingerprints: min-hash of every
     // window of 4 consecutive char-8-gram hashes — any shared substring of
     // length ≥ 11 chars contributes a shared fingerprint at ~1/4 the
