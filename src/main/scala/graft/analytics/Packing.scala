@@ -33,7 +33,13 @@ object Packing {
 
   /** Appends `shardCol` = 0-based shard index under `budget`-token greedy
     * packing of `weightCol` in ascending `orderCol` order. `weightCol`
-    * must be an integral type (the prefix sum stays exact). */
+    * must be an integral type (the prefix sum stays exact); `orderCol`
+    * must be a UNIQUE key — with duplicates the layout order of the tied
+    * rows is arbitrary, so their shard split is valid for SOME tie order
+    * but not reproducible across runs (the running sum uses a ROWS frame,
+    * so ties never share a cumulative value — the default RANGE frame
+    * would hand every tied row the sum INCLUDING all its peers and
+    * misplace whole tie groups past their true shard). */
   def packByBudget(df: DataFrame, orderCol: String, weightCol: String,
       budget: Long, shardCol: String = "shard_id",
       numPartitions: Int = 0): DataFrame = {
@@ -53,7 +59,8 @@ object Packing {
       .withColumn("__pid", spark_partition_id())
       .withColumn("__lc",
         sum(col(weightCol)).over(
-          Window.partitionBy(col("__pid")).orderBy(col(orderCol))))
+          Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .localCheckpoint()
     // phase 2→3: per-partition totals, exclusive-prefix-summed on the
     // driver (p longs), rejoined as a broadcast side table

@@ -276,13 +276,15 @@ object Dedup {
   def bloomDecontaminate(corpusGrams: DataFrame, benchGrams: DataFrame,
       fpp: Double = 0.01, idCol: String = "doc_id",
       gramCol: String = "gram"): DataFrame = {
-    val spark = corpusGrams.sparkSession
-    val bench = benchGrams.select(col(gramCol)).distinct()
+    // cached: three consumers (the sizing count, the filter build, the
+    // verify-join broadcast) would otherwise each re-run the benchmark
+    // scan + distinct; the benchmark side is small by contract
+    val bench = benchGrams.select(col(gramCol)).distinct().cache()
     val nBench = bench.count() // driver scalar: sizes the filter
     val bf = bench.select(xxhash64(col(gramCol)).as("__h"))
       .stat.bloomFilter("__h", math.max(nBench, 1L), fpp)
     corpusGrams
-      .where(graft.functions.BloomMightContain(spark, bf)(
+      .where(graft.functions.BloomMightContain(bf)(
         xxhash64(col(gramCol))))
       .join(broadcast(bench), gramCol)
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BooleanType, DataType}
@@ -40,12 +39,14 @@ case class BloomMightContain(child: Expression, bf: BloomFilter)
 }
 
 object BloomMightContain {
-  /** Registers (idempotently, keyed by filter identity) and returns the
-    * probe as a Column over a LongType hash column. */
-  def apply(spark: SparkSession, bf: BloomFilter)(c: Column): Column = {
-    val name = s"graft_bloom_might_contain_${System.identityHashCode(bf)}"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => BloomMightContain(exprs.head, bf), "built-in")
-    org.apache.spark.sql.functions.call_function(name, c)
+  /** The probe as a Column over a LongType hash column. Built directly
+    * from the expression — NOT via the temp-function registry the
+    * stateless graft expressions use: this expression closes over a
+    * per-call value (the filter), so registry binding would either leak
+    * one multi-MB filter per call under per-instance names, or (fixed
+    * name) resolve a Column against whichever filter registered last. */
+  def apply(bf: BloomFilter)(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(BloomMightContain(ColumnBridge.expression(c), bf))
   }
 }

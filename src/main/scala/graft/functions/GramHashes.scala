@@ -10,15 +10,25 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: POSITIONAL polynomial k-gram hashes of an
   * already-normalized ASCII string — element i is the hash of the gram
-  * starting at byte offset i (`array<long>`, same `B`/`M` scheme and
-  * therefore the same DuckDB-replayable values as
-  * [[WinnowFingerprints]], which keeps only window minima).
+  * starting at byte offset i (`array<long>`).
   *
-  * Computed with a rolling update — `h' = (h − s[i]·B^(k−1))·B + s[i+k]
-  * mod M` — so the pass is O(n) regardless of k; exact-substring duplicate
-  * detection wants k ≈ 40, where the direct per-gram sum would be 40× the
-  * work. All intermediates stay far from Long overflow (h < M ≈ 2³¹,
-  * h·B < 2³⁸).
+  * The value is a DOUBLE-WIDTH hash: two independent polynomial hashes
+  * (`B=131 mod M=2³¹−1` — the [[WinnowFingerprints]] scheme — and
+  * `B₂=137 mod M₂=2147483629`) packed as `h₁·M₂ + h₂` (< 2⁶², exact in
+  * a BIGINT). Width matters because this feeds EXACT-substring duplicate
+  * detection ([[graft.dedup.Dedup.dupSpans]]), where hash equality IS the
+  * duplication verdict: with D distinct grams corpus-wide, a single
+  * 31-bit hash false-marks ~D/2³¹ of grams — at 10⁹ grams a third of the
+  * corpus reads as "duplicated", and at 100 TB essentially all of it.
+  * At 62 bits the false-mark rate is D/2⁶² (~10⁻⁶ at 10¹² grams) —
+  * negligible, and the winnowing SKETCH family (which tolerates
+  * collisions by design and verifies downstream) keeps the narrow hash.
+  *
+  * Computed with rolling updates — `h' = (h − s[i]·B^(k−1))·B + s[i+k]
+  * mod M` per component — so the pass is O(n) regardless of k;
+  * exact-substring detection wants k ≈ 40, where the direct per-gram sum
+  * would be 40× the work. All intermediates stay far from Long overflow
+  * (h < M ≈ 2³¹, h·B < 2³⁹, h₁·M₂ < 2⁶²).
   *
   * Precondition (as [[WinnowFingerprints]]): input is the
   * normalization-regex output `[a-z0-9]*`, single-byte ASCII.
@@ -46,32 +56,66 @@ case class GramHashes(child: Expression, k: Int) extends UnaryExpression {
 object GramHashes {
   import WinnowFingerprints.{B, M}
 
-  /** Hash of every k-gram of `s` in position order; shorter-than-k inputs
-    * yield an empty array. Identical values to summing
-    * `byte_j · B^(k−1−j) mod M` directly (the oracle's formulation). */
+  /** Second, independent hash component (different base AND modulus —
+    * both primes, so the pair collides only when both components do). */
+  val B2 = 137L
+  val M2 = 2147483629L // the largest prime below 2^31 - 1
+
+  /** B2^t mod M2 for t in [0, k). */
+  def powers2(k: Int): Array[Long] = {
+    val p = new Array[Long](k)
+    p(0) = 1L
+    for (t <- 1 until k) p(t) = p(t - 1) * B2 % M2
+    p
+  }
+
+  /** Double-width hash of every k-gram of `s` in position order;
+    * shorter-than-k inputs yield an empty array. Each component is
+    * identical to summing `byte_j · B^(k−1−j) mod M` directly (the
+    * oracle's formulation); the packed value is `h₁·M₂ + h₂`. */
   def compute(s: UTF8String, k: Int): Array[Long] = {
     val n = s.numBytes()
     val g = n - k + 1
     if (g < 1) return Array.emptyLongArray
-    val pows = WinnowFingerprints.powers(k)
-    val topPow = pows(k - 1)
+    val pows1 = WinnowFingerprints.powers(k)
+    val pows2v = powers2(k)
+    val top1 = pows1(k - 1)
+    val top2 = pows2v(k - 1)
     val h = new Array[Long](g)
-    var acc = 0L
+    var a1 = 0L
+    var a2 = 0L
     var j = 0
     while (j < k) {
-      acc += (s.getByte(j) & 0xffL) * pows(k - 1 - j)
+      val b = s.getByte(j) & 0xffL
+      a1 += b * pows1(k - 1 - j)
+      a2 += b * pows2v(k - 1 - j)
       j += 1
     }
-    acc %= M
-    h(0) = acc
+    a1 %= M
+    a2 %= M2
+    h(0) = a1 * M2 + a2
     var i = 1
     while (i < g) {
-      val drop = (s.getByte(i - 1) & 0xffL) * topPow % M
-      acc = ((acc - drop + M) * B + (s.getByte(i + k - 1) & 0xffL)) % M
-      h(i) = acc
+      val bOut = s.getByte(i - 1) & 0xffL
+      val bIn = s.getByte(i + k - 1) & 0xffL
+      a1 = ((a1 - bOut * top1 % M + M) * B + bIn) % M
+      a2 = ((a2 - bOut * top2 % M2 + M2) * B2 + bIn) % M2
+      h(i) = a1 * M2 + a2
       i += 1
     }
     h
+  }
+
+  /** SQL fragment computing the same packed double hash for the gram at
+    * 1-based position `i` of column `col` — the DuckDB oracle side of
+    * [[compute]]. */
+  def duckGramHashWide(col: String, i: String, k: Int): String = {
+    val h1 = WinnowFingerprints.duckGramHash(col, i, k)
+    val pows2v = powers2(k)
+    val h2 = (0 until k).map(j =>
+      s"CAST(ascii(substr($col, $i + $j, 1)) AS BIGINT) * ${pows2v(k - 1 - j)}")
+      .mkString("(", " + ", s") % $M2")
+    s"(($h1) * $M2 + ($h2))"
   }
 
   /** Registers (idempotently) and returns the expression as a Column. */

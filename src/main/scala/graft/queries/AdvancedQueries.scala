@@ -41,6 +41,16 @@ object AdvancedQueries {
        |  FROM kh)""".stripMargin
   }
 
+  /** The exploded corpus token stream, cached once per (session, dir):
+    * q73's vocabulary head and BOTH of q79's passes (the CMS aggregation
+    * and the exact top-20) scan one InMemoryRelation instead of
+    * re-tokenizing the corpus per action. */
+  private[graft] def tokenStream(s: SparkSession, dir: String): DataFrame =
+    Caches.frame(s, dir, "tokens") {
+      Tables.sharded(s, dir, "documents", "doc_id")
+        .select(explode(graft.dedup.Dedup.tokens(col("text"))).as("token"))
+    }
+
   /** The winnowing fingerprint table, cached once per (session, dir) —
     * q63 reports per-document digests over it and q64's detector explodes
     * it for the pair verify; both scan the same InMemoryRelation. */
@@ -242,8 +252,7 @@ object AdvancedQueries {
     Q("q79_cms_heavy_hitters",
       (s, dir) => {
         import s.implicits._
-        val toks = Tables.sharded(s, dir, "documents", "doc_id")
-          .select(explode(graft.dedup.Dedup.tokens(col("text"))).as("token"))
+        val toks = tokenStream(s, dir)
         val cms = toks.stat
           .countMinSketch(col("token"), eps = 0.0001, confidence = 0.99,
             seed = 42)
@@ -370,8 +379,7 @@ object AdvancedQueries {
     // heaps, driver merges 20 rows), never a global sort.
     Q("q73_top_tokens",
       (s, dir) =>
-        Tables.sharded(s, dir, "documents", "doc_id")
-          .select(explode(graft.dedup.Dedup.tokens(col("text"))).as("token"))
+        tokenStream(s, dir)
           .groupBy(col("token")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("token")).limit(20),
       Some(

@@ -42,11 +42,11 @@ object DedupQueries {
     }
 
   /** Shared oracle prefix for q74/q81: normalized text → positional
-    * char-40-gram polynomial hashes as CTE `p(doc_id, pos, hv)` (+
-    * `hs(doc_id, n_norm, h)` for lengths). */
+    * char-40-gram packed double hashes (GramHashes' 62-bit scheme) as CTE
+    * `p(doc_id, pos, hv)` (+ `hs(doc_id, n_norm, h)` for lengths). */
   private lazy val duckDupGrams: String = {
-    val hash = graft.functions.WinnowFingerprints
-      .duckGramHash("norm", "i", DupK)
+    val hash = graft.functions.GramHashes
+      .duckGramHashWide("norm", "i", DupK)
     s"""WITH nrm AS (SELECT doc_id,
       |    regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS norm
       |  FROM documents),

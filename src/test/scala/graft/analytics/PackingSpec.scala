@@ -44,6 +44,19 @@ class PackingSpec extends AnyFunSuite with SparkTestBase
         s"${out.queryExecution.executedPlan}")
   }
 
+  test("tied order keys still pack sequentially (ROWS frame, not RANGE)") {
+    import spark.implicits._
+    // three tied rows of weight 6 under budget 10 must yield starts
+    // 0/6/12 → shards 0,0,1 under ANY tie order (weights are symmetric).
+    // The default RANGE frame hands each tied row the sum of ALL peers
+    // (start 12,12,12 → shards 1,1,1) — the regression this pins.
+    val df = Seq((1L, 6L), (1L, 6L), (1L, 6L)).toDF("id", "w")
+    val shards = Packing
+      .packByBudget(df, "id", "w", budget = 10L, numPartitions = 2)
+      .collect().map(_.getAs[Long]("shard_id")).sorted
+    assert(shards.toSeq === Seq(0L, 0L, 1L))
+  }
+
   test("packing is invariant to the partition count") {
     import spark.implicits._
     val df = (0L until 200L).map(i => (i, (i % 7) + 1)).toDF("id", "w")

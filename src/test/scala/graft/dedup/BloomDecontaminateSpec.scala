@@ -40,7 +40,7 @@ class BloomDecontaminateSpec extends AnyFunSuite with SparkTestBase {
       .stat.bloomFilter("h", math.max(nBench, 1L), 0.01)
     val total = corpus.count()
     val passed = corpus.where(
-      graft.functions.BloomMightContain(spark, bf)(xxhash64(col("gram"))))
+      graft.functions.BloomMightContain(bf)(xxhash64(col("gram"))))
       .count()
     val trueHits = corpus.join(broadcast(bench), "gram").count()
     // survivors = true hits + false positives; fpp 0.01 with 5x headroom
