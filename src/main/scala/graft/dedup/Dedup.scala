@@ -135,7 +135,7 @@ object Dedup {
     // distinct: the dedup shuffle then carries (id, id, int) instead of
     // two fingerprint strings per row, and over-threshold candidates
     // never reach the exchange
-    val ham = graft.functions.HammingDistance(spark)(
+    val ham = graft.functions.HammingDistance(
       col(s"x.$fpCol"), col(s"y.$fpCol"))
     banded.as("x")
       .join(banded.as("y"),
@@ -197,7 +197,7 @@ object Dedup {
     val norm = regexp_replace(lower(col(textCol)), "[^a-z0-9]+", "")
     docs
       .select(col(idCol),
-        graft.functions.GramHashes(docs.sparkSession, k)(norm).as("__hs"))
+        graft.functions.GramHashes(k)(norm).as("__hs"))
       .select(col(idCol), posexplode(col("__hs")).as(Seq("pos", "hv")))
   }
 

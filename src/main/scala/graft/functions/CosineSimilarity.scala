@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -70,14 +70,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object CosineSimilarity {
-  private val FnName = "graft_cosine_similarity"
-
-  /** Registers the SQL function (idempotent) and returns a Column builder —
-    * registry-based so it works on any session without relying on Column
-    * constructor internals. */
-  def apply(spark: SparkSession)(a: Column, b: Column): Column = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-    org.apache.spark.sql.functions.call_function(FnName, a, b)
-  }
+  /** The expression as a Column — built directly (ColumnBridge), no
+    * session mutation; SQL users get the function via GraftExtensions. */
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -54,12 +54,9 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object DotProduct {
-  private val FnName = "graft_dot_product"
-
-  /** Registers the SQL function (idempotent) and returns a Column builder. */
-  def apply(spark: SparkSession)(a: Column, b: Column): Column = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    org.apache.spark.sql.functions.call_function(FnName, a, b)
-  }
+  /** The expression as a Column — built directly (ColumnBridge), no
+    * session mutation; SQL users get the function via GraftExtensions. */
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -14,10 +14,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * Int parameters (k, w) must be integer literals in SQL:
   * `graft_winnow_fingerprints(norm_text, 8, 4)`.
   *
-  * (The DataFrame path registers the same expressions lazily via each
-  * companion's `apply`; this class is the spark-submit-time hook.
-  * `BloomMightContain` is deliberately NOT injected: it closes over a
-  * driver-built BloomFilter object, which has no SQL literal form.)
+  * (The DataFrame path builds Columns directly from the expressions —
+  * no session mutation; this class is the spark-submit-time hook for the
+  * SQL names. `BloomMightContain` is deliberately NOT injected: it closes
+  * over a driver-built BloomFilter object, which has no SQL literal
+  * form.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 

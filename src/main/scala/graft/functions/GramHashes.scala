@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -118,11 +118,8 @@ object GramHashes {
     s"(($h1) * $M2 + ($h2))"
   }
 
-  /** Registers (idempotently) and returns the expression as a Column. */
-  def apply(spark: SparkSession, k: Int)(c: Column): Column = {
-    val name = s"graft_gram_hashes_$k"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => GramHashes(exprs.head, k), "built-in")
-    org.apache.spark.sql.functions.call_function(name, c)
-  }
+  /** The expression as a Column — built directly (ColumnBridge), no
+    * session mutation; SQL users get the function via GraftExtensions. */
+  def apply(k: Int)(c: Column): Column =
+    ColumnBridge.column(GramHashes(ColumnBridge.expression(c), k))
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, IntegerType}
@@ -64,11 +64,9 @@ case class HammingDistance(left: Expression, right: Expression)
 }
 
 object HammingDistance {
-  private val FnName = "graft_hamming_distance"
-
-  def apply(spark: SparkSession)(a: Column, b: Column): Column = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => HammingDistance(exprs(0), exprs(1)), "built-in")
-    org.apache.spark.sql.functions.call_function(FnName, a, b)
-  }
+  /** The expression as a Column — built directly (ColumnBridge), no
+    * session mutation; SQL users get the function via GraftExtensions. */
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(HammingDistance(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

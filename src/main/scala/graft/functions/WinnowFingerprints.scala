@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -115,11 +115,8 @@ object WinnowFingerprints {
       .mkString("(", " + ", s") % $M")
   }
 
-  /** Registers (idempotently) and returns the expression as a Column. */
-  def apply(spark: SparkSession, k: Int, w: Int)(c: Column): Column = {
-    val name = s"graft_winnow_${k}_$w"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => WinnowFingerprints(exprs.head, k, w), "built-in")
-    org.apache.spark.sql.functions.call_function(name, c)
-  }
+  /** The expression as a Column — built directly (ColumnBridge), no
+    * session mutation; SQL users get the function via GraftExtensions. */
+  def apply(k: Int, w: Int)(c: Column): Column =
+    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(c), k, w))
 }

@@ -383,7 +383,7 @@ object DedupQueries {
         // loop of the candidate verify
         // hamming computed + filtered BEFORE the distinct: the dedup
         // shuffle carries (long, long, int) rows, not fingerprint strings
-        val hamming = graft.functions.HammingDistance(s)(
+        val hamming = graft.functions.HammingDistance(
           col("x.simhash16"), col("y.simhash16"))
         banded.as("x")
           .join(banded.as("y"),
@@ -476,7 +476,7 @@ object DedupQueries {
       (s, dir) => {
         val emb = Tables.sharded(s, dir, "embeddings", "vec_id")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-        val cos = graft.functions.CosineSimilarity(s)(col("ae"), col("be"))
+        val cos = graft.functions.CosineSimilarity(col("ae"), col("be"))
         graft.similarity.Similarity.topKPairs(emb, k = 20)
           .select(col("id_a"), col("id_b"), col("cos_sim"))
           .orderBy(col("id_a"), col("id_b"))
@@ -662,7 +662,7 @@ object DedupQueries {
             col("embedding").as("__eb")), "id_b")
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
             col("jaccard"),
-            round(graft.functions.CosineSimilarity(s)(col("__ea"),
+            round(graft.functions.CosineSimilarity(col("__ea"),
               col("__eb")), 6).as("cos_sim"))
           .orderBy(col("doc_a"), col("doc_b"))
       },

@@ -24,7 +24,7 @@ object Similarity {
       queryId: String = "query_id", candId: String = "vec_id",
       queryVec: String = "qe", candVec: String = "e"): DataFrame = {
     val spark = candidates.sparkSession
-    val cos = CosineSimilarity(spark)(col(queryVec), col(candVec))
+    val cos = CosineSimilarity(col(queryVec), col(candVec))
     candidates.crossJoin(broadcast(queries))
       .select(col(queryId), col(candId), round(cos, 6).as("cos_sim"))
       .withColumn("rk", row_number().over(Window.partitionBy(col(queryId))
@@ -48,7 +48,7 @@ object Similarity {
     val a = emb.select(col(idCol), col(labelCol), col(vecCol))
     val b = emb.select(col(idCol).as("neighbor_id"), col(labelCol),
       col(vecCol).as("__ne"))
-    val cos = CosineSimilarity(spark)(col(vecCol), col("__ne"))
+    val cos = CosineSimilarity(col(vecCol), col("__ne"))
     a.join(b, labelCol)
       .where(col(idCol) =!= col("neighbor_id"))
       .select(col(idCol), col(labelCol), round(cos, 6).as("cos_sim"),
@@ -72,7 +72,7 @@ object Similarity {
       ((p.toLong * dim + j) * 2654435761L) % 97 - 48
     val bits = (0 until planes).map { p =>
       val hp = array((0 until dim).map(j => lit(weight(p, j).toDouble)): _*)
-      when(graft.functions.DotProduct(spark)(vecCol, hp) >= 0,
+      when(graft.functions.DotProduct(vecCol, hp) >= 0,
         lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)
@@ -150,7 +150,7 @@ object Similarity {
     }.toIndexedSeq: _*)
     array_sort(transform(centsLit, c =>
       struct(
-        (-round(CosineSimilarity(spark)(col(vecCol), c.getField("centroid")),
+        (-round(CosineSimilarity(col(vecCol), c.getField("centroid")),
           6) + 0.0).as("negcos"),
         c.getField("cell").as("cell"))))
   }
@@ -202,7 +202,7 @@ object Similarity {
         col(vecCol).as("__ne"))
     val probed = probeCells(emb, cents, probes, idCol, vecCol)
       .select(col(idCol), col("cell"), col(vecCol))
-    val cos = CosineSimilarity(spark)(col(vecCol), col("__ne"))
+    val cos = CosineSimilarity(col(vecCol), col("__ne"))
     probed.join(cand, "cell")
       .where(col(idCol) =!= col("neighbor_id"))
       .select(col(idCol), round(cos, 6).as("cos_sim"), col("neighbor_id"))
@@ -254,7 +254,7 @@ object Similarity {
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
-    val cos = CosineSimilarity(spark)(col("__ae"), col("__be"))
+    val cos = CosineSimilarity(col("__ae"), col("__be"))
     cands
       .join(emb.select(col(idCol).as("id_a"), col(vecCol).as("__ae")), "id_a")
       .join(emb.select(col(idCol).as("id_b"), col(vecCol).as("__be")), "id_b")
@@ -268,7 +268,7 @@ object Similarity {
   def topKPairs(emb: DataFrame, k: Int, idCol: String = "vec_id",
       vecCol: String = "e"): DataFrame = {
     val spark = emb.sparkSession
-    val cos = CosineSimilarity(spark)(col("__ae"), col("__be"))
+    val cos = CosineSimilarity(col("__ae"), col("__be"))
     emb.select(col(idCol).as("id_a"), col(vecCol).as("__ae"))
       .join(emb.select(col(idCol).as("id_b"), col(vecCol).as("__be")),
         col("id_a") < col("id_b"))
@@ -293,7 +293,7 @@ object Similarity {
   def semanticDupes(assigned: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "e"): DataFrame = {
     val spark = assigned.sparkSession
-    val cos = round(CosineSimilarity(spark)(col(vecCol), col("__be")), 6)
+    val cos = round(CosineSimilarity(col(vecCol), col("__be")), 6)
     val dupOf = assigned.select(col(idCol), col("cell"), col(vecCol))
       .join(assigned.select(col(idCol).as("__bid"), col("cell"),
         col(vecCol).as("__be")), "cell")

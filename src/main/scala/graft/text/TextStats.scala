@@ -145,7 +145,7 @@ object TextStats {
       textCol: String = "text", k: Int = 8, w: Int = 4): DataFrame = {
     val norm = regexp_replace(lower(col(textCol)), "[^a-z0-9]+", "")
     docs.select(col(idCol),
-      graft.functions.WinnowFingerprints(docs.sparkSession, k, w)(norm)
+      graft.functions.WinnowFingerprints(k, w)(norm)
         .as("fingerprints"))
   }
 

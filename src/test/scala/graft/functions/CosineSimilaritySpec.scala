@@ -19,15 +19,18 @@ class CosineSimilaritySpec extends AnyFunSuite with SparkTestBase {
       (sqrt(aggregate(transform(col("a"), x => x * x), lit(0.0), (acc, x) => acc + x)) *
         sqrt(aggregate(transform(col("b"), x => x * x), lit(0.0), (acc, x) => acc + x)))
     val out = df.select(
-      CosineSimilarity(spark)(col("a"), col("b")).as("native"),
+      CosineSimilarity(col("a"), col("b")).as("native"),
       hof.as("hof")).collect()
     out.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 
   test("SQL surface: graft_cosine_similarity callable from spark.sql") {
-    // the Column builder registers the function on the session; SQL users
-    // get the same name via GraftExtensions at session-build time
-    CosineSimilarity(spark)(lit(Array(1.0)), lit(Array(1.0)))
+    // SQL users get the name via GraftExtensions at session-build time;
+    // the shared test session predates injection, so register the same
+    // builder directly (GraftExtensionsSpec covers the builder surface)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine_similarity",
+      exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     val r = spark.sql(
       """SELECT graft_cosine_similarity(array(1.0D, 2.0D), array(2.0D, 4.0D)) AS c""")
       .head().getDouble(0)

@@ -19,12 +19,17 @@ class HammingDistanceSpec extends AnyFunSuite with SparkTestBase {
           .otherwise(0)),
       lit(0), (acc, x) => acc + x)
     val out = df.select(
-      HammingDistance(spark)(col("a"), col("b")).as("native"),
+      HammingDistance(col("a"), col("b")).as("native"),
       hof.as("hof")).collect()
     out.foreach(r => assert(r.getInt(0) === r.getInt(1)))
   }
 
   test("edge cases: identical, disjoint, null propagation") {
+    // SQL name comes from GraftExtensions at session-build time; the
+    // shared test session predates injection, so register the builder
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hamming_distance",
+      exprs => HammingDistance(exprs(0), exprs(1)), "built-in")
     val r = spark.sql(
       """SELECT graft_hamming_distance('0101', '0101') AS same,
         |       graft_hamming_distance('0000', '1111') AS all_diff,

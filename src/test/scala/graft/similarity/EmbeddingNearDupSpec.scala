@@ -20,7 +20,7 @@ class EmbeddingNearDupSpec extends AnyFunSuite with SparkTestBase {
     .cache()
 
   private lazy val exact: Set[(Long, Long)] = {
-    val cos = graft.functions.CosineSimilarity(spark)(col("__ae"), col("__be"))
+    val cos = graft.functions.CosineSimilarity(col("__ae"), col("__be"))
     emb.select(col("vec_id").as("id_a"), col("e").as("__ae"))
       .join(emb.select(col("vec_id").as("id_b"), col("e").as("__be")),
         col("id_a") < col("id_b"))
