@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Storage-layout keys for multi-dimensional scan pruning.
@@ -31,5 +31,32 @@ object Layout {
         .bitwiseOR(
           shiftleft(shiftrightunsigned(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
+  }
+
+  /** Small-file compaction (the maintenance half of OPTIMIZE): plan `df`
+    * into `ceil(rows / targetRows)` output partitions so a subsequent
+    * parquet write produces that many right-sized files instead of the
+    * accumulated small ones (a 100 TB table ingested in thousands of
+    * micro-batches otherwise degrades every scan with per-file open cost
+    * and starves row-group statistics).
+    *
+    * With `clusterBy` columns the rewrite simultaneously CLUSTERS: a
+    * range repartition + local sort on those columns (pass a
+    * [[zorderKey]] for multi-dimensional locality — together they are the
+    * OPTIMIZE ZORDER shape), so file min/max stats prune future scans.
+    * Without, a round-robin repartition balances file sizes exactly.
+    *
+    * One count job + one shuffle; returns the row count so callers can
+    * assert nothing was lost. */
+  def compactionPlan(df: DataFrame, targetRows: Long,
+      clusterBy: Seq[Column] = Nil): (DataFrame, Long) = {
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val n = df.count()
+    val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
+    val planned =
+      if (clusterBy.isEmpty) df.repartition(files)
+      else df.repartitionByRange(files, clusterBy: _*)
+        .sortWithinPartitions(clusterBy: _*)
+    (planned, n)
   }
 }

@@ -68,4 +68,49 @@ class ZOrderLayoutSpec extends AnyFunSuite with SparkTestBase {
         zBoxes.sortBy(_._1).mkString(", "))
     assert(zTouched < xTouched)
   }
+
+  test("compactionPlan rewrites small files into ceil(n/target) " +
+      "right-sized ones, preserving rows; clusterBy keeps z-locality") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact")
+    val frag = s"$dir/fragmented"
+    val out = s"$dir/compacted"
+    val ev = graft.queries.Tables(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    ev.repartition(64).write.parquet(frag) // the small-file problem
+    def partFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(partFiles(frag) === 64)
+
+    val fragDf = spark.read.parquet(frag)
+    val total = fragDf.count()
+    val target = (total + 1) / 2 // → exactly 2 output files
+    val (planned, n) = Layout.compactionPlan(fragDf, target)
+    assert(n === total)
+    planned.write.parquet(out)
+    assert(partFiles(out) === 2)
+    assert(spark.read.parquet(out).count() === total)
+
+    // clustered variant: each output file carries a bounded zkey range
+    val zOut = s"$dir/zcompacted"
+    val withZ = fragDf.select(col("event_id"),
+      Layout.zorderKey(
+        col("user_id").bitwiseAND(lit(65535L)),
+        floor(col("value")).cast("long").bitwiseAND(lit(65535L))).as("zkey"))
+    val (zPlanned, _) = Layout.compactionPlan(withZ, (total + 3) / 4,
+      clusterBy = Seq(col("zkey")))
+    zPlanned.write.parquet(zOut)
+    assert(partFiles(zOut) === 4)
+    // files are range-disjoint in zkey — the pruning property compaction
+    // must not destroy
+    val perFile = spark.read.parquet(zOut)
+      .select(input_file_name().as("f"), col("zkey"))
+      .groupBy(col("f"))
+      .agg(min(col("zkey")).as("lo"), max(col("zkey")).as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    perFile.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, perFile.toSeq)
+      case _ =>
+    }
+  }
 }
