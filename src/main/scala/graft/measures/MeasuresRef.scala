@@ -51,7 +51,29 @@ object MeasuresRef {
     m - s / (2.0 * n * n)
   }
 
-  /** All six measures in reference order; `xs` need not be sorted. */
+  /** O(n) sorted-identity sm2 — the PRODUCTION scalar form (the streaming
+    * ring-buffer fires call this per row; the pairwise [[sm2]] would make
+    * each fire O(n²), unusable at n = 10⁴). Mirrors the batch
+    * `Measures.sm2From` term order — `gsum = Σᵢ(2i−n−1)sᵢ` folded
+    * left-to-right over the sorted array, then `m − gsum/n²` — so stream
+    * and batch compute IDENTICAL doubles, not merely ulp-close ones
+    * (boundary alerts cannot diverge between the two paths). Expects `xs`
+    * ascending-sorted. */
+  def sm2Sorted(sorted: Array[Double]): Double = {
+    val n = sorted.length
+    val m = mean(sorted)
+    var g = 0.0
+    var i = 0
+    while (i < n) {
+      g += (2 * (i + 1) - (n + 1)).toDouble * sorted(i)
+      i += 1
+    }
+    m - g / (n.toDouble * n)
+  }
+
+  /** All six measures in reference order with the LITERAL O(n²) sm2 —
+    * the test oracle; `xs` need not be sorted. Production callers use
+    * [[allFast]]. */
   def all(xs: Array[Double]): Seq[(String, Double)] = {
     val sorted = xs.sorted
     Seq(
@@ -61,6 +83,20 @@ object MeasuresRef {
       Measures.TailMean -> tailMean(sorted),
       Measures.Sm1 -> sm1(sorted),
       Measures.Sm2 -> sm2(sorted))
+  }
+
+  /** All six measures with the O(n) sorted-identity sm2 — the production
+    * per-fire path (every measure O(n) after the sort, batch-identical
+    * doubles). */
+  def allFast(xs: Array[Double]): Seq[(String, Double)] = {
+    val sorted = xs.sorted
+    Seq(
+      Measures.Mean -> mean(sorted),
+      Measures.Median -> median(sorted),
+      Measures.Q10 -> q10(sorted),
+      Measures.TailMean -> tailMean(sorted),
+      Measures.Sm1 -> sm1(sorted),
+      Measures.Sm2 -> sm2Sorted(sorted))
   }
 
   def alert(m: Double, thr: Double, shortfall: Double = 0.01): Boolean =

@@ -21,8 +21,12 @@ case class StreamAlert(key: Long, seq: Long, stat: String, m: Double, thr: Doubl
   * order is `buf((head + i) % n)` once full. Appending is O(1) — no
   * per-row copy of the window — so state-update cost is flat in n and the
   * operator stays the right shape at n = 10⁴ as well as the reference's
-  * n = 30 (the O(n) work per fire is the six-measure recompute itself,
-  * which is the reference's live recompute-per-fire contract). */
+  * n = 30 (the O(n log n) work per fire is the sort + six-measure
+  * recompute via `MeasuresRef.allFast`, which keeps the reference's live
+  * recompute-per-fire contract without its O(n²) pairwise sm2).
+  * `lastSeq` is the replay guard: rows at or below it (late arrivals, or
+  * source replays that slipped past checkpoint dedup) are skipped instead
+  * of being double-applied to the window. */
 case class Ring(buf: Array[Double], head: Int, count: Int, lastSeq: Long)
 
 /** Count-based sliding window (size n, slide 1) for Structured Streaming —
@@ -61,15 +65,18 @@ object CountSlidingWindow {
           var last = prev.lastSeq
           val out = Seq.newBuilder[MeasureRow]
           batch.foreach { s =>
-            buf(head) = s.v
-            head = (head + 1) % n
-            if (count < n) count += 1
-            last = s.seq
-            if (count == n) {
-              // oldest-first snapshot of the trailing n values for the fire
-              val window = Array.tabulate(n)(i => buf((head + i) % n))
-              MeasuresRef.all(window).foreach { case (stat, m) =>
-                out += MeasureRow(key, s.seq, stat, m)
+            if (s.seq > last) { // replay/late-row guard (see Ring.lastSeq)
+              buf(head) = s.v
+              head = (head + 1) % n
+              if (count < n) count += 1
+              last = s.seq
+              if (count == n) {
+                // oldest-first snapshot of the trailing n values; allFast =
+                // the O(n) sorted-identity measures, batch-identical doubles
+                val window = Array.tabulate(n)(i => buf((head + i) % n))
+                MeasuresRef.allFast(window).foreach { case (stat, m) =>
+                  out += MeasureRow(key, s.seq, stat, m)
+                }
               }
             }
           }

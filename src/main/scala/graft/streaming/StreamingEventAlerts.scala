@@ -38,12 +38,15 @@ object StreamingEventAlerts {
   }
 
   /** The streaming file source wants a directory; the driver table is a
-    * single parquet file — stage it via symlink into a temp dir. */
+    * single parquet file — stage it via symlink into a temp dir. The
+    * target is absolutized first: a relative `dir` would otherwise make
+    * the link resolve against the TEMP directory, dangle, and stream
+    * zero rows without an error. */
   def stagedEventsDir(dir: String): String = {
     val d = java.nio.file.Files.createTempDirectory("graft_events_stream")
     java.nio.file.Files.createSymbolicLink(
       d.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+      java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
     d.toString
   }
 

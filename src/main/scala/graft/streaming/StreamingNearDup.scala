@@ -49,30 +49,51 @@ object StreamingNearDup {
     * of the batch DF-cap, which drops hot shingles entirely); overflow is
     * counted in the `graft.neardup.bucketOverflow` accumulator so an
     * operator can see when the cap was hit rather than discovering missing
-    * candidates downstream. */
+    * candidates downstream.
+    *
+    * `maxBucket` bounds each bucket but NOT the bucket count: with no TTL
+    * a lifetime stream retains one state entry per distinct bucket ever
+    * observed — mostly singletons that can never pair again — and the
+    * state store grows with the fingerprint vocabulary. `idleTtl` is the
+    * lever for long-lived deployments: buckets idle past it are dropped
+    * (processing-time timeout), trading away pairs that straddle an idle
+    * gap longer than the TTL — the standard streaming-dedup window
+    * contract, stated instead of silent. Default keeps the unbounded
+    * exact behavior for the batch-equality specs. */
   def candidatePairs(banded: Dataset[BucketDoc],
-      maxBucket: Int = 64): Dataset[CandPair] = {
+      maxBucket: Int = 64,
+      idleTtl: Option[java.time.Duration] = None): Dataset[CandPair] = {
     import banded.sparkSession.implicits._
     val overflow = banded.sparkSession.sparkContext
       .longAccumulator("graft.neardup.bucketOverflow")
+    val timeoutConf =
+      if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     banded.groupByKey(_.bucket)
       .flatMapGroupsWithState[Array[Long], CandPair](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (_, rows, state: GroupState[Array[Long]]) =>
-          var seen = state.getOption.getOrElse(Array.empty[Long])
-          val pairs = scala.collection.mutable.ArrayBuffer.empty[CandPair]
-          rows.foreach { r =>
-            if (!seen.contains(r.docId)) {
-              seen.foreach { prev =>
-                val (a, b) = if (prev < r.docId) (prev, r.docId) else (r.docId, prev)
-                pairs += CandPair(a, b)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(Array.empty[Long])
+            val pairs = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+            rows.foreach { r =>
+              if (!seen.contains(r.docId)) {
+                seen.foreach { prev =>
+                  val (a, b) =
+                    if (prev < r.docId) (prev, r.docId) else (r.docId, prev)
+                  pairs += CandPair(a, b)
+                }
+                if (seen.length < maxBucket) seen = seen :+ r.docId
+                else overflow.add(1)
               }
-              if (seen.length < maxBucket) seen = seen :+ r.docId
-              else overflow.add(1)
             }
+            state.update(seen)
+            idleTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            pairs.iterator
           }
-          state.update(seen)
-          pairs.iterator
       }
   }
 }

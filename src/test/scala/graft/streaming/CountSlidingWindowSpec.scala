@@ -52,6 +52,27 @@ class CountSlidingWindowSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("replayed and late rows are skipped, not double-applied") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val data = samples(keys = 1, n = 35)
+    val input = MemoryStream[Sample]
+    val q = CountSlidingWindow.measures(input.toDS(), 30)
+      .writeStream.format("memory").queryName("r_out")
+      .outputMode("append").start()
+    try {
+      input.addData(data)
+      q.processAllAvailable()
+      // a replayed slice AND a late row: all at or below lastSeq → no-ops
+      input.addData(data.slice(10, 20) :+ Sample(0L, 5L, 99.9))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("r_out").as[MeasureRow].collect()
+    // only the original fires (seq 29..34), nothing from the replay batch
+    assert(rows.length === (35 - 29) * 6)
+    assert(rows.map(_.seq).distinct.sorted.toSeq === (29L to 34L))
+  }
+
   test("ring-buffer state holds at n=1000: semantics across micro-batches") {
     // The large-window shape check: state update must be O(1) per row (a
     // ring-buffer slot write, never a window copy), so a 1000-deep window
