@@ -17,25 +17,40 @@ case class MediaMeta(docId: Long, kind: String, byteLen: Int, width: Int,
   * runs per partition so heavyweight codecs initialize once per task, not
   * per row — the Spark-side batch shape that matters at 100 TB.
   *
+  * Decoders are passed as FACTORIES (`() => Decoder`), not decoder values:
+  * the factory is what the closure serializes, and it is invoked INSIDE
+  * mapPartitions — so a codec holding native buffers is constructed on the
+  * executor, once per task. A bare `Decoder` value would be constructed on
+  * the driver and either fail serialization or share one native handle
+  * across all executor threads.
+  *
   * STUB NOTE: this container has no media libraries, so the default decoder
   * is a clearly-marked deterministic fake deriving dimensions from the
   * payload digest. The partitioning, schema, typed Dataset plumbing and the
   * per-partition decoder lifecycle are real and tested; swap `stubDecoder`
-  * for a JNI/codec-backed function in production.
+  * for a JNI/codec-backed factory in production.
   */
 object Multimodal {
 
   /** (width, height, frames) from payload bytes. */
   type Decoder = Array[Byte] => (Int, Int, Int)
 
-  /** Deterministic fake: dimensions from the md5 hex of the payload —
-    * matches the expression-level stub in q29_multimodal_meta so the typed
-    * path and the SQL path cross-check each other. */
-  val stubDecoder: Decoder = { bytes =>
+  /** Factory invoked once per partition, on the executor. */
+  type DecoderFactory = () => Decoder
+
+  /** Deterministic fake: dimensions from the md5 hex of the payload; frame
+    * count from the DECODED character length (UTF-8), matching the
+    * expression-level stub in q29_multimodal_meta (`n_chars / 100 + 1`) so
+    * the typed path and the SQL path cross-check each other on non-ASCII
+    * text too — a byte-length-derived count would diverge on any
+    * multi-byte character. */
+  val stubDecoder: DecoderFactory = () => { bytes =>
     val hex = md5Hex(bytes)
     val w = hex(0).toInt * 8 + hex(1).toInt
     val h = hex(2).toInt * 8 + hex(3).toInt
-    (w, h, bytes.length / 100 + 1)
+    val nChars = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      .length
+    (w, h, nChars / 100 + 1)
   }
 
   private def md5Hex(bytes: Array[Byte]): String =
@@ -46,12 +61,11 @@ object Multimodal {
     * per partition (a real codec holds native buffers); rows stream through
     * an iterator — no materialization of the partition. */
   def decodeMeta(ds: Dataset[MediaFile],
-      decoder: Decoder = stubDecoder): Dataset[MediaMeta] = {
+      decoder: DecoderFactory = stubDecoder): Dataset[MediaMeta] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions { it =>
-      // per-partition init point for heavyweight decoders
-      val dec = decoder
+      val dec = decoder() // per-partition init, on the executor
       it.map { m =>
         val (w, h, frames) = dec(m.payload)
         MediaMeta(m.docId, m.kind, m.payload.length, w, h, frames,
@@ -72,15 +86,16 @@ object Multimodal {
 
   /** Resize: the 1:1 payload-transform batch shape. The stub emits a
     * deterministic digest-derived payload of w*h/64 bytes; a real
-    * implementation swaps `resizer` for a codec call. The envelope records
-    * the new dimensions so downstream stages never re-decode. */
+    * implementation swaps `resizer` for a codec-backed factory. The
+    * envelope records the new dimensions so downstream stages never
+    * re-decode. */
   def resize(ds: Dataset[MediaFile], w: Int, h: Int,
-      resizer: (Array[Byte], Int, Int) => Array[Byte] = stubResizer)
+      resizer: () => (Array[Byte], Int, Int) => Array[Byte] = stubResizer)
       : Dataset[MediaMeta] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions { it =>
-      val rs = resizer // per-partition init point
+      val rs = resizer() // per-partition init, on the executor
       it.map { m =>
         val out = rs(m.payload, w, h)
         MediaMeta(m.docId, m.kind, out.length, w, h, 1, md5Hex(out))
@@ -88,25 +103,32 @@ object Multimodal {
     }
   }
 
-  val stubResizer: (Array[Byte], Int, Int) => Array[Byte] = { (bytes, w, h) =>
-    val n = math.max(1, w * h / 64)
-    val seed = MessageDigest.getInstance("MD5").digest(bytes)
-    Array.tabulate(n)(i => seed(i % seed.length))
-  }
+  val stubResizer: () => (Array[Byte], Int, Int) => Array[Byte] =
+    () => { (bytes, w, h) =>
+      val n = math.max(1, w * h / 64)
+      val seed = MessageDigest.getInstance("MD5").digest(bytes)
+      Array.tabulate(n)(i => seed(i % seed.length))
+    }
 
   /** One row per sampled frame — the 1:N fan-out batch shape (video →
     * frames). Frame payloads derive deterministically from (payload,
-    * frameIdx); `every` controls the stride. flatMap streams frames out of
-    * the iterator, so a long video never materializes in memory at once. */
+    * frameIdx); `every` controls the stride (validated on the driver: a
+    * zero stride would otherwise throw per-row deep inside a stage, and a
+    * negative one would silently emit no frames). The iterator streams
+    * frames out, so a long video never materializes in memory at once. */
   def sampleFrames(ds: Dataset[MediaFile], every: Int,
-      decoder: Decoder = stubDecoder): Dataset[FrameSample] = {
+      decoder: DecoderFactory = stubDecoder): Dataset[FrameSample] = {
+    require(every > 0, s"frame stride `every` must be positive, got $every")
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.flatMap { m =>
-      val (_, _, nFrames) = decoder(m.payload)
-      (0 until nFrames by every).map { f =>
-        FrameSample(m.docId, f,
-          md5Hex(m.payload ++ BigInt(f).toByteArray))
+    ds.mapPartitions { it =>
+      val dec = decoder() // per-partition init, on the executor
+      it.flatMap { m =>
+        val (_, _, nFrames) = dec(m.payload)
+        (0 until nFrames by every).iterator.map { f =>
+          FrameSample(m.docId, f,
+            md5Hex(m.payload ++ BigInt(f).toByteArray))
+        }
       }
     }
   }

@@ -18,12 +18,20 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * (sqrt(na)·sqrt(nb))` — element order and operation order identical to
   * both the HOF formulation and DuckDB's `list_cosine_similarity`, so
   * oracle results are unchanged.
+  *
+  * Zero-norm inputs yield NULL, never NaN: cosine is undefined there, and
+  * a NaN poisons every consumer — Spark orders NaN ABOVE 1.0, so one
+  * all-zero embedding would rank as the #1 neighbor of every query in a
+  * `cos_sim.desc` top-k, and `NaN >= threshold` evaluates true, so
+  * zero-vector pairs would pass every near-dup gate. NULL sorts last and
+  * fails the filters (and matches DuckDB, where 0/0 is NULL).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // zero-norm input → NULL
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
@@ -41,7 +49,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -61,7 +70,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $y = $b.getDouble($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if ($na == 0.0 || $nb == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

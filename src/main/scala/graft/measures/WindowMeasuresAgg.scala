@@ -19,15 +19,19 @@ case class MeasureSet(mean: Double, median: Double, q10: Double,
   * this Aggregator is the custom-UDAF alternative for typed consumers and a
   * coverage proof that Flink-style UDAFs map 1:1 onto Spark Aggregators.
   */
-class WindowMeasuresAgg extends Aggregator[Double, List[Double], MeasureSet] {
+class WindowMeasuresAgg(n: Int = 30)
+    extends Aggregator[Double, List[Double], MeasureSet] {
   override def zero: List[Double] = Nil
   override def reduce(b: List[Double], x: Double): List[Double] = x :: b
   override def merge(a: List[Double], b: List[Double]): List[Double] = a ++ b
   override def finish(b: List[Double]): MeasureSet = {
     // WindowExec evaluates the aggregate on every frame, including partial
     // ones at partition start; the reference only reads full windows
-    // (callers gate on row_number ≥ n), so undersized frames yield NaNs.
-    if (b.length < 10) MeasureSet(Double.NaN, Double.NaN, Double.NaN,
+    // (callers gate on row_number ≥ n), so any frame SMALLER than the
+    // declared window size yields NaNs — a fixed lower guard would let
+    // partial frames of, say, 10..n−1 rows return plausible-looking but
+    // wrong "full-window" statistics to a caller that forgot the gate.
+    if (b.length < n) MeasureSet(Double.NaN, Double.NaN, Double.NaN,
       Double.NaN, Double.NaN, Double.NaN)
     else {
       val m = MeasuresRef.all(b.toArray).toMap
@@ -43,6 +47,8 @@ class WindowMeasuresAgg extends Aggregator[Double, List[Double], MeasureSet] {
 
 object WindowMeasuresAgg {
   /** Column form: `measures_agg(x)` usable in groupBy().agg and over
-    * window frames. */
-  def column(x: Column): Column = udaf(new WindowMeasuresAgg).apply(x)
+    * window frames; `n` is the window size partial frames are judged
+    * against. */
+  def column(x: Column, n: Int = 30): Column =
+    udaf(new WindowMeasuresAgg(n)).apply(x)
 }

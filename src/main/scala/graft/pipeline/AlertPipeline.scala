@@ -22,26 +22,37 @@ object AlertPipeline {
 
   /** Adds `rn` (1-based row number per key) and `xs` (ascending-sorted array
     * of the trailing ≤n values), keeping only full windows (rn ≥ n).
-    * One sort per window; all six measures derive from `xs`. */
+    * One sort per window; all six measures derive from `xs`.
+    *
+    * Null samples are dropped BEFORE numbering (the reference's
+    * drop-malformed-at-parse contract): row_number counts every row but
+    * collect_list silently skips nulls, so an unguarded null would leave
+    * 29 values in a "30-row" window and corrupt all n windows covering it
+    * (divides by n, shifted order statistics, misaligned rank weights). */
   def windowed(df: DataFrame, key: Column, ord: Column, x: Column,
       n: Int = WindowSize): DataFrame = {
     val wOrd = Window.partitionBy(key).orderBy(ord)
     val wFrame = wOrd.rowsBetween(-(n - 1), 0)
-    df.withColumn("rn", row_number().over(wOrd))
+    df.where(x.isNotNull)
+      .withColumn("rn", row_number().over(wOrd))
       .withColumn("xs", sort_array(collect_list(x).over(wFrame)))
       .where(col("rn") >= n)
   }
 
   /** Wide per-window measure table from a [[windowed]] result: key cols +
-    * one column per measure. The window mean is materialized (cache
-    * barrier) before sm1/sm2 consume it — inlined, it would be re-folded
-    * inside their per-element lambdas, turning O(n) windows into O(n²). */
+    * one column per measure. The window mean is aliased in its own
+    * projection before sm1/sm2 consume it — inlined into their
+    * per-element lambdas it would be re-folded per element, turning O(n)
+    * windows into O(n²). No cache is needed for that: CollapseProject
+    * refuses to inline a non-cheap alias referenced more than once, so
+    * the mean stays a materialized column (plan-audited); a cache here
+    * would pin the full window table in executor storage for the session
+    * lifetime, unreachable by Caches.evict. */
   def withMeasures(windowedDf: DataFrame, keys: Seq[Column],
       n: Int = WindowSize): DataFrame = {
     val base = windowedDf
       .select(keys :+ col("xs"): _*)
       .withColumn("m_mean", Measures.mean(col("xs"), n))
-      .cache()
     base.select(keys ++ Seq(
       col("m_mean"),
       Measures.median(col("xs"), n).as("m_median"),
@@ -86,6 +97,11 @@ object AlertPipeline {
       count(lit(1)), avg(v),
       expr(s"percentile($vCol, 0.5)"), expr(s"percentile($vCol, 0.1)")).head()
     val n = head.getLong(0)
+    // below 10 rows k = n/10 = 0 and the smallest-decile aggregate is
+    // NULL — fail with the actual contract instead of an opaque NPE at
+    // row2.getDouble
+    require(n >= 10,
+      s"populationThresholds needs at least 10 non-null rows, got $n")
     val m = head.getDouble(1)
     val med = head.getDouble(2)
     val q = head.getDouble(3)
@@ -114,9 +130,13 @@ object AlertPipeline {
     * 30-row windows over `value`, thresholds = population statistics of the
     * whole value column, reference alert predicate (SURVEY §2.5 Q6). */
   def eventAlerts(events: DataFrame, n: Int = WindowSize): DataFrame = {
+    // deliberately NOT cached: the threshold build and the window pass
+    // each scan the source once (populationThresholds caches + unpersists
+    // its own ranked frame), and callers that reuse the result cache IT
+    // (the Caches "alerts" tag) — a cache here would pin the projected
+    // source for the session lifetime, outside Caches.evict's reach
     val ev = events
       .select(col("user_id"), col("event_id"), col("value").cast("double").as("v"))
-      .cache() // read once: feeds both the threshold build and the window pass
     val thr = populationThresholds(ev.select(col("v")))
     val meas = withMeasures(
       windowed(ev, col("user_id"), col("event_id"), col("v"), n),

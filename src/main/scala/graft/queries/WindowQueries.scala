@@ -31,20 +31,19 @@ object WindowQueries {
 
   /** Shared windowed base (user_id, event_id, rn, xs) — one shuffle + one
     * per-window sort feeds all five array-measure queries (same
-    * materialize-once pattern as the shingle and alert caches). */
-  private val winCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
-
+    * materialize-once pattern as the shingle and alert caches, registered
+    * under the Caches lifecycle so evict(session) releases it like every
+    * other shared frame). */
   private def windowedBase(s: org.apache.spark.sql.SparkSession, dir: String) =
-    winCache.getOrElseUpdate((s, dir), {
+    Caches.frame(s, dir, "windowed") {
       val ev = Tables(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("value").cast("double").as("v"))
       // m_mean materialized with xs: sm1/sm2 take the mean as a column so
       // it is never re-folded inside their per-element lambdas
       AlertPipeline.windowed(ev, col("user_id"), col("event_id"), col("v"), N)
         .select(col("user_id"), col("event_id"), col("xs"),
-          graft.measures.Measures.mean(col("xs"), N).as("m_mean")).cache()
-    })
+          graft.measures.Measures.mean(col("xs"), N).as("m_mean"))
+    }
 
   private def winQ(name: String, sparkCol: org.apache.spark.sql.Column,
       duckExpr: String): Q =

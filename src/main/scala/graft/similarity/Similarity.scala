@@ -23,7 +23,6 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int,
       queryId: String = "query_id", candId: String = "vec_id",
       queryVec: String = "qe", candVec: String = "e"): DataFrame = {
-    val spark = candidates.sparkSession
     val cos = CosineSimilarity(col(queryVec), col(candVec))
     candidates.crossJoin(broadcast(queries))
       .select(col(queryId), col(candId), round(cos, 6).as("cos_sim"))
@@ -44,7 +43,6 @@ object Similarity {
     * trains the cells from the data itself. */
   def ivfTopK(emb: DataFrame, k: Int, idCol: String = "vec_id",
       labelCol: String = "label", vecCol: String = "e"): DataFrame = {
-    val spark = emb.sparkSession
     val a = emb.select(col(idCol), col(labelCol), col(vecCol))
     val b = emb.select(col(idCol).as("neighbor_id"), col(labelCol),
       col(vecCol).as("__ne"))
@@ -119,11 +117,11 @@ object Similarity {
     val dim = cents.head._2.length
     for (_ <- 1 to iters) {
       val assigned = assignCells(train, cents, idCol, vecCol)
+      val centCols = (0 until dim).map(i =>
+        round(avg(col(vecCol)(i)), 6).as(s"__c$i"))
       cents = assigned
         .groupBy(col("cell"))
-        .agg(count(lit(1)).as("__n"),
-          (0 until dim).map(i =>
-            round(avg(col(vecCol)(i)), 6).as(s"__c$i")): _*)
+        .agg(centCols.head, centCols.tail: _*)
         .collect()
         .map(r => r.getInt(0) -> (0 until dim).map(i =>
           r.getDouble(r.fieldIndex(s"__c$i"))).toArray)
@@ -196,7 +194,6 @@ object Similarity {
   def ivfMultiProbeTopK(emb: DataFrame, cents: Array[(Int, Array[Double])],
       k: Int, probes: Int, idCol: String = "vec_id", vecCol: String = "e")
       : DataFrame = {
-    val spark = emb.sparkSession
     val cand = assignCells(emb, cents, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("cell"),
         col(vecCol).as("__ne"))
@@ -245,7 +242,6 @@ object Similarity {
   def cosineNearDupPairs(emb: DataFrame, dim: Int, threshold: Double,
       bands: Int = 6, planesPerBand: Int = 3, idCol: String = "vec_id",
       vecCol: String = "e"): DataFrame = {
-    val spark = emb.sparkSession
     val banded = hyperplaneBands(emb, dim, bands, planesPerBand, idCol, vecCol)
       .select(col(idCol), col("bucket"))
     val cands = banded.as("x")
@@ -267,7 +263,6 @@ object Similarity {
     * single-partition window. */
   def topKPairs(emb: DataFrame, k: Int, idCol: String = "vec_id",
       vecCol: String = "e"): DataFrame = {
-    val spark = emb.sparkSession
     val cos = CosineSimilarity(col("__ae"), col("__be"))
     emb.select(col(idCol).as("id_a"), col(vecCol).as("__ae"))
       .join(emb.select(col(idCol).as("id_b"), col(vecCol).as("__be")),
@@ -292,7 +287,6 @@ object Similarity {
     * shrink; SemDeDup's own evaluation accepts it). */
   def semanticDupes(assigned: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "e"): DataFrame = {
-    val spark = assigned.sparkSession
     val cos = round(CosineSimilarity(col(vecCol), col("__be")), 6)
     val dupOf = assigned.select(col(idCol), col("cell"), col(vecCol))
       .join(assigned.select(col(idCol).as("__bid"), col("cell"),

@@ -22,7 +22,11 @@ object Sources {
     * column instead (events.event_id plays that role in the testdata
     * queries). */
   def readSamplesCsv(spark: SparkSession, path: String): DataFrame = {
-    val parts = split(col("value"), ",")
+    // limit 0 = Java String.split semantics (trailing empty strings
+    // removed) — the reference's parser; the default limit −1 KEEPS them,
+    // so a trailing-comma line would count 7 parts, fail the arity check,
+    // and silently shift the seq numbering of every later row
+    val parts = split(col("value"), ",", 0)
     val fields = (0 until 6).map(i =>
       expr(s"try_cast(parts[$i] AS DOUBLE)").as(s"a$i"))
     val parsed = spark.read.text(path)

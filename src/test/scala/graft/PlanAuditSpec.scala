@@ -132,6 +132,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase
         s"${df.queryExecution.executedPlan}")
   }
 
+  test("q04: the window mean is folded once per row, not inlined into " +
+      "the sm1/sm2 lambdas") {
+    // withMeasures relies on CollapseProject's refusal to duplicate a
+    // non-cheap multi-referenced alias (the old .cache() barrier pinned
+    // the full window table in storage for the same guarantee). If a
+    // future optimizer change starts inlining, each measure's per-element
+    // lambda re-folds the mean — O(n²) per window — and this fails.
+    import org.apache.spark.sql.functions.col
+    val ev = graft.queries.Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        col("value").cast("double").as("v"))
+    val m = graft.pipeline.AlertPipeline.withMeasures(
+      graft.pipeline.AlertPipeline.windowed(
+        ev, col("user_id"), col("event_id"), col("v")),
+      Seq(col("user_id"), col("event_id")))
+    val plan = m.queryExecution.optimizedPlan.toString
+    // the mean alias must survive as its own projection column
+    assert(plan.contains("m_mean"),
+      s"window mean was inlined into the measure lambdas:\n$plan")
+  }
+
   test("q64: the winnowing verify input is LINEAR in corpus size, not " +
       "quadratic") {
     // The round-4 regression class: a candidate set that silently grows

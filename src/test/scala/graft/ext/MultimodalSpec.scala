@@ -33,6 +33,25 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("stub frame count is character-derived — q29 parity holds on " +
+      "non-ASCII payloads") {
+    import spark.implicits._
+    val text = "é" * 150 // 150 chars, 300 UTF-8 bytes
+    val ds = Seq(MediaFile(1L, "text/fake",
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8))).toDS()
+    val meta = Multimodal.decodeMeta(ds).collect().head
+    // chars/100 + 1 = 2 (q29's n_chars formula); bytes/100 + 1 would be 4
+    assert(meta.nFrames === 2)
+    assert(meta.byteLen === 300)
+  }
+
+  test("sampleFrames rejects a non-positive stride on the driver") {
+    val ds = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleFrames(ds, every = 0)
+    }
+  }
+
   test("alert-log parser: reference tuple format, malformed dropped") {
     val lines = Seq(
       "(30,mean,3,-0.0123)",

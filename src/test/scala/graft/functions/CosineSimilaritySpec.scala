@@ -41,4 +41,22 @@ class CosineSimilaritySpec extends AnyFunSuite with SparkTestBase {
       .head().getDouble(0)
     assert(math.abs(o) < 1e-12)
   }
+
+  test("zero-norm vectors yield NULL (never NaN): fails thresholds and " +
+      "sorts last instead of poisoning every top-k") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.0, 0.0), Array(1.0, 2.0)), // zero left
+      (2L, Array(1.0, 2.0), Array(0.0, 0.0)), // zero right
+      (3L, Array(1.0, 0.0), Array(1.0, 0.0))) // sane pair
+      .toDF("id", "a", "b")
+      .withColumn("c", CosineSimilarity(col("a"), col("b")))
+    val rows = df.orderBy(col("id")).collect()
+    assert(rows(0).isNullAt(3) && rows(1).isNullAt(3))
+    assert(math.abs(rows(2).getDouble(3) - 1.0) < 1e-12)
+    // NULL fails the near-dup gate (NaN >= t would pass it)
+    assert(df.where(col("c") >= 0.5).count() === 1)
+    // NULL sorts LAST under desc (NaN would sort first, above 1.0)
+    assert(df.orderBy(col("c").desc).head().getLong(0) === 3L)
+  }
 }
