@@ -10,6 +10,9 @@ import graft.queries.Registry
   * actually computed (a count() would let Catalyst prune the work). */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // the JSON line below is machine-consumed: f"%.3f" is locale-sensitive
+    // and a comma-decimal default locale would emit invalid JSON
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -29,22 +32,33 @@ object Bench {
     // best of three runs per query: single-shot timings on this shared
     // host swing up to 5x on identical code (CPU steal, GC); the min
     // reports the engine's cost, not the host's worst moment
-    val results = Registry.all.filter(_.bench).map { q =>
+    // a query that throws must NOT enter the timings: its ~instant failure
+    // would otherwise IMPROVE the headline number and the JSON would carry
+    // no trace — failures are reported in a "failed" array and the process
+    // exits non-zero
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    val results = Registry.all.filter(_.bench).flatMap { q =>
+      var ok = true
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          ok = false
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }
-      q.name -> times.min
+      if (ok) Some(q.name -> times.min) else { failed += q.name; None }
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

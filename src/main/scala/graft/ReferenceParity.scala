@@ -44,7 +44,11 @@ object ReferenceParity {
     java.nio.file.Files.write(java.nio.file.Paths.get(samplesPath),
       String.join("\n", lines: _*).getBytes)
 
+    // cached: the rates aggregation and the total count are two actions
+    // over the same end-to-end pipeline (CSV parse → global numbering →
+    // unpivot → 30-row windows) — uncached it would all run twice
     val alerts = ReferencePipeline.csvAlerts(spark, samplesPath, statsCsv)
+      .cache()
     val windows = (n - 29).toDouble
     val rates = alerts
       .groupBy(col("stat"))

@@ -97,11 +97,14 @@ object Dedup {
     * is the sign of the ±1 vote sum over md5(feature) hex digit j. Use the
     * shingle set as features for order-sensitive near-dup detection (the
     * production configuration, q58); token sets measure vocabulary overlap
-    * only. The caller supplies a barrier-pre-hashed frame via `hashed` =
-    * transform(features, md5) if reusing digests across widths. */
+    * only. `bits` is capped at 32: each bit votes on one md5 hex digit,
+    * and a wider request would silently read past the 32-char digest —
+    * every trailing bit constant '0', fingerprints colliding en masse. */
   def simhash(featureDf: DataFrame, featuresCol: String,
       idCol: String = "doc_id", bits: Int = 32,
       out: String = "fingerprint"): DataFrame = {
+    require(bits >= 1 && bits <= 32,
+      s"bits must be in [1, 32] (one md5 hex digit per bit), got $bits")
     val bitPasses = transform(sequence(lit(1), lit(bits)), j =>
       when(aggregate(col("__hs"), lit(0), (acc, h) =>
         acc + when(h.substr(j, lit(1))
@@ -184,6 +187,9 @@ object Dedup {
         s"Dedup.clusters: min-label propagation did not converge after " +
           s"$maxRounds rounds ($changed labels still changing) — a " +
           s"component's diameter exceeds maxRounds; raise it")
+    // labels is localCheckpoint()ed (lineage truncated), so the edge cache
+    // can be released here instead of pinning storage for the session
+    und.unpersist(blocking = false)
     labels
   }
 
@@ -272,14 +278,19 @@ object Dedup {
     * distributed aggregation over the (tiny) benchmark side.
     *
     * Returns one row per contaminated corpus document:
-    * `(idCol, n_hits)` — its count of grams shared with the benchmark. */
+    * `(idCol, n_hits)` — its count of grams shared with the benchmark.
+    *
+    * The distinct benchmark-gram frame has THREE consumers (the sizing
+    * count, the filter build, the verify-join broadcast), so it must be
+    * materialized once; `cacheBench` decides its lifecycle. The default
+    * `.cache()` pins it until the session ends — callers with a lifecycle
+    * (the q77 wrapper) pass a Caches-backed barrier instead so
+    * `Caches.evict(session)` can release it. */
   def bloomDecontaminate(corpusGrams: DataFrame, benchGrams: DataFrame,
       fpp: Double = 0.01, idCol: String = "doc_id",
-      gramCol: String = "gram"): DataFrame = {
-    // cached: three consumers (the sizing count, the filter build, the
-    // verify-join broadcast) would otherwise each re-run the benchmark
-    // scan + distinct; the benchmark side is small by contract
-    val bench = benchGrams.select(col(gramCol)).distinct().cache()
+      gramCol: String = "gram",
+      cacheBench: DataFrame => DataFrame = _.cache()): DataFrame = {
+    val bench = cacheBench(benchGrams.select(col(gramCol)).distinct())
     val nBench = bench.count() // driver scalar: sizes the filter
     val bf = bench.select(xxhash64(col(gramCol)).as("__h"))
       .stat.bloomFilter("__h", math.max(nBench, 1L), fpp)

@@ -747,7 +747,10 @@ object DedupQueries {
         val g = gram8Rows(s, dir)
         graft.dedup.Dedup.bloomDecontaminate(
           g.where(col("doc_id") % 10 =!= 7),
-          g.where(col("doc_id") % 10 === 7).select(col("gram")))
+          g.where(col("doc_id") % 10 === 7).select(col("gram")),
+          // bench-gram barrier under the Caches lifecycle, not an ad-hoc
+          // session-lifetime cache() — evict(session) releases it
+          cacheBench = b => Caches.frame(s, dir, "benchgrams")(b))
           .orderBy(col("doc_id"))
       },
       Some(

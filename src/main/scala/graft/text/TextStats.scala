@@ -240,8 +240,7 @@ object TextStats {
     val corpus = dl.agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
     val tf = docs
       .select(col(idCol),
-        explode(filter(split(lowered, "[^a-z0-9]+"), t => length(t) > 0))
-          .as("__tok"))
+        explode(graft.dedup.Dedup.tokens(col(textCol))).as("__tok"))
       .where(col("__tok").isin(queryTokens: _*))
       .groupBy(col(idCol), col("__tok"))
       .agg(count(lit(1)).as("__tf"))
