@@ -260,6 +260,83 @@ object Dedup {
           greatest(col("__len"), lit(1)), 6).as("dup_frac"))
   }
 
+  /** The surgery half of [[dupSpans]] (Lee et al. CUT the duplicated
+    * spans from the training text, they don't just measure them): every
+    * maximal duplicated span — consecutive duplicated gram starts ≤ k
+    * apart, covering [min pos, max pos + k) of the NORMALIZED text — is
+    * removed, and the surviving segments are re-concatenated. Returns one
+    * row per input document:
+    * `(idCol, n_islands, clean_len, clean_digest)` where `clean_digest`
+    * is the md5 of the cleaned normalized text (documents with no
+    * duplicated spans pass through unchanged).
+    *
+    * Shape: the duplicated-position table (shared with [[dupSpans]] via a
+    * cached `positions` frame) sessionizes into islands with one keyed
+    * window (the q52 gaps-and-islands pattern), islands → kept segments
+    * with a second keyed window (each island emits the gap BEFORE it;
+    * one tail segment per document closes the text), and the segment
+    * substrings concatenate in offset order document-locally. Everything
+    * shards by document; nothing is corpus-global beyond the gram
+    * frequency already paid for by detection. */
+  def removeDupSpans(positions: DataFrame, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", k: Int = 40,
+      minCount: Int = 2): DataFrame = {
+    val dupH = positions.groupBy(col("hv"))
+      .agg(count(lit(1)).as("__c")).where(col("__c") >= minCount)
+      .select(col("hv"))
+    val wPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    // islands: consecutive duplicated gram starts ≤ k apart merge (their
+    // covered char ranges overlap); a break starts a new island
+    val islands = positions.join(dupH, "hv")
+      .select(col(idCol), col("pos"),
+        when(col("pos") - lag(col("pos"), 1).over(wPos) > k, 1L)
+          .otherwise(when(lag(col("pos"), 1).over(wPos).isNull, 1L)
+            .otherwise(0L)).as("__brk"))
+      .withColumn("__isl", sum(col("__brk")).over(wPos))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("pos")).as("__lo"), (max(col("pos")) + k).as("__hi"))
+    val norms = docs.select(col(idCol),
+      regexp_replace(lower(col(textCol)), "[^a-z0-9]+", "").as("__norm"))
+    // kept segments: the gap before each island + one tail per document
+    val wIsl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__lo"))
+    val headGaps = islands
+      .select(col(idCol),
+        coalesce(lag(col("__hi"), 1).over(wIsl), lit(0L)).as("__gs"),
+        col("__lo").as("__ge"))
+      .where(col("__ge") > col("__gs"))
+    val tailGaps = islands.groupBy(col(idCol))
+      .agg(max(col("__hi")).as("__gs"))
+      .join(norms, idCol)
+      .select(col(idCol), col("__gs"),
+        length(col("__norm")).cast("long").as("__ge"))
+      .where(col("__ge") > col("__gs"))
+    val cleaned = headGaps.unionByName(tailGaps)
+      .join(norms, idCol)
+      .select(col(idCol), col("__gs"),
+        substring(col("__norm"), (col("__gs") + 1).cast("int"),
+          (col("__ge") - col("__gs")).cast("int")).as("__piece"))
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__gs"), col("__piece")))),
+        s => s.getField("__piece")), "").as("__clean"))
+    val nIslands = islands.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_islands"))
+    norms
+      .join(nIslands, Seq(idCol), "left")
+      .join(cleaned, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+        // a doc may be ENTIRELY duplicated (no kept segments): cleaned
+        // text is empty, not the untouched norm
+        when(col("n_islands").isNull, col("__norm"))
+          .otherwise(coalesce(col("__clean"), lit(""))).as("__out"))
+      .select(col(idCol), col("n_islands"),
+        length(col("__out")).as("clean_len"),
+        md5(col("__out")).as("clean_digest"))
+  }
+
   /** Two-phase benchmark decontamination: a Bloom filter built over the
     * benchmark gram set prunes the corpus gram stream (native codegen'd
     * probe, [[graft.functions.BloomMightContain]]), and ONLY the

@@ -868,6 +868,59 @@ object DedupQueries {
           |FROM p GROUP BY hv HAVING count(DISTINCT doc_id) >= 2
           |ORDER BY n_docs DESC, n_occ DESC, hv LIMIT 10""".stripMargin)),
 
+    // The surgery half of q74 (graft.dedup.Dedup.removeDupSpans): Lee et
+    // al. CUT the duplicated spans from the training text — every maximal
+    // duplicated span of the normalized text is removed and the surviving
+    // segments re-concatenate; documents with no duplication pass through
+    // unchanged, fully-duplicated documents clean to empty. Two keyed
+    // windows (islands via gaps-and-islands, then gap-before-each-island)
+    // + a document-local ordered concat — shards by doc_id end to end,
+    // reusing q74's cached position table and the same gram-frequency
+    // shuffle. The oracle replays islands and the string surgery with
+    // 0-based offsets and compares the md5 of the cleaned text.
+    Q("q90_dedup_clean",
+      (s, dir) =>
+        graft.dedup.Dedup
+          .removeDupSpans(dupGramPos(s, dir), Tables(s, dir, "documents"),
+            k = DupK)
+          .orderBy(col("doc_id")),
+      Some(duckDupGrams + s""",
+          |p0 AS (SELECT doc_id, pos - 1 AS pos, hv FROM p),
+          |dh AS (SELECT hv FROM p0 GROUP BY hv HAVING count(*) >= 2),
+          |dp AS (SELECT doc_id, pos,
+          |    CASE WHEN lag(pos) OVER w IS NULL
+          |           OR pos - lag(pos) OVER w > $DupK
+          |         THEN 1 ELSE 0 END AS brk
+          |  FROM p0 JOIN dh USING (hv)
+          |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+          |di AS (SELECT doc_id, pos,
+          |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+          |  FROM dp),
+          |isl AS (SELECT doc_id, isl, min(pos) AS lo, max(pos) + $DupK AS hi
+          |  FROM di GROUP BY 1, 2),
+          |hg AS (SELECT doc_id,
+          |    coalesce(lag(hi) OVER (PARTITION BY doc_id ORDER BY lo), 0)
+          |      AS gs,
+          |    lo AS ge FROM isl),
+          |tg AS (SELECT i.doc_id, max(i.hi) AS gs,
+          |    CAST(len(n.norm) AS BIGINT) AS ge
+          |  FROM isl i JOIN nrm n USING (doc_id) GROUP BY i.doc_id, n.norm),
+          |gaps AS (SELECT * FROM hg WHERE ge > gs
+          |         UNION ALL SELECT * FROM tg WHERE ge > gs),
+          |cl AS (SELECT g.doc_id,
+          |    string_agg(substr(n.norm, CAST(g.gs + 1 AS INT),
+          |                      CAST(g.ge - g.gs AS INT)), ''
+          |               ORDER BY g.gs) AS clean
+          |  FROM gaps g JOIN nrm n USING (doc_id) GROUP BY g.doc_id),
+          |ni AS (SELECT doc_id, count(*) AS n_islands FROM isl GROUP BY 1)
+          |SELECT n.doc_id, coalesce(ni.n_islands, 0) AS n_islands,
+          |  len(CASE WHEN ni.n_islands IS NULL THEN n.norm
+          |           ELSE coalesce(cl.clean, '') END) AS clean_len,
+          |  md5(CASE WHEN ni.n_islands IS NULL THEN n.norm
+          |           ELSE coalesce(cl.clean, '') END) AS clean_digest
+          |FROM nrm n LEFT JOIN ni USING (doc_id) LEFT JOIN cl USING (doc_id)
+          |ORDER BY n.doc_id""".stripMargin)),
+
     // MinHash sketch CALIBRATION — the QA join that tells you whether the
     // sketch is trustworthy at your K: for every verified near-dup pair,
     // the signature-estimated Jaccard (matching-slot fraction over K=12)

@@ -91,4 +91,32 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // clean doc: all zeros
     assert(out(4L) === ((0L, 0L, 0L, 0.0)))
   }
+
+  test("removeDupSpans: span surgery cuts exactly the detected islands") {
+    import spark.implicits._
+    val shared = ("abcdefghijklmnopqrstuvwxyz" * 3).take(60)
+    val y = ("zyxwvutsrqponmlkjihgfedcba" * 2).take(50)
+    val clean4 =
+      "thequickbrownfoxjumpsoverthelazydogwhilesparkshufflespartitionsdata"
+    val docs = Seq(
+      (1L, shared + "q" * 25),
+      (2L, shared + "r" * 25),
+      (3L, y + y), // fully duplicated: everything cut
+      (4L, clean4) // untouched
+    ).toDF("doc_id", "text")
+    val pos = Dedup.gramPositions(docs, k = 40).cache()
+    val out = Dedup.removeDupSpans(pos, docs, k = 40)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getInt(2), r.getString(3))).toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes).map(b => f"$b%02x").mkString
+    // docs 1/2: the 60-char shared prefix is one island; the unique tails
+    // survive verbatim
+    assert(out(1L) === ((1L, 25, md5("q" * 25))))
+    assert(out(2L) === ((1L, 25, md5("r" * 25))))
+    // doc 3 is one island covering the whole text: cleaned = empty
+    assert(out(3L) === ((1L, 0, md5(""))))
+    // doc 4 passes through unchanged
+    assert(out(4L) === ((0L, clean4.length, md5(clean4))))
+  }
 }
