@@ -16,16 +16,22 @@ object AlertAnalytics {
       .orderBy(col("stat"), col(keyCol))
 
   /** 10 equal-width bins of `value` per group (distributions.py:24-47):
-    * bin edges from each group's own min/max, top edge closed. */
+    * bin edges from each group's own min/max, top edge closed. NULL
+    * values are excluded (a NULL propagates through the bucket arithmetic
+    * and `least(NULL, bins−1)` = bins−1 — it would silently count in the
+    * TOP bucket); a constant-valued group (mn == mx → zero bin width, a
+    * NULL division under non-ANSI) buckets to 0, not 9. */
   def histogram(alerts: DataFrame, groupCol: String = "stat",
       valueCol: String = "m", bins: Int = 10): DataFrame = {
-    val edges = alerts.groupBy(col(groupCol))
+    val rows = alerts.where(col(valueCol).isNotNull)
+    val edges = rows.groupBy(col(groupCol))
       .agg(min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
-    val bucket: Column = least(
-      floor((col(valueCol) - col("mn")) / ((col("mx") - col("mn")) / bins))
-        .cast("int"),
-      lit(bins - 1))
-    alerts.join(broadcast(edges), groupCol)
+    val bucket: Column = when(col("mx") === col("mn"), lit(0))
+      .otherwise(least(
+        floor((col(valueCol) - col("mn")) / ((col("mx") - col("mn")) / bins))
+          .cast("int"),
+        lit(bins - 1)))
+    rows.join(broadcast(edges), groupCol)
       .select(col(groupCol), bucket.as("bucket"))
       .groupBy(col(groupCol), col("bucket")).agg(count(lit(1)).as("n"))
       .orderBy(col(groupCol), col("bucket"))

@@ -35,11 +35,18 @@ object AsOf {
       lit(0).as("__side"), leftPayload.as("__lp"),
       lit(null).cast(right.select(rightPayload).schema.head.dataType)
         .as("__rv"))
-    val r = right.select(
-      col(keyCol).as("__k"), col(seqCol).as("__s"),
-      lit(1).as("__side"),
-      lit(null).cast(l.schema("__lp").dataType).as("__lp"),
-      rightPayload.as("__rv"))
+    // join semantics for dirty data: a right row with a NULL key or NULL
+    // seq matches NOTHING (as in any SQL join / ASOF JOIN) — unfiltered,
+    // a NULL seq sorts FIRST in its partition (asc = nulls first) and
+    // would be carried as the "latest earlier match" of every left row
+    // before the first real right row
+    val r = right
+      .where(col(keyCol).isNotNull && col(seqCol).isNotNull)
+      .select(
+        col(keyCol).as("__k"), col(seqCol).as("__s"),
+        lit(1).as("__side"),
+        lit(null).cast(l.schema("__lp").dataType).as("__lp"),
+        rightPayload.as("__rv"))
     // right rows sort BEFORE left rows at equal seq (side desc) so an
     // equal-timestamp right row is visible to the left row
     val w = Window.partitionBy(col("__k"))

@@ -52,7 +52,11 @@ object Layout {
       clusterBy: Seq[Column] = Nil): (DataFrame, Long) = {
     require(targetRows > 0, s"targetRows must be positive, got $targetRows")
     val n = df.count()
-    val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
+    // clamped: past Int.MaxValue files the .toInt would wrap NEGATIVE and
+    // repartition throws after the count job already ran
+    val files = math.min(
+      math.max(1L, (n + targetRows - 1) / targetRows),
+      Int.MaxValue.toLong).toInt
     val planned =
       if (clusterBy.isEmpty) df.repartition(files)
       else df.repartitionByRange(files, clusterBy: _*)

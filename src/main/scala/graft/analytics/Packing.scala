@@ -74,9 +74,12 @@ object Packing {
     }.init.zipWithIndex.map { case (off, pid) => (pid, off) }
       .toDF("__pid", "__off")
     local.join(broadcast(offsets), "__pid")
-      .withColumn(shardCol,
-        floor((col("__lc") + col("__off") - col(weightCol))
-          .cast("double") / budget))
-      .drop("__pid", "__lc", "__off")
+      // integer floor division end to end (operands are non-negative):
+      // a double cast would lose low bits past 2^53 of global offset and
+      // misplace documents near shard cuts — exactly the magnitudes a
+      // byte-weighted 100 TB corpus reaches
+      .withColumn("__start", col("__lc") + col("__off") - col(weightCol))
+      .withColumn(shardCol, expr(s"__start DIV ${budget}L"))
+      .drop("__pid", "__lc", "__off", "__start")
   }
 }

@@ -27,14 +27,17 @@ object Sampling {
       .where(col("__rk") <= k)
       .drop("__rk")
 
-  /** Bernoulli-style deterministic sample: keep rows whose digest starts
-    * below `rate` (approximately `rate` of all rows), id-stable. */
+  /** Bernoulli-style deterministic sample: keep rows whose digest-derived
+    * uniform falls below `rate` (approximately `rate` of all rows),
+    * id-stable. The uniform uses 52 digest bits (the weightedPriority
+    * dyadic), not a 16-bit bucket — a coarse bucket both floors the
+    * granularity (any rate below 2⁻¹⁶ selects NOTHING) and truncates
+    * small rates by up to a full bucket. */
   def bernoulli(df: DataFrame, idCol: String, rate: Double,
       salt: String = "s1"): DataFrame = {
-    // first 4 hex digits as an integer in [0, 65536)
-    val bucket = conv(substring(priority(col(idCol), salt), 1, 4), 16, 10)
-      .cast("long")
-    df.where(bucket < (rate * 65536).toLong)
+    val u = conv(substring(priority(col(idCol), salt), 1, 13), 16, 10)
+      .cast("long").cast("double") / math.pow(16, 13)
+    df.where(u < rate)
   }
 
   /** Weighted sampling without replacement (Efraimidis–Spirakis 2006):
@@ -53,7 +56,15 @@ object Sampling {
       k: Int, salt: String = "s1"): DataFrame = {
     val u = conv(substring(priority(col(idCol), salt), 1, 13), 16, 10)
       .cast("long").cast("double") / math.pow(16, 13)
-    df.withColumn("sample_key", round(log(u) / col(weightCol), 6))
+    // enforce the strictly-positive-weight contract per row: a negative
+    // weight flips the key sign and would deterministically outrank every
+    // valid row (ln(u)/w ≤ 0 for valid rows); a zero weight divides to
+    // NULL and silently vanishes — both now fail loudly instead
+    val key = when(col(weightCol) > 0, round(log(u) / col(weightCol), 6))
+      .otherwise(raise_error(concat(
+        lit("weightedPriority: weight must be strictly positive for id "),
+        col(idCol).cast("string"))))
+    df.withColumn("sample_key", key)
       .orderBy(col("sample_key").desc, col(idCol))
       .limit(k)
   }

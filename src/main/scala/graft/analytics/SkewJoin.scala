@@ -17,9 +17,15 @@ object SkewJoin {
 
   def salted(big: DataFrame, small: DataFrame, key: String,
       nSalts: Int): DataFrame = {
-    // row-deterministic salt: hash of the whole big row, not rand() —
-    // retried tasks produce identical output
-    val saltExpr = pmod(hash(big.columns.toIndexedSeq.map(col): _*), lit(nSalts))
+    // the salt round-robins per row INSTANCE (monotonic id), never by row
+    // CONTENT: hashing the row would give identical rows identical salts,
+    // and hot keys are routinely made of repeated identical events — a
+    // content hash would land them all on one (key, salt) reducer and
+    // mitigate nothing. The join RESULT is salt-invariant (every (key,
+    // salt) still finds the replicated small side), so the salt needs no
+    // cross-retry determinism — only spread.
+    val saltExpr = pmod(monotonically_increasing_id(), lit(nSalts.toLong))
+      .cast("int")
     val b = big.withColumn("__salt", saltExpr)
     val s = small.crossJoin(
       small.sparkSession.range(0, nSalts).select(col("id").cast("int").as("__salt")))

@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Native Catalyst expression: membership probe of a driver-built
@@ -19,8 +19,9 @@ import org.apache.spark.util.sketch.BloomFilter
   * no join, no shuffle, no per-row allocation.
   */
 case class BloomMightContain(child: Expression, bf: BloomFilter)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
+  override def inputTypes = Seq(LongType)
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
 

@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression: cosine similarity of two ArrayType(Double)
   * columns in ONE fused loop (dot product + both norms), with whole-stage
@@ -27,8 +27,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * fails the filters (and matches DuckDB, where 0/0 is NULL).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
+  // declared input types: array<float> embeddings coerce via a cast;
+  // without the declaration ArrayData.getDouble reads 8 bytes from
+  // 4-byte-packed floats and returns garbage similarities silently
+  override def inputTypes = // Seq[AbstractDataType] is private[sql]
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def nullable: Boolean = true // zero-norm input → NULL

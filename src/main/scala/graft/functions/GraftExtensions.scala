@@ -22,17 +22,26 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  private def arity(exprs: Seq[Expression], n: Int, fn: String): Unit =
+    if (exprs.length != n)
+      throw new IllegalArgumentException(
+        s"$fn expects $n arguments, got ${exprs.length}")
+
   private def intArg(e: Expression, name: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$name must be an integer literal, got $other")
   }
 
-  private[functions] def buildWinnow(exprs: Seq[Expression]): Expression =
+  private[functions] def buildWinnow(exprs: Seq[Expression]): Expression = {
+    arity(exprs, 3, "graft_winnow_fingerprints")
     WinnowFingerprints(exprs(0), intArg(exprs(1), "k"), intArg(exprs(2), "w"))
+  }
 
-  private[functions] def buildGramHashes(exprs: Seq[Expression]): Expression =
+  private[functions] def buildGramHashes(exprs: Seq[Expression]): Expression = {
+    arity(exprs, 2, "graft_gram_hashes")
     GramHashes(exprs(0), intArg(exprs(1), "k"))
+  }
 
   override def apply(e: SparkSessionExtensions): Unit = {
     def inject(name: String, clazz: Class[_],
@@ -40,11 +49,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((new FunctionIdentifier(name),
         new ExpressionInfo(clazz.getName, name), builder))
     inject("graft_cosine_similarity", classOf[CosineSimilarity],
-      exprs => CosineSimilarity(exprs(0), exprs(1)))
+      exprs => {
+        arity(exprs, 2, "graft_cosine_similarity")
+        CosineSimilarity(exprs(0), exprs(1))
+      })
     inject("graft_hamming_distance", classOf[HammingDistance],
-      exprs => HammingDistance(exprs(0), exprs(1)))
+      exprs => {
+        arity(exprs, 2, "graft_hamming_distance")
+        HammingDistance(exprs(0), exprs(1))
+      })
     inject("graft_dot_product", classOf[DotProduct],
-      exprs => DotProduct(exprs(0), exprs(1)))
+      exprs => {
+        arity(exprs, 2, "graft_dot_product")
+        DotProduct(exprs(0), exprs(1))
+      })
     inject("graft_winnow_fingerprints", classOf[WinnowFingerprints],
       buildWinnow)
     inject("graft_gram_hashes", classOf[GramHashes], buildGramHashes)

@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: POSITIONAL polynomial k-gram hashes of an
@@ -33,8 +33,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Precondition (as [[WinnowFingerprints]]): input is the
   * normalization-regex output `[a-z0-9]*`, single-byte ASCII.
   */
-case class GramHashes(child: Expression, k: Int) extends UnaryExpression {
+case class GramHashes(child: Expression, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(k >= 1, s"k must be >= 1, got $k")
 
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
@@ -61,13 +64,17 @@ object GramHashes {
   val B2 = 137L
   val M2 = 2147483629L // the largest prime below 2^31 - 1
 
-  /** B2^t mod M2 for t in [0, k). */
-  def powers2(k: Int): Array[Long] = {
-    val p = new Array[Long](k)
+  private val powers2Cache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+
+  /** B2^t mod M2 for t in [0, k) — memoized per k (see
+    * [[WinnowFingerprints.powers]]). */
+  def powers2(k: Int): Array[Long] = powers2Cache.computeIfAbsent(k, { kk =>
+    val p = new Array[Long](kk)
     p(0) = 1L
-    for (t <- 1 until k) p(t) = p(t - 1) * B2 % M2
+    for (t <- 1 until kk) p(t) = p(t - 1) * B2 % M2
     p
-  }
+  })
 
   /** Double-width hash of every k-gram of `s` in position order;
     * shorter-than-k inputs yield an empty array. Each component is

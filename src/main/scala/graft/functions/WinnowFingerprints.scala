@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: winnowing (MOSS) fingerprints of an
@@ -29,8 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * `ascii()` in the oracle equals the byte value here.
   */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  // validated at construction (= analysis time for SQL callers) — invalid
+  // sizes would otherwise throw Array exceptions inside every executor task
+  require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
 
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
@@ -54,13 +58,19 @@ object WinnowFingerprints {
   val B = 131L
   val M = 2147483647L // 2^31 - 1
 
-  /** B^t mod M for t in [0, k). */
-  def powers(k: Int): Array[Long] = {
-    val p = new Array[Long](k)
+  private val powersCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+
+  /** B^t mod M for t in [0, k) — memoized per k: compute() sits on the
+    * per-ROW hot path of q63/q64/q74/q90, and rebuilding the table per
+    * invocation is 2k redundant modular multiplies plus an allocation per
+    * row. Entries are read-only after construction. */
+  def powers(k: Int): Array[Long] = powersCache.computeIfAbsent(k, { kk =>
+    val p = new Array[Long](kk)
     p(0) = 1L
-    for (t <- 1 until k) p(t) = p(t - 1) * B % M
+    for (t <- 1 until kk) p(t) = p(t - 1) * B % M
     p
-  }
+  })
 
   /** Sorted distinct minima of each w-window over the k-gram hashes of
     * `s`. Shorter-than-(k+w-1) inputs yield an empty array. */
