@@ -1,7 +1,10 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
 import graft.analytics.AlertAnalytics
 import graft.pipeline.AlertPipeline
+import graft.sources.Sources
 
 /** Alert post-processing queries (SURVEY §2.2 P2–P4) — the reference's
   * pandas stage collapsed into the engine: the alert Dataset feeds
@@ -38,6 +41,32 @@ object AnalyticsQueries {
            |  least(CAST(floor((a.m - e.mn) / ((e.mx - e.mn) / 10)) AS INT), 9) AS bucket,
            |  count(*) AS n
            |FROM alerts a JOIN edges e ON a.stat = e.stat
-           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // P1: the reference's alert-log text round-trip. The engine's alert
+    // Dataset is written in the reference's tuple-per-line format —
+    // `(count,stat,assetNo,value)`, what Flink's print() of
+    // Tuple4<Integer,String,Integer,Double> emits (StreamingJob.java:
+    // 432-440) — then parsed back with Sources.readAlertLog
+    // (postProcessing/load.py:15-26 semantics, minus the last-character
+    // truncation bug, SURVEY §2.5 Q10). Because the text form is Java's
+    // shortest round-trip double representation, parse(write(alerts)) is
+    // bit-identical to the alert table, which the oracle replays directly.
+    // Driver-table mapping: count=event_id (the window ordinal role),
+    // assetNo=user_id (the series key role), value=the measure.
+    Q("q91_alertlog_roundtrip",
+      (s, dir) => {
+        val path = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_alertlog_" + Integer.toHexString(dir.hashCode)).toString
+        Sources.writeAlertLog(
+          cachedAlerts(s, dir).select(
+            col("event_id").cast("int").as("count"), col("stat"),
+            col("user_id").cast("int").as("assetNo"), col("m").as("value")),
+          path)
+        Sources.readAlertLog(s, path)
+      },
+      Some(s"""${WindowQueries.alertsWith}
+           |SELECT CAST(event_id AS INT) AS "count", stat,
+           |  CAST(user_id AS INT) AS "assetNo", m AS value FROM alerts""".stripMargin))
   )
 }

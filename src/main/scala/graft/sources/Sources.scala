@@ -79,6 +79,22 @@ object Sources {
         regexp_extract(col("value"), pat, 4).cast("double").as("value"))
   }
 
+  /** Alert-log text sink — the reference's output side of P1: Flink
+    * `dataStream.print()` of `Tuple4<Integer,String,Integer,Double>`
+    * (StreamingJob.java:432-440) renders one `(count,stat,assetNo,value)`
+    * line per alert, which postProcessing/load.py re-parses. Doubles are
+    * written with Spark's double→string cast (Java shortest round-trip
+    * form), so [[readAlertLog]] recovers the exact bits — unlike the
+    * reference's reader, which drops the tuple's last character
+    * (SURVEY §2.5 Q10). Expects columns (count, stat, assetNo, value). */
+  def writeAlertLog(alerts: DataFrame, path: String): Unit =
+    alerts.select(concat(
+        lit("("), col("count").cast("string"),
+        lit(","), col("stat"),
+        lit(","), col("assetNo").cast("string"),
+        lit(","), col("value").cast("string"), lit(")")).as("value"))
+      .write.mode("overwrite").text(path)
+
   /** Adds the derived whole-portfolio series (StreamingJob.java:174-180) and
     * unpivots to (seq, assetNo 0..6, x) — series 6 is the portfolio. */
   def toSeries(samples: DataFrame): DataFrame = {

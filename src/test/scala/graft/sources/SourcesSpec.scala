@@ -45,6 +45,45 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(m(("security measure 2", 6)) === 0.66)
   }
 
+  test("alert-log round-trip: parse(write(alerts)) is bit-identical (P1)") {
+    import spark.implicits._
+    // tricky values on purpose: scientific notation both signs, negative
+    // zero-ish, stat names with spaces and digits (the real measure names)
+    val alerts = Seq(
+      (30, "mean", 0, 1.0e-4),
+      (31, "10th quantile", 3, -0.0031415926535897933),
+      (1000000, "security measure 1", 6, 1.23456789012345e18),
+      (45, "mean of 10% smallest", 2, -7.0),
+      (46, "security measure 2", 1, 4.9e-324) // Double.MinPositiveValue
+    ).toDF("count", "stat", "assetNo", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_alertlog")
+      .resolve("log").toString
+    Sources.writeAlertLog(alerts, dir)
+    val back = Sources.readAlertLog(spark, dir)
+    assert(back.schema.fieldNames.toSeq ===
+      Seq("count", "stat", "assetNo", "value"))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getInt(0), r.getString(1), r.getInt(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    assert(back.collect().map(key).toSet === alerts.collect().map(key).toSet)
+  }
+
+  test("q91 round-trip equals the alert table exactly at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val q91 = graft.queries.Registry.byName("q91_alertlog_roundtrip")
+      .run(spark, dir)
+    val direct = graft.queries.AnalyticsQueries.cachedAlerts(spark, dir)
+      .selectExpr("cast(event_id as int) as count", "stat",
+        "cast(user_id as int) as assetNo", "m as value")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getInt(0), r.getString(1), r.getInt(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    val got = q91.collect().map(key)
+    val want = direct.collect().map(key)
+    assert(got.length === want.length) // no dropped / duplicated lines
+    assert(got.toSet === want.toSet)
+  }
+
   test("toSeries adds the weighted portfolio as series 6") {
     import spark.implicits._
     val df = Seq((1, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6))
