@@ -55,7 +55,17 @@ object Packing {
     // silently corrupting the prefix sum (observed at sf0.1). Checkpointed,
     // both jobs read the SAME materialized partitions, and the window
     // runs once.
-    val local = df.repartitionByRange(p, col(orderCol))
+    // Fail loudly on invalid weights (the weightedPriority contract): a
+    // NULL weight would be skipped by the window sum and silently NULL
+    // this row's shard; a negative one breaks the monotone prefix-sum →
+    // shard mapping with no error at all.
+    val checkedWeight = when(col(weightCol) >= 0, col(weightCol))
+      .otherwise(raise_error(concat(
+        lit(s"packByBudget: $weightCol must be non-null and >= 0, got "),
+        coalesce(col(weightCol).cast("string"), lit("NULL")),
+        lit(s" at $orderCol="), col(orderCol).cast("string"))))
+    val local = df.withColumn(weightCol, checkedWeight)
+      .repartitionByRange(p, col(orderCol))
       .withColumn("__pid", spark_partition_id())
       .withColumn("__lc",
         sum(col(weightCol)).over(

@@ -15,16 +15,24 @@ import org.apache.spark.sql.functions._
   * Cost: small side × n — choose n ≈ hot-key skew factor. */
 object SkewJoin {
 
+  /** @param saltCols columns whose hash spreads the hot key's rows —
+    *   default: ALL of `big`'s columns. If the hot key's rows are
+    *   bit-identical duplicates, a content hash stacks them on one
+    *   (key, salt) reducer; pass a unique/high-cardinality column here
+    *   (an event id, a payload) to restore the spread. */
   def salted(big: DataFrame, small: DataFrame, key: String,
-      nSalts: Int): DataFrame = {
-    // the salt round-robins per row INSTANCE (monotonic id), never by row
-    // CONTENT: hashing the row would give identical rows identical salts,
-    // and hot keys are routinely made of repeated identical events — a
-    // content hash would land them all on one (key, salt) reducer and
-    // mitigate nothing. The join RESULT is salt-invariant (every (key,
-    // salt) still finds the replicated small side), so the salt needs no
-    // cross-retry determinism — only spread.
-    val saltExpr = pmod(monotonically_increasing_id(), lit(nSalts.toLong))
+      nSalts: Int, saltCols: Seq[String] = Nil): DataFrame = {
+    // The salt must be DETERMINISTIC per row, not per row instance: a
+    // nondeterministic salt (monotonic id / rand) feeds the shuffle join
+    // key, and a map task retried after a fetch failure would re-salt its
+    // rows differently — a row could land on a (key, salt) reducer
+    // different from the one that already consumed its original
+    // assignment, duplicating or dropping join rows under partial stage
+    // retry. A content hash recomputes identically on every retry; its
+    // price (identical rows share a salt) is the saltCols escape hatch
+    // above.
+    val spread = if (saltCols.nonEmpty) saltCols else big.columns.toSeq
+    val saltExpr = pmod(xxhash64(spread.map(big(_)): _*), lit(nSalts.toLong))
       .cast("int")
     val b = big.withColumn("__salt", saltExpr)
     val s = small.crossJoin(

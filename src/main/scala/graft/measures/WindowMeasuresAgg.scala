@@ -48,7 +48,16 @@ class WindowMeasuresAgg(n: Int = 30)
 object WindowMeasuresAgg {
   /** Column form: `measures_agg(x)` usable in groupBy().agg and over
     * window frames; `n` is the window size partial frames are judged
-    * against. */
+    * against.
+    *
+    * CONTRACT: any group/frame with FEWER than `n` rows yields all-NaN —
+    * the full-window gate (StreamingJob.java:139-142). This guard widened
+    * in round 5 from a fixed 10 to the declared `n` (default 30): a
+    * groupBy consumer aggregating legitimate groups of 10..n−1 rows must
+    * pass its expected group size as `n` explicitly, or it now gets NaNs
+    * where round-4 code returned values computed as if the group were a
+    * full window — that silent wrong answer is what the guard exists to
+    * refuse. */
   def column(x: Column, n: Int = 30): Column =
     udaf(new WindowMeasuresAgg(n)).apply(x)
 }

@@ -41,15 +41,20 @@ object AdvancedQueries {
        |  FROM kh)""".stripMargin
   }
 
-  /** The exploded corpus token stream, cached once per (session, dir):
-    * q73's vocabulary head and BOTH of q79's passes (the CMS aggregation
-    * and the exact top-20) scan one InMemoryRelation instead of
-    * re-tokenizing the corpus per action. */
+  /** The corpus token stream shared by q73's vocabulary head and BOTH of
+    * q79's passes (the CMS aggregation and the exact top-20). What is
+    * CACHED is the per-document token ARRAY (one row per doc — the same
+    * order of magnitude as the source, columnar-compressed), not the
+    * exploded one-row-per-token stream, which is ~2 orders of magnitude
+    * more rows and would dominate (and at real scale evict/spill) the
+    * cache for frames each consumer scans with a single aggregate pass.
+    * The explode itself is codegen'd and re-run per consumer — cheap
+    * relative to re-tokenizing, which is what the cache avoids. */
   private[graft] def tokenStream(s: SparkSession, dir: String): DataFrame =
     Caches.frame(s, dir, "tokens") {
       Tables.sharded(s, dir, "documents", "doc_id")
-        .select(explode(graft.dedup.Dedup.tokens(col("text"))).as("token"))
-    }
+        .select(graft.dedup.Dedup.tokens(col("text")).as("toks"))
+    }.select(explode(col("toks")).as("token"))
 
   /** The winnowing fingerprint table, cached once per (session, dir) —
     * q63 reports per-document digests over it and q64's detector explodes

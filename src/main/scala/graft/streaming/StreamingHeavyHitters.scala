@@ -90,7 +90,14 @@ object StreamingHeavyHitters {
                 buckets.getOrElseUpdate(1L,
                   scala.collection.mutable.Set.empty[Int]) += i
               case None =>
-                // evict A minimum counter; its count bounds the error
+                // Evict A minimum counter; its count bounds the error.
+                // WHICH member of the minimum bucket is evicted is
+                // arbitrary by design: all counters in the bucket share
+                // the same count, and SpaceSaving's guarantees (err ≤
+                // evicted count; any item with true frequency > n/k is
+                // retained) only require replacing SOME minimal counter —
+                // the choice cannot affect the bounds, only which
+                // equally-uncertain label is forgotten.
                 val m = buckets.head._2.head
                 val floor = counts(m)
                 idx.remove(toks(m))

@@ -57,6 +57,23 @@ class PackingSpec extends AnyFunSuite with SparkTestBase
     assert(shards.toSeq === Seq(0L, 0L, 1L))
   }
 
+  test("null and negative weights fail loudly (weightedPriority contract)") {
+    import spark.implicits._
+    val neg = Seq((1L, 5L), (2L, -3L)).toDF("id", "w")
+    val eNeg = intercept[Exception] {
+      Packing.packByBudget(neg, "id", "w", budget = 10L).collect()
+    }
+    assert(eNeg.getMessage.contains("packByBudget") ||
+      Option(eNeg.getCause).exists(_.getMessage.contains("packByBudget")))
+    val withNull = Seq((1L, Some(5L)), (2L, None))
+      .toDF("id", "w")
+    val eNull = intercept[Exception] {
+      Packing.packByBudget(withNull, "id", "w", budget = 10L).collect()
+    }
+    assert(eNull.getMessage.contains("packByBudget") ||
+      Option(eNull.getCause).exists(_.getMessage.contains("packByBudget")))
+  }
+
   test("packing is invariant to the partition count") {
     import spark.implicits._
     val df = (0L until 200L).map(i => (i, (i % 7) + 1)).toDF("id", "w")
