@@ -40,8 +40,11 @@ object StreamingWinnow {
   }
 
   /** Streamed candidate pairs over fingerprint buckets — delegates to the
-    * shared bounded-bucket state operator. */
+    * shared bounded-bucket state operator (including its `idleTtl` state
+    * bound; see [[StreamingNearDup.candidatePairs]]). */
   def candidatePairs(buckets: Dataset[StreamingNearDup.BucketDoc],
-      maxBucket: Int = 20): Dataset[StreamingNearDup.CandPair] =
-    StreamingNearDup.candidatePairs(buckets, maxBucket)
+      maxBucket: Int = 20,
+      idleTtl: Option[java.time.Duration] = None)
+      : Dataset[StreamingNearDup.CandPair] =
+    StreamingNearDup.candidatePairs(buckets, maxBucket, idleTtl)
 }
