@@ -30,7 +30,7 @@ object ExtQueries {
     * centroid = per-dim avg rounded to 6), so both engines walk identical
     * centroid sequences. */
   private def ivfTrainCtes(k: Int, iters: Int, dim: Int,
-      probes: Option[Int] = None): String = {
+      probes: Option[Int] = None, assignProbes: Option[Int] = None): String = {
     val avgVec = (1 to dim).map(i => s"round(avg(e[$i]), 6)")
       .mkString("[", ", ", "]")
     def assign(name: String, cents: String, rkLim: Int) =
@@ -46,7 +46,8 @@ object ExtQueries {
       Seq(assign(s"a$it", s"c${it - 1}", 1),
         s"c$it AS (SELECT cell, $avgVec AS c FROM a$it GROUP BY cell)")
     } ++ (assign("afin", s"c$iters", 1) +:
-      probes.map(p => assign("aprobe", s"c$iters", p)).toSeq)
+      (probes.map(p => assign("aprobe", s"c$iters", p)).toSeq ++
+        assignProbes.map(a => assign("aidx", s"c$iters", a)).toSeq))
     (Seq(
       "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
       s"""c0 AS (
@@ -274,6 +275,39 @@ object ExtQueries {
           |      ORDER BY round(list_cosine_similarity(q.e, b.e), 6) DESC,
           |        b.vec_id) AS rk
           |  FROM aprobe q JOIN afin b ON q.cell = b.cell AND q.vec_id <> b.vec_id
+          |) t WHERE rk <= 3 ORDER BY vec_id, neighbor_id""".stripMargin)),
+
+    // The full recommended ANN configuration (round-6): query side probes
+    // its p=4 nearest trained cells, the candidate INDEX holds each vector
+    // under its a=2 nearest cells (recall@3 0.76 → 0.94 at sf0.1 for a 2×
+    // index), and the engine runs the two-stage IVF-flat refine — stage 1
+    // scores candidates against the int8 scalar-quantized index
+    // (asymmetric ADC), stage 2 re-ranks a per-query shortlist (s=4k)
+    // with the exact cosine. The ORACLE computes the exact-rank
+    // multi-assign multi-probe answer directly, so the hash match proves
+    // the quantized shortlist loses nothing — the refine contract itself
+    // (AnnQualitySpec pins the same agreement per query at both scales).
+    Q("q92_ann_refine",
+      (s, dir) => {
+        val emb = embFrame(s, dir)
+        graft.similarity.Similarity
+          .ivfRefineTopK(emb, trainedCells(s, dir), k = 3, probes = 4,
+            shortlist = 12, assignProbes = 2)
+          .select(col("vec_id"), col("neighbor_id"), col("cos_sim"))
+          .orderBy(col("vec_id"), col("neighbor_id"))
+      },
+      Some(ivfTrainCtes(k = 8, iters = 2, dim = 64, probes = Some(4),
+        assignProbes = Some(2)) +
+        """
+          |SELECT vec_id, neighbor_id, cos_sim FROM (
+          |  SELECT vec_id, neighbor_id, cos_sim,
+          |    row_number() OVER (PARTITION BY vec_id
+          |      ORDER BY cos_sim DESC, neighbor_id) AS rk
+          |  FROM (
+          |    SELECT DISTINCT q.vec_id AS vec_id, b.vec_id AS neighbor_id,
+          |      round(list_cosine_similarity(q.e, b.e), 6) AS cos_sim
+          |    FROM aprobe q JOIN aidx b ON q.cell = b.cell
+          |      AND q.vec_id <> b.vec_id) p
           |) t WHERE rk <= 3 ORDER BY vec_id, neighbor_id""".stripMargin)),
 
     // SemDeDup (Abbas et al. 2023): semantic dedup composed from the

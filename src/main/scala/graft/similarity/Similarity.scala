@@ -180,28 +180,104 @@ object Similarity {
   }
 
   /** Multi-probe trained-IVF search: every vector probes its `probes`
-    * nearest cells and is searched against the candidates ASSIGNED
-    * (single-cell) to those cells — the standard IVF recall knob (recall
-    * rises with p, cost is ~p× the single-probe join). Each candidate
-    * lives in exactly one cell, so the per-query candidate lists are
-    * disjoint and no post-union dedup is needed; `cell` remains the
-    * shuffle key, so cost tracks probed-cell occupancy, not the pair
-    * space. `probes = 1` degenerates to [[ivfTopK]] over [[assignCells]].
+    * nearest cells and is searched against the candidates assigned to
+    * those cells — the standard IVF recall knob (recall rises with p,
+    * cost is ~p× the single-probe join). `cell` is the shuffle key, so
+    * cost tracks probed-cell occupancy, not the pair space. `probes = 1`
+    * degenerates to [[ivfTopK]] over [[assignCells]].
+    *
+    * `assignProbes` is the CANDIDATE-side coverage knob: with the default
+    * 1 each candidate lives in exactly one cell (per-query candidate
+    * lists disjoint, no dedup needed); at `assignProbes = a > 1` every
+    * candidate is indexed under its `a` nearest cells (the index grows
+    * a×, and a query finds a neighbor when the neighbor's a cells
+    * intersect the query's p cells — recall rises on both knobs). A
+    * candidate can then reach one query through several shared cells, so
+    * the pair stream is DISTINCT-ed before ranking — same shuffle key,
+    * one extra exchange on the deduped pairs.
     *
     * This is the RECOMMENDED similarity-search configuration (see
     * AnnQualitySpec/PLANS.md: recall@3 0.352 @p=1 → ≥0.6 @p=3 on the
-    * test corpus, vs 0.088 for the planted label). */
+    * test corpus, vs 0.088 for the planted label; p=4 with
+    * assignProbes=2 clears 0.85 at sf0.1). */
   def ivfMultiProbeTopK(emb: DataFrame, cents: Array[(Int, Array[Double])],
-      k: Int, probes: Int, idCol: String = "vec_id", vecCol: String = "e")
-      : DataFrame = {
-    val cand = assignCells(emb, cents, idCol, vecCol)
+      k: Int, probes: Int, idCol: String = "vec_id", vecCol: String = "e",
+      assignProbes: Int = 1): DataFrame = {
+    val cand = (
+      if (assignProbes <= 1) assignCells(emb, cents, idCol, vecCol)
+      else probeCells(emb, cents, assignProbes, idCol, vecCol))
       .select(col(idCol).as("neighbor_id"), col("cell"),
         col(vecCol).as("__ne"))
     val probed = probeCells(emb, cents, probes, idCol, vecCol)
       .select(col(idCol), col("cell"), col(vecCol))
     val cos = CosineSimilarity(col(vecCol), col("__ne"))
-    probed.join(cand, "cell")
+    val pairs = probed.join(cand, "cell")
       .where(col(idCol) =!= col("neighbor_id"))
+      .select(col(idCol), round(cos, 6).as("cos_sim"), col("neighbor_id"))
+    val deduped = if (assignProbes <= 1) pairs else pairs.distinct()
+    deduped
+      .withColumn("rk", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .where(col("rk") <= k)
+      .drop("rk")
+  }
+
+  /** Two-stage IVF-flat refine: the probed-cell candidate stream is scored
+    * first against an INT8 scalar-quantized candidate index (asymmetric:
+    * exact query × quantized candidate — the ADC trick), a per-query
+    * `shortlist` survives, and only the shortlist is re-ranked with the
+    * exact round-6 cosine. Same result contract as [[ivfMultiProbeTopK]]
+    * (AnnQualitySpec pins the agreement), different cost shape for 100 TB:
+    * the index that flows through the big `cell` join carries 1 byte/dim
+    * + two doubles instead of 8 bytes/dim, and full vectors are gathered
+    * only for shortlist×queries rows (two id-keyed joins over the
+    * shortlist — rows ~ s·|Q|, tiny next to the candidate stream).
+    *
+    * `shortlist` tunes the approximation risk: a true top-k neighbor is
+    * lost only if int8 rounding pushes it below rank `shortlist` in its
+    * query's candidate list; s ≈ 4–8× k makes that a tail event (measured
+    * zero loss on the test corpus at s = 4k). */
+  def ivfRefineTopK(emb: DataFrame, cents: Array[(Int, Array[Double])],
+      k: Int, probes: Int, shortlist: Int, idCol: String = "vec_id",
+      vecCol: String = "e", assignProbes: Int = 1): DataFrame = {
+    val sq = transform(col(vecCol), x => round(x / col("__qs")).cast("tinyint"))
+    def quantized(df: DataFrame): DataFrame = df
+      .withColumn("__qs",
+        greatest(array_max(col(vecCol)), -array_min(col(vecCol)), lit(1e-300))
+          / 127.0)
+      .withColumn("__sq", sq)
+      .withColumn("__nrm",
+        sqrt(graft.functions.DotProduct(col(vecCol), col(vecCol))))
+    val cand = quantized(
+      if (assignProbes <= 1) assignCells(emb, cents, idCol, vecCol)
+      else probeCells(emb, cents, assignProbes, idCol, vecCol))
+      .select(col(idCol).as("neighbor_id"), col("cell"),
+        col("__sq").as("__csq"), col("__qs").as("__cqs"),
+        col("__nrm").as("__cnrm"))
+    val probed = probeCells(emb, cents, probes, idCol, vecCol)
+      .withColumn("__nrm",
+        sqrt(graft.functions.DotProduct(col(vecCol), col(vecCol))))
+      .select(col(idCol), col("cell"), col(vecCol), col("__nrm"))
+    // stage 1: asymmetric quantized score — exact query vector against the
+    // dequantized candidate; one native dot product per pair
+    val approx = graft.functions.DotProduct(
+      col(vecCol), col("__csq").cast("array<double>")) * col("__cqs") /
+      (col("__nrm") * col("__cnrm"))
+    val pairs = probed.join(cand, "cell")
+      .where(col(idCol) =!= col("neighbor_id"))
+      .select(col(idCol), col("neighbor_id"), round(approx, 9).as("__a"))
+    val deduped = if (assignProbes <= 1) pairs else pairs.distinct()
+    val short = deduped
+      .withColumn("rk", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("__a").desc, col("neighbor_id"))))
+      .where(col("rk") <= shortlist)
+      .select(col(idCol), col("neighbor_id"))
+    // stage 2: gather exact vectors for the shortlist only, re-rank
+    val cos = CosineSimilarity(col("__qe"), col("__ne"))
+    short
+      .join(emb.select(col(idCol), col(vecCol).as("__qe")), idCol)
+      .join(emb.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__ne")), "neighbor_id")
       .select(col(idCol), round(cos, 6).as("cos_sim"), col("neighbor_id"))
       .withColumn("rk", row_number().over(Window.partitionBy(col(idCol))
         .orderBy(col("cos_sim").desc, col("neighbor_id"))))
