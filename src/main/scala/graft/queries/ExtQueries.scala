@@ -311,22 +311,28 @@ object ExtQueries {
           |) t WHERE rk <= 3 ORDER BY vec_id, neighbor_id""".stripMargin)),
 
     // SemDeDup (Abbas et al. 2023): semantic dedup composed from the
-    // trained-IVF pieces — assign to the shared k=8 quantizer cells, then
-    // within-cell pairwise round-6 cosine >= 0.45 marks duplicates, each
-    // pointing at its min-id representative. The pair stage is keyed by
-    // cell (cost sums cell_size^2, not corpus^2); the oracle replays the
-    // identical Lloyd trajectory plus the same-cell min-id rule.
+    // trained-IVF pieces. Round-6: the pair stage runs on the p=2
+    // MULTI-PROBE assignment (each vector under its 2 nearest cells), so
+    // duplicate pairs split by a quantizer boundary are recovered whenever
+    // the probed cell sets overlap — the cross-cell recall recovery,
+    // ≤4× the single-assignment Σ cell² pair cost, still keyed by cell.
+    // Within shared cells, round-6 cosine >= 0.45 marks duplicates, each
+    // pointing at its min-id representative; the reported cell is the
+    // primary assignment. The oracle replays the identical Lloyd
+    // trajectory plus the rk<=2 probe assignment and the same min-id rule
+    // (GROUP BY the vector, so overlapping cells never duplicate rows).
     Q("q75_semdedup",
       (s, dir) => {
-        val assigned = graft.similarity.Similarity
-          .assignCells(embFrame(s, dir), trainedCells(s, dir))
-        graft.similarity.Similarity.semanticDupes(assigned, threshold = 0.45)
+        graft.similarity.Similarity.semanticDupesMultiProbe(
+          embFrame(s, dir), trainedCells(s, dir), threshold = 0.45,
+          probes = 2)
           .orderBy(col("vec_id"))
       },
-      Some(ivfTrainCtes(k = 8, iters = 2, dim = 64) +
+      Some(ivfTrainCtes(k = 8, iters = 2, dim = 64,
+        assignProbes = Some(2)) +
         """,
           |sem AS (SELECT a.vec_id, min(b.vec_id) AS dup_of
-          |        FROM afin a JOIN afin b ON a.cell = b.cell
+          |        FROM aidx a JOIN aidx b ON a.cell = b.cell
           |          AND b.vec_id < a.vec_id
           |          AND round(list_cosine_similarity(a.e, b.e), 6) >= 0.45
           |        GROUP BY 1)

@@ -375,4 +375,35 @@ object Similarity {
       .select(col(idCol), col("cell"), col("dup_of"),
         col("dup_of").isNotNull.as("is_dup"))
   }
+
+  /** SemDeDup with MULTI-PROBE assignment — the cross-cell recall
+    * recovery: the pair stage sees every vector under its `probes`
+    * nearest cells ([[probeCells]]), so a duplicate pair split by a
+    * quantizer boundary is still found whenever the two vectors' probed
+    * cell sets overlap. Cost is bounded by probes² × Σ cell² (each cell's
+    * pair stage sees ≤ probes× its single-assignment occupancy); the cell
+    * stays the shuffle key. The reported `cell` is the primary (nearest)
+    * cell, identical to [[assignCells]]; `dup_of` = the min smaller-id
+    * match across ALL shared probed cells (groupBy the vector, not the
+    * (vector, cell) pair, so overlapping cells never duplicate rows).
+    * `probes = 1` degenerates to [[semanticDupes]] over [[assignCells]].
+    * SemDeDupSpec measures the recall delta vs the single-cell baseline
+    * against the brute-force pair truth. */
+  def semanticDupesMultiProbe(emb: DataFrame,
+      cents: Array[(Int, Array[Double])], threshold: Double,
+      probes: Int = 2, idCol: String = "vec_id", vecCol: String = "e")
+      : DataFrame = {
+    val probed = probeCells(emb, cents, probes, idCol, vecCol)
+    val cos = round(CosineSimilarity(col(vecCol), col("__be")), 6)
+    val dupOf = probed.select(col(idCol), col("cell"), col(vecCol))
+      .join(probed.select(col(idCol).as("__bid"), col("cell"),
+        col(vecCol).as("__be")), "cell")
+      .where(col("__bid") < col(idCol) && cos >= threshold)
+      .groupBy(col(idCol))
+      .agg(min(col("__bid")).as("dup_of"))
+    probed.where(col("probe_rank") === 1).select(col(idCol), col("cell"))
+      .join(dupOf, Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("dup_of"),
+        col("dup_of").isNotNull.as("is_dup"))
+  }
 }
