@@ -487,8 +487,7 @@ object AdvancedQueries {
     // quality formula verbatim.
     Q("q78_weighted_sample",
       (s, dir) => {
-        val q = graft.text.TextStats
-          .quality(Tables.sharded(s, dir, "documents", "doc_id"))
+        val q = ExtQueries.qualityFrame(s, dir)
           .where(col("n_tokens") > 0)
           .select(col("doc_id"), col("quality"))
         graft.analytics.Sampling

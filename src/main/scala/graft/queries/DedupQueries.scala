@@ -117,6 +117,18 @@ object DedupQueries {
         rowsPerBand = RowsPerBand)
     }
 
+  /** The connected-components cluster map (q55's output frame: doc_id →
+    * cluster_id), cached once per (session, dir): q55 presents it, q59's
+    * canonical-doc gate filters it — the label-propagation rounds run
+    * once, not per consumer. clusters() already localCheckpoints its
+    * result, so the cache pins a flat frame, not the loop lineage. */
+  private def clustersFrame(s: SparkSession, dir: String): DataFrame =
+    Caches.frame(s, dir, "clusters") {
+      graft.dedup.Dedup.clusters(
+        Tables(s, dir, "documents").select(col("doc_id")),
+        clusterEdges(s, dir))
+    }
+
   /** LSH band-key collision candidate pairs `(id_a, id_b)` — the scale
     * candidate source shared beyond this module: q64's winnowing detector
     * unions these with its fingerprint-collision candidates so >DF-cap
@@ -503,12 +515,7 @@ object DedupQueries {
     // rounds. The driver-side loop only moves a scalar convergence count,
     // never data.
     Q("q55_dedup_clusters",
-      (s, dir) => {
-        graft.dedup.Dedup
-          .clusters(Tables(s, dir, "documents").select(col("doc_id")),
-            clusterEdges(s, dir))
-          .orderBy(col("doc_id"))
-      },
+      (s, dir) => clustersFrame(s, dir).orderBy(col("doc_id")),
       Some(duckLshEdges.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
         |und AS (SELECT doc_a AS s, doc_b AS t FROM jp
         |        UNION ALL SELECT doc_b, doc_a FROM jp),
@@ -525,17 +532,20 @@ object DedupQueries {
     // building blocks compose into: near-dup clustering picks one
     // canonical doc per cluster, quality & language gates drop the rest,
     // and the survivors roll up to a per-source token budget. Every stage
-    // is a previously-verified operator (q55 clusters, q21 quality, q22
-    // langid, q54 token estimate); the joins are all on doc_id, so after
-    // one hash-shard by doc_id the whole filter chain is co-located, and
-    // the final rollup shuffles only (source, partial aggregates).
+    // is a previously-verified operator consumed through its SHARED cached
+    // frame (clustersFrame = q55's, qualityFrame = q21's, langidFrame =
+    // q22's — PlanAuditSpec asserts the reuse at runtime), so the
+    // composite pays three joins and a rollup, never the stages' own
+    // recomputation; the joins are all on doc_id, so after one hash-shard
+    // by doc_id the whole filter chain is co-located, and the final
+    // rollup shuffles only (source, partial aggregates).
     Q("q59_corpus_prep",
       (s, dir) => {
-        val canonical = Registry.byName("q55_dedup_clusters").run(s, dir)
+        val canonical = clustersFrame(s, dir)
           .where(col("doc_id") === col("cluster_id")).select(col("doc_id"))
-        val quality = Registry.byName("q21_text_stats").run(s, dir)
+        val quality = ExtQueries.qualityFrame(s, dir)
           .select(col("doc_id"), col("quality"))
-        val lang = Registry.byName("q22_langid").run(s, dir)
+        val lang = ExtQueries.langidFrame(s, dir)
           .select(col("doc_id"), col("predicted_lang"))
         Tables(s, dir, "documents")
           .select(col("doc_id"), col("source"), col("n_chars"))
@@ -1019,8 +1029,7 @@ object DedupQueries {
     // so the rollup shuffles n_sources rows of state and nothing else.
     Q("q86_source_report",
       (s, dir) => {
-        val quality = graft.text.TextStats
-          .quality(Tables.sharded(s, dir, "documents", "doc_id"))
+        val quality = ExtQueries.qualityFrame(s, dir)
           .select(col("doc_id"), col("source"), col("n_tokens"),
             col("quality"))
         val dup = dupSpansFrame(s, dir)

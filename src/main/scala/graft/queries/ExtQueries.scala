@@ -58,6 +58,32 @@ object ExtQueries {
       .mkString("WITH ", ",\n", "")
   }
 
+  /** Per-document quality stats (q21's frame, text column dropped),
+    * cached once per (session, dir): q21 presents it, q78 samples by it,
+    * q86 and q59 aggregate it — one regex pass over the corpus instead of
+    * four. Scalar columns only (one row per doc), so the cache is
+    * corpus-count-sized, not corpus-byte-sized. */
+  private[queries] def qualityFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Caches.frame(s, dir, "quality") {
+      graft.text.TextStats
+        .quality(Tables.sharded(s, dir, "documents", "doc_id"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("avg_token_len"), col("stop_ratio"), col("n_punct"),
+          col("text_len"), col("quality"))
+    }
+
+  /** Per-document language-ID frame (q22's), cached once per (session,
+    * dir) — q22 presents it, q59's language gate filters on it. */
+  private[queries] def langidFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Caches.frame(s, dir, "langid") {
+      graft.text.TextStats
+        .langId(Tables.sharded(s, dir, "documents", "doc_id"))
+        .select(col("doc_id"), col("c_en"), col("c_de"), col("c_fr"),
+          col("c_es"), col("predicted_lang"))
+    }
+
   /** Embedding table as `(vec_id, e: array<double>)`, sharded + cached —
     * shared scan of the trained-IVF family (q65/q66/q67 and the Lloyd
     * iterations inside training). */
@@ -99,8 +125,7 @@ object ExtQueries {
     // formulation — this is the hot shape for 100 TB document scoring.
     Q("q21_text_stats",
       (s, dir) =>
-        graft.text.TextStats
-          .quality(Tables.sharded(s, dir, "documents", "doc_id"))
+        qualityFrame(s, dir)
           .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
             col("stop_ratio"), col("n_punct"), col("text_len"), col("quality"))
           .orderBy(col("doc_id")),
@@ -125,11 +150,7 @@ object ExtQueries {
     // Language-ID n-gram/stopword heuristic with a deterministic argmax.
     Q("q22_langid",
       (s, dir) =>
-        graft.text.TextStats
-          .langId(Tables.sharded(s, dir, "documents", "doc_id"))
-          .select(col("doc_id"), col("c_en"), col("c_de"), col("c_fr"),
-            col("c_es"), col("predicted_lang"))
-          .orderBy(col("doc_id")),
+        langidFrame(s, dir).orderBy(col("doc_id")),
       Some(
         """WITH c AS (
           |  SELECT doc_id,

@@ -132,6 +132,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase
         s"${df.queryExecution.executedPlan}")
   }
 
+  test("q59: the composite scans the shared cached stages, never " +
+      "recomputes them") {
+    // q59 = clustersFrame ⋈ qualityFrame ⋈ langidFrame ⋈ documents → the
+    // three stage inputs must appear as InMemoryTableScans (the same
+    // cached frames q55/q21/q22 present), so the composite pays joins and
+    // a rollup — not label propagation or the corpus regex passes again.
+    val df = Registry.byName("q59_corpus_prep").run(spark, dir)
+    df.collect() // materialize so AQE stages exist
+    val cached = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        s
+    }
+    assert(cached.size >= 3,
+      s"q59 must read 3 cached stage frames, found ${cached.size}:\n" +
+        s"${df.queryExecution.executedPlan}")
+  }
+
   test("q04: the window mean is folded once per row, not inlined into " +
       "the sm1/sm2 lambdas") {
     // withMeasures relies on CollapseProject's refusal to duplicate a
