@@ -387,4 +387,31 @@ object Dedup {
       .join(broadcast(bench), gramCol)
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
   }
+
+  /** Canonical-member selection per duplicate cluster — the "keep the
+    * best copy" step after [[clusters]]: given cluster members with
+    * arbitrary attribute columns, pick ONE canonical member per cluster
+    * by a caller-supplied total preference order (e.g. source priority,
+    * then length, then id as the deterministic tiebreak).
+    *
+    * Returns `(clusterCol, n_members, canonical_<keepCols>...)` — one row
+    * per cluster. Implemented as `min_by` over a packed ordering struct
+    * (struct comparison is lexicographic by field position), NOT a
+    * row_number window: the aggregate combines map-side, so the shuffle
+    * carries one candidate row per (partition, cluster) instead of every
+    * member, and no per-cluster sort ever runs — the shape that holds
+    * when a boilerplate cluster has millions of members at 100 TB.
+    *
+    * `orderCols` must be non-null for every member (NULL sorts
+    * unpredictably inside struct `min_by`); the caller owns that
+    * contract, matching the columns it selects. */
+  def canonicalPerCluster(members: DataFrame, clusterCol: String,
+      orderCols: Seq[Column], keepCols: Seq[String]): DataFrame = {
+    val pick = min_by(
+      struct(keepCols.map(col): _*), struct(orderCols: _*))
+    members.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n_members"), pick.as("__pick"))
+      .select(col(clusterCol) +: col("n_members") +:
+        keepCols.map(c => col(s"__pick.$c").as(s"canonical_$c")): _*)
+  }
 }

@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** The curation tail's policy layer: which copy of a duplicate survives
+  * (source-priority canonical selection), which documents are even
+  * eligible (Gopher rule gates), and what must be scrubbed before
+  * training (PII redaction). Each is a thin driver over a library
+  * operator ([[graft.dedup.Dedup.canonicalPerCluster]],
+  * [[graft.text.TextStats.gopherGates]], [[graft.text.Redact]]) with a
+  * DuckDB oracle replaying the same semantics. */
+object CurationQueries {
+
+  /** Source priority: the numeric suffix of the synthetic `srcN` source
+    * id, lower = more trusted (a stand-in for the curated-source ranking
+    * real pipelines carry — wiki before web before crawl). */
+  private val srcPrio = substring(col("source"), 4, 10).cast("int")
+
+  val all: Seq[Q] = Seq(
+
+    // Source-priority canonical selection: for every near-dup cluster
+    // (q55's connected components over LSH-candidate edges, consumed
+    // through the SAME cached clustersFrame — the label propagation never
+    // re-runs), keep the copy from the most-trusted source, breaking ties
+    // by longer document then smaller doc_id. One groupBy on cluster_id
+    // with a map-side-combining min_by over a packed ordering struct —
+    // the shuffle carries one candidate per (partition, cluster), never a
+    // per-cluster sort, so a million-member boilerplate cluster costs its
+    // bandwidth, not a sort. q59 hard-codes "min doc_id wins"; this is
+    // the policy-aware replacement a reference user migrating a real
+    // pipeline needs.
+    Q("q93_canonical_select",
+      (s, dir) => {
+        val members = DedupQueries.clustersFrame(s, dir)
+          .join(Tables(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("n_chars")), "doc_id")
+        graft.dedup.Dedup.canonicalPerCluster(
+          members, "cluster_id",
+          orderCols = Seq(srcPrio, -col("n_chars"), col("doc_id")),
+          keepCols = Seq("doc_id", "source", "n_chars"))
+          .select(col("cluster_id"), col("n_members"),
+            col("canonical_doc_id"), col("canonical_source"),
+            col("canonical_n_chars"))
+          .orderBy(col("cluster_id"))
+      },
+      Some(DedupQueries.duckLshEdges.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """,
+          |und AS (SELECT doc_a AS s, doc_b AS t FROM jp
+          |        UNION ALL SELECT doc_b, doc_a FROM jp),
+          |reach AS (SELECT s, t FROM und
+          |          UNION
+          |          SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s
+          |          WHERE u.t <> r.s),
+          |cl AS (SELECT d.doc_id,
+          |    least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS cluster_id
+          |  FROM documents d LEFT JOIN reach r ON d.doc_id = r.s
+          |  GROUP BY d.doc_id),
+          |mem AS (SELECT cl.cluster_id, d.doc_id, d.source, d.n_chars,
+          |    CAST(substr(d.source, 4) AS INT) AS prio
+          |  FROM cl JOIN documents d ON cl.doc_id = d.doc_id),
+          |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+          |    ORDER BY prio, n_chars DESC, doc_id) AS rn,
+          |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+          |  FROM mem)
+          |SELECT cluster_id, n_members, doc_id AS canonical_doc_id,
+          |  source AS canonical_source, n_chars AS canonical_n_chars
+          |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin)),
+
+    // Gopher rule gates (graft.text.TextStats.gopherGates): MassiveText's
+    // pre-model quality battery — word count, mean word length, distinct
+    // stopwords, alphabetic-word fraction — as one codegen'd per-row pass
+    // over a single split, no explode and no shuffle: the cheap filter
+    // that runs FIRST at 100 TB, in front of quality()/bigramLmScore().
+    // The oracle replays every gate with DuckDB list lambdas.
+    Q("q94_gopher_gates",
+      (s, dir) =>
+        graft.text.TextStats
+          .gopherGates(Tables(s, dir, "documents"))
+          .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+            col("n_stop_distinct"), col("alpha_frac"), col("gate_words"),
+            col("gate_word_len"), col("gate_stop"), col("gate_alpha"),
+            col("pass"))
+          .orderBy(col("doc_id")),
+      Some(
+        """WITH w AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'),
+          |      x -> len(x) > 0) AS words
+          |  FROM documents),
+          |m AS (SELECT doc_id, len(words) AS n_words,
+          |    round(CAST(list_aggregate(list_transform(words,
+          |        x -> len(x)), 'sum') AS DOUBLE)
+          |      / nullif(CAST(len(words) AS DOUBLE), 0.0), 6)
+          |      AS mean_word_len,
+          |    len(list_intersect(list_transform(words, x -> lower(x)),
+          |      ['the','a','of','and','to','in','is','on','for','with']))
+          |      AS n_stop_distinct,
+          |    round(CAST(len(list_filter(words,
+          |        x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+          |      / nullif(CAST(len(words) AS DOUBLE), 0.0), 6) AS alpha_frac
+          |  FROM w)
+          |SELECT doc_id, n_words, mean_word_len, n_stop_distinct,
+          |  alpha_frac,
+          |  n_words >= 50 AND n_words <= 100000 AS gate_words,
+          |  coalesce(mean_word_len >= 3.0 AND mean_word_len <= 10.0,
+          |    false) AS gate_word_len,
+          |  n_stop_distinct >= 2 AS gate_stop,
+          |  coalesce(alpha_frac >= 0.8, false) AS gate_alpha,
+          |  (n_words >= 50 AND n_words <= 100000)
+          |    AND coalesce(mean_word_len >= 3.0 AND mean_word_len <= 10.0,
+          |      false)
+          |    AND n_stop_distinct >= 2
+          |    AND coalesce(alpha_frac >= 0.8, false) AS pass
+          |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // PII redaction (graft.text.Redact): mask emails / SSNs / phones /
+    // IPv4s with typed placeholders and audit the per-type hit counts.
+    // The testdata corpus carries no organic PII (synthetic word salad),
+    // so the query PLANTS deterministic PII derived from doc_id — varying
+    // presence per type (mod arithmetic) plus a bare-number decoy that
+    // must survive unredacted — then verifies the full redacted text by
+    // digest against the oracle's RE2 replay of the same construction.
+    // The operator itself (Redact.redactPii) is a pure per-row regex map:
+    // codegen'd, shuffle-free, the 100 TB shape; RedactSpec pins the
+    // fixture-level semantics (idempotence, decoys, ordering).
+    Q("q95_pii_redact",
+      (s, dir) => {
+        val planted = concat(
+          col("text"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@mail.example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" tel +1-555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" ssn 123-45-"),
+              lpad(((col("doc_id") * 3) % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), ((col("doc_id") * 7) % 256).cast("string")),
+          concat(lit(" order "), (col("doc_id") * 13).cast("string")))
+        val counts = graft.text.Redact.piiCounts(col("__full"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), planted.as("__full"))
+          .select(col("doc_id") +:
+            counts.map { case (n, c) => c.as(n) } :+
+            length(graft.text.Redact.redactPii(col("__full")))
+              .as("red_len") :+
+            md5(graft.text.Redact.redactPii(col("__full")))
+              .as("red_digest"): _*)
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH f AS (SELECT doc_id, text
+          |    || CASE WHEN doc_id % 2 = 0 THEN ' contact user' || doc_id
+          |         || '@mail.example.com' ELSE '' END
+          |    || CASE WHEN doc_id % 3 = 0 THEN ' tel +1-555-'
+          |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          |       ELSE '' END
+          |    || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-'
+          |         || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
+          |       ELSE '' END
+          |    || ' host 10.0.' || (doc_id % 256) || '.'
+          |    || ((doc_id * 7) % 256)
+          |    || ' order ' || (doc_id * 13) AS ftext
+          |  FROM documents),
+          |r AS (SELECT doc_id,
+          |    CAST(len(regexp_extract_all(ftext,
+          |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          |      AS INT) AS n_email,
+          |    CAST(len(regexp_extract_all(ftext,
+          |      '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssn,
+          |    CAST(len(regexp_extract_all(ftext,
+          |      '\+\d{1,3}-\d{3}-\d{4}')) AS INT) AS n_phone,
+          |    CAST(len(regexp_extract_all(ftext,
+          |      '\b\d{1,3}(\.\d{1,3}){3}\b')) AS INT) AS n_ip,
+          |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          |      ftext,
+          |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+          |      '<EMAIL>', 'g'),
+          |      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+          |      '\+\d{1,3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+          |      '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g') AS red
+          |  FROM f)
+          |SELECT doc_id, n_email, n_ssn, n_phone, n_ip,
+          |  CAST(len(red) AS INT) AS red_len, md5(red) AS red_digest
+          |FROM r ORDER BY doc_id""".stripMargin))
+  )
+}

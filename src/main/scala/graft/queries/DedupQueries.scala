@@ -122,7 +122,7 @@ object DedupQueries {
     * canonical-doc gate filters it — the label-propagation rounds run
     * once, not per consumer. clusters() already localCheckpoints its
     * result, so the cache pins a flat frame, not the loop lineage. */
-  private def clustersFrame(s: SparkSession, dir: String): DataFrame =
+  private[queries] def clustersFrame(s: SparkSession, dir: String): DataFrame =
     Caches.frame(s, dir, "clusters") {
       graft.dedup.Dedup.clusters(
         Tables(s, dir, "documents").select(col("doc_id")),
@@ -168,7 +168,7 @@ object DedupQueries {
   /** Oracle fragment mirroring [[clusterEdges]]: band-key collision
     * candidates (from [[duckMinhash]] — all md5, engine-portable) verified
     * with exact Jaccard at ≥0.5, as CTE `jp`. */
-  private def duckLshEdges: String = duckMinhash + """,
+  private[queries] def duckLshEdges: String = duckMinhash + """,
     |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
     |         FROM bands x JOIN bands y ON x.band = y.band
     |           AND x.band_key = y.band_key AND x.doc_id < y.doc_id

@@ -60,7 +60,8 @@ object Tables {
 object Registry {
   lazy val all: Seq[Q] =
     CoreQueries.all ++ WindowQueries.all ++ AnalyticsQueries.all ++
-      ExtQueries.all ++ DedupQueries.all ++ AdvancedQueries.all
+      ExtQueries.all ++ DedupQueries.all ++ AdvancedQueries.all ++
+      CurationQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -258,4 +258,53 @@ object TextStats {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hit"), round(sum(col("__s")), 6).as("score"))
   }
+
+  /** Gopher-style document quality gates (Rae et al. 2021 §A.1.1, the
+    * rule battery MassiveText applies before any model-based filtering):
+    * per document,
+    *  - `gate_words`: whitespace word count in [minWords, maxWords],
+    *  - `gate_word_len`: mean word length in [3, 10] characters,
+    *  - `gate_stop`: at least 2 DISTINCT common stopwords present (the
+    *    "is this running prose" check),
+    *  - `gate_alpha`: ≥ 80% of words contain at least one alphabetic
+    *    character,
+    * and `pass` = the conjunction. The diagnostic measurements
+    * (`n_words`, `mean_word_len`, `n_stop_distinct`, `alpha_frac`) ride
+    * along so a pipeline can tune thresholds from one scan.
+    *
+    * Pure per-row array arithmetic over ONE split — no explode, no
+    * shuffle, codegen'd end to end; the natural pre-filter in front of
+    * the heavier scorers ([[quality]], [[bigramLmScore]]) at corpus
+    * scale. Empty documents (zero words) fail every ratio gate by
+    * definition (ratios are null-safe to 0). */
+  def gopherGates(docs: DataFrame, textCol: String = "text",
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val words = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val nw = size(col("__words"))
+    docs
+      .withColumn("__words", words)
+      .withColumn("n_words", nw)
+      .withColumn("mean_word_len",
+        round(aggregate(col("__words"), lit(0L), (acc, w) => acc + length(w))
+          .cast("double") / nullif(nw.cast("double"), lit(0.0)), 6))
+      .withColumn("n_stop_distinct",
+        size(array_intersect(
+          transform(col("__words"), w => lower(w)),
+          array(Stopwords.map(lit): _*))))
+      .withColumn("alpha_frac",
+        round(size(filter(col("__words"), w => w.rlike("[A-Za-z]")))
+          .cast("double") / nullif(nw.cast("double"), lit(0.0)), 6))
+      .withColumn("gate_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("gate_word_len",
+        coalesce(col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0,
+          lit(false)))
+      .withColumn("gate_stop", col("n_stop_distinct") >= 2)
+      .withColumn("gate_alpha",
+        coalesce(col("alpha_frac") >= 0.8, lit(false)))
+      .withColumn("pass",
+        col("gate_words") && col("gate_word_len") && col("gate_stop") &&
+          col("gate_alpha"))
+      .drop("__words")
+  }
 }
