@@ -92,4 +92,66 @@ object Packing {
       .withColumn(shardCol, expr(s"__start DIV ${budget}L"))
       .drop("__pid", "__lc", "__off", "__start")
   }
+
+  /** Budgeted take PER GROUP — the data-mixing primitive: lay each
+    * group's rows out in ascending `orderCol` order and keep the prefix
+    * that BEGINS before the group's `budget` (same begins-before-the-cut
+    * convention as [[packByBudget]]). This is how a training mix takes
+    * "N tokens from each source" deterministically at corpus scale.
+    *
+    * The naive shape — `Window.partitionBy(group).orderBy(order)` — sorts
+    * EACH WHOLE GROUP on one task; with source-level groups a group is
+    * billions of documents and the job dies on the biggest one. This is
+    * the grouped two-phase distributed prefix sum instead:
+    * `repartitionByRange(group, order)` gives p range partitions (a group
+    * spans several when large, each sorted locally in parallel), the
+    * running sum runs within (partition, group), and the per-(partition,
+    * group) totals — at most p + n_groups − 1 rows, partitions hold
+    * contiguous (group, order) ranges — prefix-sum per group through a
+    * TINY keyed window (≤ p rows per group) and broadcast back. Unlike
+    * [[packByBudget]] there is NO driver collect at all: the offset
+    * table never leaves the cluster.
+    *
+    * Appends `startCol` (the row's within-group start offset) and keeps
+    * rows with `startCol < budget`. Same contracts as [[packByBudget]]:
+    * integral non-negative weights (validated loudly), `orderCol` unique
+    * WITHIN each group. */
+  def takeByBudgetPerGroup(df: DataFrame, groupCol: String,
+      orderCol: String, weightCol: String, budget: Long,
+      startCol: String = "tok_start", numPartitions: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = df.sparkSession
+    val p =
+      if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val checkedWeight = when(col(weightCol) >= 0, col(weightCol))
+      .otherwise(raise_error(concat(
+        lit(s"takeByBudgetPerGroup: $weightCol must be non-null and >= 0, " +
+          "got "),
+        coalesce(col(weightCol).cast("string"), lit("NULL")),
+        lit(s" at $orderCol="), col(orderCol).cast("string"))))
+    // localCheckpoint freezes the sampled range bounds across the totals
+    // job and the result job (see packByBudget — without it the two
+    // executions can disagree on row placement and corrupt the sum)
+    val local = df.withColumn(weightCol, checkedWeight)
+      .repartitionByRange(p, col(groupCol), col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lc",
+        sum(col(weightCol)).over(
+          Window.partitionBy(col("__pid"), col(groupCol))
+            .orderBy(col(orderCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint()
+    val offsets = local.groupBy(col("__pid"), col(groupCol))
+      .agg(max(col("__lc")).as("__t"))
+      .withColumn("__off",
+        coalesce(sum(col("__t")).over(
+          Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col(groupCol), col("__off"))
+    local.join(broadcast(offsets), Seq("__pid", groupCol))
+      .withColumn(startCol, col("__lc") + col("__off") - col(weightCol))
+      .where(col(startCol) < budget)
+      .drop("__pid", "__lc", "__off")
+  }
 }

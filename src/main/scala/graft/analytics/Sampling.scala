@@ -68,4 +68,31 @@ object Sampling {
       .orderBy(col("sample_key").desc, col(idCol))
       .limit(k)
   }
+
+  /** Deterministic train/validation/test assignment: appends `splitCol`
+    * with the label whose cumulative fraction bucket contains the row's
+    * digest-derived uniform (the 52-bit dyadic of [[bernoulli]] — exactly
+    * double-representable, so every engine computing it from the same
+    * digest assigns the same row to the same split). A pure per-row map:
+    * no shuffle, no state, stable under re-runs, retries, and corpus
+    * growth (a document's split never changes when other documents are
+    * added — the property a rand()-based splitter cannot give you).
+    * `fractions` must be positive and sum to 1 (±1e-9); the last label
+    * absorbs the u ≈ 1 boundary. */
+  def hashSplit(df: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)], salt: String = "s1",
+      splitCol: String = "split"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
+      s"fractions must be positive, got $fractions")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val u = conv(substring(priority(col(idCol), salt), 1, 13), 16, 10)
+      .cast("long").cast("double") / math.pow(16, 13)
+    val cuts = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val label = fractions.init.zip(cuts.init).foldRight(
+      lit(fractions.last._1)) { case (((name, _), cut), rest) =>
+      when(u < cut, name).otherwise(rest)
+    }
+    df.withColumn(splitCol, label)
+  }
 }

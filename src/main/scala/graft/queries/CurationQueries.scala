@@ -185,6 +185,77 @@ object CurationQueries {
           |  FROM f)
           |SELECT doc_id, n_email, n_ssn, n_phone, n_ip,
           |  CAST(len(red) AS INT) AS red_len, md5(red) AS red_digest
-          |FROM r ORDER BY doc_id""".stripMargin))
+          |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic train/val/test split (graft.analytics.Sampling
+    // .hashSplit): the 52-bit salted-digest uniform thresholded at the
+    // cumulative fractions — a pure per-row map (no shuffle, no state),
+    // and a document's split NEVER changes when the corpus grows, the
+    // property a rand() splitter cannot give. The oracle recomputes the
+    // exact dyadic uniform digit-by-digit from the same md5, so both
+    // engines place every boundary row identically.
+    Q("q96_hash_split",
+      (s, dir) =>
+        graft.analytics.Sampling
+          .hashSplit(
+            Tables(s, dir, "documents").select(col("doc_id"), col("source")),
+            idCol = "doc_id",
+            fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+            salt = "split")
+          .select(col("doc_id"), col("source"), col("split"))
+          .orderBy(col("doc_id")),
+      Some(
+        """WITH u AS (SELECT doc_id, source,
+          |    list_aggregate(list_transform(generate_series(1, 13),
+          |      i -> (strpos('0123456789abcdef',
+          |              substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+          |                i, 1)) - 1)
+          |           * power(CAST(16 AS DOUBLE), 13 - i)), 'sum')
+          |      / power(CAST(2 AS DOUBLE), 52) AS uu
+          |  FROM documents)
+          |SELECT doc_id, source,
+          |  CASE WHEN uu < 0.8 THEN 'train'
+          |       WHEN uu < 0.9 THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM u ORDER BY doc_id""".stripMargin)),
+
+    // Token-budget data mixing (graft.analytics.Packing
+    // .takeByBudgetPerGroup): take the first `budget` estimated tokens
+    // from EACH source, documents ordered by a salted digest (a
+    // deterministic shuffle of each source, so the taken prefix is an
+    // unbiased per-source sample) — the "mix N tokens of wiki, N of web"
+    // step in front of shard packing. The prefix sum is the GROUPED
+    // two-phase distributed shape: range partitions over (source, digest),
+    // per-(partition, source) local windows, and a tiny keyed offset
+    // window — no whole-source sort on any single task, no driver collect
+    // (DataMixSpec asserts both). The oracle affords the plain per-source
+    // window at its scale; the begins-before-the-cut convention matches
+    // q89's.
+    Q("q97_data_mix",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            ceil(col("n_chars") / 4.0).cast("long").as("est_tokens"),
+            graft.analytics.Sampling.priority(col("doc_id"), "mix")
+              .as("priority"))
+        graft.analytics.Packing
+          .takeByBudgetPerGroup(docs, groupCol = "source",
+            orderCol = "priority", weightCol = "est_tokens", budget = 800L)
+          .select(col("source"), col("doc_id"), col("est_tokens"),
+            col("tok_start"))
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some(
+        """WITH t AS (SELECT doc_id, source,
+          |    CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_tokens,
+          |    md5(CAST(doc_id AS VARCHAR) || ':mix') AS priority
+          |  FROM documents),
+          |c AS (SELECT *, sum(est_tokens) OVER (PARTITION BY source
+          |      ORDER BY priority
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM t)
+          |SELECT source, doc_id, est_tokens, cum - est_tokens AS tok_start
+          |FROM c WHERE cum - est_tokens < 800
+          |ORDER BY source, doc_id""".stripMargin))
   )
 }
