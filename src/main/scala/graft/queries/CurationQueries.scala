@@ -256,6 +256,105 @@ object CurationQueries {
           |  FROM t)
           |SELECT source, doc_id, est_tokens, cum - est_tokens AS tok_start
           |FROM c WHERE cum - est_tokens < 800
-          |ORDER BY source, doc_id""".stripMargin))
+          |ORDER BY source, doc_id""".stripMargin)),
+
+    // DSIR importance selection (graft.text.TextStats.dsirLogRatio, Xie
+    // et al. 2023): score every document by how much more likely it is
+    // under the target-domain bigram LM (target = the corpus's labeled
+    // English rows) than under the raw-corpus LM, and keep the top 100 —
+    // importance resampling toward a target distribution without
+    // hand-written rules. Both models fold from ONE doc-local bigram
+    // count (the target's is a filtered re-aggregation — no second
+    // tokenize); unseen-in-target events hit the add-one smoothing floor
+    // via left joins. Round-6 score with doc_id tiebreak makes the top-k
+    // engine-deterministic (the q76/q78 convention); the plan is
+    // TakeOrderedAndProject, never a global sort.
+    Q("q98_dsir_select",
+      (s, dir) => {
+        val docs = Tables.sharded(s, dir, "documents", "doc_id")
+          .withColumn("__tgt", col("lang") === "en")
+        graft.text.TextStats.dsirLogRatio(docs, targetCol = "__tgt")
+          .orderBy(col("logratio").desc, col("doc_id"))
+          .limit(100)
+      },
+      Some(
+        s"""WITH d AS (SELECT doc_id, lang = 'en' AS tgt,
+          |    ${ExtQueries.duckTokens} AS toks FROM documents),
+          |tok AS (SELECT tgt, unnest(toks) AS w1 FROM d),
+          |runi AS (SELECT w1, count(*) AS c1r FROM tok GROUP BY 1),
+          |tuni AS (SELECT w1, count(*) AS c1t FROM tok WHERE tgt
+          |  GROUP BY 1),
+          |v AS (SELECT count(DISTINCT w1) AS vr,
+          |    count(DISTINCT CASE WHEN tgt THEN w1 END) AS vt FROM tok),
+          |bg AS (SELECT doc_id, tgt,
+          |    unnest(list_transform(generate_series(1, len(toks) - 1),
+          |      i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS b
+          |  FROM d WHERE len(toks) >= 2),
+          |bgc AS (SELECT doc_id, tgt, b.w1 AS w1, b.w2 AS w2,
+          |    count(*) AS c FROM bg GROUP BY 1, 2, 3, 4),
+          |rbi AS (SELECT w1, w2, sum(c) AS c2r FROM bgc GROUP BY 1, 2),
+          |tbi AS (SELECT w1, w2, sum(c) AS c2t FROM bgc WHERE tgt
+          |  GROUP BY 1, 2),
+          |sc AS (SELECT g.doc_id, g.c,
+          |    ln((coalesce(tbi.c2t, 0) + CAST(1.0 AS DOUBLE))
+          |       / (coalesce(tuni.c1t, 0) + v.vt))
+          |    - ln((rbi.c2r + CAST(1.0 AS DOUBLE)) / (runi.c1r + v.vr))
+          |      AS lr
+          |  FROM bgc g LEFT JOIN tbi USING (w1, w2)
+          |  JOIN rbi USING (w1, w2) LEFT JOIN tuni USING (w1)
+          |  JOIN runi USING (w1) CROSS JOIN v)
+          |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+          |  round(sum(c * lr) / sum(c), 6) AS logratio
+          |FROM sc GROUP BY doc_id
+          |ORDER BY logratio DESC, doc_id LIMIT 100""".stripMargin)),
+
+    // Curriculum ordering: easiest-first training order — global
+    // difficulty rank (quality ascending = hardest last is the usual
+    // "clean first" curriculum) via the TWO-PHASE distributed rank
+    // (graft.pipeline.Ranks.withGlobalRank — range shuffle + local sorts
+    // + zipWithIndex; NEVER a partition-less Window.orderBy), decile
+    // bins from the rank, and a deterministic salted-digest shuffle key
+    // WITHIN each bin (intra-bin order must be random-but-reproducible,
+    // not quality-sorted — adjacent batches from one quality stratum is
+    // the known curriculum failure mode). Quality is the q21-verified
+    // cached frame; rank keys round-6 + doc_id so both engines produce
+    // the identical total order.
+    Q("q99_curriculum",
+      (s, dir) => {
+        val q = ExtQueries.qualityFrame(s, dir)
+          .select(col("doc_id"), round(col("quality"), 6).as("quality"))
+        val n = q.count() // driver scalar: the bin divisor
+        graft.pipeline.Ranks
+          .withGlobalRank(q, Seq(col("quality"), col("doc_id")), "__rk")
+          .select(col("doc_id"), col("quality"),
+            expr(s"((__rk - 1) * 10) DIV ${n}L").as("bin"),
+            md5(concat(col("doc_id").cast("string"), lit(":cur")))
+              .as("shuffle_key"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        s"""WITH s AS (
+          |  SELECT doc_id,
+          |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+          |    len(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'))
+          |      AS alnum_len,
+          |    len(regexp_extract_all(lower(text),
+          |      '\\b(?:${graft.text.TextStats.Stopwords.mkString("|")})\\b'))
+          |      AS n_stop
+          |  FROM documents),
+          |q AS (SELECT doc_id,
+          |    round(0.5 * least(1.0, n_tokens / 100.0)
+          |      + 0.3 * (CAST(n_stop AS DOUBLE) / nullif(n_tokens, 0))
+          |      + 0.2 * least(1.0, CAST(alnum_len AS DOUBLE)
+          |                         / nullif(n_tokens, 0) / 8.0), 6)
+          |      AS quality
+          |  FROM s),
+          |r AS (SELECT doc_id, quality,
+          |    row_number() OVER (ORDER BY quality, doc_id) AS rk,
+          |    count(*) OVER () AS n
+          |  FROM q)
+          |SELECT doc_id, quality, ((rk - 1) * 10) // n AS bin,
+          |  md5(CAST(doc_id AS VARCHAR) || ':cur') AS shuffle_key
+          |FROM r ORDER BY doc_id""".stripMargin))
   )
 }

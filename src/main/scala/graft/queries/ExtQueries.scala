@@ -15,7 +15,7 @@ object ExtQueries {
   private def tokens(c: org.apache.spark.sql.Column) =
     filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
 
-  private val duckTokens =
+  private[queries] val duckTokens =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)"
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is",

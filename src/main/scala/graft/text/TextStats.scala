@@ -259,6 +259,80 @@ object TextStats {
       .agg(count(lit(1)).as("n_hit"), round(sum(col("__s")), 6).as("score"))
   }
 
+  /** DSIR-style importance score (Xie et al. 2023, "Data Selection via
+    * Importance Resampling"): how much more likely is this document under
+    * a TARGET-domain language model than under the raw-corpus model?
+    * Selecting the top of this score tilts a 100 TB crawl toward a target
+    * distribution (a curated subset, a domain, a language) without
+    * hand-written rules. Both models are the add-one-smoothed bigram LMs
+    * of [[bigramLmScore]] — the target model trains on the rows where
+    * boolean `targetCol` is true, the raw model on everything — and the
+    * score is the length-normalized log ratio
+    * `avg_logp_target − avg_logp_raw` (positive = more target-like than
+    * the corpus baseline).
+    *
+    * Returns `(idCol, n_bigrams, logratio)` for documents with ≥ 2
+    * tokens, `logratio` rounded to 6dp.
+    *
+    * Scale shape inherited from [[bigramLmScore]]: one tokenizer pass
+    * behind an exchange barrier, both models are partial-aggregated count
+    * tables (the target's a filtered re-aggregation of the SAME doc-local
+    * counts — no second tokenize), vocabulary sizes are one broadcast
+    * 1-row frame, and scoring joins by (w1,w2)/w1 equi-keys. Bigrams and
+    * first-words the target never saw fall back to the smoothing floor
+    * (`ln(1/V_t)`-shaped) via left joins — exactly the model's unseen-
+    * event probability, not a special case. */
+  def dsirLogRatio(docs: DataFrame, targetCol: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs
+      .select(col(idCol), col(targetCol).cast("boolean").as("__tgt"),
+        graft.dedup.Dedup.tokens(col(textCol)).as("toks"))
+      .repartition(col(idCol))
+    // doc-local bigram counts, ONE explode (the bigramLmScore shape)
+    val docBi = base
+      .select(col(idCol), col("__tgt"),
+        explode(when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("w1"),
+              element_at(col("toks"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("b"))
+      .select(col(idCol), col("__tgt"), col("b.w1").as("w1"),
+        col("b.w2").as("w2"))
+      .groupBy(col(idCol), col("__tgt"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__c"))
+    // raw + target bigram models fold FROM the doc-local counts
+    val rawBi = docBi.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("__c")).as("__c2r"))
+    val tgtBi = docBi.where(col("__tgt"))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("__c")).as("__c2t"))
+    // unigram counts over ALL token occurrences (the LM denominators)
+    // the when-wrap (a no-op: toks is never null) keeps this branch's
+    // exchange subtree identical to docBi's — see bigramLmScore
+    val toks = base.select(col("__tgt"),
+      explode(when(col("toks").isNotNull, col("toks"))).as("w1"))
+    val rawUni = toks.groupBy(col("w1")).agg(count(lit(1)).as("__c1r"))
+    val tgtUni = toks.where(col("__tgt"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("__c1t"))
+    val vocab = toks.agg(
+      countDistinct(col("w1")).as("__vr"),
+      countDistinct(when(col("__tgt"), col("w1"))).as("__vt"))
+    val lpT = log((coalesce(col("__c2t"), lit(0L)) + lit(1.0)) /
+      (coalesce(col("__c1t"), lit(0L)) + col("__vt")))
+    val lpR = log((col("__c2r") + lit(1.0)) / (col("__c1r") + col("__vr")))
+    docBi
+      .join(tgtBi, Seq("w1", "w2"), "left")
+      .join(rawBi, Seq("w1", "w2"))
+      .join(tgtUni, Seq("w1"), "left")
+      .join(rawUni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), col("__c"), (lpT - lpR).as("__lr"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_bigrams"),
+        round(sum(col("__c") * col("__lr")) / sum(col("__c")), 6)
+          .as("logratio"))
+  }
+
   /** Gopher-style document quality gates (Rae et al. 2021 §A.1.1, the
     * rule battery MassiveText applies before any model-based filtering):
     * per document,

@@ -117,6 +117,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase
       s"tokenizer/model stages are not reused — branches re-tokenize:\n$p")
   }
 
+  test("q98: both DSIR model families reuse the tokenizer stage and " +
+      "the top-k plans as TakeOrderedAndProject") {
+    // the importance-ratio plan reads the tokenized-docs exchange from
+    // the bigram family (doc counts → raw + target models) AND the
+    // unigram family (denominators + vocabulary sizes) — AQE must unify
+    // them onto one executed tokenizer stage, exactly q87's contract
+    val df = Registry.byName("q98_dsir_select").run(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    val reused = collectWithSubqueries(p) {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+    }
+    assert(reused.size >= 2,
+      s"DSIR model branches do not reuse the tokenizer stage:\n$p")
+    assert(collectWithSubqueries(p) {
+      case t: TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"top-100 selection is not TakeOrderedAndProject:\n$p")
+  }
+
   test("q69: the n_words/2-gram/3-gram branches reuse one tokenizer " +
       "stage at runtime") {
     // same contract as q87: a `.where(size(toks) >= n)` here would push a
