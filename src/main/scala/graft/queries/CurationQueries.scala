@@ -355,6 +355,36 @@ object CurationQueries {
           |  FROM q)
           |SELECT doc_id, quality, ((rk - 1) * 10) // n AS bin,
           |  md5(CAST(doc_id AS VARCHAR) || ':cur') AS shuffle_key
-          |FROM r ORDER BY doc_id""".stripMargin))
+          |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // Sliding-window chunking: split every document into fixed-size
+    // token windows with overlap (size 64, stride 48 → 16-token overlap)
+    // — the embedding/RAG preparation step that turns a corpus into
+    // uniformly-sized passages. One codegen'd per-row
+    // tokenize → transform(sequence) → explode: document-local, no
+    // shuffle, output volume = input × (1 + overlap fraction); chunk
+    // content is verified by digest so the oracle pins exact token
+    // boundaries (slice clipping at the tail included).
+    Q("q100_chunking",
+      (s, dir) =>
+        graft.text.TextStats
+          .chunk(Tables(s, dir, "documents"), size = 64, stride = 48)
+          .select(col("doc_id"), col("chunk_id"),
+            size(col("ctoks")).as("chunk_tokens"),
+            md5(concat_ws(" ", col("ctoks"))).as("chunk_digest"))
+          .orderBy(col("doc_id"), col("chunk_id")),
+      Some(
+        s"""WITH d AS (SELECT doc_id, ${ExtQueries.duckTokens} AS toks
+          |  FROM documents),
+          |c AS (SELECT doc_id,
+          |    unnest(list_transform(generate_series(0, (len(toks) - 1) // 48),
+          |      i -> {'chunk_id': i,
+          |            'ctoks': toks[i * 48 + 1 : least(i * 48 + 64,
+          |                                             len(toks))]})) AS ch
+          |  FROM d WHERE len(toks) >= 1)
+          |SELECT doc_id, ch.chunk_id AS chunk_id,
+          |  len(ch.ctoks) AS chunk_tokens,
+          |  md5(array_to_string(ch.ctoks, ' ')) AS chunk_digest
+          |FROM c ORDER BY doc_id, chunk_id""".stripMargin))
   )
 }

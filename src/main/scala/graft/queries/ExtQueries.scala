@@ -454,6 +454,35 @@ object ExtQueries {
              |  ascii(substr(md5(text), 1, 1)) * 8 + ascii(substr(md5(text), 2, 1)) AS fake_width,
              |  ascii(substr(md5(text), 3, 1)) * 8 + ascii(substr(md5(text), 4, 1)) AS fake_height,
              |  n_chars // 100 + 1 AS n_frames
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Semi-structured property extraction: the events stream carries a
+    // JSON `props` string; pull a typed field out (get_json_object — a
+    // codegen'd path evaluation, no UDF, no full from_json materialize
+    // for a single field) and aggregate per event type. The partial
+    // aggregation means only (n_types × state) rows reach the exchange —
+    // the JSON parsing itself stays embarrassingly parallel at 100 TB.
+    Q("q101_json_props",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            count(col("k")).as("n_with_k"),
+            round(avg(col("k")), 6).as("avg_k"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+            sum(when(col("k") >= 50, 1L).otherwise(0L)).as("n_high"))
+          .orderBy(col("event_type")),
+      Some(
+        """WITH e AS (SELECT event_type,
+          |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+          |  FROM events)
+          |SELECT event_type, count(*) AS n,
+          |  count(k) AS n_with_k,
+          |  round(avg(k), 6) AS avg_k,
+          |  min(k) AS min_k, max(k) AS max_k,
+          |  CAST(count(*) FILTER (WHERE k >= 50) AS BIGINT) AS n_high
+          |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

@@ -259,6 +259,36 @@ object TextStats {
       .agg(count(lit(1)).as("n_hit"), round(sum(col("__s")), 6).as("score"))
   }
 
+  /** Sliding-window token chunking — the embedding/RAG preparation step:
+    * split each document into `size`-token windows starting every
+    * `stride` tokens (`stride < size` ⇒ overlapping context at the
+    * seams; the final window clips at the document end). Emits one row
+    * per chunk: `(idCol, chunk_id, ctoks)`. Empty documents emit no
+    * chunks. A single codegen'd tokenize → transform(sequence) → explode
+    * per row: document-local, shuffle-free, output volume bounded by
+    * input × size/stride. */
+  def chunk(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", size: Int = 64, stride: Int = 48)
+      : DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    docs
+      .select(col(idCol), graft.dedup.Dedup.tokens(col(textCol)).as("toks"))
+      .select(col(idCol),
+        explode(when(org.apache.spark.sql.functions.size(col("toks")) >= 1,
+          transform(
+            sequence(lit(0L),
+              floor((org.apache.spark.sql.functions.size(col("toks")) - 1) /
+                stride).cast("long")),
+            i => struct(i.cast("long").as("chunk_id"),
+              slice(col("toks"), i * stride + 1, lit(size)).as("ctoks"))))
+          .otherwise(array().cast(
+            "array<struct<chunk_id:bigint,ctoks:array<string>>>")))
+          .as("c"))
+      .select(col(idCol), col("c.chunk_id").as("chunk_id"),
+        col("c.ctoks").as("ctoks"))
+  }
+
   /** DSIR-style importance score (Xie et al. 2023, "Data Selection via
     * Importance Resampling"): how much more likely is this document under
     * a TARGET-domain language model than under the raw-corpus model?
