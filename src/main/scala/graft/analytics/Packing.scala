@@ -130,10 +130,18 @@ object Packing {
           "got "),
         coalesce(col(weightCol).cast("string"), lit("NULL")),
         lit(s" at $orderCol="), col(orderCol).cast("string"))))
+    // a NULL group would survive the window (partitionBy groups NULLs
+    // together) but vanish at the non-null-safe offsets equi-join —
+    // neither kept nor budget-rejected; reject it loudly instead
+    val checkedGroup = when(col(groupCol).isNotNull, col(groupCol))
+      .otherwise(raise_error(concat(
+        lit(s"takeByBudgetPerGroup: $groupCol must be non-null, NULL at " +
+          s"$orderCol="), col(orderCol).cast("string"))))
     // localCheckpoint freezes the sampled range bounds across the totals
     // job and the result job (see packByBudget — without it the two
     // executions can disagree on row placement and corrupt the sum)
     val local = df.withColumn(weightCol, checkedWeight)
+      .withColumn(groupCol, checkedGroup)
       .repartitionByRange(p, col(groupCol), col(orderCol))
       .withColumn("__pid", spark_partition_id())
       .withColumn("__lc",

@@ -14,6 +14,16 @@ object Sampling {
   def priority(idCol: org.apache.spark.sql.Column, salt: String) =
     md5(concat(idCol.cast("string"), lit(":" + salt)))
 
+  /** The 52-bit dyadic uniform on [0,1): first 13 hex digits of the
+    * salted digest over 16¹³ — exactly double-representable, so every
+    * engine computing it from the same digest gets the same double. The
+    * ONE definition all samplers share: its cross-engine exactness is
+    * load-bearing for oracle parity, and a digit-count tweak must move
+    * every consumer at once. */
+  private def uniform01(idCol: String, salt: String) =
+    conv(substring(priority(col(idCol), salt), 1, 13), 16, 10)
+      .cast("long").cast("double") / math.pow(16, 13)
+
   /** The k rows per stratum with the smallest salted digest — a
     * deterministic stratified sample. Spark's rank-limit pushdown
     * (WindowGroupLimit) keeps at most k rows per stratum on the map side,
@@ -35,9 +45,7 @@ object Sampling {
     * small rates by up to a full bucket. */
   def bernoulli(df: DataFrame, idCol: String, rate: Double,
       salt: String = "s1"): DataFrame = {
-    val u = conv(substring(priority(col(idCol), salt), 1, 13), 16, 10)
-      .cast("long").cast("double") / math.pow(16, 13)
-    df.where(u < rate)
+    df.where(uniform01(idCol, salt) < rate)
   }
 
   /** Weighted sampling without replacement (Efraimidis–Spirakis 2006):
@@ -54,8 +62,7 @@ object Sampling {
     * boundary rows; weights must be strictly positive. */
   def weightedPriority(df: DataFrame, idCol: String, weightCol: String,
       k: Int, salt: String = "s1"): DataFrame = {
-    val u = conv(substring(priority(col(idCol), salt), 1, 13), 16, 10)
-      .cast("long").cast("double") / math.pow(16, 13)
+    val u = uniform01(idCol, salt)
     // enforce the strictly-positive-weight contract per row: a negative
     // weight flips the key sign and would deterministically outrank every
     // valid row (ln(u)/w ≤ 0 for valid rows); a zero weight divides to
@@ -86,8 +93,7 @@ object Sampling {
       s"fractions must be positive, got $fractions")
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
-    val u = conv(substring(priority(col(idCol), salt), 1, 13), 16, 10)
-      .cast("long").cast("double") / math.pow(16, 13)
+    val u = uniform01(idCol, salt)
     val cuts = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
     val label = fractions.init.zip(cuts.init).foldRight(
       lit(fractions.last._1)) { case (((name, _), cut), rest) =>

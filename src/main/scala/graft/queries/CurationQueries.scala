@@ -321,7 +321,12 @@ object CurationQueries {
     // the identical total order.
     Q("q99_curriculum",
       (s, dir) => {
+        // token-free docs have NULL quality (nothing to train on) and are
+        // excluded EXPLICITLY: Spark's sort puts NULLs first, DuckDB's
+        // row_number puts them last — left in, every rank downstream of a
+        // NULL would disagree between the engines
         val q = ExtQueries.qualityFrame(s, dir)
+          .where(col("quality").isNotNull)
           .select(col("doc_id"), round(col("quality"), 6).as("quality"))
         val n = q.count() // driver scalar: the bin divisor
         graft.pipeline.Ranks
@@ -348,7 +353,7 @@ object CurationQueries {
           |      + 0.2 * least(1.0, CAST(alnum_len AS DOUBLE)
           |                         / nullif(n_tokens, 0) / 8.0), 6)
           |      AS quality
-          |  FROM s),
+          |  FROM s WHERE n_tokens > 0),
           |r AS (SELECT doc_id, quality,
           |    row_number() OVER (ORDER BY quality, doc_id) AS rk,
           |    count(*) OVER () AS n

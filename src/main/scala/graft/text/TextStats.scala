@@ -347,8 +347,16 @@ object TextStats {
     val vocab = toks.agg(
       countDistinct(col("w1")).as("__vr"),
       countDistinct(when(col("__tgt"), col("w1"))).as("__vt"))
-    val lpT = log((coalesce(col("__c2t"), lit(0L)) + lit(1.0)) /
-      (coalesce(col("__c1t"), lit(0L)) + col("__vt")))
+    // an empty target (zero rows with targetCol true) makes every
+    // denominator 0 + __vt=0 → lpT = ln(1/0) = +Inf for EVERY row and
+    // the downstream selection silently degrades to the id tiebreak;
+    // fail loudly instead (the weightedPriority/packByBudget contract)
+    val lpT = when(col("__vt") > 0,
+      log((coalesce(col("__c2t"), lit(0L)) + lit(1.0)) /
+        (coalesce(col("__c1t"), lit(0L)) + col("__vt"))))
+      .otherwise(raise_error(lit(
+        "dsirLogRatio: target set is empty — no row has " +
+          s"$targetCol = true")))
     val lpR = log((col("__c2r") + lit(1.0)) / (col("__c1r") + col("__vr")))
     docBi
       .join(tgtBi, Seq("w1", "w2"), "left")

@@ -66,4 +66,18 @@ class DataMixSpec extends AnyFunSuite with SparkTestBase
       Option(e.getCause).exists(
         _.getMessage.contains("takeByBudgetPerGroup")))
   }
+
+  test("a NULL group fails loudly rather than silently vanishing") {
+    import spark.implicits._
+    // NULL != NULL at the offsets equi-join would drop the row with no
+    // error — the guard must reject it before the window instead
+    val df = Seq((Some("a"), 1L, 5L), (None, 2L, 5L))
+      .toDF("g", "id", "w")
+    val e = intercept[Exception] {
+      Packing.takeByBudgetPerGroup(df, "g", "id", "w", budget = 10L)
+        .collect()
+    }
+    assert(e.getMessage.contains("must be non-null") ||
+      Option(e.getCause).exists(_.getMessage.contains("must be non-null")))
+  }
 }

@@ -41,8 +41,9 @@ class CanonicalSelectSpec extends AnyFunSuite with SparkTestBase {
       keepCols = Seq("doc_id"))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "must not be a row_number window")
-    assert(plan.contains("partial_min_by") ||
-      plan.toLowerCase.contains("partial"),
+    // specifically the min_by partial (n_members' partial_count would
+    // satisfy a bare "partial" even if min_by stopped combining map-side)
+    assert(plan.contains("partial_min_by"),
       s"min_by must partial-aggregate map-side:\n$plan")
   }
 }

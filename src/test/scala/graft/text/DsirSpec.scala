@@ -48,6 +48,16 @@ class DsirSpec extends AnyFunSuite with SparkTestBase {
     assert(m(3L) < m(2L), "OOV doc must score below an in-target twin")
   }
 
+  test("an empty target set fails loudly instead of scoring +Inf") {
+    val e = intercept[Exception] {
+      score(
+        (1L, false, "the cat sat on the mat"),
+        (2L, false, "a dog ran in the park"))
+    }
+    assert(e.getMessage.contains("target set is empty") ||
+      Option(e.getCause).exists(_.getMessage.contains("target set is empty")))
+  }
+
   test("sub-2-token documents drop out; scores are length-normalized") {
     val m = score(
       (1L, true, "one"),
