@@ -20,9 +20,12 @@ object Sampling {
     * ONE definition all samplers share: its cross-engine exactness is
     * load-bearing for oracle parity, and a digit-count tweak must move
     * every consumer at once. */
-  private def uniform01(idCol: String, salt: String) =
-    conv(substring(priority(col(idCol), salt), 1, 13), 16, 10)
+  private def uniform01(id: org.apache.spark.sql.Column, salt: String) =
+    conv(substring(priority(id, salt), 1, 13), 16, 10)
       .cast("long").cast("double") / math.pow(16, 13)
+
+  private def uniform01(idCol: String, salt: String): org.apache.spark.sql.Column =
+    uniform01(col(idCol), salt)
 
   /** The k rows per stratum with the smallest salted digest — a
     * deterministic stratified sample. Spark's rank-limit pushdown
@@ -88,17 +91,27 @@ object Sampling {
     * absorbs the u ≈ 1 boundary. */
   def hashSplit(df: DataFrame, idCol: String,
       fractions: Seq[(String, Double)], salt: String = "s1",
-      splitCol: String = "split"): DataFrame = {
+      splitCol: String = "split"): DataFrame =
+    df.withColumn(splitCol, splitLabel(col(idCol), fractions, salt))
+
+  /** [[hashSplit]]'s label as a standalone Column — because the split is
+    * a pure function of (id, salt), ANY frame carrying a document id can
+    * recompute membership in place: an audit over near-dup pairs labels
+    * both endpoints with two projections instead of materializing and
+    * joining the split table twice (q102's shape — at 100 TB that is two
+    * shuffle-free column evaluations vs two corpus-sized hash joins). */
+  def splitLabel(id: org.apache.spark.sql.Column,
+      fractions: Seq[(String, Double)],
+      salt: String = "s1"): org.apache.spark.sql.Column = {
     require(fractions.nonEmpty && fractions.forall(_._2 > 0),
       s"fractions must be positive, got $fractions")
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
-    val u = uniform01(idCol, salt)
+    val u = uniform01(id, salt)
     val cuts = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
-    val label = fractions.init.zip(cuts.init).foldRight(
+    fractions.init.zip(cuts.init).foldRight(
       lit(fractions.last._1)) { case (((name, _), cut), rest) =>
       when(u < cut, name).otherwise(rest)
     }
-    df.withColumn(splitCol, label)
   }
 }

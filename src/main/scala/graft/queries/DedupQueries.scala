@@ -1077,6 +1077,67 @@ object DedupQueries {
           |  round(avg(qs.quality), 6) AS mean_quality,
           |  round(avg(dup.dup_frac), 6) AS mean_dup_frac
           |FROM qs JOIN dup ON qs.doc_id = dup.doc_id
-          |GROUP BY qs.source ORDER BY qs.source""".stripMargin))
+          |GROUP BY qs.source ORDER BY qs.source""".stripMargin)),
+
+    // Cross-split contamination audit: near-duplicate pairs that straddle
+    // the deterministic train/val/test hash split (q96's) — the
+    // test-set-leakage report a pipeline runs BEFORE training, since a
+    // test document whose near-twin sits in train inflates every eval.
+    // Candidates come from the LSH scale path (q28's band-collision
+    // equi-join), exact-Jaccard-verified at the q55 cluster threshold;
+    // split membership is RECOMPUTED per endpoint with
+    // Sampling.splitLabel — the split is a pure function of (id, salt),
+    // so labeling both sides of a pair is two shuffle-free projections,
+    // never two corpus-sized hash joins against a materialized split
+    // table. At 100 TB the audit costs exactly q28 plus a map stage.
+    Q("q102_split_contamination",
+      (s, dir) => {
+        val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+        def split(id: Column) =
+          graft.analytics.Sampling.splitLabel(id, fr, salt = "split")
+        graft.dedup.Dedup
+          .jaccardVerify(
+            graft.dedup.Dedup.lshCandidates(bandsDf(s, dir)), grams(s, dir))
+          .where(col("jaccard") >= 0.5)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+            split(col("id_a")).as("split_a"), split(col("id_b")).as("split_b"),
+            col("jaccard"))
+          .where(col("split_a") =!= col("split_b"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(duckMinhash + """,
+        |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |          FROM bands x JOIN bands y
+        |            ON x.band = y.band AND x.band_key = y.band_key
+        |           AND x.doc_id < y.doc_id),
+        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |           FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |jp AS (SELECT c.doc_a, c.doc_b,
+        |         CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+        |       FROM cands c
+        |       JOIN common m ON c.doc_a = m.doc_a AND c.doc_b = m.doc_b
+        |       JOIN sizes sa ON c.doc_a = sa.doc_id
+        |       JOIN sizes sb ON c.doc_b = sb.doc_id
+        |       WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5),
+        |sp AS (SELECT doc_id,
+        |         CASE WHEN uu < 0.8 THEN 'train'
+        |              WHEN uu < 0.9 THEN 'val'
+        |              ELSE 'test' END AS split
+        |       FROM (SELECT doc_id,
+        |           list_aggregate(list_transform(generate_series(1, 13),
+        |             i -> (strpos('0123456789abcdef',
+        |                     substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+        |                       i, 1)) - 1)
+        |                  * power(CAST(16 AS DOUBLE), 13 - i)), 'sum')
+        |             / power(CAST(2 AS DOUBLE), 52) AS uu
+        |         FROM documents))
+        |SELECT jp.doc_a, jp.doc_b, pa.split AS split_a, pb.split AS split_b,
+        |       jp.jaccard
+        |FROM jp
+        |JOIN sp pa ON jp.doc_a = pa.doc_id
+        |JOIN sp pb ON jp.doc_b = pb.doc_id
+        |WHERE pa.split <> pb.split
+        |ORDER BY jp.doc_a, jp.doc_b""".stripMargin))
   )
 }

@@ -48,6 +48,27 @@ class HashSplitSpec extends AnyFunSuite with SparkTestBase {
     assert(moved > 100, s"only $moved of 2000 moved under a new salt")
   }
 
+  test("splitLabel recomputes hashSplit's assignment on any frame, join-free") {
+    import spark.implicits._
+    val viaSplit = Sampling
+      .hashSplit((0L until 1000L).toDF("id"), "id", fractions, salt = "split")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("split"))
+      .toMap
+    // the q102 audit shape: a pair frame labels both endpoints in place —
+    // two projections, never two joins against a materialized split table
+    val labeled = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        Sampling.splitLabel(col("id_a"), fractions, "split").as("sa"),
+        Sampling.splitLabel(col("id_b"), fractions, "split").as("sb"))
+    val plan = labeled.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.toLowerCase.contains("join"),
+      s"endpoint labeling must be a pure projection:\n$plan")
+    labeled.collect().foreach { r =>
+      assert(r.getAs[String]("sa") === viaSplit(r.getAs[Long]("id_a")))
+      assert(r.getAs[String]("sb") === viaSplit(r.getAs[Long]("id_b")))
+    }
+  }
+
   test("invalid fractions are rejected") {
     import spark.implicits._
     val df = Seq(1L).toDF("id")
