@@ -24,6 +24,9 @@ object Caches {
   private val centroids =
     TrieMap.empty[(SparkSession, String, String), Array[(Int, Array[Double])]]
 
+  private val pqBooks =
+    TrieMap.empty[(SparkSession, String, String), Array[(Int, Int, Array[Double])]]
+
   /** The cached frame for `tag` over (session, dir), building (and
     * `.cache()`-ing) it on first use. `eager = true` materializes the
     * cache immediately (one `count()`), so downstream consumers pay only
@@ -42,6 +45,14 @@ object Caches {
   def cells(s: SparkSession, dir: String, config: String)(
       build: => Array[(Int, Array[Double])]): Array[(Int, Array[Double])] =
     centroids.getOrElseUpdate((s, dir, config), build)
+
+  /** Trained product-quantization codebooks `(sub, code, centroid)` for
+    * `config` over (session, dir) — same deterministic-training lifecycle
+    * as [[cells]] (q103/q104 pay the subspace Lloyd iterations once). */
+  def pq(s: SparkSession, dir: String, config: String)(
+      build: => Array[(Int, Int, Array[Double])])
+      : Array[(Int, Int, Array[Double])] =
+    pqBooks.getOrElseUpdate((s, dir, config), build)
 
   /** Unpersist and drop every cache entry owned by `session`.
     *
@@ -64,9 +75,11 @@ object Caches {
       }
     }
     centroids.keys.filter(_._1 eq session).foreach(centroids.remove)
+    pqBooks.keys.filter(_._1 eq session).foreach(pqBooks.remove)
   }
 
   /** Visible for tests: number of live entries for `session`. */
   private[graft] def liveEntries(session: SparkSession): Int =
-    frames.keys.count(_._1 eq session) + centroids.keys.count(_._1 eq session)
+    frames.keys.count(_._1 eq session) + centroids.keys.count(_._1 eq session) +
+      pqBooks.keys.count(_._1 eq session)
 }

@@ -58,6 +58,72 @@ object ExtQueries {
       .mkString("WITH ", ",\n", "")
   }
 
+  /** DuckDB replica of [[graft.similarity.Similarity.trainPq]] +
+    * [[graft.similarity.Similarity.pqCodes]], as CTE fragments to append
+    * after an `emb` CTE (q103) or after [[ivfTrainCtes]] (q104): the
+    * per-subspace Lloyd loop unrolled (`p0 → pa1 → p1 → …`), codes
+    * dense-renumbered into `pqc`, every (vector, subspace) encoded in
+    * `pcode`. With `adc = true` also emits the nested codebook/code lists
+    * and the per-query ADC lookup-table CTEs (`pqlut`/`pcodes`/`plut`).
+    * Determinism: the same round-6 contract as the coarse quantizer, in
+    * the L2 metric — squared distances fold sequentially over dims, so
+    * both engines see bit-identical values pre-round. */
+  private def pqCtes(m: Int, ksub: Int, iters: Int, sd: Int,
+      adc: Boolean = false): String = {
+    val avgSub = (1 to sd).map(i => s"round(avg(sv[$i]), 6)")
+      .mkString("[", ", ", "]")
+    val l2 = s"""round(list_aggregate(list_transform(generate_series(1, $sd),
+       |            i -> (ps.sv[i] - cc.c[i]) * (ps.sv[i] - cc.c[i])),
+       |            'sum'), 6)""".stripMargin
+    def assign(name: String, cents: String) =
+      s"""$name AS (SELECT vec_id, sub, sv, code FROM (
+         |    SELECT ps.vec_id, ps.sub, ps.sv, cc.code,
+         |      row_number() OVER (PARTITION BY ps.vec_id, ps.sub
+         |        ORDER BY $l2, cc.code) AS rk
+         |    FROM ps JOIN $cents cc ON ps.sub = cc.sub) t WHERE rk = 1)"""
+        .stripMargin
+    val steps = (1 to iters).flatMap { it =>
+      Seq(assign(s"pa$it", s"p${it - 1}"),
+        s"p$it AS (SELECT sub, code, $avgSub AS c FROM pa$it GROUP BY sub, code)")
+    }
+    val base = Seq(
+      s"subs AS (SELECT CAST(unnest(generate_series(0, ${m - 1})) AS INT) AS sub)",
+      s"""ps AS (SELECT vec_id, sub,
+         |    e[(sub*$sd + 1):(sub*$sd + $sd)] AS sv
+         |  FROM emb CROSS JOIN subs)""".stripMargin,
+      s"""pseed AS (SELECT rn - 1 AS code, e FROM (
+         |    SELECT e, row_number() OVER (
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |    FROM emb) t WHERE rn <= $ksub)""".stripMargin,
+      s"""p0 AS (SELECT sub, code, e[(sub*$sd + 1):(sub*$sd + $sd)] AS c
+         |  FROM pseed CROSS JOIN subs)""".stripMargin) ++ steps ++ Seq(
+      s"""pqc AS (SELECT sub, CAST(row_number() OVER (PARTITION BY sub
+         |    ORDER BY code) - 1 AS INT) AS code, c FROM p$iters)""".stripMargin,
+      assign("pcode", "pqc"))
+    val adcCtes = if (!adc) Nil else Seq(
+      s"""pqlut AS (SELECT list(cl ORDER BY sub) AS cents FROM (
+         |    SELECT sub, list(c ORDER BY code) AS cl FROM pqc GROUP BY sub) x)"""
+        .stripMargin,
+      s"""pcodes AS (SELECT vec_id, codes,
+         |    sqrt(greatest(list_aggregate(list_transform(
+         |      generate_series(1, $m),
+         |      s -> round(list_aggregate(list_transform(
+         |             generate_series(1, $sd),
+         |             i -> cents[s][codes[s] + 1][i]
+         |                  * cents[s][codes[s] + 1][i]), 'sum'), 6)),
+         |      'sum'), 1e-300)) AS cnrm
+         |  FROM (SELECT vec_id, list(code ORDER BY sub) AS codes
+         |        FROM pcode GROUP BY vec_id) CROSS JOIN pqlut)""".stripMargin,
+      s"""plut AS (SELECT emb.vec_id, list_transform(generate_series(1, $m),
+         |      s -> list_transform(generate_series(1, len(cents[s])),
+         |        j -> round(list_aggregate(list_transform(
+         |               generate_series(1, $sd),
+         |               i -> emb.e[(s-1)*$sd + i] * cents[s][j][i]),
+         |             'sum'), 6))) AS lut
+         |  FROM emb CROSS JOIN pqlut)""".stripMargin)
+    (base ++ adcCtes).mkString(",\n")
+  }
+
   /** Per-document quality stats (q21's frame, text column dropped),
     * cached once per (session, dir): q21 presents it, q78 samples by it,
     * q86 and q59 aggregate it — one regex pass over the corpus instead of
@@ -99,6 +165,15 @@ object ExtQueries {
       : Array[(Int, Array[Double])] =
     Caches.cells(s, dir, "k8_i2") {
       graft.similarity.Similarity.trainCells(embFrame(s, dir), k = 8, iters = 2)
+    }
+
+  /** The shared m=8 / ksub=16 / 2-iteration PQ codebooks: trained once
+    * per (session, dir) and reused by q103/q104 ([[Caches.pq]]). */
+  private def trainedPq(s: org.apache.spark.sql.SparkSession, dir: String)
+      : Array[(Int, Int, Array[Double])] =
+    Caches.pq(s, dir, "m8_k16_i2") {
+      graft.similarity.Similarity
+        .trainPq(embFrame(s, dir), m = 8, ksub = 16, iters = 2)
     }
 
   val all: Seq[Q] = Seq(
@@ -330,6 +405,70 @@ object ExtQueries {
           |    FROM aprobe q JOIN aidx b ON q.cell = b.cell
           |      AND q.vec_id <> b.vec_id) p
           |) t WHERE rk <= 3 ORDER BY vec_id, neighbor_id""".stripMargin)),
+
+    // Product-quantization codebooks trained in-engine + every vector
+    // encoded to its m=8 sub-codes (PQ, Jégou et al. 2011) — the MEMORY
+    // axis of the ANN family: at 100 TB the candidate index carries m
+    // bytes per vector instead of 8·dim, and this query gates the whole
+    // compression (training trajectory, dense renumbering, encode argmin)
+    // against the oracle's replayed Lloyd CTEs. Training is one job per
+    // iteration for ALL subspaces (the exploded (sub, subvector) long
+    // table); encoding is a shuffle-free map stage against the nested
+    // codebook literal.
+    Q("q103_pq_codes",
+      (s, dir) =>
+        graft.similarity.Similarity
+          .pqCodes(embFrame(s, dir), trainedPq(s, dir), m = 8)
+          .orderBy(col("vec_id"), col("sub")),
+      Some("WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e" +
+        " FROM embeddings),\n" +
+        pqCtes(m = 8, ksub = 16, iters = 2, sd = 8) +
+        "\nSELECT vec_id, sub, code FROM pcode ORDER BY vec_id, sub")),
+
+    // IVF-PQ search with exact refine — the full 100 TB ANN memory story:
+    // coarse-cell pruning (q65's trained quantizer), candidates scored
+    // ASYMMETRICALLY from their 8 PQ codes via a per-query lookup table
+    // (lut[s][j] = round-6 ⟨q_s, centroid(s,j)⟩, normalized by the
+    // candidate's code-reconstructed norm so the shortlist ranks by
+    // quantized COSINE — scoring a candidate is 8 positional lookups + a
+    // sequential sum, no per-pair vector arithmetic), a per-query
+    // shortlist of 20 survives, and only shortlist×queries full vectors
+    // are gathered for the exact round-6 cosine re-rank. PqSpec measures
+    // the shortlist-truncation risk curve on this (worst-case: near-random
+    // synthetic) corpus — 0.85@20, 0.96@32, identical to exact-in-cell
+    // once the shortlist covers the cell. The oracle replays coarse
+    // training, PQ training, encoding, the lut, the ADC shortlist, and
+    // the refine — the hash match pins the two-quantizer pipeline end to
+    // end.
+    Q("q104_pq_adc",
+      (s, dir) =>
+        graft.similarity.Similarity
+          .pqAdcRefineTopK(embFrame(s, dir), trainedCells(s, dir),
+            trainedPq(s, dir), m = 8, k = 3, shortlist = 20)
+          .select(col("vec_id"), col("neighbor_id"), col("cos_sim"))
+          .orderBy(col("vec_id"), col("neighbor_id")),
+      Some(ivfTrainCtes(k = 8, iters = 2, dim = 64) + ",\n" +
+        pqCtes(m = 8, ksub = 16, iters = 2, sd = 8, adc = true) + """,
+          |padc AS (SELECT q.vec_id AS vec_id, b.vec_id AS neighbor_id,
+          |    round(list_aggregate(list_transform(generate_series(1, 8),
+          |      s -> l.lut[s][c.codes[s] + 1]), 'sum') / c.cnrm, 6) AS adc
+          |  FROM afin q JOIN afin b ON q.cell = b.cell
+          |    AND q.vec_id <> b.vec_id
+          |  JOIN plut l ON l.vec_id = q.vec_id
+          |  JOIN pcodes c ON c.vec_id = b.vec_id),
+          |pshort AS (SELECT vec_id, neighbor_id FROM (
+          |    SELECT vec_id, neighbor_id, row_number() OVER (
+          |      PARTITION BY vec_id ORDER BY adc DESC, neighbor_id) AS rk
+          |    FROM padc) t WHERE rk <= 20)
+          |SELECT vec_id, neighbor_id, cos_sim FROM (
+          |  SELECT sh.vec_id, sh.neighbor_id,
+          |    round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim,
+          |    row_number() OVER (PARTITION BY sh.vec_id
+          |      ORDER BY round(list_cosine_similarity(a.e, b.e), 6) DESC,
+          |        sh.neighbor_id) AS rk
+          |  FROM pshort sh JOIN emb a ON a.vec_id = sh.vec_id
+          |  JOIN emb b ON b.vec_id = sh.neighbor_id) t
+          |WHERE rk <= 3 ORDER BY vec_id, neighbor_id""".stripMargin)),
 
     // SemDeDup (Abbas et al. 2023): semantic dedup composed from the
     // trained-IVF pieces. Round-6: the pair stage runs on the p=2

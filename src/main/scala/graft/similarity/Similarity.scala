@@ -406,4 +406,198 @@ object Similarity {
       .select(col(idCol), col("cell"), col("dup_of"),
         col("dup_of").isNotNull.as("is_dup"))
   }
+
+  // ------------------------------------------------- product quantization
+
+  /** The `m` contiguous subvectors of `vec` (`array<array<double>>`). */
+  private def subVectors(vec: Column, m: Int, sd: Int): Column =
+    array((0 until m).map(s => slice(vec, s * sd + 1, sd)): _*)
+
+  /** Nested codebook literal: element s+1 is subspace s's code-ordered
+    * array of (code, centroid) structs. */
+  private def pqCentsLit(cents: Array[(Int, Int, Array[Double])],
+      m: Int): Column =
+    array((0 until m).map { s =>
+      array(cents.filter(_._1 == s).sortBy(_._2).map { case (_, c, v) =>
+        struct(lit(c).as("code"),
+          array(v.toIndexedSeq.map(lit): _*).as("centroid"))
+      }.toIndexedSeq: _*)
+    }: _*)
+
+  /** Round-6 squared L2 as a SEQUENTIAL fold over dimensions — the
+    * summation-order half of the cross-engine determinism contract (the
+    * oracle's `list_aggregate(list_transform(...), 'sum')` folds the same
+    * way, so both engines see bit-identical distances pre-round). */
+  private def l2sq(x: Column, c: Column): Column =
+    round(aggregate(zip_with(x, c, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, v) => acc + v), 6)
+
+  /** (dist, code) structs for one subspace's codebook, ascending — argmin
+    * round-6 L2 with min-code tiebreak, [[rankedCells]]'s contract in the
+    * L2 metric (subvectors are not unit-norm, so cosine is the wrong
+    * geometry here). */
+  private def rankedCodes(centsLit: Column, sub: Column, sv: Column): Column =
+    array_sort(transform(element_at(centsLit, sub + 1), c =>
+      struct(l2sq(sv, c.getField("centroid")).as("dist"),
+        c.getField("code").as("code"))))
+
+  /** Product-quantization codebooks, trained entirely in-engine (PQ,
+    * Jégou et al. 2011): the `dim`-dim space is cut into `m` contiguous
+    * subspaces of dim/m dims and each learns its own `ksub`-centroid L2
+    * k-means codebook, so a vector compresses to m small codes — the
+    * MEMORY axis the IVF family doesn't cover: at 100 TB the candidate
+    * index flowing through the cell join carries m bytes per vector
+    * instead of 8·dim.
+    *
+    * Determinism contract (trainCells', in the L2 metric): seeds are the
+    * `ksub` vectors ranked by (md5(id), id), sliced per subspace;
+    * assignment = round-6 squared-L2 argmin with min-code tiebreak;
+    * update = per-dim member mean rounded to 6. All m subspaces train in
+    * ONE job per Lloyd iteration — the training frame is the exploded
+    * (sub, subvector) long table, assignment a map stage against the full
+    * nested codebook literal, the update one partial-aggregated shuffle
+    * of m·ksub·(dim/m) rounded means. Codes emptied during training drop
+    * out (GROUP BY semantics, consistent across engines); surviving codes
+    * are RENUMBERED dense per subspace at the end, so downstream ADC
+    * lookup tables can be indexed positionally.
+    *
+    * Returns (sub, code, centroid) ordered by (sub, code); train on a
+    * deterministic sample via `sampleFraction` at scale (centroids are
+    * distributional estimates — the [[trainCells]] argument). */
+  def trainPq(emb: DataFrame, m: Int, ksub: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "e",
+      sampleFraction: Double = 1.0): Array[(Int, Int, Array[Double])] = {
+    val train =
+      if (sampleFraction >= 1.0) emb
+      else graft.analytics.Sampling.bernoulli(emb, idCol, sampleFraction)
+    val seeds = train
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(ksub)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sd = dim / m
+    var cents: Array[(Int, Int, Array[Double])] =
+      (for (s <- 0 until m; (v, j) <- seeds.zipWithIndex.toSeq)
+        yield (s, j, v.slice(s * sd, (s + 1) * sd))).toArray
+    // one row per (vector, subspace): every subspace trains in the same job
+    val longDf = train
+      .select(col(idCol), posexplode(subVectors(col(vecCol), m, sd)))
+      .select(col(idCol), col("pos").as("sub"), col("col").as("sv"))
+    for (_ <- 1 to iters) {
+      val best = rankedCodes(pqCentsLit(cents, m), col("sub"), col("sv"))
+        .getItem(0)
+      val assigned = longDf.withColumn("code", best.getField("code"))
+      val centCols = (0 until sd).map(i =>
+        round(avg(col("sv")(i)), 6).as(s"__c$i"))
+      cents = assigned.groupBy(col("sub"), col("code"))
+        .agg(centCols.head, centCols.tail: _*)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), (0 until sd).map(i =>
+          r.getDouble(r.fieldIndex(s"__c$i"))).toArray))
+        .sortBy(t => (t._1, t._2))
+    }
+    // dense renumber per subspace (dropped codes close ranks) so code j
+    // indexes position j+1 of any code-ordered per-subspace table
+    cents.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (s, cs) =>
+      cs.sortBy(_._2).zipWithIndex.map { case ((_, _, v), j) => (s, j, v) }
+    }.toArray
+  }
+
+  /** One row per (vector, subspace) with its PQ `code` — the long-format
+    * encode, a shuffle-free map stage (the codebook travels as a nested
+    * literal; nothing joins). */
+  def pqCodes(emb: DataFrame, cents: Array[(Int, Int, Array[Double])],
+      m: Int, idCol: String = "vec_id", vecCol: String = "e"): DataFrame = {
+    val sd = cents.head._3.length
+    val centsLit = pqCentsLit(cents, m)
+    emb
+      .select(col(idCol), posexplode(subVectors(col(vecCol), m, sd)))
+      .select(col(idCol), col("pos").as("sub"),
+        rankedCodes(centsLit, col("pos"), col("col"))
+          .getItem(0).getField("code").as("code"))
+  }
+
+  /** The m-code array of `vec` (wide form — what the candidate side of
+    * [[pqAdcRefineTopK]] carries through the cell join: m ints in place
+    * of 8·dim bytes of vector). */
+  private def pqCodeArray(vec: Column,
+      cents: Array[(Int, Int, Array[Double])], m: Int): Column = {
+    val sd = cents.head._3.length
+    val centsLit = pqCentsLit(cents, m)
+    transform(sequence(lit(0), lit(m - 1)), s =>
+      rankedCodes(centsLit, s, slice(vec, s * sd + 1, lit(sd)))
+        .getItem(0).getField("code"))
+  }
+
+  /** IVF-PQ search with exact refine — the full 100 TB ANN memory story:
+    * candidates prune by trained coarse cell ([[assignCells]]), the big
+    * cell join scores candidates ASYMMETRICALLY from their m-byte PQ codes
+    * (exact query × quantized candidate), a per-query `shortlist`
+    * survives, and only shortlist×queries full vectors are gathered for
+    * the exact round-6 cosine re-rank ([[ivfRefineTopK]]'s stage-2
+    * contract; same output schema).
+    *
+    * The ADC trick: each query precomputes a lookup table lut[s][j] =
+    * round(⟨q_s, centroid(s, j)⟩, 6) (m·ksub doubles, one map stage), so
+    * scoring a candidate is m positional lookups + a sequential sum — no
+    * per-pair vector arithmetic at all. The shortlist ranks by the
+    * quantized COSINE (the refine metric), i.e. the lookup sum divided by
+    * the candidate's reconstructed norm — recomputed from its codes ONCE
+    * per candidate, never per pair (the raw inner product misranks
+    * small-norm candidates and measurably starves the shortlist). Every
+    * term is round-6 of a fixed-order fold and codes are
+    * dense-renumbered, so the DuckDB oracle reproduces scores
+    * bit-for-bit. */
+  def pqAdcRefineTopK(emb: DataFrame, coarse: Array[(Int, Array[Double])],
+      pq: Array[(Int, Int, Array[Double])], m: Int, k: Int, shortlist: Int,
+      idCol: String = "vec_id", vecCol: String = "e"): DataFrame = {
+    val sd = pq.head._3.length
+    val centsLit = pqCentsLit(pq, m)
+    val assigned = assignCells(emb, coarse, idCol, vecCol)
+    // reconstructed squared norm from the codes: per subspace the round-6
+    // sequential sum of squares of the selected centroid, summed in
+    // subspace order — the same fold shape as the score, so the oracle
+    // matches bitwise; position code+1 is valid by dense renumbering
+    val nrmSq = aggregate(
+      zip_with(sequence(lit(0), lit(m - 1)), col("__codes"), (s, c) =>
+        round(aggregate(
+          transform(element_at(element_at(centsLit, s + 1), c + 1)
+            .getField("centroid"), x => x * x),
+          lit(0.0), (acc, v) => acc + v), 6)),
+      lit(0.0), (acc, v) => acc + v)
+    val cand = assigned.select(col(idCol).as("neighbor_id"), col("cell"),
+      pqCodeArray(col(vecCol), pq, m).as("__codes"))
+      .withColumn("__cnrm", sqrt(greatest(nrmSq, lit(1e-300))))
+    val lut = transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(element_at(centsLit, s + 1), c =>
+        round(graft.functions.DotProduct(
+          slice(col(vecCol), s * sd + 1, lit(sd)),
+          c.getField("centroid")), 6)))
+    val queries = assigned
+      .select(col(idCol), col("cell"), lut.as("__lut"))
+    val adc = aggregate(
+      zip_with(col("__lut"), col("__codes"),
+        (l, c) => element_at(l, c + 1)),
+      lit(0.0), (acc, v) => acc + v) / col("__cnrm")
+    val short = queries.join(cand, "cell")
+      .where(col(idCol) =!= col("neighbor_id"))
+      .select(col(idCol), col("neighbor_id"), round(adc, 6).as("__adc"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("__adc").desc, col("neighbor_id"))))
+      .where(col("rk") <= shortlist)
+      .select(col(idCol), col("neighbor_id"))
+    val cos = CosineSimilarity(col("__qe"), col("__ne"))
+    short
+      .join(emb.select(col(idCol), col(vecCol).as("__qe")), idCol)
+      .join(emb.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__ne")), "neighbor_id")
+      .select(col(idCol), round(cos, 6).as("cos_sim"), col("neighbor_id"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .where(col("rk") <= k)
+      .drop("rk")
+  }
 }
