@@ -56,8 +56,16 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}"""
+    // The driver's stdout capture has truncated this line twice (rounds 5
+    // and 6: BENCH parsed:null). Persist the record at a fixed path FIRST
+    // so a torn capture can never orphan the per-query timings, then print.
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json"))
+    java.nio.file.Files.write(out,
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(line)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -63,4 +63,23 @@ object Layout {
         .sortWithinPartitions(clusterBy: _*)
     (planned, n)
   }
+
+  /** The planner's ROW output: assign every file of a small-file listing
+    * to a compaction group of ~`targetBytes`. Files are laid out in
+    * ascending `fileCol` order and the byte stream is cut every
+    * `targetBytes`; a file belongs to the group where it BEGINS — i.e.
+    * the plan IS a budget packing of the listing, so it delegates to
+    * [[Packing.packByBudget]] and inherits its scale shape (two-phase
+    * distributed prefix sum, never a single-task global window) and its
+    * determinism (pure integer arithmetic — the same listing always
+    * yields the same plan, which is what lets a scheduler resume a
+    * half-finished compaction). Each group's files sum to ≥ targetBytes
+    * only when cut mid-file (greedy packing's standard overshoot);
+    * `fileCol` must be unique, `sizeCol` integral and non-negative
+    * (violations fail loudly, per packByBudget's contract). */
+  def compactionGroups(listing: DataFrame, fileCol: String,
+      sizeCol: String, targetBytes: Long,
+      groupCol: String = "group_id"): DataFrame =
+    Packing.packByBudget(listing, orderCol = fileCol, weightCol = sizeCol,
+      budget = targetBytes, shardCol = groupCol)
 }

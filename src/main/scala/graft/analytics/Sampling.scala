@@ -107,7 +107,14 @@ object Sampling {
       s"fractions must be positive, got $fractions")
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
-    val u = uniform01(id, salt)
+    // NULL id guard: a NULL id makes the digest (hence u) NULL, every
+    // `u < cut` is null-false, and the row would silently land in the
+    // LAST split label — quietly contaminating the test split. Same
+    // loud-failure contract as weightedPriority's weight guard.
+    val u = when(id.isNotNull, uniform01(id, salt))
+      .otherwise(raise_error(
+        lit("splitLabel: NULL id — split assignment is undefined; " +
+          "repair or pre-filter NULL ids")))
     val cuts = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
     fractions.init.zip(cuts.init).foldRight(
       lit(fractions.last._1)) { case (((name, _), cut), rest) =>

@@ -15,13 +15,21 @@ import org.apache.spark.sql.functions._
   * Cost: small side × n — choose n ≈ hot-key skew factor. */
 object SkewJoin {
 
-  /** @param saltCols columns whose hash spreads the hot key's rows —
-    *   default: ALL of `big`'s columns. If the hot key's rows are
-    *   bit-identical duplicates, a content hash stacks them on one
-    *   (key, salt) reducer; pass a unique/high-cardinality column here
-    *   (an event id, a payload) to restore the spread. */
+  /** @param saltCols REQUIRED: columns whose content hash spreads the hot
+    *   key's rows — pass a unique or high-cardinality column (an event id,
+    *   a payload). There is deliberately NO whole-row default: the
+    *   operator's canonical workload is a hot key made of repeated,
+    *   near-identical rows, and a whole-row hash gives every duplicate the
+    *   same salt — the entire hot key lands back on one (key, salt)
+    *   reducer and the mitigation silently does nothing. To opt into
+    *   whole-row hashing anyway (rows known distinct), pass
+    *   `big.columns.toSeq` explicitly. */
   def salted(big: DataFrame, small: DataFrame, key: String,
-      nSalts: Int, saltCols: Seq[String] = Nil): DataFrame = {
+      nSalts: Int, saltCols: Seq[String]): DataFrame = {
+    require(saltCols.nonEmpty,
+      "SkewJoin.salted: saltCols must name at least one spread column " +
+        "(a unique/high-cardinality column; pass big.columns.toSeq to " +
+        "opt into whole-row hashing)")
     // The salt must be DETERMINISTIC per row, not per row instance: a
     // nondeterministic salt (monotonic id / rand) feeds the shuffle join
     // key, and a map task retried after a fetch failure would re-salt its
@@ -29,10 +37,9 @@ object SkewJoin {
     // different from the one that already consumed its original
     // assignment, duplicating or dropping join rows under partial stage
     // retry. A content hash recomputes identically on every retry; its
-    // price (identical rows share a salt) is the saltCols escape hatch
-    // above.
-    val spread = if (saltCols.nonEmpty) saltCols else big.columns.toSeq
-    val saltExpr = pmod(xxhash64(spread.map(big(_)): _*), lit(nSalts.toLong))
+    // price (identical saltCols values share a salt) is why saltCols must
+    // be chosen by the caller.
+    val saltExpr = pmod(xxhash64(saltCols.map(big(_)): _*), lit(nSalts.toLong))
       .cast("int")
     val b = big.withColumn("__salt", saltExpr)
     val s = small.crossJoin(

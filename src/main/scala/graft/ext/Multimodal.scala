@@ -57,6 +57,107 @@ object Multimodal {
     MessageDigest.getInstance("MD5").digest(bytes)
       .map(b => f"$b%02x").mkString
 
+  // ---------------------------------------------------------------------
+  // REAL decode path: binary PPM (P6). One format the JVM can parse with
+  // zero libraries — fixed ASCII header (`P6`, width, height, maxval,
+  // with `#` comments) followed by raw 8-bit RGB triplets. This makes the
+  // multimodal column demo real end-to-end for one format; other formats
+  // keep the labeled stub (no media libraries in this container).
+  // ---------------------------------------------------------------------
+
+  /** Parse a binary PPM (P6) payload → (width, height, rgb bytes).
+    * Strict: malformed magic/header/short pixel data throw (a corrupt
+    * payload must surface per-row, not decode into garbage stats);
+    * maxval must fit one byte (16-bit-per-sample PPMs are rejected, not
+    * misread). Header grammar per the netpbm spec: tokens separated by
+    * whitespace, `#` starts a comment running to end of line, a single
+    * whitespace byte separates maxval from the raster. */
+  def decodePpm(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    var pos = 0
+    def fail(msg: String) =
+      throw new IllegalArgumentException(s"decodePpm: $msg at byte $pos")
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    def nextToken(): String = {
+      // skip whitespace and # comments
+      var go = true
+      while (go) {
+        while (pos < bytes.length && isWs(bytes(pos))) pos += 1
+        if (pos < bytes.length && bytes(pos) == '#')
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        else go = false
+      }
+      val start = pos
+      while (pos < bytes.length && !isWs(bytes(pos)) && bytes(pos) != '#')
+        pos += 1
+      if (pos == start) fail("missing header token")
+      new String(bytes, start, pos - start,
+        java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    def nextInt(what: String): Int = {
+      val t = nextToken()
+      try t.toInt catch {
+        case _: NumberFormatException => fail(s"non-numeric $what '$t'")
+      }
+    }
+    if (nextToken() != "P6") fail("not a P6 PPM (bad magic)")
+    val w = nextInt("width")
+    val h = nextInt("height")
+    val maxval = nextInt("maxval")
+    if (w <= 0 || h <= 0) fail(s"non-positive dimensions ${w}x$h")
+    if (maxval <= 0 || maxval > 255)
+      fail(s"unsupported maxval $maxval (one byte per sample only)")
+    // exactly ONE whitespace byte separates the header from the raster
+    if (pos >= bytes.length || !isWs(bytes(pos))) fail("missing raster")
+    pos += 1
+    val need = w * h * 3
+    if (bytes.length - pos < need)
+      fail(s"short raster: need $need, have ${bytes.length - pos}")
+    (w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + need))
+  }
+
+  /** REAL decoder factory over [[decodePpm]] (stateless — a PPM needs no
+    * per-task codec handle, but it rides the same per-partition factory
+    * contract as a native codec would). */
+  val ppmDecoder: DecoderFactory = () => { bytes =>
+    val (w, h, _) = decodePpm(bytes)
+    (w, h, 1)
+  }
+
+  /** Per-channel pixel sums from decoded PPM rasters — integer-exact
+    * (no float accumulation), so an oracle can replay the construction
+    * arithmetic bit-for-bit. Decode + accumulate stream per partition. */
+  def ppmPixelStats(ds: Dataset[MediaFile]): Dataset[PpmStats] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val (w, h, rgb) = decodePpm(m.payload)
+        var r = 0L; var g = 0L; var b = 0L
+        var i = 0
+        while (i < rgb.length) {
+          r += rgb(i) & 0xff
+          g += rgb(i + 1) & 0xff
+          b += rgb(i + 2) & 0xff
+          i += 3
+        }
+        PpmStats(m.docId, w, h, r, g, b)
+      }
+    }
+  }
+
+  /** Deterministic PPM payload for doc `d` — a REAL P6 byte stream
+    * (header + raster) whose pixel bytes follow closed-form arithmetic
+    * `(d*31 + i) % 256`, so a SQL oracle can predict the decoded sums
+    * without a decoder. Exercises the real parse path end-to-end. */
+  def syntheticPpm(d: Long): Array[Byte] = {
+    val w = (4 + d % 5).toInt
+    val h = (3 + d % 4).toInt
+    val header = s"P6\n# graft synthetic $d\n$w $h\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val raster = Array.tabulate(w * h * 3)(i => ((d * 31 + i) % 256).toByte)
+    header ++ raster
+  }
+
   /** Decode + feature-extract per partition. The decoder is created once
     * per partition (a real codec holds native buffers); rows stream through
     * an iterator — no materialization of the partition. */
@@ -137,3 +238,7 @@ object Multimodal {
 /** One sampled frame: parent doc, frame index, frame digest (the stub's
   * stand-in for decoded frame bytes). */
 case class FrameSample(docId: Long, frameIdx: Int, frameDigest: String)
+
+/** Decoded-raster channel sums (integer-exact) for one PPM payload. */
+case class PpmStats(doc_id: Long, width: Int, height: Int,
+    sum_r: Long, sum_g: Long, sum_b: Long)

@@ -19,7 +19,7 @@ case class MeasureSet(mean: Double, median: Double, q10: Double,
   * this Aggregator is the custom-UDAF alternative for typed consumers and a
   * coverage proof that Flink-style UDAFs map 1:1 onto Spark Aggregators.
   */
-class WindowMeasuresAgg(n: Int = 30)
+class WindowMeasuresAgg(n: Int)
     extends Aggregator[Double, List[Double], MeasureSet] {
   override def zero: List[Double] = Nil
   override def reduce(b: List[Double], x: Double): List[Double] = x :: b
@@ -51,13 +51,11 @@ object WindowMeasuresAgg {
     * against.
     *
     * CONTRACT: any group/frame with FEWER than `n` rows yields all-NaN —
-    * the full-window gate (StreamingJob.java:139-142). This guard widened
-    * in round 5 from a fixed 10 to the declared `n` (default 30): a
-    * groupBy consumer aggregating legitimate groups of 10..n−1 rows must
-    * pass its expected group size as `n` explicitly, or it now gets NaNs
-    * where round-4 code returned values computed as if the group were a
-    * full window — that silent wrong answer is what the guard exists to
-    * refuse. */
-  def column(x: Column, n: Int = 30): Column =
+    * the full-window gate (StreamingJob.java:139-142). `n` is REQUIRED
+    * (no default since round 7): with a defaulted n=30, a groupBy
+    * consumer aggregating legitimate 10..29-row groups silently got
+    * all-NaN results; forcing the caller to state the expected group
+    * size makes the partial-frame contract visible at every call site. */
+  def column(x: Column, n: Int): Column =
     udaf(new WindowMeasuresAgg(n)).apply(x)
 }

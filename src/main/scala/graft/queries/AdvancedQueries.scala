@@ -49,9 +49,13 @@ object AdvancedQueries {
     * more rows and would dominate (and at real scale evict/spill) the
     * cache for frames each consumer scans with a single aggregate pass.
     * The explode itself is codegen'd and re-run per consumer — cheap
-    * relative to re-tokenizing, which is what the cache avoids. */
+    * relative to re-tokenizing, which is what the cache avoids. The cache
+    * is DISK_ONLY: every consumer is a single-pass aggregate over it, so
+    * it must not evict memory-resident working sets at scale — a local
+    * disk read amortizes the re-tokenize without holding executor RAM. */
   private[graft] def tokenStream(s: SparkSession, dir: String): DataFrame =
-    Caches.frame(s, dir, "tokens") {
+    Caches.frame(s, dir, "tokens",
+      storage = org.apache.spark.storage.StorageLevel.DISK_ONLY) {
       Tables.sharded(s, dir, "documents", "doc_id")
         .select(graft.dedup.Dedup.tokens(col("text")).as("toks"))
     }.select(explode(col("toks")).as("token"))
@@ -649,6 +653,37 @@ object AdvancedQueries {
           |  CAST(floor(CAST(cum - est_tokens AS DOUBLE) / 4096) AS BIGINT)
           |    AS shard_id
           |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Small-file compaction planner (graft.analytics.Layout
+    // .compactionGroups): group a file listing into ~64 KiB rewrite
+    // tasks — each group's files coalesce into one right-sized output
+    // file (the maintenance half of OPTIMIZE). The listing is synthetic
+    // (file = source/doc_id, bytes = n_chars) but the planner is the
+    // real one: a budget packing of the listing (delegates to
+    // Packing.packByBudget — begins-before-the-cut, two-phase prefix
+    // sum, deterministic integer arithmetic), so the oracle is q89's
+    // window-sum grouping over the same listing.
+    Q("q105_compaction_plan",
+      (s, dir) => {
+        val listing = Tables(s, dir, "documents")
+          .select(
+            concat_ws("/", col("source"), col("doc_id").cast("string"))
+              .as("file"),
+            col("n_chars").cast("long").as("bytes"))
+        graft.analytics.Layout
+          .compactionGroups(listing, fileCol = "file", sizeCol = "bytes",
+            targetBytes = 65536L)
+          .orderBy(col("file"))
+      },
+      Some(
+        """WITH f AS (SELECT source || '/' || doc_id AS file,
+          |    CAST(n_chars AS BIGINT) AS bytes FROM documents),
+          |c AS (SELECT file, bytes,
+          |    sum(bytes) OVER (ORDER BY file) AS cum FROM f)
+          |SELECT file, bytes,
+          |  CAST(floor(CAST(cum - bytes AS DOUBLE) / 65536) AS BIGINT)
+          |    AS group_id
+          |FROM c ORDER BY file""".stripMargin)),
 
     // Winnowing (MOSS) rolling-window fingerprints: min-hash of every
     // window of 4 consecutive char-8-gram hashes — any shared substring of

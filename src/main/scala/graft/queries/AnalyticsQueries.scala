@@ -56,8 +56,12 @@ object AnalyticsQueries {
     // assetNo=user_id (the series key role), value=the measure.
     Q("q91_alertlog_roundtrip",
       (s, dir) => {
-        val path = new java.io.File(sys.props("java.io.tmpdir"),
-          "graft_alertlog_" + Integer.toHexString(dir.hashCode)).toString
+        // a fresh temp dir per invocation: a fixed path keyed on
+        // dir.hashCode raced concurrent sessions verifying the same dir
+        // (one overwrites while the other reads back) and hashCode
+        // collisions could cross-contaminate different data dirs
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_alertlog_").resolve("log").toString
         Sources.writeAlertLog(
           cachedAlerts(s, dir).select(
             col("event_id").cast("int").as("count"), col("stat"),

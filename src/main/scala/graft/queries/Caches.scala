@@ -28,13 +28,20 @@ object Caches {
     TrieMap.empty[(SparkSession, String, String), Array[(Int, Int, Array[Double])]]
 
   /** The cached frame for `tag` over (session, dir), building (and
-    * `.cache()`-ing) it on first use. `eager = true` materializes the
+    * persisting) it on first use. `eager = true` materializes the
     * cache immediately (one `count()`), so downstream consumers pay only
-    * their own work — the materialize-before-fan-out pattern. */
+    * their own work — the materialize-before-fan-out pattern.
+    * `storage` defaults to `.cache()`'s MEMORY_AND_DISK; pass DISK_ONLY
+    * for corpus-sized intermediates whose consumers are single-pass
+    * aggregates — at real scale they should not evict the hot working
+    * set from executor memory just to avoid a recompute. */
   def frame(s: SparkSession, dir: String, tag: String,
-      eager: Boolean = false)(build: => DataFrame): DataFrame =
+      eager: Boolean = false,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)(
+      build: => DataFrame): DataFrame =
     frames.getOrElseUpdate((s, dir, tag), {
-      val df = build.cache()
+      val df = build.persist(storage)
       if (eager) df.count()
       df
     })

@@ -313,10 +313,15 @@ object CoreQueries {
     // is too big to broadcast AND a key is hot.
     Q("q84_skew_salted_join",
       (s, dir) => {
-        val ev = Tables(s, dir, "events").select(col("user_id"), col("value"))
+        // salt on the unique event_id: a content hash of repeated
+        // near-identical (user_id, value) rows would stack the hot key
+        // back onto one reducer (the reason saltCols is required)
+        val ev = Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("value"))
         val tiers = ev.select(col("user_id")).distinct()
           .select(col("user_id"), (col("user_id") % 5).as("tier"))
-        graft.analytics.SkewJoin.salted(ev, tiers, "user_id", nSalts = 8)
+        graft.analytics.SkewJoin.salted(ev, tiers, "user_id", nSalts = 8,
+            saltCols = Seq("event_id"))
           .groupBy(col("tier"))
           .agg(count(lit(1)).as("n_events"),
             round(sum(col("value")), 6).as("sum_value"))

@@ -130,7 +130,9 @@ object CurationQueries {
             concat(lit(" contact user"), col("doc_id"),
               lit("@mail.example.com"))).otherwise(lit("")),
           when(col("doc_id") % 3 === 0,
-            concat(lit(" tel +1-555-"),
+            concat(
+              when(col("doc_id") % 2 === 0, lit(" tel (555) 123-"))
+                .otherwise(lit(" tel +1-555-123-")),
               lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
             .otherwise(lit("")),
           when(col("doc_id") % 5 === 0,
@@ -155,7 +157,9 @@ object CurationQueries {
         """WITH f AS (SELECT doc_id, text
           |    || CASE WHEN doc_id % 2 = 0 THEN ' contact user' || doc_id
           |         || '@mail.example.com' ELSE '' END
-          |    || CASE WHEN doc_id % 3 = 0 THEN ' tel +1-555-'
+          |    || CASE WHEN doc_id % 3 = 0 THEN
+          |         CASE WHEN doc_id % 2 = 0 THEN ' tel (555) 123-'
+          |           ELSE ' tel +1-555-123-' END
           |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
           |       ELSE '' END
           |    || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-'
@@ -172,7 +176,8 @@ object CurationQueries {
           |    CAST(len(regexp_extract_all(ftext,
           |      '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssn,
           |    CAST(len(regexp_extract_all(ftext,
-          |      '\+\d{1,3}-\d{3}-\d{4}')) AS INT) AS n_phone,
+          |      '(\+\d{1,3}[-. ])?(\(\d{3}\)[-. ]?|\b\d{3}[-. ])\d{3}[-. ]\d{4}\b'))
+          |      AS INT) AS n_phone,
           |    CAST(len(regexp_extract_all(ftext,
           |      '\b\d{1,3}(\.\d{1,3}){3}\b')) AS INT) AS n_ip,
           |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
@@ -180,7 +185,8 @@ object CurationQueries {
           |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
           |      '<EMAIL>', 'g'),
           |      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
-          |      '\+\d{1,3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+          |      '(\+\d{1,3}[-. ])?(\(\d{3}\)[-. ]?|\b\d{3}[-. ])\d{3}[-. ]\d{4}\b',
+          |      '<PHONE>', 'g'),
           |      '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g') AS red
           |  FROM f)
           |SELECT doc_id, n_email, n_ssn, n_phone, n_ip,
@@ -254,7 +260,8 @@ object CurationQueries {
           |      ORDER BY priority
           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
           |  FROM t)
-          |SELECT source, doc_id, est_tokens, cum - est_tokens AS tok_start
+          |SELECT source, doc_id, est_tokens,
+          |  CAST(cum - est_tokens AS BIGINT) AS tok_start
           |FROM c WHERE cum - est_tokens < 800
           |ORDER BY source, doc_id""".stripMargin)),
 

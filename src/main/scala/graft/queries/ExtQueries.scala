@@ -595,6 +595,44 @@ object ExtQueries {
              |  n_chars // 100 + 1 AS n_frames
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // The REAL multimodal decode path (graft.ext.Multimodal.decodePpm):
+    // each document becomes an actual binary PPM (P6) byte stream —
+    // ASCII header with a comment line, raw RGB raster — built by
+    // syntheticPpm with closed-form pixel arithmetic, then genuinely
+    // PARSED back (magic/comments/dims/maxval/raster) and reduced to
+    // integer-exact per-channel sums. The oracle predicts the sums from
+    // the construction formula without any decoder, so a parse bug
+    // anywhere (header offset, channel interleave, sign of a byte)
+    // breaks the hash. Decode runs per partition via the same factory
+    // contract a native codec would use; other formats keep the labeled
+    // stub (no media libraries in this container).
+    Q("q106_ppm_pixel_stats",
+      (s, dir) => {
+        import s.implicits._
+        val files = Tables.sharded(s, dir, "documents", "doc_id")
+          .select(col("doc_id")).as[Long]
+          .map(d => graft.ext.MediaFile(d, "image/ppm",
+            graft.ext.Multimodal.syntheticPpm(d)))
+        graft.ext.Multimodal.ppmPixelStats(files).toDF()
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH d AS (SELECT doc_id,
+          |    CAST(4 + doc_id % 5 AS INT) AS width,
+          |    CAST(3 + doc_id % 4 AS INT) AS height
+          |  FROM documents),
+          |px AS (SELECT doc_id, width, height,
+          |    unnest(generate_series(0, width * height * 3 - 1)) AS i
+          |  FROM d)
+          |SELECT doc_id, width, height,
+          |  CAST(sum(CASE WHEN i % 3 = 0 THEN (doc_id * 31 + i) % 256 END)
+          |    AS BIGINT) AS sum_r,
+          |  CAST(sum(CASE WHEN i % 3 = 1 THEN (doc_id * 31 + i) % 256 END)
+          |    AS BIGINT) AS sum_g,
+          |  CAST(sum(CASE WHEN i % 3 = 2 THEN (doc_id * 31 + i) % 256 END)
+          |    AS BIGINT) AS sum_b
+          |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin)),
+
     // Semi-structured property extraction: the events stream carries a
     // JSON `props` string; pull a typed field out (get_json_object — a
     // codegen'd path evaluation, no UDF, no full from_json materialize

@@ -126,7 +126,7 @@ object WindowQueries {
           .select(col("user_id"), col("event_id"), col("value").cast("double").as("v"))
         val wOrd = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
         ev.withColumn("ms",
-            graft.measures.WindowMeasuresAgg.column(col("v"))
+            graft.measures.WindowMeasuresAgg.column(col("v"), n = N)
               .over(wOrd.rowsBetween(-(N - 1), 0)))
           .withColumn("rn", row_number().over(wOrd))
           .where(col("rn") >= N)

@@ -20,13 +20,27 @@ import org.apache.spark.sql.functions._
   * Order matters and is fixed: email first (its local/domain parts may
   * embed digit runs other patterns could clip), then SSN before phone
   * (both are dash-joined digit groups; SSN's 3-2-4 shape is the more
-  * specific), then IPv4 last (emails with numeric domains are already
-  * masked, so the dotted-quad pattern cannot fire inside one). */
+  * specific and is NOT a phone's 3-3-4), then phone before IPv4 (a
+  * dot-separated phone is masked before the dotted-quad pattern could
+  * see its digits; IPv4 runs last, when emails with numeric domains are
+  * already masked too). */
 object Redact {
 
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
-  val PhoneRe = "\\+\\d{1,3}-\\d{3}-\\d{4}"
+
+  /** NANP-shaped numbers: optional +country code, then an area code —
+    * parenthesized `(555)` or bare `555` — then 3-4 digits, with `-`,
+    * `.` or space separators. The leading `\b` on the bare-digit
+    * alternative stops the match from starting mid-digit-run (RE2 and
+    * Java agree on ASCII `\b`); the trailing `\b` keeps version-ish
+    * suffixes intact. Still dialect-neutral: no lookaround, no
+    * backreferences. Non-NANP international formats (e.g. +44 20 7946
+    * 0958's 2-4-4 grouping) are out of scope and documented so: this is
+    * a corpus scrubber for the dominant 3-3-4 shapes, not an exhaustive
+    * libphonenumber. */
+  val PhoneRe =
+    "(\\+\\d{1,3}[-. ])?(\\(\\d{3}\\)[-. ]?|\\b\\d{3}[-. ])\\d{3}[-. ]\\d{4}\\b"
   val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
 
   /** Redaction pass in the fixed order above; idempotent (placeholders

@@ -69,6 +69,19 @@ class HashSplitSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("a NULL id fails loudly instead of landing in the last split") {
+    // pre-guard behavior: NULL id -> NULL digest -> every `u < cut` is
+    // null-false -> the row silently became 'test' data
+    import spark.implicits._
+    val df = Seq(Some(1L), None, Some(3L)).toDF("id")
+    val e = intercept[Exception] {
+      Sampling.hashSplit(df, "id", fractions).collect()
+    }
+    assert(e.getMessage.contains("NULL id") ||
+      Option(e.getCause).exists(_.getMessage.contains("NULL id")),
+      s"expected the loud NULL-id failure, got: ${e.getMessage}")
+  }
+
   test("invalid fractions are rejected") {
     import spark.implicits._
     val df = Seq(1L).toDF("id")

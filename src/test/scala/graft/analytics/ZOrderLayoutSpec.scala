@@ -113,4 +113,19 @@ class ZOrderLayoutSpec extends AnyFunSuite with SparkTestBase {
       case _ =>
     }
   }
+
+  test("compactionGroups assigns files to begins-before-the-cut groups") {
+    import spark.implicits._
+    // cumulative starts: a=0 b=10 c=30 d=60 e=100; target 50 →
+    // groups floor(start/50) = 0,0,0,1,2 (d overshoots group 0's cut:
+    // a file is never split, it belongs where it begins)
+    val listing = Seq(("a", 10L), ("b", 20L), ("c", 30L), ("d", 40L),
+      ("e", 50L)).toDF("file", "bytes")
+    val got = Layout
+      .compactionGroups(listing, "file", "bytes", targetBytes = 50L)
+      .collect().map(r => r.getAs[String]("file") -> r.getAs[Long]("group_id"))
+      .toMap
+    assert(got === Map("a" -> 0L, "b" -> 0L, "c" -> 0L, "d" -> 1L,
+      "e" -> 2L))
+  }
 }

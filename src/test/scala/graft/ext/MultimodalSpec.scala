@@ -99,4 +99,53 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       assert(fs.forall(_.frameIdx % 2 == 0))
     }
   }
+
+  test("decodePpm: real P6 parse — header, comments, raster round-trip") {
+    // hand-built 2x2 image, known pixels, comment in the header
+    val raster = Array[Byte](
+      0, 10, 20, 30, 40, 50, 60, 70, 80, 90, 100, -1) // -1 = 255 unsigned
+    val payload =
+      "P6\n# a comment\n2 2\n255\n".getBytes("US-ASCII") ++ raster
+    val (w, h, rgb) = Multimodal.decodePpm(payload)
+    assert(w === 2 && h === 2)
+    assert(rgb.toSeq === raster.toSeq)
+    // trailing junk after the raster is ignored (netpbm allows it)
+    val (w2, _, rgb2) =
+      Multimodal.decodePpm(payload ++ "junk".getBytes("US-ASCII"))
+    assert(w2 === 2 && rgb2.toSeq === raster.toSeq)
+  }
+
+  test("decodePpm: malformed payloads fail loudly, never decode garbage") {
+    def bad(bytes: Array[Byte], why: String): Unit = {
+      val e = intercept[IllegalArgumentException](Multimodal.decodePpm(bytes))
+      assert(e.getMessage.contains("decodePpm"), why)
+    }
+    bad("P5\n2 2\n255\n".getBytes ++ Array.fill[Byte](12)(0), "bad magic")
+    bad("P6\n2 x\n255\n".getBytes ++ Array.fill[Byte](12)(0), "bad height")
+    bad("P6\n2 2\n65535\n".getBytes ++ Array.fill[Byte](24)(0),
+      "two-byte maxval must be rejected, not misread")
+    bad("P6\n2 2\n255\n".getBytes ++ Array.fill[Byte](11)(0), "short raster")
+    bad("P6\n0 2\n255\n".getBytes, "zero width")
+  }
+
+  test("syntheticPpm round-trips through the real decoder with " +
+      "closed-form channel sums") {
+    for (d <- Seq(0L, 7L, 123L)) {
+      val (w, h, rgb) = Multimodal.decodePpm(Multimodal.syntheticPpm(d))
+      assert(w === (4 + d % 5).toInt && h === (3 + d % 4).toInt)
+      val expR = (0 until w * h * 3 by 3).map(i => (d * 31 + i) % 256).sum
+      val gotR = (0 until rgb.length by 3).map(i => (rgb(i) & 0xff).toLong).sum
+      assert(gotR === expR, s"doc $d sum_r")
+    }
+    // and through the distributed pipeline
+    import spark.implicits._
+    val ds = Seq(5L, 6L).toDS()
+      .map(d => MediaFile(d, "image/ppm", Multimodal.syntheticPpm(d)))
+    val stats = Multimodal.ppmPixelStats(ds).collect()
+      .map(s => s.doc_id -> s).toMap
+    assert(stats(5L).width === 4 + 5 % 5 && stats(5L).height === 3 + 5 % 4)
+    assert(stats(6L).sum_r ===
+      (0 until stats(6L).width * stats(6L).height * 3 by 3)
+        .map(i => (6L * 31 + i) % 256).sum)
+  }
 }

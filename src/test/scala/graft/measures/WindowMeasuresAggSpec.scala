@@ -14,7 +14,7 @@ class WindowMeasuresAggSpec extends AnyFunSuite with SparkTestBase {
     val data = (0 until 60).map(i => (i / 30, rnd.nextDouble() * 10 - 5))
     val df = data.toDF("k", "v")
     val got = df.groupBy(col("k"))
-      .agg(WindowMeasuresAgg.column(col("v")).as("ms"))
+      .agg(WindowMeasuresAgg.column(col("v"), n = 30).as("ms"))
       .select(col("k"), col("ms.*")).collect()
       .map(r => r.getInt(0) -> r).toMap
     for (k <- 0 to 1) {
@@ -36,7 +36,7 @@ class WindowMeasuresAggSpec extends AnyFunSuite with SparkTestBase {
       .rowsBetween(-29, 0)
     val wo = Window.partitionBy(col("key")).orderBy(col("seq"))
     val got = df
-      .withColumn("ms", WindowMeasuresAgg.column(col("v")).over(w))
+      .withColumn("ms", WindowMeasuresAgg.column(col("v"), n = 30).over(w))
       .withColumn("rn", row_number().over(wo))
       .where(col("rn") >= 30)
       .select(col("seq"), col("ms.mean"), col("ms.sm2"))

@@ -19,7 +19,8 @@ class SkewJoinSpec extends AnyFunSuite with SparkTestBase {
     val plain = big.join(small, "k")
       .select($"k", $"payload", $"name").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
-    val salted = SkewJoin.salted(big, small, "k", nSalts = 8)
+    val salted = SkewJoin.salted(big, small, "k", nSalts = 8,
+      saltCols = Seq("payload"))
       .select(big("k"), $"payload", $"name").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
 
@@ -60,7 +61,8 @@ class SkewJoinSpec extends AnyFunSuite with SparkTestBase {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.shuffle.partitions", "32")
       val unsalted = partitionCounts(big.join(small, "k"))
-      val salted = partitionCounts(SkewJoin.salted(big, small, "k", nSalts = 32))
+      val salted = partitionCounts(
+        SkewJoin.salted(big, small, "k", nSalts = 32, saltCols = Seq("payload")))
       val evenShare = total / 32.0
       info(f"unsalted max partition = ${unsalted.max} (${unsalted.max * 100.0 / total}%.0f%% of rows)")
       info(f"salted   max partition = ${salted.max} (even share $evenShare%.0f)")

@@ -3,7 +3,17 @@
 engine itself never uses Python). Reads Verify.scala's output dir
 (<out>/<query>/ parquet + oracle_sql.json), runs each oracle SQL in DuckDB
 over the same sf dir's parquet tables, and compares: row count, column
-names, and values (sorted columns, sorted rows, float tolerance).
+names, RESULT-COLUMN TYPES, and values (sorted columns, sorted rows, float
+tolerance).
+
+The type check exists because the driver's hasher is type-sensitive: a
+DuckDB windowed sum(BIGINT) is HUGEINT while the engine writes BIGINT, so
+equal values hash differently and the driver reports hash_match:false even
+though every cell matches (this burned q97 in round 6). Any oracle column
+whose DuckDB type family differs from the engine parquet's type family
+(as seen through DuckDB's read_parquet) fails loudly here, before the
+driver ever sees it. Fix is always on the oracle side: CAST the aggregate
+(HUGEINT/DECIMAL -> BIGINT, FLOAT -> DOUBLE) to match the engine schema.
 
 Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
 """
@@ -15,6 +25,23 @@ import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def type_family(t):
+    """Collapse a DuckDB type name to the family the driver's hasher
+    distinguishes. The equivalence classes are EMPIRICAL, from driver
+    rounds: INT8/16/32/64 widths hash identically (20 queries ship an
+    INTEGER engine column against a BIGINT oracle column and were
+    hash_match:true in CORRECTNESS_r06), while HUGEINT vs BIGINT broke
+    q97 — so integer widths collapse to one family and HUGEINT, DECIMAL,
+    FLOAT and DOUBLE each stay their own."""
+    s = str(t).upper()
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "INT"
+    if s.startswith("DECIMAL"):
+        return "DECIMAL"
+    return s
 
 
 def norm(v):
@@ -68,6 +95,21 @@ def main(sf_dir, out_dir):
             continue
         if [c.lower() for c in got_cols] != [c.lower() for c in exp_cols]:
             print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
+            n_fail += 1
+            continue
+        # Type drift: the driver's hasher is type-sensitive, so the oracle
+        # must produce the SAME column types as the engine parquet.
+        got_types = dict(zip(got.columns, got.types))
+        exp_types = dict(zip(exp.columns, exp.types))
+        drift = [
+            (gc, str(got_types[gc]), str(exp_types[ec]))
+            for gc, ec in zip(got_cols, exp_cols)
+            if type_family(got_types[gc]) != type_family(exp_types[ec])]
+        if drift:
+            details = ", ".join(
+                f"{c}: engine {g} vs oracle {e}" for c, g, e in drift)
+            print(f"FAIL {name}: TYPE DRIFT ({details}) — CAST the oracle "
+                  f"column(s) to the engine type")
             n_fail += 1
             continue
         if len(got_rows) != len(exp_rows):
