@@ -27,11 +27,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * State: one entry per DISTINCT gram hash — the same vocabulary-sized
   * footprint as the batch frequency aggregation's state, with ≤ minCount−1
   * buffered (docId, pos) pairs each (for the default minCount = 2: one).
-  * Like the batch detector, the memory is the price of exactness; a
-  * lifetime deployment bounds it the same way the near-dup bucket state is
-  * bounded — drop grams idle past a TTL, trading away duplicates that
-  * straddle the gap (not wired here: span surgery is a batch-shaped job,
-  * SURVEY §7.6, and the streaming detector's contract is batch equality).
+  * Like the batch detector, the memory is the price of exactness;
+  * `idleTtl` is the lever for lifetime deployments (the same
+  * processing-time timeout the near-dup bucket state uses): grams idle
+  * past the TTL are dropped, so a gram recurring after an idle gap longer
+  * than the TTL restarts its count from zero and duplicates straddling
+  * the gap are MISSED — output becomes a documented SUBSET of the batch
+  * detector's (never a superset: exactly-once emission is unaffected).
+  * Default keeps the unbounded exact behavior the batch-equality spec
+  * pins.
   */
 object StreamingDupSpans {
 
@@ -61,38 +65,49 @@ object StreamingDupSpans {
     * exactly once, in the micro-batch where its gram's corpus count
     * reached `minCount` (or any later batch it occurs in once the gate is
     * open). */
-  def duplicatedPositions(grams: Dataset[GramPos], minCount: Int = 2)
-      : Dataset[DupPos] = {
+  def duplicatedPositions(grams: Dataset[GramPos], minCount: Int = 2,
+      idleTtl: Option[java.time.Duration] = None): Dataset[DupPos] = {
     import grams.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     grams.groupByKey(_.hv)
       .flatMapGroupsWithState[GramState, DupPos](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (hv, rows, state: GroupState[GramState]) =>
-          val prev = state.getOption.getOrElse(
-            GramState(0L, Array.empty, Array.empty))
-          var count = prev.count
-          val pendDoc = scala.collection.mutable.ArrayBuffer(
-            prev.pendDoc.toSeq: _*)
-          val pendPos = scala.collection.mutable.ArrayBuffer(
-            prev.pendPos.toSeq: _*)
-          val out = scala.collection.mutable.ArrayBuffer.empty[DupPos]
-          rows.foreach { r =>
-            count += 1
-            if (count < minCount) {
-              pendDoc += r.docId
-              pendPos += r.pos
-            } else {
-              if (pendDoc.nonEmpty) { // the gate just opened: flush
-                pendDoc.indices.foreach(i =>
-                  out += DupPos(pendDoc(i), pendPos(i), hv))
-                pendDoc.clear()
-                pendPos.clear()
+          if (state.hasTimedOut) {
+            // idle past the TTL: forget the gram (count restarts at its
+            // next occurrence — the documented straddle loss)
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(
+              GramState(0L, Array.empty, Array.empty))
+            var count = prev.count
+            val pendDoc = scala.collection.mutable.ArrayBuffer(
+              prev.pendDoc.toSeq: _*)
+            val pendPos = scala.collection.mutable.ArrayBuffer(
+              prev.pendPos.toSeq: _*)
+            val out = scala.collection.mutable.ArrayBuffer.empty[DupPos]
+            rows.foreach { r =>
+              count += 1
+              if (count < minCount) {
+                pendDoc += r.docId
+                pendPos += r.pos
+              } else {
+                if (pendDoc.nonEmpty) { // the gate just opened: flush
+                  pendDoc.indices.foreach(i =>
+                    out += DupPos(pendDoc(i), pendPos(i), hv))
+                  pendDoc.clear()
+                  pendPos.clear()
+                }
+                out += DupPos(r.docId, r.pos, hv)
               }
-              out += DupPos(r.docId, r.pos, hv)
             }
+            state.update(GramState(count, pendDoc.toArray, pendPos.toArray))
+            idleTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            out.iterator
           }
-          state.update(GramState(count, pendDoc.toArray, pendPos.toArray))
-          out.iterator
       }
   }
 }

@@ -182,6 +182,51 @@ class AnnQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(refBig >= 0.85, f"refine recall $refBig%.4f < 0.85")
   }
 
+  test("IVF-PQ ADC (q104 config) recall@3 vs exact truth, both scales") {
+    // The PLANS.md ANN table's fourth operating point: the m-byte PQ
+    // index with ADC shortlist + exact refine, at q104's coarse/PQ
+    // config (coarse k=8/i=2 single-probe, PQ m=8 ksub=16 i=2).
+    // Recall is bounded by single-probe CELL coverage (the q66 ceiling);
+    // under that ceiling the SHORTLIST is the knob: the 8-byte-per-
+    // vector quantized ranking misorders near the cut, so s must scale
+    // with cell size. Measured sf0.1 (cells ~250 vectors): s=20 loses
+    // ~0.10 of the 0.2912 ceiling, s=64 is at 0.2672, s=128 recovers to
+    // within 0.006 — the curve a user sizing s against cell occupancy
+    // needs.
+    def pqRecall(embDf: DataFrame, rec: Map[Long, Set[Long]] => Double,
+        shortlists: Seq[Int]): (Seq[Double], Double) = {
+      val cc = Similarity.trainCells(embDf, k = 8, iters = 2)
+      val pq = Similarity.trainPq(embDf, m = 8, ksub = 16, iters = 2)
+      val adcs = shortlists.map(s => rec(topkMap(
+        Similarity.pqAdcRefineTopK(embDf, cc, pq, m = 8, k = K,
+          shortlist = s))))
+      val assigned = Similarity.assignCells(embDf, cc)
+        .select(col("vec_id"), col("cell"), col("e"))
+      val exactCell = rec(topkMap(
+        Similarity.ivfTopK(assigned, K, labelCol = "cell")))
+      (adcs, exactCell)
+    }
+    val (Seq(adcSmall), cellSmall) = pqRecall(emb, recallAt, Seq(20))
+    info(f"sf0.001 IVF-PQ ADC s=20 (q104) recall@$K = $adcSmall%.4f")
+    info(f"sf0.001 exact single-probe     recall@$K = $cellSmall%.4f")
+    val (Seq(adc20, adc64, adc128), cellBig) =
+      pqRecall(bigEmb, recallBig, Seq(20, 64, 128))
+    info(f"sf0.1   IVF-PQ ADC s=20 (q104) recall@$K = $adc20%.4f")
+    info(f"sf0.1   IVF-PQ ADC s=64        recall@$K = $adc64%.4f")
+    info(f"sf0.1   IVF-PQ ADC s=128       recall@$K = $adc128%.4f")
+    info(f"sf0.1   exact single-probe     recall@$K = $cellBig%.4f")
+    // sf0.001: cells ~62 vectors, s=20 covers a third of the cell — the
+    // shortlist may only lose a sliver under the ceiling
+    assert(adcSmall >= cellSmall - 0.05,
+      f"sf0.001 ADC $adcSmall%.4f vs cell $cellSmall%.4f")
+    // sf0.1: shortlist scaling must recover the ceiling; s=20's loss is
+    // real and pinned (floor catches regression, documents the trade)
+    assert(adc128 >= cellBig - 0.02,
+      f"s=128 must recover the cell ceiling: $adc128%.4f vs $cellBig%.4f")
+    assert(adc20 >= 0.17 && adc20 < adc64 && adc64 <= adc128,
+      f"shortlist curve must rise: $adc20%.4f, $adc64%.4f, $adc128%.4f")
+  }
+
   test("hyperplane LSH: recall falls as planes rise; lift over random holds") {
     val rs = Seq(4, 8, 16).map { planes =>
       val bucketed = emb.select(col("vec_id"), col("e"),

@@ -73,4 +73,66 @@ class StreamingDupSpansSpec extends AnyFunSuite with SparkTestBase {
       s"all $afterBatch1 duplicated positions resolved in batch 1 — " +
         "the corpus split exercises no cross-batch gram state")
   }
+
+  test("idleTtl drops idle grams: state shrinks, straddling duplicates " +
+    "lost, fresh duplicates still emitted") {
+    // The lifetime-state contract, executed (mirrors the near-dup TTL
+    // spec): with idleTtl set, a gram idle past the TTL is forgotten —
+    // (a) its state row is removed at the next data trigger, (b) a
+    // duplicate pair straddling the idle gap is NOT emitted (its first
+    // occurrence was dropped: the documented loss), (c) occurrences
+    // arriving within the TTL still flush exactly as without one.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sds_ttl").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    def feed(name: String, rows: Seq[(Long, Long, Int)]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/in/$name.json"),
+        rows.map { case (hv, d, p) => s"""{"hv":$hv,"docId":$d,"pos":$p}""" }
+          .mkString("\n").getBytes)
+
+    val ttl = java.time.Duration.ofSeconds(1)
+    // no-data batches off: timeouts then fire only on data-triggered
+    // batches, so the test is deterministic (see the near-dup TTL spec)
+    val prevNoData =
+      spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val grams = spark.readStream.schema("hv LONG, docId LONG, pos INT")
+      .json(s"$dir/in").as[StreamingDupSpans.GramPos]
+    val q = StreamingDupSpans.duplicatedPositions(grams, idleTtl = Some(ttl))
+      .writeStream.format("memory").queryName("sds_ttl_out")
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .outputMode("append").start()
+    try {
+      def emitted(): Set[(Long, Int)] =
+        spark.table("sds_ttl_out").select(col("docId"), col("pos"))
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+
+      // batch 1: gram A's first occurrence; keepalive gram K's first
+      feed("b1", Seq((100L, 1L, 0), (200L, 10L, 0)))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators(0).numRowsTotal === 2)
+      assert(emitted() === Set.empty) // both grams below the gate
+
+      // idle gap > TTL, then data only for K: K's second occurrence
+      // flushes both of K's positions; A's deadline passed -> removed
+      Thread.sleep(2500)
+      feed("b2", Seq((200L, 11L, 0)))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators(0).numRowsTotal <= 1,
+        "idle gram A must be dropped")
+      assert(emitted() === Set((10L, 0), (11L, 0)))
+
+      // batch 3: gram A twice in quick succession — its count restarted,
+      // so (1,0) (the pre-gap occurrence) is LOST; (2,0)/(3,0) flush
+      feed("b3", Seq((100L, 2L, 0), (100L, 3L, 0)))
+      q.processAllAvailable()
+      assert(emitted() === Set((10L, 0), (11L, 0), (2L, 0), (3L, 0)),
+        "straddling position (1,0) must be lost, fresh ones emitted")
+    } finally {
+      q.stop()
+      spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
+  }
 }
