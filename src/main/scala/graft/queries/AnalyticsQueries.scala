@@ -71,6 +71,38 @@ object AnalyticsQueries {
       },
       Some(s"""${WindowQueries.alertsWith}
            |SELECT CAST(event_id AS INT) AS "count", stat,
-           |  CAST(user_id AS INT) AS "assetNo", m AS value FROM alerts""".stripMargin))
+           |  CAST(user_id AS INT) AS "assetNo", m AS value FROM alerts""".stripMargin)),
+
+    // JSONL corpus round-trip (graft.sources.Sources.writeJsonl/readJsonl):
+    // the LLM-corpus interchange format — one JSON object per line. The
+    // engine writes the documents table as JSONL, plants malformed lines
+    // in the directory (bad syntax, wrong-typed doc_id, missing text,
+    // blank), and reads it back under the O2 drop-don't-fail contract
+    // with required doc_id/text; the oracle is the original table, so the
+    // hash match proves BOTH lossless round-trip (string escaping, long
+    // fidelity) and that every planted malformed line was dropped rather
+    // than nulled in.
+    Q("q107_jsonl_roundtrip",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select(
+          col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_jsonl_").resolve("corpus").toString
+        Sources.writeJsonl(docs, path)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path, "garbage.json"),
+          Seq("{not json", """{"doc_id":"abc","text":"x"}""",
+            """{"doc_id":999999999}""", "").mkString("\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Sources.readJsonl(s, path,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+              "n_chars BIGINT"),
+          requiredCols = Seq("doc_id", "text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, text, lang, source, n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

@@ -550,13 +550,27 @@ object Similarity {
     * small-norm candidates and measurably starves the shortlist). Every
     * term is round-6 of a fixed-order fold and codes are
     * dense-renumbered, so the DuckDB oracle reproduces scores
-    * bit-for-bit. */
+    * bit-for-bit.
+    *
+    * `probes` / `assignProbes` are the same recall knobs as
+    * [[ivfMultiProbeTopK]]'s (query probes its p nearest cells; each
+    * candidate is indexed under its a nearest): single-probe recall is
+    * CELL-coverage-bounded (the q66 ceiling), so a production config
+    * buys recall with (p, a) and memory with PQ — the knobs compose
+    * because the candidate payload through the bigger probed join is
+    * still m bytes. A pair reachable through several shared cells scores
+    * the same ADC value (the lut is cell-independent), so the pair
+    * stream is DISTINCT-ed before the shortlist window when either knob
+    * exceeds 1. Defaults keep q104's single-probe contract. */
   def pqAdcRefineTopK(emb: DataFrame, coarse: Array[(Int, Array[Double])],
       pq: Array[(Int, Int, Array[Double])], m: Int, k: Int, shortlist: Int,
-      idCol: String = "vec_id", vecCol: String = "e"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "e",
+      probes: Int = 1, assignProbes: Int = 1): DataFrame = {
     val sd = pq.head._3.length
     val centsLit = pqCentsLit(pq, m)
-    val assigned = assignCells(emb, coarse, idCol, vecCol)
+    val assigned =
+      if (assignProbes <= 1) assignCells(emb, coarse, idCol, vecCol)
+      else probeCells(emb, coarse, assignProbes, idCol, vecCol)
     // reconstructed squared norm from the codes: per subspace the round-6
     // sequential sum of squares of the selected centroid, summed in
     // subspace order — the same fold shape as the score, so the oracle
@@ -576,15 +590,22 @@ object Similarity {
         round(graft.functions.DotProduct(
           slice(col(vecCol), s * sd + 1, lit(sd)),
           c.getField("centroid")), 6)))
-    val queries = assigned
+    val queries = (
+      if (probes <= 1) assigned
+      else probeCells(emb, coarse, probes, idCol, vecCol))
       .select(col(idCol), col("cell"), lut.as("__lut"))
     val adc = aggregate(
       zip_with(col("__lut"), col("__codes"),
         (l, c) => element_at(l, c + 1)),
       lit(0.0), (acc, v) => acc + v) / col("__cnrm")
-    val short = queries.join(cand, "cell")
+    val pairs = queries.join(cand, "cell")
       .where(col(idCol) =!= col("neighbor_id"))
       .select(col(idCol), col("neighbor_id"), round(adc, 6).as("__adc"))
+    // same (query, neighbor) via several shared cells scores identically
+    // (the lut is cell-independent) — dedup before the shortlist window
+    val deduped =
+      if (probes <= 1 && assignProbes <= 1) pairs else pairs.distinct()
+    val short = deduped
       .withColumn("rk", row_number().over(Window.partitionBy(col(idCol))
         .orderBy(col("__adc").desc, col("neighbor_id"))))
       .where(col("rk") <= shortlist)

@@ -95,6 +95,42 @@ object Sources {
         lit(","), col("value").cast("string"), lit(")")).as("value"))
       .write.mode("overwrite").text(path)
 
+  /** JSONL corpus sink — one JSON object per line, the standard
+    * interchange format for LLM training corpora (open-data pipelines
+    * publish documents exactly this way: one line = one document with
+    * id/text/metadata fields). `to_json` over the full row struct is
+    * schema-driven and exact: strings escape losslessly (quotes,
+    * backslashes, newlines, non-ASCII), longs print as JSON integers, so
+    * [[readJsonl]] recovers the table bit-for-bit. A pure map stage into
+    * the text sink — embarrassingly parallel, one output file per
+    * partition at scale. */
+  def writeJsonl(docs: DataFrame, path: String): Unit =
+    docs.select(to_json(struct(docs.columns.map(col): _*)).as("value"))
+      .write.mode("overwrite").text(path)
+
+  /** JSONL corpus source with the reference splitter's drop-don't-fail
+    * contract (O2, StreamingJob.java:67-77 — malformed input is dropped,
+    * never nulled in, never fatal): a line that is not parseable JSON is
+    * dropped (`from_json` → NULL struct), and a line missing any of
+    * `requiredCols` — absent field, JSON null, or a value that does not
+    * coerce to the declared type — is dropped too (PERMISSIVE coercion
+    * nulls just that field; the required-column gate turns it into a
+    * whole-line drop). The schema is EXPLICIT: corpus reads at 100 TB
+    * must not pay (or trust) a sampling inference job, and a declared
+    * schema is what keeps the parse a single codegen'd map stage. */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      requiredCols: Seq[String]): DataFrame = {
+    val bad = requiredCols.filterNot(schema.fieldNames.contains)
+    require(bad.isEmpty, s"requiredCols not in schema: $bad")
+    spark.read.text(path)
+      .select(from_json(col("value"), schema).as("d"))
+      .where(requiredCols.foldLeft(col("d").isNotNull) {
+        (acc, c) => acc && col(s"d.$c").isNotNull
+      })
+      .select(col("d.*"))
+  }
+
   /** Adds the derived whole-portfolio series (StreamingJob.java:174-180) and
     * unpivots to (seq, assetNo 0..6, x) — series 6 is the portfolio. */
   def toSeries(samples: DataFrame): DataFrame = {

@@ -225,6 +225,27 @@ class AnnQualitySpec extends AnyFunSuite with SparkTestBase {
       f"s=128 must recover the cell ceiling: $adc128%.4f vs $cellBig%.4f")
     assert(adc20 >= 0.17 && adc20 < adc64 && adc64 <= adc128,
       f"shortlist curve must rise: $adc20%.4f, $adc64%.4f, $adc128%.4f")
+
+    // probes compose with PQ: the recall knobs (p, a) lift the cell
+    // ceiling itself, independent of the memory axis — measured
+    // 0.70@s=128 / 0.83@256 / 0.88@384 at p=4/a=2 vs 0.9363 for
+    // exact-scoring IVF at the same knobs. The residual gap is the
+    // 8-byte quantized ranking over a probed pool that is ~the whole
+    // corpus — this synthetic data is PQ's documented worst case
+    // (PLANS.md); the candidate payload through the bigger join stays
+    // m bytes, which is the axis PQ actually buys
+    val ccB = Similarity.trainCells(bigEmb, k = 8, iters = 2)
+    val pqB = Similarity.trainPq(bigEmb, m = 8, ksub = 16, iters = 2)
+    val probedCurve = Seq(128, 256, 384).map { s =>
+      val r = recallBig(topkMap(Similarity.pqAdcRefineTopK(
+        bigEmb, ccB, pqB, m = 8, k = K, shortlist = s,
+        probes = 4, assignProbes = 2)))
+      info(f"sf0.1   IVF-PQ ADC p=4,a=2,s=$s%-3d recall@$K = $r%.4f")
+      s -> r
+    }.toMap
+    assert(probedCurve(128) >= 0.60 &&
+      probedCurve(128) < probedCurve(384),
+      f"probed PQ curve: ${probedCurve}")
   }
 
   test("hyperplane LSH: recall falls as planes rise; lift over random holds") {

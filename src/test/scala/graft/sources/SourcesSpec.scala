@@ -84,6 +84,58 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSet === want.toSet)
   }
 
+  test("JSONL round-trip is bit-exact on hostile strings and nulls") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // quotes, backslashes, newline, tab, non-ASCII, empty string, and a
+    // legitimately-NULL optional field — the escaping surface of to_json
+    val rows = Seq(
+      (1L, "plain text", Some("en")),
+      (2L, "quote \" backslash \\ slash /", Some("de")),
+      (3L, "newline\nand\ttab", None),
+      (4L, "unicode é漢字🙂", Some("fr")),
+      (5L, "", Some("en")))
+    val df = rows.toDF("doc_id", "text", "lang")
+    val path = java.nio.file.Files.createTempDirectory("graft_jsonl")
+      .resolve("corpus").toString
+    Sources.writeJsonl(df, path)
+    val back = Sources.readJsonl(spark, path,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING"),
+      requiredCols = Seq("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)))).toSet
+    assert(back === rows.toSet)
+  }
+
+  test("JSONL malformed lines are dropped, never nulled in (O2 contract)") {
+    import org.apache.spark.sql.functions.col
+    val path = writeTemp("corpus.json", Seq(
+      """{"doc_id":1,"text":"good one","lang":"en"}""",
+      "{not json at all", // syntax → drop
+      """{"doc_id":"abc","text":"bad id type"}""", // uncoercible → drop
+      """{"doc_id":2,"lang":"en"}""", // missing required text → drop
+      """{"doc_id":null,"text":"null id"}""", // JSON null required → drop
+      "", // blank line → drop
+      """{"doc_id":3,"text":"also good"}""")) // missing OPTIONAL lang → keep
+    val got = Sources.readJsonl(spark, path,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING"),
+      requiredCols = Seq("doc_id", "text"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    assert(got.toSeq === Seq(
+      (1L, "good one", Some("en")), (3L, "also good", None)))
+  }
+
+  test("JSONL readJsonl rejects requiredCols outside the schema") {
+    intercept[IllegalArgumentException] {
+      Sources.readJsonl(spark, "/nonexistent",
+        org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT"),
+        requiredCols = Seq("text"))
+    }
+  }
+
   test("toSeries adds the weighted portfolio as series 6") {
     import spark.implicits._
     val df = Seq((1, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6))
