@@ -120,10 +120,32 @@ object Sources {
     * schema is what keeps the parse a single codegen'd map stage. */
   def readJsonl(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType,
+      requiredCols: Seq[String]): DataFrame =
+    parseJsonl(spark.read.text(path), schema, requiredCols)
+
+  /** Streaming [[readJsonl]] — the same parse/drop pipeline over
+    * `readStream.text`, so an incremental ingest applies the identical
+    * malformed-line contract as the batch reader (both are one
+    * stateless codegen'd map + filter; curation map stages like
+    * [[graft.text.Redact.redactPii]] and
+    * [[graft.text.TextStats.gopherGates]] compose on top unchanged —
+    * StreamingCurationSpec pins batch equality). */
+  def readJsonlStream(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      requiredCols: Seq[String]): DataFrame =
+    parseJsonl(spark.readStream.text(path), schema, requiredCols)
+
+  /** The shared JSONL parse/drop stage over a `value STRING` frame —
+    * batch and streaming readers differ only in the text source. `lines`
+    * is by-name so the requiredCols contract is checked before the
+    * source is even opened (a bad caller gets the contract error, not a
+    * path error). */
+  private def parseJsonl(lines: => DataFrame,
+      schema: org.apache.spark.sql.types.StructType,
       requiredCols: Seq[String]): DataFrame = {
     val bad = requiredCols.filterNot(schema.fieldNames.contains)
     require(bad.isEmpty, s"requiredCols not in schema: $bad")
-    spark.read.text(path)
+    lines
       .select(from_json(col("value"), schema).as("d"))
       .where(requiredCols.foldLeft(col("d").isNotNull) {
         (acc, c) => acc && col(s"d.$c").isNotNull
