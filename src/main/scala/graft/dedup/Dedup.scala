@@ -414,4 +414,39 @@ object Dedup {
       .select(col(clusterCol) +: col("n_members") +:
         keepCols.map(c => col(s"__pick.$c").as(s"canonical_$c")): _*)
   }
+
+  /** Exact UNIT-level dedup — the passage/paragraph/line-grain complement
+    * of whole-document (q20) and char-gram span (q74) dedup: over an
+    * exploded `(docCol, idxCol, unitCol)` frame, each distinct normalized
+    * unit keeps exactly its globally FIRST occurrence (lexicographic min
+    * of (doc, idx) — deterministic, run-order-independent) and every
+    * later copy is marked dropped. The RefinedWeb-style boilerplate cut:
+    * navigation chrome, license blocks, and template paragraphs repeat
+    * across millions of pages and survive document-level dedup.
+    *
+    * Normalization: trim + lowercase + whitespace-collapse (the unit
+    * equality a scrubber wants; callers needing byte equality pass
+    * pre-normalized units). The shuffle key is the md5 of the normalized
+    * unit — fixed 32 chars regardless of unit length, so the frequency
+    * aggregation never carries passage text through the exchange (2⁻⁶⁴
+    * collision odds are below any corpus size this engine will see; the
+    * aggregation itself is map-side partial min/count, and the join back
+    * is digest-keyed — nothing global, nothing driver-side).
+    *
+    * Appends `n_occ` (corpus-wide occurrences of this unit) and `keep`;
+    * the caller filters `keep` and reassembles documents (idxCol order)
+    * or rolls up per-document duplication stats. */
+  def dedupUnits(units: DataFrame, docCol: String = "doc_id",
+      idxCol: String = "unit_idx", unitCol: String = "unit"): DataFrame = {
+    val norm = regexp_replace(trim(lower(col(unitCol))), "\\s+", " ")
+    val withK = units.withColumn("__k", md5(norm))
+    val firsts = withK.groupBy(col("__k"))
+      .agg(min(struct(col(docCol), col(idxCol))).as("__first"),
+        count(lit(1)).as("n_occ"))
+    withK.join(firsts, "__k")
+      .withColumn("keep",
+        col(docCol) === col(s"__first.$docCol") &&
+          col(idxCol) === col(s"__first.$idxCol"))
+      .drop("__k", "__first")
+  }
 }

@@ -397,6 +397,53 @@ object CurationQueries {
           |SELECT doc_id, ch.chunk_id AS chunk_id,
           |  len(ch.ctoks) AS chunk_tokens,
           |  md5(array_to_string(ch.ctoks, ' ')) AS chunk_digest
-          |FROM c ORDER BY doc_id, chunk_id""".stripMargin))
+          |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // Passage-grain exact dedup (graft.dedup.Dedup.dedupUnits): the
+    // RefinedWeb-style boilerplate cut between whole-document dedup (q20)
+    // and char-gram span dedup (q74) — repeated passages keep exactly
+    // their globally FIRST occurrence (min (doc, idx): deterministic),
+    // every later copy is marked dropped. Units here are the q100
+    // chunker's non-overlapping 32-token windows (this corpus has no
+    // organic paragraph breaks); the frequency aggregation shuffles
+    // md5(unit) — 32 chars per unit regardless of passage length — with
+    // map-side partial min/count, and the keep-mark is one digest-keyed
+    // equi-join. The oracle replays chunking, normalization, and the
+    // first-occurrence rule with a window.
+    Q("q108_passage_dedup",
+      (s, dir) => {
+        val units = graft.text.TextStats
+          .chunk(Tables.sharded(s, dir, "documents", "doc_id"),
+            size = 32, stride = 32)
+          .select(col("doc_id"), col("chunk_id"),
+            concat_ws(" ", col("ctoks")).as("unit"))
+        graft.dedup.Dedup
+          .dedupUnits(units, docCol = "doc_id", idxCol = "chunk_id",
+            unitCol = "unit")
+          .select(col("doc_id"), col("chunk_id"), col("n_occ"),
+            col("keep"))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some(
+        s"""WITH d AS (SELECT doc_id, ${ExtQueries.duckTokens} AS toks
+          |  FROM documents),
+          |c AS (SELECT doc_id,
+          |    unnest(list_transform(generate_series(0, (len(toks) - 1) // 32),
+          |      i -> {'chunk_id': i,
+          |            'ctoks': toks[i * 32 + 1 : least(i * 32 + 32,
+          |                                             len(toks))]})) AS ch
+          |  FROM d WHERE len(toks) >= 1),
+          |u AS (SELECT doc_id, ch.chunk_id AS chunk_id,
+          |    lower(trim(regexp_replace(array_to_string(ch.ctoks, ' '),
+          |      '\\s+', ' ', 'g'))) AS norm
+          |  FROM c),
+          |w AS (SELECT doc_id, chunk_id,
+          |    count(*) OVER (PARTITION BY norm) AS n_occ,
+          |    row_number() OVER (PARTITION BY norm
+          |      ORDER BY doc_id, chunk_id) AS rn
+          |  FROM u)
+          |SELECT doc_id, chunk_id, CAST(n_occ AS BIGINT) AS n_occ,
+          |  rn = 1 AS keep
+          |FROM w ORDER BY doc_id, chunk_id""".stripMargin))
   )
 }

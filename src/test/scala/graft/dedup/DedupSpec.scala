@@ -119,4 +119,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // doc 4 passes through unchanged
     assert(out(4L) === ((0L, clean4.length, md5(clean4))))
   }
+
+  test("dedupUnits keeps the globally first occurrence, normalized") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val units = Seq(
+      (1L, 0L, "shared boilerplate"),
+      (1L, 1L, "unique passage one"),
+      (2L, 0L, "  Shared   BOILERPLATE "), // normalizes equal to (1,0)
+      (2L, 1L, "shared boilerplate"), // third copy, later idx
+      (3L, 0L, "unique passage two"))
+      .toDF("doc_id", "unit_idx", "unit")
+    val out = Dedup.dedupUnits(units).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("unit_idx")) ->
+        ((r.getAs[Long]("n_occ"), r.getAs[Boolean]("keep")))).toMap
+    assert(out((1L, 0L)) === ((3L, true))) // first of the three copies
+    assert(out((2L, 0L)) === ((3L, false)))
+    assert(out((2L, 1L)) === ((3L, false)))
+    assert(out((1L, 1L)) === ((1L, true)))
+    assert(out((3L, 0L)) === ((1L, true)))
+    // exactly one keeper per distinct normalized unit
+    assert(out.count { case (_, (_, keep)) => keep } === 3)
+  }
 }
