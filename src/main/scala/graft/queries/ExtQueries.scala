@@ -470,6 +470,47 @@ object ExtQueries {
           |  JOIN emb b ON b.vec_id = sh.neighbor_id) t
           |WHERE rk <= 3 ORDER BY vec_id, neighbor_id""".stripMargin)),
 
+    // Multi-probe IVF-PQ (round 7): q104's two-quantizer search with the
+    // query probing its 2 nearest cells — the recall knob composed with
+    // the memory axis (single-probe recall is cell-coverage-bounded;
+    // AnnQualitySpec measures the full curve). At a=1 a (query,
+    // candidate) pair arises through at most one shared cell, so the
+    // engine's defensive distinct() is a semantic no-op and the oracle
+    // needs none; the shortlist doubles with the doubled candidate pool
+    // (the sizing rule PLANS documents). Oracle = q104's replayed
+    // pipeline with the probed assignment CTE (aprobe, rk <= 2) as the
+    // query side.
+    Q("q109_pq_adc_probed",
+      (s, dir) =>
+        graft.similarity.Similarity
+          .pqAdcRefineTopK(embFrame(s, dir), trainedCells(s, dir),
+            trainedPq(s, dir), m = 8, k = 3, shortlist = 40, probes = 2)
+          .select(col("vec_id"), col("neighbor_id"), col("cos_sim"))
+          .orderBy(col("vec_id"), col("neighbor_id")),
+      Some(ivfTrainCtes(k = 8, iters = 2, dim = 64, probes = Some(2)) +
+        ",\n" +
+        pqCtes(m = 8, ksub = 16, iters = 2, sd = 8, adc = true) + """,
+          |padc AS (SELECT q.vec_id AS vec_id, b.vec_id AS neighbor_id,
+          |    round(list_aggregate(list_transform(generate_series(1, 8),
+          |      s -> l.lut[s][c.codes[s] + 1]), 'sum') / c.cnrm, 6) AS adc
+          |  FROM aprobe q JOIN afin b ON q.cell = b.cell
+          |    AND q.vec_id <> b.vec_id
+          |  JOIN plut l ON l.vec_id = q.vec_id
+          |  JOIN pcodes c ON c.vec_id = b.vec_id),
+          |pshort AS (SELECT vec_id, neighbor_id FROM (
+          |    SELECT vec_id, neighbor_id, row_number() OVER (
+          |      PARTITION BY vec_id ORDER BY adc DESC, neighbor_id) AS rk
+          |    FROM padc) t WHERE rk <= 40)
+          |SELECT vec_id, neighbor_id, cos_sim FROM (
+          |  SELECT sh.vec_id, sh.neighbor_id,
+          |    round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim,
+          |    row_number() OVER (PARTITION BY sh.vec_id
+          |      ORDER BY round(list_cosine_similarity(a.e, b.e), 6) DESC,
+          |        sh.neighbor_id) AS rk
+          |  FROM pshort sh JOIN emb a ON a.vec_id = sh.vec_id
+          |  JOIN emb b ON b.vec_id = sh.neighbor_id) t
+          |WHERE rk <= 3 ORDER BY vec_id, neighbor_id""".stripMargin)),
+
     // SemDeDup (Abbas et al. 2023): semantic dedup composed from the
     // trained-IVF pieces. Round-6: the pair stage runs on the p=2
     // MULTI-PROBE assignment (each vector under its 2 nearest cells), so
