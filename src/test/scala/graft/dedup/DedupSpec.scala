@@ -141,4 +141,18 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // exactly one keeper per distinct normalized unit
     assert(out.count { case (_, (_, keep)) => keep } === 3)
   }
+
+  test("dedupUnits plan: keyed aggregation + join, nothing global") {
+    import spark.implicits._
+    val units = (1L to 200L).map(i => (i, 0L, s"unit ${i % 50}"))
+      .toDF("doc_id", "unit_idx", "unit")
+    val plan = Dedup.dedupUnits(units).queryExecution.executedPlan.toString
+    // the frequency aggregation and keep-join must shuffle by the unit
+    // digest — never a partition-less window or a single-partition
+    // exchange (the shapes that collapse a corpus onto one task)
+    assert(!plan.contains("SinglePartition"),
+      s"single-partition exchange in dedupUnits plan:\n$plan")
+    assert(!plan.contains("Window"),
+      s"window operator in dedupUnits plan:\n$plan")
+  }
 }
