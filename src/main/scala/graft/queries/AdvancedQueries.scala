@@ -650,8 +650,7 @@ object AdvancedQueries {
           |c AS (SELECT doc_id, est_tokens,
           |    sum(est_tokens) OVER (ORDER BY doc_id) AS cum FROM t)
           |SELECT doc_id, est_tokens,
-          |  CAST(floor(CAST(cum - est_tokens AS DOUBLE) / 4096) AS BIGINT)
-          |    AS shard_id
+          |  CAST((cum - est_tokens) // 4096 AS BIGINT) AS shard_id
           |FROM c ORDER BY doc_id""".stripMargin)),
 
     // Small-file compaction planner (graft.analytics.Layout
@@ -681,8 +680,7 @@ object AdvancedQueries {
           |c AS (SELECT file, bytes,
           |    sum(bytes) OVER (ORDER BY file) AS cum FROM f)
           |SELECT file, bytes,
-          |  CAST(floor(CAST(cum - bytes AS DOUBLE) / 65536) AS BIGINT)
-          |    AS group_id
+          |  CAST((cum - bytes) // 65536 AS BIGINT) AS group_id
           |FROM c ORDER BY file""".stripMargin)),
 
     // Winnowing (MOSS) rolling-window fingerprints: min-hash of every

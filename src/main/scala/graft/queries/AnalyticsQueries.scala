@@ -12,6 +12,25 @@ import graft.sources.Sources
   * pipeline CTE block. */
 object AnalyticsQueries {
 
+  /** A fresh temp dir whose tree is deleted at JVM exit (shutdown hook):
+    * the round-trip queries return LAZY frames that read back from the
+    * dir, so deletion can't happen inline — but without the hook every
+    * verify/bench run leaked a full table copy into java.io.tmpdir. */
+  private[queries] def tempDirCleanedOnExit(prefix: String): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(dir)) {
+        val walk = Files.walk(dir)
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }))
+    dir
+  }
+
   /** The alert table is the shared input of q10/q19/q32 — computed once per
     * (session, sf dir) and cached (eagerly: downstream analytics then pay
     * only their own aggregation, never the build), exactly as a production
@@ -60,8 +79,8 @@ object AnalyticsQueries {
         // dir.hashCode raced concurrent sessions verifying the same dir
         // (one overwrites while the other reads back) and hashCode
         // collisions could cross-contaminate different data dirs
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_alertlog_").resolve("log").toString
+        val path =
+          tempDirCleanedOnExit("graft_alertlog_").resolve("log").toString
         Sources.writeAlertLog(
           cachedAlerts(s, dir).select(
             col("event_id").cast("int").as("count"), col("stat"),
@@ -87,8 +106,8 @@ object AnalyticsQueries {
         val docs = Tables(s, dir, "documents").select(
           col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"))
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_jsonl_").resolve("corpus").toString
+        val path =
+          tempDirCleanedOnExit("graft_jsonl_").resolve("corpus").toString
         Sources.writeJsonl(docs, path)
         java.nio.file.Files.write(
           java.nio.file.Paths.get(path, "garbage.json"),

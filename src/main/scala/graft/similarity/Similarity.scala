@@ -590,8 +590,13 @@ object Similarity {
         round(graft.functions.DotProduct(
           slice(col(vecCol), s * sd + 1, lit(sd)),
           c.getField("centroid")), 6)))
+    // Build the query side EXPLICITLY (never reuse `assigned`): with
+    // probes=1 each query must probe only its single nearest cell even
+    // when assignProbes>1 replicated the candidate index — reusing the
+    // a-probed assignment here would silently inflate query-side probes
+    // to a (≈a× join cost), violating the documented p knob.
     val queries = (
-      if (probes <= 1) assigned
+      if (probes <= 1) assignCells(emb, coarse, idCol, vecCol)
       else probeCells(emb, coarse, probes, idCol, vecCol))
       .select(col(idCol), col("cell"), lut.as("__lut"))
     val adc = aggregate(
