@@ -26,7 +26,11 @@ case class MediaMeta(docId: Long, kind: String, byteLen: Int, width: Int,
   *
   * STUB NOTE: this container has no media libraries, so the default decoder
   * is a clearly-marked deterministic fake deriving dimensions from the
-  * payload digest. The partitioning, schema, typed Dataset plumbing and the
+  * payload digest. Two UNCOMPRESSED formats are decoded for real with
+  * zero libraries — binary PPM ([[decodePpm]]) and 24-bit BMP
+  * ([[decodeBmp]]/[[encodeBmp]]) — so the decode path is genuinely
+  * exercised end-to-end (q106/q115); compressed formats keep the labeled
+  * stub. The partitioning, schema, typed Dataset plumbing and the
   * per-partition decoder lifecycle are real and tested; swap `stubDecoder`
   * for a JNI/codec-backed factory in production.
   */
@@ -123,6 +127,21 @@ object Multimodal {
     (w, h, 1)
   }
 
+  /** Integer-exact per-channel sums over an interleaved RGB raster —
+    * shared reduce of the decoded-raster queries (PPM q106, BMP q115). */
+  private def channelSums(docId: Long, w: Int, h: Int,
+      rgb: Array[Byte]): PpmStats = {
+    var r = 0L; var g = 0L; var b = 0L
+    var i = 0
+    while (i < rgb.length) {
+      r += rgb(i) & 0xff
+      g += rgb(i + 1) & 0xff
+      b += rgb(i + 2) & 0xff
+      i += 3
+    }
+    PpmStats(docId, w, h, r, g, b)
+  }
+
   /** Per-channel pixel sums from decoded PPM rasters — integer-exact
     * (no float accumulation), so an oracle can replay the construction
     * arithmetic bit-for-bit. Decode + accumulate stream per partition. */
@@ -132,15 +151,142 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.map { m =>
         val (w, h, rgb) = decodePpm(m.payload)
-        var r = 0L; var g = 0L; var b = 0L
-        var i = 0
-        while (i < rgb.length) {
-          r += rgb(i) & 0xff
-          g += rgb(i + 1) & 0xff
-          b += rgb(i + 2) & 0xff
-          i += 3
-        }
-        PpmStats(m.docId, w, h, r, g, b)
+        channelSums(m.docId, w, h, rgb)
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // REAL decode path #2: uncompressed 24-bit BMP (BITMAPINFOHEADER,
+  // BI_RGB) — the second format the JVM can parse with zero libraries.
+  // Unlike PPM's ASCII header + in-order RGB, BMP exercises the layout
+  // transforms a real codec performs: little-endian binary headers, BGR
+  // channel order, bottom-up row order (or top-down when height < 0),
+  // and 4-byte row padding. decodeBmp normalizes all of that back to a
+  // top-down interleaved RGB raster, so the PPM and BMP paths meet at
+  // the same downstream shape.
+  // ---------------------------------------------------------------------
+
+  /** Parse an uncompressed 24-bit BMP payload → (width, height, rgb bytes
+    * in top-down row order). Strict, like [[decodePpm]]: bad magic,
+    * non-BITMAPINFOHEADER DIB size, planes ≠ 1, bit depth ≠ 24,
+    * compression ≠ BI_RGB, zero dimensions, or a short/out-of-range pixel
+    * array all throw — a corrupt payload must surface per-row, not decode
+    * into garbage stats. Negative height (top-down storage) is honored
+    * per the spec. */
+  def decodeBmp(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    def fail(msg: String) =
+      throw new IllegalArgumentException(s"decodeBmp: $msg")
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def i32(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+      ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    if (bytes.length < 54) fail(s"short header: ${bytes.length} bytes")
+    if (bytes(0) != 'B' || bytes(1) != 'M') fail("not a BMP (bad magic)")
+    val pixelOff = i32(10)
+    val dibSize = i32(14)
+    if (dibSize != 40)
+      fail(s"unsupported DIB header size $dibSize (BITMAPINFOHEADER only)")
+    val w = i32(18)
+    val hRaw = i32(22)
+    val topDown = hRaw < 0
+    val h = if (topDown) -hRaw else hRaw
+    if (w <= 0 || h == 0) fail(s"bad dimensions ${w}x$hRaw")
+    if (u16(26) != 1) fail(s"planes ${u16(26)} (must be 1)")
+    if (u16(28) != 24) fail(s"bit depth ${u16(28)} (24-bit BI_RGB only)")
+    if (i32(30) != 0) fail(s"compression ${i32(30)} (BI_RGB only)")
+    val rowSize = ((w * 3 + 3) / 4) * 4 // each row padded to 4 bytes
+    if (pixelOff < 54 || pixelOff.toLong + rowSize.toLong * h > bytes.length)
+      fail(s"pixel array out of range: off $pixelOff, need ${rowSize.toLong * h}, " +
+        s"have ${bytes.length - pixelOff}")
+    val rgb = new Array[Byte](w * h * 3)
+    var row = 0
+    while (row < h) {
+      // stored bottom-up unless topDown; stored channel order is BGR
+      val src = pixelOff + (if (topDown) row else h - 1 - row) * rowSize
+      var colIdx = 0
+      while (colIdx < w) {
+        val s = src + colIdx * 3
+        val d = (row * w + colIdx) * 3
+        rgb(d) = bytes(s + 2)     // R
+        rgb(d + 1) = bytes(s + 1) // G
+        rgb(d + 2) = bytes(s)     // B
+        colIdx += 1
+      }
+      row += 1
+    }
+    (w, h, rgb)
+  }
+
+  /** Encode a top-down interleaved RGB raster as an uncompressed 24-bit
+    * BMP (BITMAPINFOHEADER, BI_RGB, bottom-up rows, zero padding) — the
+    * sink-side inverse of [[decodeBmp]]; round-trip is byte-exact on the
+    * raster. */
+  def encodeBmp(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0, s"encodeBmp: bad dimensions ${w}x$h")
+    require(rgb.length == w * h * 3,
+      s"encodeBmp: raster length ${rgb.length} != ${w * h * 3}")
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val fileSize = 54 + rowSize * h
+    val out = new Array[Byte](fileSize) // zero-initialized → zero padding
+    def p16(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+    }
+    def p32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    p32(2, fileSize); p32(10, 54)
+    p32(14, 40); p32(18, w); p32(22, h)
+    p16(26, 1); p16(28, 24); p32(30, 0); p32(34, rowSize * h)
+    var row = 0
+    while (row < h) {
+      val dst = 54 + (h - 1 - row) * rowSize // bottom-up
+      var colIdx = 0
+      while (colIdx < w) {
+        val s = (row * w + colIdx) * 3
+        val d = dst + colIdx * 3
+        out(d) = rgb(s + 2)     // B
+        out(d + 1) = rgb(s + 1) // G
+        out(d + 2) = rgb(s)     // R
+        colIdx += 1
+      }
+      row += 1
+    }
+    out
+  }
+
+  /** REAL decoder factory over [[decodeBmp]] — same per-partition factory
+    * contract as [[ppmDecoder]]. */
+  val bmpDecoder: DecoderFactory = () => { bytes =>
+    val (w, h, _) = decodeBmp(bytes)
+    (w, h, 1)
+  }
+
+  /** Deterministic BMP payload for doc `d` — a REAL bottom-up padded BGR
+    * byte stream whose DECODED top-down RGB raster follows closed-form
+    * arithmetic `(d*37 + i) % 256`, so a SQL oracle predicts the decoded
+    * channel sums without a decoder. Because the closed form describes
+    * the DECODED raster, any layout bug (row flip, BGR swap, padding
+    * arithmetic) shifts the sums and breaks the oracle hash. Width is NOT
+    * a multiple of 4 for most docs, so row padding is genuinely
+    * exercised. */
+  def syntheticBmp(d: Long): Array[Byte] = {
+    val w = (3 + d % 5).toInt // 3..7 → rowSize padding of 3,0,1,2,3 bytes
+    val h = (2 + d % 4).toInt
+    encodeBmp(w, h,
+      Array.tabulate(w * h * 3)(i => ((d * 37 + i) % 256).toByte))
+  }
+
+  /** Per-channel pixel sums from decoded BMP payloads — the BMP twin of
+    * [[ppmPixelStats]], meeting it at the same integer-exact shape. */
+  def bmpPixelStats(ds: Dataset[MediaFile]): Dataset[PpmStats] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val (w, h, rgb) = decodeBmp(m.payload)
+        channelSums(m.docId, w, h, rgb)
       }
     }
   }
@@ -239,6 +385,7 @@ object Multimodal {
   * stand-in for decoded frame bytes). */
 case class FrameSample(docId: Long, frameIdx: Int, frameDigest: String)
 
-/** Decoded-raster channel sums (integer-exact) for one PPM payload. */
+/** Decoded-raster channel sums (integer-exact) for one image payload —
+  * shared by the PPM (q106) and BMP (q115) decode paths. */
 case class PpmStats(doc_id: Long, width: Int, height: Int,
     sum_r: Long, sum_g: Long, sum_b: Long)

@@ -20,7 +20,7 @@ object DedupQueries {
 
   private val K = 12 // minhash functions
   private val RowsPerBand = 3 // → 4 bands
-  private val DupK = 40 // exact-substring gram length (chars, normalized)
+  private[queries] val DupK = 40 // exact-substring gram length (chars, normalized)
 
   /** Positional char-40-gram hash table for q74, cached — it sits on both
     * sides of the gram-frequency join (the duplicated-hash set and the
@@ -41,10 +41,14 @@ object DedupQueries {
         dupGramPos(s, dir), Tables(s, dir, "documents"), k = DupK)
     }
 
-  /** Shared oracle prefix for q74/q81: normalized text → positional
-    * char-40-gram packed double hashes (GramHashes' 62-bit scheme) as CTE
-    * `p(doc_id, pos, hv)` (+ `hs(doc_id, n_norm, h)` for lengths). */
-  private lazy val duckDupGrams: String = {
+  /** Shared oracle prefix for q74/q81 (and q112's streaming twin):
+    * normalized text → positional char-40-gram packed double hashes
+    * (GramHashes' 62-bit scheme) as CTE `p(doc_id, pos, hv)` (+
+    * `hs(doc_id, n_norm, h)` for lengths). NOTE `pos` here is 1-based
+    * (generate_series) while the engine's gramPositions is 0-based
+    * (posexplode); q74 only consumes gaps so the offset cancels, but a
+    * positional consumer must subtract 1. */
+  private[queries] lazy val duckDupGrams: String = {
     val hash = graft.functions.GramHashes
       .duckGramHashWide("norm", "i", DupK)
     s"""WITH nrm AS (SELECT doc_id,

@@ -674,6 +674,42 @@ object ExtQueries {
           |    AS BIGINT) AS sum_b
           |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin)),
 
+    // q106's BMP twin: the SECOND real decode format. Each document
+    // becomes a genuine uncompressed 24-bit BMP (little-endian binary
+    // headers, bottom-up BGR rows, 4-byte padding — widths 3..7 so
+    // padding is actually exercised) whose DECODED top-down RGB raster
+    // follows closed-form arithmetic, then parsed back and reduced to
+    // integer-exact channel sums. The oracle predicts the sums from the
+    // construction formula with no decoder: any layout bug (row flip,
+    // BGR swap, padding offset, endianness) shifts a sum and breaks the
+    // hash.
+    Q("q115_bmp_pixel_stats",
+      (s, dir) => {
+        import s.implicits._
+        val files = Tables.sharded(s, dir, "documents", "doc_id")
+          .select(col("doc_id")).as[Long]
+          .map(d => graft.ext.MediaFile(d, "image/bmp",
+            graft.ext.Multimodal.syntheticBmp(d)))
+        graft.ext.Multimodal.bmpPixelStats(files).toDF()
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH d AS (SELECT doc_id,
+          |    CAST(3 + doc_id % 5 AS INT) AS width,
+          |    CAST(2 + doc_id % 4 AS INT) AS height
+          |  FROM documents),
+          |px AS (SELECT doc_id, width, height,
+          |    unnest(generate_series(0, width * height * 3 - 1)) AS i
+          |  FROM d)
+          |SELECT doc_id, width, height,
+          |  CAST(sum(CASE WHEN i % 3 = 0 THEN (doc_id * 37 + i) % 256 END)
+          |    AS BIGINT) AS sum_r,
+          |  CAST(sum(CASE WHEN i % 3 = 1 THEN (doc_id * 37 + i) % 256 END)
+          |    AS BIGINT) AS sum_g,
+          |  CAST(sum(CASE WHEN i % 3 = 2 THEN (doc_id * 37 + i) % 256 END)
+          |    AS BIGINT) AS sum_b
+          |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin)),
+
     // Semi-structured property extraction: the events stream carries a
     // JSON `props` string; pull a typed field out (get_json_object — a
     // codegen'd path evaluation, no UDF, no full from_json materialize

@@ -4,7 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.streaming.{StreamingEventAlerts, StreamingUnitDedup}
+import graft.streaming.{StreamingDupSpans, StreamingEventAlerts,
+  StreamingHeavyHitters, StreamingNearDup, StreamingUnitDedup}
 
 /** The streaming operators under the driver's ORACLE GATE — until round 8
   * the streaming family was verified only by ScalaTest batch-equality
@@ -41,8 +42,11 @@ object StreamingQueries {
   }
 
   /** Run `stream` to completion (AvailableNow) into a fresh memory sink
-    * and return the sunk table. */
-  private def runToTable(stream: DataFrame, tag: String): DataFrame = {
+    * and return the sunk table. `mode` is the sink output mode — Append
+    * for the exactly-once emitters, Update for operators that re-emit a
+    * summary per micro-batch (heavy hitters). */
+  private def runToTable(stream: DataFrame, tag: String,
+      mode: String = "append"): DataFrame = {
     val spark = stream.sparkSession
     val name = s"graft_${tag}_${runSeq.incrementAndGet()}"
     val ckpt =
@@ -50,12 +54,20 @@ object StreamingQueries {
     val q = stream.writeStream
       .format("memory").queryName(name)
       .option("checkpointLocation", ckpt)
-      .outputMode("append")
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     spark.table(name)
   }
+
+  /** The streamed documents table (the staged single-parquet source). */
+  private def docStream(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    s.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, " +
+        "source STRING, n_chars BIGINT")
+      .parquet(stagedTableDir(dir, "documents"))
 
   val all: Seq[Q] = Seq(
     // The reference pipeline END-TO-END as a streaming job, oracle-gated:
@@ -94,12 +106,8 @@ object StreamingQueries {
     // not a per-arrival decision).
     Q("q111_streaming_passage_dedup",
       (s, dir) => {
-        val stream = s.readStream
-          .schema("doc_id BIGINT, text STRING, lang STRING, " +
-            "source STRING, n_chars BIGINT")
-          .parquet(stagedTableDir(dir, "documents"))
         val units = graft.text.TextStats
-          .chunk(stream, size = 32, stride = 32)
+          .chunk(docStream(s, dir), size = 32, stride = 32)
           .select(col("doc_id"), col("chunk_id"),
             concat_ws(" ", col("ctoks")).as("unit"))
         val decisions = StreamingUnitDedup.decisions(
@@ -128,6 +136,93 @@ object StreamingQueries {
           |      ORDER BY doc_id, chunk_id) AS rn
           |  FROM u)
           |SELECT doc_id, chunk_id, rn = 1 AS keep
-          |FROM w ORDER BY doc_id, chunk_id""".stripMargin))
+          |FROM w ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // Streaming exact-substring duplicate positions (StreamingDupSpans,
+    // the incremental Lee-et-al detector), oracle-gated. Each char-40-gram
+    // position is emitted EXACTLY ONCE, in the micro-batch where its
+    // gram's corpus count reaches 2 — so the union of all micro-batch
+    // outputs equals the batch detector's duplicated-position set
+    // REGARDLESS of how documents split across batches (no single-batch
+    // assumption, unlike q110/q111). The oracle replays the same 62-bit
+    // rolling gram hash in SQL (duckDupGrams) and selects positions of
+    // hashes with count >= 2; its `pos` is 1-based (generate_series)
+    // while the engine's is 0-based (posexplode), hence the - 1.
+    Q("q112_streaming_dup_positions",
+      (s, dir) => {
+        val dups = StreamingDupSpans.duplicatedPositions(
+          StreamingDupSpans.gramPositions(
+            docStream(s, dir).select(col("doc_id"), col("text"))))
+        runToTable(dups.toDF(), "stream_dupspans")
+          .select(col("docId").as("doc_id"), col("pos"), col("hv"))
+          .orderBy(col("doc_id"), col("pos"))
+      },
+      Some(DedupQueries.duckDupGrams + """,
+          |dh AS (SELECT hv FROM p GROUP BY hv HAVING count(*) >= 2)
+          |SELECT doc_id, pos - 1 AS pos, hv
+          |FROM p JOIN dh USING (hv) ORDER BY doc_id, pos""".stripMargin)),
+
+    // Streaming MinHash-LSH near-dup candidates (StreamingNearDup),
+    // oracle-gated. The stream keys by LSH bucket (band index + band key,
+    // the SAME document-local sketch as batch q27/q28) and pairs each
+    // arriving doc against the bucket's earlier members — at-least-once
+    // across buckets, canonicalized a < b, so DISTINCT of the union of
+    // micro-batch outputs equals the batch self-join's candidate set for
+    // ANY batch split. The driver run deliberately sets maxBucket to
+    // MaxValue: the hot-bucket cap is a production lever whose drops
+    // depend on arrival order (not hashable); capped behavior is pinned
+    // by StreamingNearDupSpec instead. The oracle replays the md5
+    // MinHash bands in SQL (duckMinhash) and self-joins them.
+    Q("q113_streaming_neardup_cands",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = StreamingNearDup.candidatePairs(
+          StreamingNearDup.bandKeys(
+            docStream(s, dir).select(col("doc_id"), col("text")))
+            .select(col("bucket"), col("doc_id").as("docId"))
+            .as[StreamingNearDup.BucketDoc],
+          maxBucket = Int.MaxValue)
+        runToTable(pairs.toDF(), "stream_neardup")
+          .select(col("docA").as("doc_a"), col("docB").as("doc_b"))
+          .distinct()
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(DedupQueries.duckMinhash + """,
+          |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          |          FROM bands x JOIN bands y
+          |            ON x.band = y.band AND x.band_key = y.band_key
+          |           AND x.doc_id < y.doc_id)
+          |SELECT doc_a, doc_b FROM cands ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Streaming heavy hitters (sharded SpaceSaving), oracle-gated IN THE
+    // EXACT REGIME: with per-shard capacity k far above the corpus
+    // vocabulary (31 distinct tokens in the synthetic documents; k=4096)
+    // no counter is ever evicted, so SpaceSaving's `true <= est <= true +
+    // err` collapses to est == exact count, err == 0 — and the summary
+    // becomes hashable against a plain GROUP BY oracle. The approximate
+    // regime (evictions, error bounds, shard no-false-negative guarantee)
+    // is pinned by StreamingHeavyHittersSpec at k=16, where no exact
+    // oracle can exist. est is monotone across generations, so max(est)
+    // per token is the current answer for ANY batch split (one generation
+    // per shard per micro-batch under Update mode).
+    Q("q114_streaming_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        val shardUdf = udf((t: String) =>
+          StreamingHeavyHitters.shardOf(t, 4))
+        val toks = docStream(s, dir)
+          .select(explode(graft.dedup.Dedup.tokens(col("text"))).as("token"))
+          .select(shardUdf(col("token")).as("shard"), col("token"))
+          .as[StreamingHeavyHitters.Tok]
+        val hh = StreamingHeavyHitters.heavyHitters(toks, k = 4096)
+        runToTable(hh.toDF(), "stream_hh", mode = "update")
+          .groupBy(col("token"))
+          .agg(max(col("est")).as("est"))
+          .orderBy(col("token"))
+      },
+      Some(s"""WITH tok AS (SELECT unnest(${ExtQueries.duckTokens}) AS token
+          |  FROM documents)
+          |SELECT token, count(*) AS est
+          |FROM tok GROUP BY token ORDER BY token""".stripMargin))
   )
 }

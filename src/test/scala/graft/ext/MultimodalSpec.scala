@@ -148,4 +148,44 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       (0 until stats(6L).width * stats(6L).height * 3 by 3)
         .map(i => (6L * 31 + i) % 256).sum)
   }
+
+  test("decodeBmp: malformed payloads fail loudly, never decode garbage") {
+    def bad(bytes: Array[Byte], why: String): Unit = {
+      val e = intercept[IllegalArgumentException](Multimodal.decodeBmp(bytes))
+      assert(e.getMessage.contains("decodeBmp"), why)
+    }
+    val ok = Multimodal.encodeBmp(2, 2, Array.fill[Byte](12)(7))
+    bad(ok.take(40), "short header")
+    bad({ val b = ok.clone(); b(0) = 'X'; b }, "bad magic")
+    bad({ val b = ok.clone(); b(28) = 8; b },
+      "8-bit palette BMP must be rejected, not misread")
+    bad({ val b = ok.clone(); b(30) = 1; b },
+      "RLE compression must be rejected")
+    bad({ val b = ok.clone(); b(14) = 124; b },
+      "BITMAPV5HEADER (untested layout) must be rejected")
+    bad(ok.dropRight(1), "short pixel array")
+  }
+
+  test("syntheticBmp round-trips the real layout transforms with " +
+      "closed-form channel sums (q115's contract)") {
+    for (d <- Seq(0L, 7L, 123L)) {
+      val (w, h, rgb) = Multimodal.decodeBmp(Multimodal.syntheticBmp(d))
+      assert(w === (3 + d % 5).toInt && h === (2 + d % 4).toInt)
+      for (ch <- 0 until 3) {
+        val exp = (ch until w * h * 3 by 3).map(i => (d * 37 + i) % 256).sum
+        val got = (ch until rgb.length by 3).map(i => (rgb(i) & 0xff).toLong).sum
+        assert(got === exp, s"doc $d channel $ch")
+      }
+    }
+    // and through the distributed pipeline
+    import spark.implicits._
+    val ds = Seq(5L, 6L).toDS()
+      .map(d => MediaFile(d, "image/bmp", Multimodal.syntheticBmp(d)))
+    val stats = Multimodal.bmpPixelStats(ds).collect()
+      .map(s => s.doc_id -> s).toMap
+    assert(stats(5L).width === 3 + 5 % 5 && stats(5L).height === 2 + 5 % 4)
+    assert(stats(6L).sum_g ===
+      (1 until stats(6L).width * stats(6L).height * 3 by 3)
+        .map(i => (6L * 37 + i) % 256).sum)
+  }
 }
