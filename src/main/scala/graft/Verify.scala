@@ -19,12 +19,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // `coalesce(1)` funnels the whole result through one task — fine ONLY
+    // because correctness dumps are bounded (the driver compares hashes of
+    // small result sets, sf0.01). The guard keeps anyone from reusing this
+    // as a production writer: a result past the bound fails loudly instead
+    // of silently serializing gigabytes through a single partition.
+    val maxDumpRows = 2000000L
     SparkEntry.queries
       .filter { case (name, _) => name.startsWith(prefix) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        val n = df.count()
+        require(n <= maxDumpRows,
+          s"$name returned $n rows > $maxDumpRows; Verify's coalesce(1) dump " +
+            "is for bounded correctness results, not bulk export")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

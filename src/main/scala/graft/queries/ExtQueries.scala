@@ -283,9 +283,14 @@ object ExtQueries {
           |              FROM embeddings WHERE vec_id >= 10) c
           |) t WHERE rk <= 5 ORDER BY query_id, vec_id""".stripMargin)),
 
-    // IVF-style partitioned ANN: `label` is the coarse-quantizer cell; the
-    // search only joins within a cell (co-partitioned join on label → at
-    // scale this prunes (cells−1)/cells of all comparisons).
+    // PEDAGOGICAL BASELINE — excluded from the bench headline (bench =
+    // false): `label` is the dataset's PLANTED pseudo-cell, not a trained
+    // quantizer, so its recall on this synthetic set is honestly poor
+    // (0.088, AnnQualitySpec). It stays registered because it isolates the
+    // IVF *mechanism* — a co-partitioned within-cell join that prunes
+    // (cells−1)/cells of all comparisons — in its simplest form. The
+    // production-shaped variants are q66/q67 (trained cells), q92 (int8
+    // refine) and q104/q109 (PQ ADC): same join skeleton, real recall.
     Q("q25_ann_ivf",
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
@@ -304,7 +309,8 @@ object ExtQueries {
           |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) a
           |  JOIN (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) b
           |    ON a.label = b.label AND a.vec_id <> b.vec_id
-          |) t WHERE rk <= 3 ORDER BY vec_id, neighbor_id""".stripMargin)),
+          |) t WHERE rk <= 3 ORDER BY vec_id, neighbor_id""".stripMargin),
+      bench = false),
 
     // IVF with the coarse quantizer TRAINED IN-ENGINE (no pre-existing
     // label): spherical k-means (k=8, 2 Lloyd iterations), then every

@@ -14,33 +14,46 @@ final case class Q(
     bench: Boolean = true)
 
 object Tables {
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * outright at schema conversion — UNLESS the legacy nanos escape hatch
-    * is on, which maps the column to a plain BIGINT of nanos since epoch
-    * (SPARK-40819). Events therefore reads with that conf plus an explicit
-    * schema declaring `ts BIGINT`; callers needing a timestamp derive one
-    * with `timestamp_micros(ts div 1000)` (see q62). */
-  private val eventsSchema = org.apache.spark.sql.types.StructType.fromDDL(
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
-      "value DOUBLE, props STRING")
-
-  /** Sessions we construct set this at build time (see Verify/Bench/
-    * SparkTestBase); there is no per-read parquet option for it in Spark
-    * 4.1, so for externally-constructed sessions (the driver's) this is an
-    * idempotent fallback — it writes a constant, so concurrent first reads
-    * race benignly, and it only affects files that actually contain
-    * TIMESTAMP(NANOS) columns (events.parquet is the only one). */
-  def ensureNanosConf(spark: SparkSession): Unit =
+  /** Contract: `Tables(_, _, "events")` always exposes `ts` as a BIGINT of
+    * NANOS since the epoch, whatever the file's physical encoding. The
+    * driver has shipped events.parquet with `ts` as both TIMESTAMP(NANOS)
+    * (which Spark's reader rejects at schema conversion unless the legacy
+    * nanos escape hatch maps it to a raw BIGINT — SPARK-40819) and plain
+    * TIMESTAMP(MICROS). We read with the escape hatch on and NTZ inference
+    * off, then branch on the type that actually materialized: a LongType
+    * `ts` is already nanos; a TimestampType `ts` is converted via
+    * `unix_micros * 1000` (tz-independent — unix_micros returns the stored
+    * micros verbatim). Callers needing a wall-clock derive one with
+    * `timestamp_micros(ts div 1000)` (see q62). */
+  def ensureNanosConf(spark: SparkSession): Unit = {
     if (spark.conf.get(NanosConf._1, "false") != "true")
       spark.conf.set(NanosConf._1, NanosConf._2)
+    // Micros-encoded files carry isAdjustedToUTC=false; with NTZ inference
+    // on they'd surface as TIMESTAMP_NTZ, which has no tz-free path back to
+    // an epoch long. Off, they read as TimestampType holding the file's raw
+    // micros-since-epoch, which unix_micros recovers exactly.
+    if (spark.conf.get(NtzConf._1, "true") != "false")
+      spark.conf.set(NtzConf._1, NtzConf._2)
+  }
 
   val NanosConf: (String, String) =
     ("spark.sql.legacy.parquet.nanosAsLong", "true")
+  val NtzConf: (String, String) =
+    ("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       ensureNanosConf(spark)
-      spark.read.schema(eventsSchema).parquet(s"$dir/$name.parquet")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => raw
+        case _ =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.unix_micros(
+              org.apache.spark.sql.functions.col("ts")
+                .cast(org.apache.spark.sql.types.TimestampType)) *
+              org.apache.spark.sql.functions.lit(1000L))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Table fanned out across the cluster, hash-sharded by `key`. The
