@@ -444,6 +444,152 @@ object CurationQueries {
           |  FROM u)
           |SELECT doc_id, chunk_id, CAST(n_occ AS BIGINT) AS n_occ,
           |  rn = 1 AS keep
-          |FROM w ORDER BY doc_id, chunk_id""".stripMargin))
+          |FROM w ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // The COMPOSED curation pipeline — what a reference user actually runs
+    // end-to-end, chained as ONE query so stage handoffs (and their plan
+    // shapes) are themselves regression-pinned: Gopher gates → PII
+    // redaction → exact keep-first dedup on the redacted text → the
+    // deterministic hash split (train only) → per-source token-budget mix
+    // → curriculum rank over the survivors. Every stage is the library
+    // operator the standalone queries q94/q95/q96/q97/q99 already verify;
+    // what THIS query pins is their composition. Scale shape: the chain up
+    // to the mix is gates (per-row map) → redact (per-row regex map) →
+    // one digest-keyed aggregate + equi-join (dedup) → split label
+    // (per-row map) → the grouped two-phase prefix sum — no global sort,
+    // no partition-less window anywhere; the curriculum tail reuses the
+    // two-phase Ranks.withGlobalRank. Stage reuse: the pre-rank frame is
+    // cached (tag pipe116) because the rank's divisor (a driver scalar,
+    // q99's convention) and the zipWithIndex pass both consume it, and the
+    // quality join reuses the SAME cached qualityFrame as q21/q78/q86/q99
+    // — the corpus regex pass is never repeated. The oracle replays the
+    // full chain as CTEs copied stage-for-stage from the standalone
+    // oracles.
+    Q("q116_curation_pipeline",
+      (s, dir) => {
+        val piped = Caches.frame(s, dir, "pipe116") {
+          val gated = graft.text.TextStats
+            .gopherGates(Tables.sharded(s, dir, "documents", "doc_id"))
+            .where(col("pass"))
+            .select(col("doc_id"), col("source"), col("text"))
+          val red = gated
+            .withColumn("__red", graft.text.Redact.redactPii(col("text")))
+            .withColumn("__dig",
+              md5(lower(trim(regexp_replace(col("__red"), "\\s+", " ")))))
+          // exact keep-first dedup on the normalized REDACTED text: two
+          // raw copies differing only in masked PII are the same training
+          // document (q108's groupBy-min + equi-join shape, never a window)
+          val first = red.groupBy(col("__dig"))
+            .agg(min(col("doc_id")).as("doc_id"))
+          val kept = red.join(first, Seq("__dig", "doc_id"))
+          val train = graft.analytics.Sampling
+            .hashSplit(kept, idCol = "doc_id",
+              fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+              salt = "split")
+            .where(col("split") === "train")
+            .withColumn("est_tokens",
+              ceil(length(col("__red")) / 4.0).cast("long"))
+            .withColumn("__prio",
+              graft.analytics.Sampling.priority(col("doc_id"), "pipe"))
+          val mixed = graft.analytics.Packing
+            .takeByBudgetPerGroup(train, groupCol = "source",
+              orderCol = "__prio", weightCol = "est_tokens", budget = 4000L)
+          mixed
+            .join(ExtQueries.qualityFrame(s, dir)
+              .select(col("doc_id"),
+                round(col("quality"), 6).as("quality")), "doc_id")
+            .select(col("doc_id"), col("source"), col("est_tokens"),
+              col("tok_start"), col("quality"))
+        }
+        val n = piped.count() // driver scalar: the curriculum bin divisor
+        graft.pipeline.Ranks
+          .withGlobalRank(piped, Seq(col("quality"), col("doc_id")), "__rk")
+          .select(col("doc_id"), col("source"), col("est_tokens"),
+            col("tok_start"), col("quality"),
+            expr(s"((__rk - 1) * 10) DIV ${n}L").as("bin"),
+            md5(concat(col("doc_id").cast("string"), lit(":cur")))
+              .as("shuffle_key"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        s"""WITH w AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\\s+'),
+          |      x -> len(x) > 0) AS words
+          |  FROM documents),
+          |m AS (SELECT doc_id, len(words) AS n_words,
+          |    round(CAST(list_aggregate(list_transform(words,
+          |        x -> len(x)), 'sum') AS DOUBLE)
+          |      / nullif(CAST(len(words) AS DOUBLE), 0.0), 6)
+          |      AS mean_word_len,
+          |    len(list_intersect(list_transform(words, x -> lower(x)),
+          |      ['the','a','of','and','to','in','is','on','for','with']))
+          |      AS n_stop_distinct,
+          |    round(CAST(len(list_filter(words,
+          |        x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+          |      / nullif(CAST(len(words) AS DOUBLE), 0.0), 6) AS alpha_frac
+          |  FROM w),
+          |g AS (SELECT doc_id FROM m
+          |  WHERE (n_words >= 50 AND n_words <= 100000)
+          |    AND coalesce(mean_word_len >= 3.0 AND mean_word_len <= 10.0,
+          |      false)
+          |    AND n_stop_distinct >= 2
+          |    AND coalesce(alpha_frac >= 0.8, false)),
+          |f AS (SELECT d.doc_id, d.source,
+          |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          |      d.text,
+          |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+          |      '<EMAIL>', 'g'),
+          |      '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+          |      '(\\+\\d{1,3}[-. ])?(\\(\\d{3}\\)[-. ]?|\\b\\d{3}[-. ])\\d{3}[-. ]\\d{4}\\b',
+          |      '<PHONE>', 'g'),
+          |      '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b', '<IP>', 'g') AS red
+          |  FROM documents d JOIN g USING (doc_id)),
+          |dd AS (SELECT *, md5(lower(trim(regexp_replace(red, '\\s+', ' ',
+          |    'g')))) AS dig FROM f),
+          |fst AS (SELECT dig, min(doc_id) AS doc_id FROM dd GROUP BY dig),
+          |k AS (SELECT dd.doc_id, dd.source, dd.red FROM dd JOIN fst
+          |  ON dd.dig = fst.dig AND dd.doc_id = fst.doc_id),
+          |u AS (SELECT *, list_aggregate(list_transform(generate_series(1, 13),
+          |      i -> (strpos('0123456789abcdef',
+          |              substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+          |                i, 1)) - 1)
+          |           * power(CAST(16 AS DOUBLE), 13 - i)), 'sum')
+          |      / power(CAST(2 AS DOUBLE), 52) AS uu
+          |  FROM k),
+          |t AS (SELECT doc_id, source,
+          |    CAST(ceil(len(red) / 4.0) AS BIGINT) AS est_tokens,
+          |    md5(CAST(doc_id AS VARCHAR) || ':pipe') AS priority
+          |  FROM u WHERE uu < 0.8),
+          |c AS (SELECT *, sum(est_tokens) OVER (PARTITION BY source
+          |      ORDER BY priority
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM t),
+          |mx AS (SELECT doc_id, source, est_tokens,
+          |    CAST(cum - est_tokens AS BIGINT) AS tok_start
+          |  FROM c WHERE cum - est_tokens < 4000),
+          |qs AS (SELECT doc_id,
+          |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+          |    len(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'))
+          |      AS alnum_len,
+          |    len(regexp_extract_all(lower(text),
+          |      '\\b(?:${graft.text.TextStats.Stopwords.mkString("|")})\\b'))
+          |      AS n_stop
+          |  FROM documents),
+          |qq AS (SELECT doc_id,
+          |    round(0.5 * least(1.0, n_tokens / 100.0)
+          |      + 0.3 * (CAST(n_stop AS DOUBLE) / nullif(n_tokens, 0))
+          |      + 0.2 * least(1.0, CAST(alnum_len AS DOUBLE)
+          |                         / nullif(n_tokens, 0) / 8.0), 6)
+          |      AS quality
+          |  FROM qs WHERE n_tokens > 0),
+          |j AS (SELECT mx.doc_id, mx.source, mx.est_tokens, mx.tok_start,
+          |    qq.quality
+          |  FROM mx JOIN qq ON mx.doc_id = qq.doc_id),
+          |r AS (SELECT *, row_number() OVER (ORDER BY quality, doc_id) AS rk,
+          |    count(*) OVER () AS n FROM j)
+          |SELECT doc_id, source, est_tokens, tok_start, quality,
+          |  ((rk - 1) * 10) // n AS bin,
+          |  md5(CAST(doc_id AS VARCHAR) || ':cur') AS shuffle_key
+          |FROM r ORDER BY doc_id""".stripMargin))
   )
 }

@@ -276,4 +276,28 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase
       assert(ks.size === 1, s"unexpected multi-key (pair-shaped) join:\n$p")
     }
   }
+
+  test("q116: the composed pipeline stays keyed end-to-end — no " +
+      "single-partition exchange anywhere in the chain") {
+    // The composed chain inherits each stage's audited shape (keyed dedup
+    // aggregate, grouped two-phase prefix sum, two-phase global rank, a
+    // broadcast offset join). The failure mode composition could
+    // introduce is an accidental global collapse at a handoff — e.g. a
+    // stage re-sorting through a partition-less window. The rank tail is
+    // an RDD zipWithIndex (its plan is just the ExistingRDD scan), so the
+    // auditable surface is the cached pre-rank frame: the whole
+    // gates→redact→dedup→split→mix→quality chain.
+    Registry.byName("q116_curation_pipeline").run(spark, dir).collect()
+    val staged = graft.queries.Caches.frame(spark, dir, "pipe116") {
+      fail("q116 did not register its pre-rank stage in the cache")
+    }
+    val p = staged.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"),
+      s"single-partition exchange in the composed pipeline chain:\n$p")
+    // stage reuse across queries: the quality join must scan the SAME
+    // cached qualityFrame q21/q78/q86/q99 share, not re-run the corpus
+    // regex pass
+    assert(p.contains("InMemoryTableScan"),
+      s"q116 must scan the shared cached qualityFrame:\n$p")
+  }
 }
