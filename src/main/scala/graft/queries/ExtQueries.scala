@@ -176,6 +176,39 @@ object ExtQueries {
         .trainPq(embFrame(s, dir), m = 8, ksub = 16, iters = 2)
     }
 
+  /** The embedding table in the OPQ-lite permuted space (variance-balanced
+    * snake-dealt coordinate permutation, [[graft.similarity.Similarity
+    * .varianceBalancedPerm]]), cached like [[embFrame]] — q117 trains and
+    * encodes here; cosine/L2 between permuted vectors equal the originals
+    * (a permutation is orthonormal), only the subspace split differs. */
+  private def opqFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Caches.frame(s, dir, "opqemb") {
+      val emb = embFrame(s, dir)
+      val perm = graft.similarity.Similarity
+        .varianceBalancedPerm(emb, m = 8, dim = 64)
+      emb.select(col("vec_id"),
+        graft.similarity.Similarity.permuteVec(col("e"), perm).as("e"))
+    }
+
+  private def trainedOpqPq(s: org.apache.spark.sql.SparkSession, dir: String)
+      : Array[(Int, Int, Array[Double])] =
+    Caches.pq(s, dir, "opq_m8_k16_i2") {
+      graft.similarity.Similarity
+        .trainPq(opqFrame(s, dir), m = 8, ksub = 16, iters = 2)
+    }
+
+  /** The 1-BYTE-CODE codebooks (m=8, ksub=256): the same 8-byte-per-vector
+    * index budget as the m8/k16 config, but spending the full byte per
+    * code — measured at sf0.1 this closes the entire quantized-ranking
+    * recall gap (0.8825 → 0.9363 = the exact-scoring ceiling at p=4/a=2,
+    * s=384; PLANS.md table). q118 oracle-gates this production config. */
+  private def trainedPq256(s: org.apache.spark.sql.SparkSession, dir: String)
+      : Array[(Int, Int, Array[Double])] =
+    Caches.pq(s, dir, "m8_k256_i2") {
+      graft.similarity.Similarity
+        .trainPq(embFrame(s, dir), m = 8, ksub = 256, iters = 2)
+    }
+
   val all: Seq[Q] = Seq(
     // ---- Deduplication -------------------------------------------------
     // Exact dedup: hash-groupBy on content digest; canonical id = min doc_id.
@@ -431,6 +464,42 @@ object ExtQueries {
         pqCtes(m = 8, ksub = 16, iters = 2, sd = 8) +
         "\nSELECT vec_id, sub, code FROM pcode ORDER BY vec_id, sub")),
 
+    // PQ in the OPQ-lite PERMUTED space (the eigenvalue-allocation half of
+    // Ge et al. 2014): per-dim round-6 variances rank the 64 dims, a
+    // snake deal balances them across the 8 subspaces, and the whole PQ
+    // stack (training, encoding) runs on the reindexed vectors. The
+    // permutation is a data-DERIVED but engine-reproducible artifact —
+    // the oracle recomputes the identical variances, ranking, deal, and
+    // permutation in SQL, then replays training in the permuted space, so
+    // the hash match pins the permutation derivation itself, not just the
+    // codes. On THIS corpus the variance profile is nearly flat (PLANS.md
+    // measures it) and recall matches the unpermuted baseline; the
+    // operator's value appears on anisotropic embeddings.
+    Q("q117_opq_codes",
+      (s, dir) =>
+        graft.similarity.Similarity
+          .pqCodes(opqFrame(s, dir), trainedOpqPq(s, dir), m = 8)
+          .orderBy(col("vec_id"), col("sub")),
+      Some(
+        """WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          |  FROM embeddings),
+          |dv AS (SELECT i, round(avg(x * x) - avg(x) * avg(x), 6) AS v
+          |  FROM (SELECT g.i AS i, r.e[g.i] AS x FROM raw r CROSS JOIN
+          |        (SELECT unnest(generate_series(1, 64)) AS i) g)
+          |  GROUP BY i),
+          |rkd AS (SELECT i, row_number() OVER (ORDER BY v DESC, i) - 1 AS r
+          |  FROM dv),
+          |bkt AS (SELECT i, r, CASE WHEN (r // 8) % 2 = 0 THEN r % 8
+          |                          ELSE 7 - (r % 8) END AS b FROM rkd),
+          |prm AS (SELECT flatten(list(bl ORDER BY b)) AS p FROM
+          |  (SELECT b, list(i ORDER BY r) AS bl FROM bkt GROUP BY b) t),
+          |emb AS (SELECT vec_id, list_transform(generate_series(1, 64),
+          |  j -> e[p[j]]) AS e FROM raw CROSS JOIN prm),
+          |""".stripMargin +
+        pqCtes(m = 8, ksub = 16, iters = 2, sd = 8)
+          .replaceFirst("^WITH ", "") +
+        "\nSELECT vec_id, sub, code FROM pcode ORDER BY vec_id, sub")),
+
     // IVF-PQ search with exact refine — the full 100 TB ANN memory story:
     // coarse-cell pruning (q65's trained quantizer), candidates scored
     // ASYMMETRICALLY from their 8 PQ codes via a per-query lookup table
@@ -516,6 +585,48 @@ object ExtQueries {
           |  FROM pshort sh JOIN emb a ON a.vec_id = sh.vec_id
           |  JOIN emb b ON b.vec_id = sh.neighbor_id) t
           |WHERE rk <= 3 ORDER BY vec_id, neighbor_id""".stripMargin)),
+
+    // IVF-PQ at the 1-BYTE-CODE operating point (m=8, ksub=256): the SAME
+    // 8-byte-per-vector index budget as q104's m8/k16, spending the full
+    // byte per code instead of 4 bits — and the lever that actually
+    // closes the documented quantized-ranking recall gap on this corpus
+    // (0.8825 → 0.9363 at p=4/a=2/s=384 = the exact-scoring ceiling;
+    // PLANS.md, measured by OpqTuning — where the OPQ permutation
+    // honestly bought ~0.003 because the variance profile is flat).
+    // Assignment/encode stay O(ksub) map stages after the argmin switch
+    // to array_min (bestCode); excluded from the bench headline because
+    // the 2048-centroid literal makes codegen, not execution, the
+    // dominant local cost — the correctness gate still runs it.
+    Q("q118_pq_adc_8bit",
+      (s, dir) =>
+        graft.similarity.Similarity
+          .pqAdcRefineTopK(embFrame(s, dir), trainedCells(s, dir),
+            trainedPq256(s, dir), m = 8, k = 3, shortlist = 20)
+          .select(col("vec_id"), col("neighbor_id"), col("cos_sim"))
+          .orderBy(col("vec_id"), col("neighbor_id")),
+      Some(ivfTrainCtes(k = 8, iters = 2, dim = 64) + ",\n" +
+        pqCtes(m = 8, ksub = 256, iters = 2, sd = 8, adc = true) + """,
+          |padc AS (SELECT q.vec_id AS vec_id, b.vec_id AS neighbor_id,
+          |    round(list_aggregate(list_transform(generate_series(1, 8),
+          |      s -> l.lut[s][c.codes[s] + 1]), 'sum') / c.cnrm, 6) AS adc
+          |  FROM afin q JOIN afin b ON q.cell = b.cell
+          |    AND q.vec_id <> b.vec_id
+          |  JOIN plut l ON l.vec_id = q.vec_id
+          |  JOIN pcodes c ON c.vec_id = b.vec_id),
+          |pshort AS (SELECT vec_id, neighbor_id FROM (
+          |    SELECT vec_id, neighbor_id, row_number() OVER (
+          |      PARTITION BY vec_id ORDER BY adc DESC, neighbor_id) AS rk
+          |    FROM padc) t WHERE rk <= 20)
+          |SELECT vec_id, neighbor_id, cos_sim FROM (
+          |  SELECT sh.vec_id, sh.neighbor_id,
+          |    round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim,
+          |    row_number() OVER (PARTITION BY sh.vec_id
+          |      ORDER BY round(list_cosine_similarity(a.e, b.e), 6) DESC,
+          |        sh.neighbor_id) AS rk
+          |  FROM pshort sh JOIN emb a ON a.vec_id = sh.vec_id
+          |  JOIN emb b ON b.vec_id = sh.neighbor_id) t
+          |WHERE rk <= 3 ORDER BY vec_id, neighbor_id""".stripMargin),
+      bench = false),
 
     // SemDeDup (Abbas et al. 2023): semantic dedup composed from the
     // trained-IVF pieces. Round-6: the pair stage runs on the p=2

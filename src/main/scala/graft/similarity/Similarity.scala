@@ -413,6 +413,47 @@ object Similarity {
   private def subVectors(vec: Column, m: Int, sd: Int): Column =
     array((0 until m).map(s => slice(vec, s * sd + 1, sd)): _*)
 
+  /** `vec` reindexed by `perm` (0-based input-dim indices in output
+    * order) — a pure projection, codegen'd, shuffle-free. A permutation
+    * is orthonormal, so cosine/L2 between permuted vectors equal the
+    * originals; only the SUBSPACE SPLIT downstream sees the difference. */
+  def permuteVec(vec: Column, perm: Seq[Int]): Column =
+    array(perm.map(i => element_at(vec, i + 1)): _*)
+
+  /** OPQ-lite (the eigenvalue-allocation half of Ge et al. 2014, without
+    * the learned rotation): a deterministic coordinate permutation that
+    * balances per-dimension VARIANCE across the `m` PQ subspaces, so no
+    * subspace's codebook is starved while another is overloaded. One
+    * aggregation computes the round-6 per-dim variance (the round-6
+    * contract makes the permutation itself engine-reproducible — a DuckDB
+    * oracle derives the identical ordering); dims ranked by (variance
+    * DESC, dim ASC) are then dealt SNAKE-wise (forward, reverse,
+    * forward, …) into the m buckets — boustrophedon dealing is a pure
+    * function of rank, so it is replayable in SQL, unlike greedy
+    * min-load packing. Returns the permutation as 0-based input dims in
+    * output order (bucket 0's dims in rank order, then bucket 1's, …) —
+    * feed to [[permuteVec]] on BOTH the training and the encode/query
+    * side. On an isotropic corpus (flat per-dim variance) this is a
+    * near-identity reshuffle and buys nothing — measured honestly in
+    * PLANS.md; its value appears when embeddings carry structured
+    * variance (PCA'd features, concatenated modalities). */
+  def varianceBalancedPerm(emb: DataFrame, m: Int, dim: Int,
+      vecCol: String = "e"): Array[Int] = {
+    val aggs = (0 until dim).map { i =>
+      val x = col(vecCol)(i)
+      round(avg(x * x) - avg(x) * avg(x), 6).as(s"__v$i")
+    }
+    val row = emb.agg(aggs.head, aggs.tail: _*).head()
+    val ranked = (0 until dim).map(i => (i, row.getDouble(i)))
+      .sortBy { case (i, v) => (-v, i) }
+    val buckets = Array.fill(m)(Vector.empty[Int])
+    ranked.zipWithIndex.foreach { case ((i, _), r) =>
+      val b = if ((r / m) % 2 == 0) r % m else m - 1 - (r % m)
+      buckets(b) = buckets(b) :+ i
+    }
+    buckets.flatten.toArray
+  }
+
   /** Nested codebook literal: element s+1 is subspace s's code-ordered
     * array of (code, centroid) structs. */
   private def pqCentsLit(cents: Array[(Int, Int, Array[Double])],
@@ -440,6 +481,17 @@ object Similarity {
     array_sort(transform(element_at(centsLit, sub + 1), c =>
       struct(l2sq(sv, c.getField("centroid")).as("dist"),
         c.getField("code").as("code"))))
+
+  /** The argmin code only — `array_min` over the same (dist, code) structs
+    * (lexicographic struct ordering ⇒ identical round-6-L2-then-min-code
+    * contract as `rankedCodes(...).getItem(0)`), but O(ksub) instead of a
+    * full O(ksub log ksub) sort. Every PQ assignment/encode site needs
+    * just the argmin, and at the 1-byte-code operating point (ksub = 256,
+    * q118) the sort was the dominant per-row cost. */
+  private def bestCode(centsLit: Column, sub: Column, sv: Column): Column =
+    array_min(transform(element_at(centsLit, sub + 1), c =>
+      struct(l2sq(sv, c.getField("centroid")).as("dist"),
+        c.getField("code").as("code")))).getField("code")
 
   /** Product-quantization codebooks, trained entirely in-engine (PQ,
     * Jégou et al. 2011): the `dim`-dim space is cut into `m` contiguous
@@ -487,9 +539,8 @@ object Similarity {
       .select(col(idCol), posexplode(subVectors(col(vecCol), m, sd)))
       .select(col(idCol), col("pos").as("sub"), col("col").as("sv"))
     for (_ <- 1 to iters) {
-      val best = rankedCodes(pqCentsLit(cents, m), col("sub"), col("sv"))
-        .getItem(0)
-      val assigned = longDf.withColumn("code", best.getField("code"))
+      val best = bestCode(pqCentsLit(cents, m), col("sub"), col("sv"))
+      val assigned = longDf.withColumn("code", best)
       val centCols = (0 until sd).map(i =>
         round(avg(col("sv")(i)), 6).as(s"__c$i"))
       cents = assigned.groupBy(col("sub"), col("code"))
@@ -516,8 +567,7 @@ object Similarity {
     emb
       .select(col(idCol), posexplode(subVectors(col(vecCol), m, sd)))
       .select(col(idCol), col("pos").as("sub"),
-        rankedCodes(centsLit, col("pos"), col("col"))
-          .getItem(0).getField("code").as("code"))
+        bestCode(centsLit, col("pos"), col("col")).as("code"))
   }
 
   /** The m-code array of `vec` (wide form — what the candidate side of
@@ -528,8 +578,7 @@ object Similarity {
     val sd = cents.head._3.length
     val centsLit = pqCentsLit(cents, m)
     transform(sequence(lit(0), lit(m - 1)), s =>
-      rankedCodes(centsLit, s, slice(vec, s * sd + 1, lit(sd)))
-        .getItem(0).getField("code"))
+      bestCode(centsLit, s, slice(vec, s * sd + 1, lit(sd))))
   }
 
   /** IVF-PQ search with exact refine — the full 100 TB ANN memory story:
@@ -565,7 +614,8 @@ object Similarity {
   def pqAdcRefineTopK(emb: DataFrame, coarse: Array[(Int, Array[Double])],
       pq: Array[(Int, Int, Array[Double])], m: Int, k: Int, shortlist: Int,
       idCol: String = "vec_id", vecCol: String = "e",
-      probes: Int = 1, assignProbes: Int = 1): DataFrame = {
+      probes: Int = 1, assignProbes: Int = 1,
+      exactNorms: Boolean = false): DataFrame = {
     val sd = pq.head._3.length
     val centsLit = pqCentsLit(pq, m)
     val assigned =
@@ -582,9 +632,25 @@ object Similarity {
             .getField("centroid"), x => x * x),
           lit(0.0), (acc, v) => acc + v), 6)),
       lit(0.0), (acc, v) => acc + v)
-    val cand = assigned.select(col(idCol).as("neighbor_id"), col("cell"),
-      pqCodeArray(col(vecCol), pq, m).as("__codes"))
-      .withColumn("__cnrm", sqrt(greatest(nrmSq, lit(1e-300))))
+    // `exactNorms` swaps the code-reconstructed denominator for the
+    // candidate's TRUE round-6 norm, computed from the full vector
+    // BEFORE it is dropped — the index then carries m bytes + one
+    // double per vector (the FAISS precomputed-norms trick): the
+    // quantization error leaves the denominator entirely, and the ADC
+    // ranking error reduces to the numerator's ⟨q, recon−c⟩ term.
+    // Same sequential round-6 fold as the reconstructed path, so the
+    // oracle reproduces either choice bitwise.
+    val trueNrmSq = round(aggregate(
+      transform(col("__e"), x => x * x),
+      lit(0.0), (acc, v) => acc + v), 6)
+    val cand0 = assigned.select(col(idCol).as("neighbor_id"), col("cell"),
+      pqCodeArray(col(vecCol), pq, m).as("__codes"),
+      col(vecCol).as("__e"))
+    val cand = (
+      if (exactNorms) cand0.withColumn("__cnrm",
+        sqrt(greatest(trueNrmSq, lit(1e-300))))
+      else cand0.withColumn("__cnrm", sqrt(greatest(nrmSq, lit(1e-300)))))
+      .drop("__e")
     val lut = transform(sequence(lit(0), lit(m - 1)), s =>
       transform(element_at(centsLit, s + 1), c =>
         round(graft.functions.DotProduct(

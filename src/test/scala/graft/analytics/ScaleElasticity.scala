@@ -1,0 +1,144 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+
+/** Dev measurement harness (not a test): wall-clock SCALING of the dedup
+  * and ANN headline paths, 1× vs 10× corpora generated from the same
+  * deterministic shapes — the empirical point behind PLANS.md's 100 TB
+  * design claims. Everything is generated with hash-seeded Spark
+  * expressions (distributed, no driver loops), written to parquet, and
+  * read back so each timed run includes the scan. ANN cell count scales
+  * WITH the corpus (constant expected occupancy ~250, the documented
+  * production rule) — holding k fixed while data grows 10× would grow
+  * within-cell join work 100× and measure a misconfiguration, not the
+  * engine. Usage: sbt "Test/runMain graft.analytics.ScaleElasticity"
+  */
+object ScaleElasticity {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("scale-elasticity")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_elasticity").toString
+
+    /** documents(n): ~sf0.1-shaped corpus — doc_id, source (10), text of
+      * 100–300 vocab-5000 words, all hash-derived from doc_id; every
+      * 31st doc is an EXACT copy of the doc 31 ids earlier (planted dup
+      * rate ~3%, so exact/passage dedup do real work at both scales). */
+    def genDocs(n: Long, path: String): Unit = {
+      val body = (id: org.apache.spark.sql.Column) => concat_ws(" ",
+        transform(sequence(lit(1), lit(100) + pmod(xxhash64(id), lit(200))),
+          i => concat(lit("w"), pmod(xxhash64(id * 1000 + i), lit(5000)))))
+      spark.range(n).select(col("id").as("doc_id"),
+        concat(lit("src"), pmod(col("id"), lit(10))).as("source"),
+        when(col("id") % 31 === 0 && col("id") >= 31,
+          body(col("id") - 31)).otherwise(body(col("id"))).as("text"))
+        .write.mode("overwrite").parquet(path)
+    }
+
+    /** embeddings(n): 64-dim, 50 planted clusters — centers and noise
+      * both hash-derived, round-6 (the testdata's shape). */
+    def genEmb(n: Long, path: String): Unit = {
+      def u(seed: org.apache.spark.sql.Column) =
+        (pmod(xxhash64(seed), lit(1000000)).cast("double") / 1e6) - 0.5
+      val c = pmod(col("id"), lit(50))
+      val e = transform(sequence(lit(1), lit(64)), i =>
+        round(u(concat(lit("c"), c * 100 + i)) +
+          u(concat(lit("v"), col("id") * 100 + i)) * lit(0.3), 6))
+      spark.range(n).select(col("id").as("vec_id"), e.as("e"))
+        .write.mode("overwrite").parquet(path)
+    }
+
+    def time(name: String, scale: String)(work: => Unit): Double = {
+      val t0 = System.nanoTime()
+      work
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[elast] $name%-22s $scale%-4s $s%7.1f s")
+      s
+    }
+    def force(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Double)]
+    def run(name: String, t1: Double, t10: Double): Unit = {
+      results(name) = (t1, t10)
+      println(f"[elast] $name%-22s ratio ${t10 / t1}%5.2f×")
+    }
+
+    for ((tag, nd, ne) <- Seq(("1x", 5000L, 2000L),
+        ("10x", 50000L, 20000L))) {
+      genDocs(nd, s"$base/docs_$tag")
+      genEmb(ne, s"$base/emb_$tag")
+    }
+    def docs(tag: String) = spark.read.parquet(s"$base/docs_$tag")
+    def emb(tag: String) = spark.read.parquet(s"$base/emb_$tag")
+
+    // exact dedup: normalized-digest keep-first (q20/q116's stage shape)
+    def exactDedup(tag: String): Unit = {
+      val d = docs(tag).withColumn("dig",
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      val first = d.groupBy("dig").agg(min("doc_id").as("doc_id"))
+      force(d.join(first, Seq("dig", "doc_id")))
+    }
+    // MinHash-LSH near-dup: shingle → bands → candidates → verify (q28)
+    def lsh(tag: String): Unit = {
+      val grams = Dedup.shingles(docs(tag))
+      val cands = Dedup.lshCandidates(Dedup.minhashBands(grams))
+      force(Dedup.jaccardVerify(cands, grams)
+        .where(col("jaccard") >= 0.8))
+    }
+    // passage-grain dedup over 32-token chunks (q108)
+    def passage(tag: String): Unit = {
+      val units = graft.text.TextStats
+        .chunk(docs(tag), size = 32, stride = 32)
+        .select(col("doc_id"), col("chunk_id"),
+          concat_ws(" ", col("ctoks")).as("unit"))
+      force(Dedup.dedupUnits(units, docCol = "doc_id",
+        idxCol = "chunk_id", unitCol = "unit"))
+    }
+    // trained multi-probe IVF, cells ∝ n (constant occupancy ~250)
+    def ann(tag: String, cells: Int): Unit = {
+      val e = emb(tag)
+      val cc = Similarity.trainCells(e, k = cells, iters = 2)
+      force(Similarity.ivfMultiProbeTopK(e, cc, k = 3, probes = 4,
+        assignProbes = 2))
+    }
+    // IVF-PQ ADC + exact refine at the q104 shape, cells ∝ n
+    def pqadc(tag: String, cells: Int): Unit = {
+      val e = emb(tag)
+      val cc = Similarity.trainCells(e, k = cells, iters = 2)
+      val pq = Similarity.trainPq(e, m = 8, ksub = 16, iters = 2,
+        sampleFraction = if (tag == "10x") 0.1 else 1.0)
+      force(Similarity.pqAdcRefineTopK(e, cc, pq, m = 8, k = 3,
+        shortlist = 64, probes = 4, assignProbes = 2))
+    }
+
+    run("exact_dedup", time("exact_dedup", "1x")(exactDedup("1x")),
+      time("exact_dedup", "10x")(exactDedup("10x")))
+    run("minhash_lsh", time("minhash_lsh", "1x")(lsh("1x")),
+      time("minhash_lsh", "10x")(lsh("10x")))
+    run("passage_dedup", time("passage_dedup", "1x")(passage("1x")),
+      time("passage_dedup", "10x")(passage("10x")))
+    run("ivf_multiprobe", time("ivf_multiprobe", "1x")(ann("1x", 8)),
+      time("ivf_multiprobe", "10x")(ann("10x", 80)))
+    run("ivfpq_adc_refine", time("ivfpq_adc_refine", "1x")(pqadc("1x", 8)),
+      time("ivfpq_adc_refine", "10x")(pqadc("10x", 80)))
+
+    println("[elast] summary (name, 1x s, 10x s, ratio):")
+    results.foreach { case (n, (a, b)) =>
+      println(f"[elast]   $n%-20s $a%7.1f $b%7.1f ${b / a}%5.2f×")
+    }
+    spark.stop()
+  }
+}
