@@ -24,7 +24,9 @@ object Verify {
     // small result sets, sf0.01). The guard keeps anyone from reusing this
     // as a production writer: a result past the bound fails loudly instead
     // of silently serializing gigabytes through a single partition.
-    val maxDumpRows = 2000000L
+    // sized above the largest legitimate gate result (q44 at sf0.1:
+    // 2.74M pair rows) but far below corpus-bulk scale
+    val maxDumpRows = 10000000L
     SparkEntry.queries
       .filter { case (name, _) => name.startsWith(prefix) }
       .foreach { case (name, fn) =>

@@ -248,6 +248,35 @@ class AnnQualitySpec extends AnyFunSuite with SparkTestBase {
       f"probed PQ curve: ${probedCurve}")
   }
 
+  test("1-byte PQ codes (ksub=256, q118 config) recover the cell ceiling " +
+      "that ksub=16 leaves on the table") {
+    // The round-9 finding (PLANS.md): at the SAME 8-byte-per-vector index
+    // budget, spending the full byte per code closes the quantized-
+    // shortlist ranking gap entirely. Measured here at sf0.001/s=20:
+    // ksub=16 0.3140 < ksub=256 0.3520 = the exact-scoring single-probe
+    // ceiling; at sf0.1/p=4/a=2/s=384 the same move lands 0.9363 = that
+    // config's ceiling (OpqTuning). Pin the ordering and the
+    // ceiling-recovery so a codebook/ADC regression shows up here.
+    def adcRecall(ksub: Int): Double = {
+      val pq = Similarity.trainPq(emb, m = 8, ksub = ksub, iters = 2)
+      recallAt(topkMap(Similarity.pqAdcRefineTopK(
+        emb, cents, pq, m = 8, k = K, shortlist = 20)))
+    }
+    val r16 = adcRecall(16)
+    val r256 = adcRecall(256)
+    val assigned = Similarity.assignCells(emb, cents)
+      .select(col("vec_id"), col("cell"), col("e"))
+    val ceiling = recallAt(topkMap(
+      Similarity.ivfTopK(assigned, K, labelCol = "cell")))
+    info(f"ADC s=20 ksub=16  recall@$K = $r16%.4f")
+    info(f"ADC s=20 ksub=256 recall@$K = $r256%.4f")
+    info(f"exact single-probe ceiling  = $ceiling%.4f")
+    assert(r256 > r16,
+      f"1-byte codes must beat 4-bit codes: $r256%.4f vs $r16%.4f")
+    assert(r256 >= ceiling - 0.005,
+      f"ksub=256 must recover the cell ceiling: $r256%.4f vs $ceiling%.4f")
+  }
+
   test("hyperplane LSH: recall falls as planes rise; lift over random holds") {
     val rs = Seq(4, 8, 16).map { planes =>
       val bucketed = emb.select(col("vec_id"), col("e"),
