@@ -628,6 +628,51 @@ object ExtQueries {
           |WHERE rk <= 3 ORDER BY vec_id, neighbor_id""".stripMargin),
       bench = false),
 
+    // The TWO-TABLE IVF-PQ search (Similarity.pqAdcSearchTopK) — the
+    // SERVING shape every prior ANN query lacked: a query batch
+    // (vec_id < 100) searched against a separately-held candidate index
+    // (vec_id >= 100) with the quantizers trained on the full corpus.
+    // The candidate side alone contributes cells/codes/norms; queries
+    // contribute only per-query lookup tables — so a consumer encodes
+    // the corpus once and streams query batches against it. p=2 probes
+    // with single-assignment candidates: a candidate lives in exactly
+    // ONE cell, so no (query, candidate) pair can arise twice and the
+    // oracle needs no DISTINCT (q109's argument). No self-pairs exist
+    // by construction (disjoint id ranges), exercising excludeSelf=off.
+    Q("q119_pq_search_2table",
+      (s, dir) => {
+        val emb = embFrame(s, dir)
+        graft.similarity.Similarity
+          .pqAdcSearchTopK(emb.where(col("vec_id") < 100),
+            emb.where(col("vec_id") >= 100), trainedCells(s, dir),
+            trainedPq(s, dir), m = 8, k = 3, shortlist = 20, probes = 2)
+          .select(col("vec_id"), col("neighbor_id"), col("cos_sim"))
+          .orderBy(col("vec_id"), col("neighbor_id"))
+      },
+      Some(ivfTrainCtes(k = 8, iters = 2, dim = 64, probes = Some(2)) +
+        ",\n" +
+        pqCtes(m = 8, ksub = 16, iters = 2, sd = 8, adc = true) + """,
+          |padc AS (SELECT q.vec_id AS vec_id, b.vec_id AS neighbor_id,
+          |    round(list_aggregate(list_transform(generate_series(1, 8),
+          |      s -> l.lut[s][c.codes[s] + 1]), 'sum') / c.cnrm, 6) AS adc
+          |  FROM aprobe q JOIN afin b ON q.cell = b.cell
+          |    AND q.vec_id < 100 AND b.vec_id >= 100
+          |  JOIN plut l ON l.vec_id = q.vec_id
+          |  JOIN pcodes c ON c.vec_id = b.vec_id),
+          |pshort AS (SELECT vec_id, neighbor_id FROM (
+          |    SELECT vec_id, neighbor_id, row_number() OVER (
+          |      PARTITION BY vec_id ORDER BY adc DESC, neighbor_id) AS rk
+          |    FROM padc) t WHERE rk <= 20)
+          |SELECT vec_id, neighbor_id, cos_sim FROM (
+          |  SELECT sh.vec_id, sh.neighbor_id,
+          |    round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim,
+          |    row_number() OVER (PARTITION BY sh.vec_id
+          |      ORDER BY round(list_cosine_similarity(a.e, b.e), 6) DESC,
+          |        sh.neighbor_id) AS rk
+          |  FROM pshort sh JOIN emb a ON a.vec_id = sh.vec_id
+          |  JOIN emb b ON b.vec_id = sh.neighbor_id) t
+          |WHERE rk <= 3 ORDER BY vec_id, neighbor_id""".stripMargin)),
+
     // SemDeDup (Abbas et al. 2023): semantic dedup composed from the
     // trained-IVF pieces. Round-6: the pair stage runs on the p=2
     // MULTI-PROBE assignment (each vector under its 2 nearest cells), so

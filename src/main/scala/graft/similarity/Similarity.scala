@@ -615,12 +615,32 @@ object Similarity {
       pq: Array[(Int, Int, Array[Double])], m: Int, k: Int, shortlist: Int,
       idCol: String = "vec_id", vecCol: String = "e",
       probes: Int = 1, assignProbes: Int = 1,
-      exactNorms: Boolean = false): DataFrame = {
+      exactNorms: Boolean = false): DataFrame =
+    pqAdcSearchTopK(emb, emb, coarse, pq, m, k, shortlist, idCol, vecCol,
+      probes, assignProbes, exactNorms, excludeSelf = true)
+
+  /** The TWO-TABLE form of [[pqAdcRefineTopK]] — the serving shape: a
+    * (typically small) QUERY batch searched against a separately-indexed
+    * CANDIDATE corpus, e.g. "embed today's batch, find its top-k in the
+    * 100 TB index". Identical ADC + exact-refine contract; the candidate
+    * index (cells, codes, norms) is built from `candDf` alone and the
+    * query side only ever contributes lookup tables, so an incremental
+    * consumer can encode the corpus once and stream query batches
+    * against it. `excludeSelf` drops same-id pairs — self-search
+    * ([[pqAdcRefineTopK]]) sets it; disjoint query/candidate tables
+    * leave it off. */
+  def pqAdcSearchTopK(queryDf: DataFrame, candDf: DataFrame,
+      coarse: Array[(Int, Array[Double])],
+      pq: Array[(Int, Int, Array[Double])], m: Int, k: Int, shortlist: Int,
+      idCol: String = "vec_id", vecCol: String = "e",
+      probes: Int = 1, assignProbes: Int = 1,
+      exactNorms: Boolean = false,
+      excludeSelf: Boolean = false): DataFrame = {
     val sd = pq.head._3.length
     val centsLit = pqCentsLit(pq, m)
     val assigned =
-      if (assignProbes <= 1) assignCells(emb, coarse, idCol, vecCol)
-      else probeCells(emb, coarse, assignProbes, idCol, vecCol)
+      if (assignProbes <= 1) assignCells(candDf, coarse, idCol, vecCol)
+      else probeCells(candDf, coarse, assignProbes, idCol, vecCol)
     // reconstructed squared norm from the codes: per subspace the round-6
     // sequential sum of squares of the selected centroid, summed in
     // subspace order — the same fold shape as the score, so the oracle
@@ -662,15 +682,17 @@ object Similarity {
     // a-probed assignment here would silently inflate query-side probes
     // to a (≈a× join cost), violating the documented p knob.
     val queries = (
-      if (probes <= 1) assignCells(emb, coarse, idCol, vecCol)
-      else probeCells(emb, coarse, probes, idCol, vecCol))
+      if (probes <= 1) assignCells(queryDf, coarse, idCol, vecCol)
+      else probeCells(queryDf, coarse, probes, idCol, vecCol))
       .select(col(idCol), col("cell"), lut.as("__lut"))
     val adc = aggregate(
       zip_with(col("__lut"), col("__codes"),
         (l, c) => element_at(l, c + 1)),
       lit(0.0), (acc, v) => acc + v) / col("__cnrm")
-    val pairs = queries.join(cand, "cell")
-      .where(col(idCol) =!= col("neighbor_id"))
+    val joined = queries.join(cand, "cell")
+    val pairs = (
+      if (excludeSelf) joined.where(col(idCol) =!= col("neighbor_id"))
+      else joined)
       .select(col(idCol), col("neighbor_id"), round(adc, 6).as("__adc"))
     // same (query, neighbor) via several shared cells scores identically
     // (the lut is cell-independent) — dedup before the shortlist window
@@ -683,8 +705,8 @@ object Similarity {
       .select(col(idCol), col("neighbor_id"))
     val cos = CosineSimilarity(col("__qe"), col("__ne"))
     short
-      .join(emb.select(col(idCol), col(vecCol).as("__qe")), idCol)
-      .join(emb.select(col(idCol).as("neighbor_id"),
+      .join(queryDf.select(col(idCol), col(vecCol).as("__qe")), idCol)
+      .join(candDf.select(col(idCol).as("neighbor_id"),
         col(vecCol).as("__ne")), "neighbor_id")
       .select(col(idCol), round(cos, 6).as("cos_sim"), col("neighbor_id"))
       .withColumn("rk", row_number().over(Window.partitionBy(col(idCol))
