@@ -29,7 +29,7 @@ object ExtQueries {
     * md5(id); assignment = round-6 cosine argmax with min-cell tiebreak;
     * centroid = per-dim avg rounded to 6), so both engines walk identical
     * centroid sequences. */
-  private def ivfTrainCtes(k: Int, iters: Int, dim: Int,
+  private[queries] def ivfTrainCtes(k: Int, iters: Int, dim: Int,
       probes: Option[Int] = None, assignProbes: Option[Int] = None): String = {
     val avgVec = (1 to dim).map(i => s"round(avg(e[$i]), 6)")
       .mkString("[", ", ", "]")
@@ -153,7 +153,7 @@ object ExtQueries {
   /** Embedding table as `(vec_id, e: array<double>)`, sharded + cached —
     * shared scan of the trained-IVF family (q65/q66/q67 and the Lloyd
     * iterations inside training). */
-  private def embFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[queries] def embFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
     Caches.frame(s, dir, "emb") {
       Tables.sharded(s, dir, "embeddings", "vec_id")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
@@ -161,7 +161,7 @@ object ExtQueries {
 
   /** The shared k=8 / 2-iteration quantizer: trained once per (session,
     * dir) and reused by every trained-IVF query ([[Caches.cells]]). */
-  private def trainedCells(s: org.apache.spark.sql.SparkSession, dir: String)
+  private[queries] def trainedCells(s: org.apache.spark.sql.SparkSession, dir: String)
       : Array[(Int, Array[Double])] =
     Caches.cells(s, dir, "k8_i2") {
       graft.similarity.Similarity.trainCells(embFrame(s, dir), k = 8, iters = 2)

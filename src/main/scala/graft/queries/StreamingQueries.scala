@@ -223,6 +223,66 @@ object StreamingQueries {
       Some(s"""WITH tok AS (SELECT unnest(${ExtQueries.duckTokens}) AS token
           |  FROM documents)
           |SELECT token, count(*) AS est
-          |FROM tok GROUP BY token ORDER BY token""".stripMargin))
+          |FROM tok GROUP BY token ORDER BY token""".stripMargin)),
+
+    // Streaming ANN SERVING: query vectors arrive as a STREAM and search a
+    // static, already-encoded candidate index — the q119 serving shape
+    // with the query side live. The static side (cell-assigned candidates
+    // from the trained coarse quantizer) is built once from the batch
+    // frame; each streamed query probes its 2 nearest cells (probeCells
+    // is a pure map/explode — stream-safe), a stream-static equi-join on
+    // `cell` attaches candidates, and the per-query top-3 is ONE streaming
+    // aggregation: collect_list of (negcos, id) structs, array_sort,
+    // slice — complete mode, so the final memory-sink table is the full
+    // aggregation REGARDLESS of how the source splits into micro-batches
+    // (aggregation state accumulates across batches; no per-batch winner
+    // rule needed, unlike q110-q114's append-mode operators). State per
+    // query is its probed-cell candidate list — occupancy-bounded, the
+    // same bound the batch join pays. The oracle is the batch probed
+    // exact-scoring search over the same id split (q66's shape at p=2).
+    Q("q120_streaming_ann_serving",
+      (s, dir) => {
+        val cells = ExtQueries.trainedCells(s, dir)
+        val cand = graft.similarity.Similarity
+          .assignCells(
+            ExtQueries.embFrame(s, dir).where(col("vec_id") >= 100), cells)
+          .select(col("vec_id").as("neighbor_id"), col("cell"),
+            col("e").as("__ne"))
+        val qstream = s.readStream
+          .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+          .parquet(stagedTableDir(dir, "embeddings"))
+          .where(col("vec_id") < 100)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("e"))
+        val probed = graft.similarity.Similarity
+          .probeCells(qstream, cells, probes = 2)
+        // (negcos, id) structs sort ascending = cos DESC with min-id
+        // tiebreak (rankedCells' -0.0-normalized contract)
+        val sc = struct(
+          (-round(graft.functions.CosineSimilarity(col("e"), col("__ne")),
+            6) + 0.0).as("negcos"),
+          col("neighbor_id").as("nid"))
+        val topk = probed.join(cand, "cell")
+          .select(col("vec_id"), sc.as("sc"))
+          .groupBy(col("vec_id"))
+          .agg(slice(array_sort(collect_list(col("sc"))), 1, 3).as("top"))
+        runToTable(topk, "ann_serving", mode = "complete")
+          .select(col("vec_id"), explode(col("top")).as("sc"))
+          .select(col("vec_id"),
+            (-col("sc.negcos") + lit(0.0)).as("cos_sim"),
+            col("sc.nid").as("neighbor_id"))
+          .orderBy(col("vec_id"), col("neighbor_id"))
+      },
+      Some(ExtQueries.ivfTrainCtes(k = 8, iters = 2, dim = 64,
+        probes = Some(2)) + """
+          |SELECT vec_id, neighbor_id, cos_sim FROM (
+          |  SELECT q.vec_id, b.vec_id AS neighbor_id,
+          |    round(list_cosine_similarity(q.e, b.e), 6) AS cos_sim,
+          |    row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY round(list_cosine_similarity(q.e, b.e), 6) DESC,
+          |        b.vec_id) AS rk
+          |  FROM aprobe q JOIN afin b ON q.cell = b.cell
+          |    AND q.vec_id < 100 AND b.vec_id >= 100
+          |) t WHERE rk <= 3 ORDER BY vec_id, neighbor_id""".stripMargin))
   )
 }
