@@ -121,4 +121,43 @@ object Sampling {
       when(u < cut, name).otherwise(rest)
     }
   }
+
+  /** ADAPTIVE quality gate: a fixed global score cutoff over-prunes weak
+    * sources and under-prunes strong ones, so real curation thresholds
+    * per group (per source, per language) — drop each group's worst
+    * `frac` fraction, judged against that group's OWN score
+    * distribution. The threshold is the (floor(frac·n)+1)-th SMALLEST
+    * score — an ORDER STATISTIC, not an interpolated quantile, so it is
+    * an actual element of the group's multiset and the `score >= thr`
+    * comparison is bit-exact in any engine that computed the same scores
+    * (interpolation arithmetic, the one step q51 has to round away, never
+    * happens). Exactly floor(frac·n) rows fall strictly below the
+    * threshold; score ties AT the threshold all survive (deterministic,
+    * order-independent).
+    *
+    * Returns the input rows with `thr` appended, KEEPING only rows at or
+    * above their group's threshold. Scale shape: one per-group multiset
+    * aggregation (the same per-group state bound as exact quantiles —
+    * q51's documented trade; sketch-threshold via percentile_approx is
+    * the loose-tolerance alternative) producing one (group, thr) row per
+    * group, broadcast back. NULL scores fail loudly — a NULL would
+    * silently vanish from both the threshold multiset and the gate. */
+  def perGroupQuantileGate(df: DataFrame, groupCol: String,
+      scoreCol: String, frac: Double): DataFrame = {
+    require(frac >= 0.0 && frac < 1.0, s"frac must be in [0,1), got $frac")
+    val score = when(col(scoreCol).isNotNull, col(scoreCol))
+      .otherwise(raise_error(concat(
+        lit(s"perGroupQuantileGate: NULL $scoreCol in group "),
+        col(groupCol).cast("string"))))
+    val thrs = df
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(score)).as("__qs"),
+        count(lit(1)).as("__n"))
+      .select(col(groupCol),
+        element_at(col("__qs"),
+          least(col("__n"), floor(lit(frac) * col("__n")) + 1)
+            .cast("int")).as("thr"))
+    df.join(broadcast(thrs), groupCol)
+      .where(col(scoreCol) >= col("thr"))
+  }
 }

@@ -458,4 +458,49 @@ object Dedup {
           col(idxCol) === col(s"__first.$idxCol"))
       .drop("__k", "__first")
   }
+
+  /** WITHIN-document passage dedup — the intra-page boilerplate cut
+    * (repeated nav blocks, footers, listing templates inside ONE page)
+    * that complements [[dedupUnits]]' cross-corpus keep-first-global:
+    * each document keeps the FIRST occurrence of every distinct
+    * normalized `size`-token unit and drops later repeats, entirely
+    * document-locally.
+    *
+    * Scale shape: a pure per-row map — tokenize, tile into units,
+    * first-occurrence filter, re-concatenate, all inside one projection
+    * with NO shuffle, NO state, NO join (IntraDocDedupSpec asserts the
+    * optimized plan is Exchange-free). The per-document work is
+    * O(units²) string compares in the worst case, bounded by the
+    * document length the tiling divides — the right trade for web pages;
+    * a corpus of pathological book-length documents routes through
+    * [[dedupUnits]]' keyed shape instead.
+    *
+    * Units are token tiles, so the normalized unit IS its token join —
+    * case/whitespace/punctuation differences between two copies of a
+    * passage cannot defeat the equality. Returns (idCol, n_units,
+    * n_kept, clean_digest): md5 of the cleaned token text, empty-string
+    * digest for token-less documents. */
+  def dedupUnitsLocal(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", size: Int = 32): DataFrame = {
+    require(size >= 1, s"unit size must be >= 1, got $size")
+    val toks = tokens(col(textCol))
+    val nUnits = ceil(org.apache.spark.sql.functions.size(col("__toks"))
+      .cast("double") / size).cast("int")
+    val units = transform(sequence(lit(0), col("__n") - 1),
+      i => concat_ws(" ", slice(col("__toks"), i * size + 1, lit(size))))
+    // keep unit i iff its first occurrence in the document is at i
+    // (array_position is 1-based; the filter index is 0-based)
+    val kept = filter(col("__units"),
+      (u, i) => array_position(col("__units"), u) === i + 1)
+    docs
+      .withColumn("__toks", toks)
+      .withColumn("__n", nUnits)
+      .withColumn("__units",
+        when(col("__n") > 0, units).otherwise(array()))
+      .withColumn("__kept", kept)
+      .select(col(idCol),
+        col("__n").as("n_units"),
+        org.apache.spark.sql.functions.size(col("__kept")).as("n_kept"),
+        md5(concat_ws(" ", col("__kept"))).as("clean_digest"))
+  }
 }

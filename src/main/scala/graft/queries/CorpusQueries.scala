@@ -1,0 +1,266 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-10 corpus-curation additions: the tokenizer-training primitive
+  * (BPE merge-candidate statistics), within-document passage dedup, the
+  * adaptive per-source quality gate, URL/domain provenance rollups, and
+  * embedding-space diversity capping. Each is a thin driver over a
+  * library operator ([[graft.text.Bpe]], [[graft.dedup.Dedup]],
+  * [[graft.analytics.Sampling]], [[graft.text.Urls]],
+  * [[graft.similarity.Similarity]]) with a DuckDB oracle replaying the
+  * same semantics. */
+object CorpusQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // BPE merge-candidate statistics (graft.text.Bpe.pairStats): one
+    // byte-pair-encoding training step ranks adjacent character pairs by
+    // corpus frequency. The expensive explode runs over the DISTINCT
+    // vocabulary weighted by word counts — the standard BPE trick — so a
+    // 100 TB corpus pays vocabulary-sized pair counting after one
+    // map-side-combining word-count aggregation; the top-20 plans as
+    // TakeOrderedAndProject.
+    Q("q121_bpe_pair_stats",
+      (s, dir) =>
+        graft.text.Bpe.pairStats(
+          Tables.sharded(s, dir, "documents", "doc_id"), topK = 20),
+      Some(
+        s"""WITH w AS (SELECT unnest(${ExtQueries.duckTokens}) AS word
+           |  FROM documents),
+           |v AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
+           |p AS (SELECT freq,
+           |    unnest(list_transform(generate_series(1, len(word) - 1),
+           |      i -> substr(word, CAST(i AS INT), 2))) AS pair
+           |  FROM v WHERE len(word) >= 2)
+           |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+           |FROM p GROUP BY pair
+           |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin)),
+
+    // Adaptive per-source quality gate
+    // (graft.analytics.Sampling.perGroupQuantileGate): drop each
+    // source's worst quartile judged against that source's OWN quality
+    // distribution. The threshold is an order statistic — an element of
+    // the multiset, no interpolation — so the `quality >= thr` gate is
+    // bit-exact across engines (both compute q21's quality arithmetic
+    // verbatim). Per-source rollup: corpus size, survivors, threshold.
+    // Scale: one per-group multiset aggregation (q51's documented
+    // exact-quantile state bound) to n_sources threshold rows, broadcast
+    // back; everything else is per-row maps and counts.
+    Q("q122_adaptive_quality_gate",
+      (s, dir) => {
+        val q = ExtQueries.qualityFrame(s, dir)
+          .select(col("doc_id"), col("source"), col("quality"))
+          .where(col("quality").isNotNull)
+        val kept = graft.analytics.Sampling
+          .perGroupQuantileGate(q, "source", "quality", 0.25)
+        val totals = q.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+        kept.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"),
+            round(first(col("thr")), 6).as("thr"))
+          .join(broadcast(totals), "source")
+          .select(col("source"), col("n_docs"), col("n_kept"), col("thr"))
+          .orderBy(col("source"))
+      },
+      Some(
+        """WITH s AS (SELECT doc_id, source,
+          |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+          |    len(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS alnum_len,
+          |    len(regexp_extract_all(lower(text), '\b(?:the|a|of|and|to|in|is|on|for|with)\b')) AS n_stop
+          |  FROM documents),
+          |q AS (SELECT doc_id, source,
+          |    0.5 * least(1.0, n_tokens / 100.0)
+          |      + 0.3 * (CAST(n_stop AS DOUBLE) / nullif(n_tokens, 0))
+          |      + 0.2 * least(1.0, CAST(alnum_len AS DOUBLE) / nullif(n_tokens, 0) / 8.0) AS quality
+          |  FROM s),
+          |f AS (SELECT * FROM q WHERE quality IS NOT NULL),
+          |t AS (SELECT source, count(*) AS n_docs,
+          |    list_sort(list(quality))[least(count(*),
+          |      CAST(floor(0.25 * count(*)) AS BIGINT) + 1)] AS thr
+          |  FROM f GROUP BY source)
+          |SELECT f.source, CAST(t.n_docs AS BIGINT) AS n_docs,
+          |  CAST(sum(CASE WHEN f.quality >= t.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |  round(t.thr, 6) AS thr
+          |FROM f JOIN t ON f.source = t.source
+          |GROUP BY f.source, t.n_docs, t.thr
+          |ORDER BY f.source""".stripMargin)),
+
+    // URL extraction + registered-domain rollup (graft.text.Urls): the
+    // provenance axis of web-corpus curation — extract http(s) links,
+    // parse hosts, roll up per registered domain, flag blocklisted
+    // domains via a broadcast left join. The testdata corpus carries no
+    // organic URLs (synthetic word salad), so the query PLANTS
+    // deterministic links derived from doc_id (mod-arithmetic presence
+    // across two domain families) plus scheme-less and ftp decoys that
+    // must NOT match. Extraction and parsing are pure per-row regex maps;
+    // only n_domains rows of rollup state reach the exchange.
+    Q("q123_url_extract",
+      (s, dir) => {
+        val d = col("doc_id")
+        val planted = Tables.sharded(s, dir, "documents", "doc_id")
+          .select(d, concat(
+            col("text"),
+            when(d % 3 === 0, concat(lit(" see http://www.news"),
+              (d % 5).cast("string"), lit(".example.com/a/"),
+              d.cast("string"))).otherwise(lit("")),
+            when(d % 4 === 0, concat(lit(" https://cdn.assets-"),
+              (d % 3).cast("string"), lit(".net/f?id="),
+              d.cast("string"))).otherwise(lit("")),
+            lit(" ftp://files.skip.me/x www.bare-domain.com")).as("text2"))
+        val doms = planted
+          .select(d, explode(graft.text.Urls.extractUrls(col("text2")))
+            .as("url"))
+          .select(d, graft.text.Urls.registeredDomain(
+            graft.text.Urls.host(col("url"))).as("domain"))
+        val blocklist = s.createDataFrame(Seq(Tuple1("assets-1.net")))
+          .toDF("domain").withColumn("__hit", lit(true))
+        doms.groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_links"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .join(broadcast(blocklist), Seq("domain"), "left")
+          .withColumn("blocked", coalesce(col("__hit"), lit(false)))
+          .select(col("domain"), col("n_links"), col("n_docs"),
+            col("blocked"))
+          .orderBy(col("domain"))
+      },
+      Some(
+        """WITH p AS (SELECT doc_id, lower(text ||
+          |    CASE WHEN doc_id % 3 = 0 THEN ' see http://www.news' ||
+          |      CAST(doc_id % 5 AS VARCHAR) || '.example.com/a/' ||
+          |      CAST(doc_id AS VARCHAR) ELSE '' END ||
+          |    CASE WHEN doc_id % 4 = 0 THEN ' https://cdn.assets-' ||
+          |      CAST(doc_id % 3 AS VARCHAR) || '.net/f?id=' ||
+          |      CAST(doc_id AS VARCHAR) ELSE '' END ||
+          |    ' ftp://files.skip.me/x www.bare-domain.com') AS t
+          |  FROM documents),
+          |u AS (SELECT doc_id,
+          |    unnest(regexp_extract_all(t,
+          |      'https?://[a-z0-9.-]+(?:/[a-z0-9/?=._-]*)?')) AS url
+          |  FROM p),
+          |d AS (SELECT doc_id, regexp_extract(
+          |    regexp_extract(url, 'https?://([a-z0-9.-]+)', 1),
+          |    '([a-z0-9-]+\.[a-z0-9-]+)$', 1) AS domain FROM u),
+          |g AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_links,
+          |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          |  FROM d GROUP BY domain)
+          |SELECT g.domain, g.n_links, g.n_docs,
+          |  coalesce(b.hit, false) AS blocked
+          |FROM g LEFT JOIN (VALUES ('assets-1.net', true)) b(domain, hit)
+          |  ON g.domain = b.domain
+          |ORDER BY g.domain""".stripMargin)),
+
+    // Embedding-space diversity cap (SemDeDup's pruning cousin): keep at
+    // most 2 vectors per hyperplane-LSH bucket by deterministic
+    // salted-digest priority — the cluster-balanced downsampling that
+    // stops dense regions of embedding space from dominating a training
+    // mix. The window is per-bucket (bucket = the shuffle key) and the
+    // rk <= 2 filter plans as WindowGroupLimit: each map task keeps only
+    // its local top-2 per bucket BEFORE the exchange, so the shuffle
+    // carries ~2·n_buckets·n_partitions rows, not the corpus.
+    Q("q124_diversity_sample",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("e"))
+        val bucketed = emb.select(col("vec_id"),
+          graft.similarity.Similarity
+            .hyperplaneBucket(s, col("e"), dim = 64, planes = 8)
+            .as("bucket"))
+        val prio = md5(concat(col("vec_id").cast("string"), lit(":div")))
+        val w = Window.partitionBy(col("bucket")).orderBy(prio, col("vec_id"))
+        bucketed
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .where(col("rk") <= 2)
+          .select(col("bucket"), col("vec_id"), col("rk"))
+          .orderBy(col("bucket"), col("rk"))
+      },
+      Some(
+        DedupQueries.duckHyperplaneBuckets +
+        """
+          |SELECT bucket, vec_id, rk FROM (
+          |  SELECT bucket, vec_id,
+          |    row_number() OVER (PARTITION BY bucket
+          |      ORDER BY md5(CAST(vec_id AS VARCHAR) || ':div'), vec_id)
+          |      AS rk
+          |  FROM bucketed) t
+          |WHERE rk <= 2 ORDER BY bucket, rk""".stripMargin)),
+
+    // WITHIN-document passage dedup (graft.dedup.Dedup.dedupUnitsLocal):
+    // the intra-page boilerplate cut — each document drops later repeats
+    // of its own 32-token units, entirely document-locally: one
+    // shuffle-free projection (IntraDocDedupSpec asserts the Exchange-free
+    // plan), the complement of q108's cross-corpus keep-first-global.
+    Q("q125_intra_doc_dedup",
+      (s, dir) =>
+        graft.dedup.Dedup
+          .dedupUnitsLocal(Tables.sharded(s, dir, "documents", "doc_id"),
+            size = 32)
+          .orderBy(col("doc_id")),
+      Some(
+        s"""WITH d AS (SELECT doc_id, ${ExtQueries.duckTokens} AS toks
+           |  FROM documents),
+           |u AS (SELECT doc_id,
+           |    CASE WHEN len(toks) > 0
+           |      THEN list_transform(generate_series(0, (len(toks) - 1) // 32),
+           |        i -> array_to_string(
+           |          toks[i * 32 + 1 : least(i * 32 + 32, len(toks))], ' '))
+           |      ELSE [] END AS us
+           |  FROM d),
+           |k AS (SELECT doc_id, us,
+           |    list_filter(us, (x, i) -> list_position(us, x) = i) AS kept
+           |  FROM u)
+           |SELECT doc_id, CAST(len(us) AS INT) AS n_units,
+           |  CAST(len(kept) AS INT) AS n_kept,
+           |  md5(array_to_string(kept, ' ')) AS clean_digest
+           |FROM k ORDER BY doc_id""".stripMargin)),
+
+    // The ITERATIVE BPE trainer (graft.text.Bpe.trainMerges): three
+    // greedy merge steps over the corpus vocabulary, returning the
+    // learned merge table — each step is one vocabulary-sized
+    // pair-count job, a ONE-row driver collect (the k-means-centroid
+    // scalar class), and a pure-map literal replace on marker-anchored
+    // symbol strings ("|c|a|t") that cannot merge across symbol
+    // boundaries. The oracle unrolls the identical three rounds as CTEs
+    // (pair counts → top-1 by (cnt desc, l, r) → replace), so the hash
+    // pins the greedy selection AND the merge application semantics.
+    Q("q126_bpe_train",
+      (s, dir) =>
+        graft.text.Bpe.trainMerges(
+          Tables.sharded(s, dir, "documents", "doc_id"), nMerges = 3),
+      Some {
+        def round(k: Int): String = {
+          val p = k - 1
+          s"""e$k AS (SELECT freq,
+             |    unnest(list_transform(generate_series(1, len(s) - 1),
+             |      i -> {'l': s[i], 'r': s[i + 1]})) AS pr
+             |  FROM (SELECT list_filter(string_split(sym, '|'),
+             |          x -> len(x) > 0) AS s, freq FROM v$p)),
+             |p$k AS (SELECT pr.l AS l, pr.r AS r, sum(freq) AS cnt
+             |  FROM e$k GROUP BY pr.l, pr.r),
+             |b$k AS (SELECT l, r, cnt FROM p$k
+             |  ORDER BY cnt DESC, l, r LIMIT 1),
+             |v$k AS (SELECT replace(sym,
+             |    '|' || (SELECT l FROM b$k) || '|' || (SELECT r FROM b$k),
+             |    '|' || (SELECT l FROM b$k) || (SELECT r FROM b$k)) AS sym,
+             |    freq FROM v$p)""".stripMargin
+        }
+        s"""WITH w AS (SELECT unnest(${ExtQueries.duckTokens}) AS word
+           |  FROM documents),
+           |vw AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
+           |v0 AS (SELECT regexp_replace(word, '(.)', '|\\1', 'g') AS sym,
+           |    freq FROM vw WHERE len(word) >= 2),
+           |${round(1)},
+           |${round(2)},
+           |${round(3)}
+           |SELECT * FROM (
+           |  SELECT 1 AS step, l, r, CAST(cnt AS BIGINT) AS cnt FROM b1
+           |  UNION ALL
+           |  SELECT 2 AS step, l, r, CAST(cnt AS BIGINT) AS cnt FROM b2
+           |  UNION ALL
+           |  SELECT 3 AS step, l, r, CAST(cnt AS BIGINT) AS cnt FROM b3)
+           |ORDER BY step""".stripMargin
+      })
+  )
+}

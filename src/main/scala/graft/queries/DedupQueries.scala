@@ -141,6 +141,26 @@ object DedupQueries {
   def lshCandidatePairs(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.lshCandidates(bandsDf(s, dir))
 
+  /** DuckDB replica of [[graft.similarity.Similarity.hyperplaneBucket]]
+    * (dim=64, planes=8) over the embeddings table, as CTEs `emb(vec_id, e)`
+    * and `bucketed(vec_id, e, bucket)` — shared by q37's in-bucket ANN and
+    * q124's per-bucket diversity cap. */
+  private[queries] val duckHyperplaneBuckets: String =
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |bucketed AS (
+      |  SELECT vec_id, e,
+      |    concat(
+      |      CASE WHEN list_aggregate(list_transform(e, (x,j) -> x * CAST((((0*64 + j-1) * 2654435761) % 97) - 48 AS DOUBLE)), 'sum') >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN list_aggregate(list_transform(e, (x,j) -> x * CAST((((1*64 + j-1) * 2654435761) % 97) - 48 AS DOUBLE)), 'sum') >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN list_aggregate(list_transform(e, (x,j) -> x * CAST((((2*64 + j-1) * 2654435761) % 97) - 48 AS DOUBLE)), 'sum') >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN list_aggregate(list_transform(e, (x,j) -> x * CAST((((3*64 + j-1) * 2654435761) % 97) - 48 AS DOUBLE)), 'sum') >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN list_aggregate(list_transform(e, (x,j) -> x * CAST((((4*64 + j-1) * 2654435761) % 97) - 48 AS DOUBLE)), 'sum') >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN list_aggregate(list_transform(e, (x,j) -> x * CAST((((5*64 + j-1) * 2654435761) % 97) - 48 AS DOUBLE)), 'sum') >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN list_aggregate(list_transform(e, (x,j) -> x * CAST((((6*64 + j-1) * 2654435761) % 97) - 48 AS DOUBLE)), 'sum') >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN list_aggregate(list_transform(e, (x,j) -> x * CAST((((7*64 + j-1) * 2654435761) % 97) - 48 AS DOUBLE)), 'sum') >= 0 THEN '1' ELSE '0' END
+      |    ) AS bucket
+      |  FROM emb)""".stripMargin
+
   private[queries] val duckMinhash: String =
     duckGrams + s""",
       |hs AS (SELECT unnest(generate_series(1, $K)) AS i),
@@ -357,20 +377,8 @@ object DedupQueries {
           .orderBy(col("vec_id"), col("neighbor_id"))
       },
       Some(
-        """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-          |bucketed AS (
-          |  SELECT vec_id, e,
-          |    concat(
-          |      CASE WHEN list_aggregate(list_transform(e, (x,j) -> x * CAST((((0*64 + j-1) * 2654435761) % 97) - 48 AS DOUBLE)), 'sum') >= 0 THEN '1' ELSE '0' END,
-          |      CASE WHEN list_aggregate(list_transform(e, (x,j) -> x * CAST((((1*64 + j-1) * 2654435761) % 97) - 48 AS DOUBLE)), 'sum') >= 0 THEN '1' ELSE '0' END,
-          |      CASE WHEN list_aggregate(list_transform(e, (x,j) -> x * CAST((((2*64 + j-1) * 2654435761) % 97) - 48 AS DOUBLE)), 'sum') >= 0 THEN '1' ELSE '0' END,
-          |      CASE WHEN list_aggregate(list_transform(e, (x,j) -> x * CAST((((3*64 + j-1) * 2654435761) % 97) - 48 AS DOUBLE)), 'sum') >= 0 THEN '1' ELSE '0' END,
-          |      CASE WHEN list_aggregate(list_transform(e, (x,j) -> x * CAST((((4*64 + j-1) * 2654435761) % 97) - 48 AS DOUBLE)), 'sum') >= 0 THEN '1' ELSE '0' END,
-          |      CASE WHEN list_aggregate(list_transform(e, (x,j) -> x * CAST((((5*64 + j-1) * 2654435761) % 97) - 48 AS DOUBLE)), 'sum') >= 0 THEN '1' ELSE '0' END,
-          |      CASE WHEN list_aggregate(list_transform(e, (x,j) -> x * CAST((((6*64 + j-1) * 2654435761) % 97) - 48 AS DOUBLE)), 'sum') >= 0 THEN '1' ELSE '0' END,
-          |      CASE WHEN list_aggregate(list_transform(e, (x,j) -> x * CAST((((7*64 + j-1) * 2654435761) % 97) - 48 AS DOUBLE)), 'sum') >= 0 THEN '1' ELSE '0' END
-          |    ) AS bucket
-          |  FROM emb)
+        duckHyperplaneBuckets +
+        """
           |SELECT vec_id, bucket, neighbor_id, cos_sim FROM (
           |  SELECT a.vec_id AS vec_id, a.bucket AS bucket,
           |    b.vec_id AS neighbor_id,

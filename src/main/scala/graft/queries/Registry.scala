@@ -74,7 +74,7 @@ object Registry {
   lazy val all: Seq[Q] =
     CoreQueries.all ++ WindowQueries.all ++ AnalyticsQueries.all ++
       ExtQueries.all ++ DedupQueries.all ++ AdvancedQueries.all ++
-      CurationQueries.all ++ StreamingQueries.all
+      CurationQueries.all ++ CorpusQueries.all ++ StreamingQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

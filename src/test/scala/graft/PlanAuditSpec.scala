@@ -300,4 +300,36 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase
     assert(p.contains("InMemoryTableScan"),
       s"q116 must scan the shared cached qualityFrame:\n$p")
   }
+
+  test("q124: the per-bucket diversity cap pushes rk<=2 to the map side " +
+      "(WindowGroupLimit), never sorting whole buckets through the window") {
+    val p = plan("q124_diversity_sample")
+    val limits = collectWithSubqueries(p) { case w: WindowGroupLimitExec => w }
+    assert(limits.size >= 2, s"expected partial+final WindowGroupLimit:\n$p")
+  }
+
+  test("q121: BPE pair counting explodes the VOCABULARY, not the corpus " +
+      "token stream — the explode sits above the word-count aggregate") {
+    val p = plan("q121_bpe_pair_stats")
+    // top-20 must plan as TakeOrderedAndProject (per-partition heaps)
+    assert(collectWithSubqueries(p) {
+      case t: TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"expected TakeOrderedAndProject for the top-k:\n$p")
+    // the PAIR explode must consume the aggregated vocabulary: walking
+    // down from it must meet a HashAggregate (the word-count) before any
+    // file scan. The token explode below the word count is the one
+    // legitimately corpus-sized generator (that IS tokenization).
+    val pairGens = collectWithSubqueries(p) {
+      case g: org.apache.spark.sql.execution.GenerateExec
+          if g.output.exists(_.name == "pair") => g
+    }
+    assert(pairGens.nonEmpty, s"expected the pair explode:\n$p")
+    pairGens.foreach { g =>
+      val aggsBelow = collectWithSubqueries(g) {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }
+      assert(aggsBelow.nonEmpty,
+        s"pair explode must read the aggregated vocabulary, not raw tokens:\n$g")
+    }
+  }
 }
