@@ -261,6 +261,63 @@ object CorpusQueries {
            |  UNION ALL
            |  SELECT 3 AS step, l, r, CAST(cnt AS BIGINT) AS cnt FROM b3)
            |ORDER BY step""".stripMargin
+      }),
+
+    // BPE APPLICATION (graft.text.Bpe.encode): re-tokenize the corpus
+    // under the q126-learned merges and report per-document exact
+    // (n_words, n_syms) — what a token-budget mix or packing stage
+    // consumes once a real tokenizer exists. Training collects the 3
+    // merge rows (the broadcast-scalar class); application is then ONE
+    // pure map stage — each word symbol-encodes and folds through the
+    // marker replaces inside a per-row expression, no shuffle/join/
+    // state. The oracle re-derives the merges with q126's CTE chain and
+    // replays the same nested replaces per word, so the hash pins
+    // train→apply end to end.
+    Q("q127_bpe_encode",
+      (s, dir) => {
+        val docs = Tables.sharded(s, dir, "documents", "doc_id")
+        val merges = graft.text.Bpe.trainMerges(docs, nMerges = 3)
+          .collect().sortBy(_.getInt(0))
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.text.Bpe.encode(docs, merges).orderBy(col("doc_id"))
+      },
+      Some {
+        def round(k: Int): String = {
+          val p = k - 1
+          s"""e$k AS (SELECT freq,
+             |    unnest(list_transform(generate_series(1, len(s) - 1),
+             |      i -> {'l': s[i], 'r': s[i + 1]})) AS pr
+             |  FROM (SELECT list_filter(string_split(sym, '|'),
+             |          x -> len(x) > 0) AS s, freq FROM v$p)),
+             |p$k AS (SELECT pr.l AS l, pr.r AS r, sum(freq) AS cnt
+             |  FROM e$k GROUP BY pr.l, pr.r),
+             |b$k AS (SELECT l, r, cnt FROM p$k
+             |  ORDER BY cnt DESC, l, r LIMIT 1),
+             |v$k AS (SELECT replace(sym,
+             |    '|' || (SELECT l FROM b$k) || '|' || (SELECT r FROM b$k),
+             |    '|' || (SELECT l FROM b$k) || (SELECT r FROM b$k)) AS sym,
+             |    freq FROM v$p)""".stripMargin
+        }
+        def applyMerge(k: Int, inner: String): String =
+          s"""replace($inner,
+             |      '|' || (SELECT l FROM b$k) || '|' || (SELECT r FROM b$k),
+             |      '|' || (SELECT l FROM b$k) || (SELECT r FROM b$k))""".stripMargin
+        val encoded = applyMerge(3, applyMerge(2, applyMerge(1,
+          "regexp_replace(word, '(.)', '|\\1', 'g')")))
+        s"""WITH w AS (SELECT unnest(${ExtQueries.duckTokens}) AS word
+           |  FROM documents),
+           |vw AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
+           |v0 AS (SELECT regexp_replace(word, '(.)', '|\\1', 'g') AS sym,
+           |    freq FROM vw WHERE len(word) >= 2),
+           |${round(1)},
+           |${round(2)},
+           |${round(3)},
+           |d2 AS (SELECT doc_id, unnest(${ExtQueries.duckTokens}) AS word
+           |  FROM documents),
+           |s2 AS (SELECT doc_id, $encoded AS sym FROM d2)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(len(string_split(sym, '|')) - 1) AS BIGINT) AS n_syms
+           |FROM s2 GROUP BY doc_id ORDER BY doc_id""".stripMargin
       })
   )
 }

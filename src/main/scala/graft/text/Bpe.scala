@@ -105,4 +105,40 @@ object Bpe {
       merges.result().toDF("step", "l", "r", "cnt")
     } finally base.unpersist()
   }
+
+  /** BPE APPLICATION — the serving half of [[trainMerges]]: re-tokenize
+    * every document under a learned merge table and report per-document
+    * (n_words, n_syms), the real token count a budget/packing stage
+    * consumes once a tokenizer exists (`TextStats.tokenEstimates`' BPE
+    * heuristic, made exact for the learned vocab).
+    *
+    * `merges` apply IN LEARNED ORDER (BPE application replays training
+    * order). Entirely document-local: each word symbol-encodes and folds
+    * through the literal marker replaces inside one per-row expression —
+    * a pure map stage, no shuffle, no join, no state; the merge table
+    * rides into the closure as 2·N string literals (the broadcast-scalar
+    * class). Token-less documents are dropped (nothing to count).
+    *
+    * At 100 TB the alternative — encode the distinct vocabulary once and
+    * equi-join words back — trades this map's O(merges) replaces per
+    * TOKEN for a corpus-sized shuffle; replaces are cheap enough that
+    * the map wins (same reasoning as q95's redaction pass). */
+  def encode(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def nSyms(w: org.apache.spark.sql.Column) = {
+      val sym0 = regexp_replace(w, "(.)", "|$1")
+      val symN = merges.foldLeft(sym0) { case (s, (l, r)) =>
+        replace(s, lit(s"|$l|$r"), lit(s"|$l$r"))
+      }
+      size(split(symN, "\\|")) - 1
+    }
+    val toks = graft.dedup.Dedup.tokens(col(textCol))
+    docs
+      .withColumn("__toks", toks)
+      .where(size(col("__toks")) > 0)
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_words"),
+        aggregate(transform(col("__toks"), w => nSyms(w)),
+          lit(0), (acc, x) => acc + x).cast("long").as("n_syms"))
+  }
 }

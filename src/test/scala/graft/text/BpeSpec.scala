@@ -63,4 +63,19 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(m.toSeq === Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
   }
+
+  test("encode applies merges in learned order, per document") {
+    val docs = Seq((1L, "abab cd"), (2L, "ba"), (3L, "...")).toDF("doc_id", "text")
+    // merges (a,b) then (ab,ab): "abab"→1 sym, "cd"→2, "ba"→2
+    val r = Bpe.encode(docs, Seq(("a", "b"), ("ab", "ab"))).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sortBy(_._1)
+    // doc 3 has no tokens and is dropped
+    assert(r.toSeq === Seq((1L, 2L, 3L), (2L, 1L, 2L)))
+  }
+
+  test("encode with no merges counts characters") {
+    val docs = Seq((1L, "abc de")).toDF("doc_id", "text")
+    val r = Bpe.encode(docs, Seq.empty).collect().head
+    assert((r.getLong(1), r.getLong(2)) === (2L, 5L))
+  }
 }
