@@ -26,11 +26,12 @@ case class MediaMeta(docId: Long, kind: String, byteLen: Int, width: Int,
   *
   * STUB NOTE: this container has no media libraries, so the default decoder
   * is a clearly-marked deterministic fake deriving dimensions from the
-  * payload digest. Two UNCOMPRESSED formats are decoded for real with
-  * zero libraries — binary PPM ([[decodePpm]]) and 24-bit BMP
-  * ([[decodeBmp]]/[[encodeBmp]]) — so the decode path is genuinely
-  * exercised end-to-end (q106/q115); compressed formats keep the labeled
-  * stub. The partitioning, schema, typed Dataset plumbing and the
+  * payload digest. Three UNCOMPRESSED formats are decoded for real with
+  * zero libraries — binary PPM ([[decodePpm]]), 24-bit BMP
+  * ([[decodeBmp]]/[[encodeBmp]]), and 16-bit PCM WAV audio
+  * ([[decodeWav]]/[[encodeWav]]) — so the decode path is genuinely
+  * exercised end-to-end for images AND audio (q106/q115/q128);
+  * compressed formats keep the labeled stub. The partitioning, schema, typed Dataset plumbing and the
   * per-partition decoder lifecycle are real and tested; swap `stubDecoder`
   * for a JNI/codec-backed factory in production.
   */
@@ -304,6 +305,154 @@ object Multimodal {
     header ++ raster
   }
 
+  // ---------------------------------------------------------------------
+  // REAL decode path #3: PCM WAV (RIFF/WAVE, 16-bit) — AUDIO, the third
+  // uncompressed format the JVM can parse with zero libraries. Exercises
+  // what the image paths don't: RIFF chunk WALKING (unknown chunks like
+  // LIST/INFO must be skipped by declared size, not assumed absent),
+  // multi-channel interleaving, and signed little-endian samples.
+  // ---------------------------------------------------------------------
+
+  /** Parse a PCM WAV payload → (numChannels, sampleRate, interleaved
+    * signed 16-bit samples). Strict, like [[decodePpm]]/[[decodeBmp]]:
+    * bad RIFF/WAVE magic, a truncated chunk, a missing fmt/data chunk,
+    * non-PCM audio format, bit depth ≠ 16, or a data size that is not a
+    * whole number of frames all throw. Unknown chunks between fmt and
+    * data are skipped by their declared size (word-aligned, per RIFF). */
+  def decodeWav(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
+    def fail(msg: String) =
+      throw new IllegalArgumentException(s"decodeWav: $msg")
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def i32(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+      ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    def tag(o: Int): String = new String(bytes, o, 4,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length < 12) fail(s"short header: ${bytes.length} bytes")
+    if (tag(0) != "RIFF") fail("not a RIFF file (bad magic)")
+    if (tag(8) != "WAVE") fail(s"not a WAVE form: '${tag(8)}'")
+    var pos = 12
+    var nCh = -1
+    var rate = -1
+    var samples: Array[Short] = null
+    while (samples == null) {
+      if (pos + 8 > bytes.length)
+        fail(if (nCh < 0) "no fmt chunk" else "no data chunk")
+      val id = tag(pos)
+      val size = i32(pos + 4)
+      if (size < 0 || pos + 8 + size > bytes.length)
+        fail(s"chunk '$id' size $size overruns payload")
+      id match {
+        case "fmt " =>
+          if (size < 16) fail(s"fmt chunk too small: $size")
+          if (u16(pos + 8) != 1) fail(s"audio format ${u16(pos + 8)} (PCM only)")
+          nCh = u16(pos + 10)
+          rate = i32(pos + 12)
+          if (nCh <= 0) fail(s"bad channel count $nCh")
+          if (rate <= 0) fail(s"bad sample rate $rate")
+          if (u16(pos + 22) != 16)
+            fail(s"bit depth ${u16(pos + 22)} (16-bit PCM only)")
+        case "data" =>
+          if (nCh < 0) fail("data chunk before fmt")
+          if (size % (2 * nCh) != 0)
+            fail(s"data size $size is not whole ${nCh}-channel frames")
+          samples = Array.tabulate(size / 2)(k =>
+            u16(pos + 8 + 2 * k).toShort)
+        case _ => // LIST, fact, … — skip by declared (word-aligned) size
+      }
+      pos += 8 + size + (size & 1)
+    }
+    (nCh, rate, samples)
+  }
+
+  /** Encode interleaved signed 16-bit samples as a canonical PCM WAV —
+    * the sink-side inverse of [[decodeWav]]; round-trip is sample-exact. */
+  def encodeWav(nCh: Int, rate: Int, samples: Array[Short]): Array[Byte] = {
+    require(nCh > 0 && rate > 0, s"encodeWav: bad format ${nCh}ch @$rate")
+    require(samples.length % nCh == 0,
+      s"encodeWav: ${samples.length} samples not whole $nCh-channel frames")
+    val dataSize = samples.length * 2
+    val out = new Array[Byte](44 + dataSize)
+    def pTag(o: Int, s: String): Unit =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        .copyToArray(out, o)
+    def p16(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+    }
+    def p32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    pTag(0, "RIFF"); p32(4, 36 + dataSize); pTag(8, "WAVE")
+    pTag(12, "fmt "); p32(16, 16); p16(20, 1); p16(22, nCh)
+    p32(24, rate); p32(28, rate * nCh * 2); p16(32, nCh * 2); p16(34, 16)
+    pTag(36, "data"); p32(40, dataSize)
+    var k = 0
+    while (k < samples.length) {
+      p16(44 + 2 * k, samples(k) & 0xffff)
+      k += 1
+    }
+    out
+  }
+
+  /** Deterministic WAV payload for doc `d` — a REAL RIFF byte stream
+    * whose decoded interleaved samples follow closed-form arithmetic
+    * `(d*13 + k) % 65536 - 32768` (k = linear sample index), so a SQL
+    * oracle predicts the per-channel sums with no decoder. Channel count
+    * alternates 1/2 (interleaving exercised), and even docs carry a LIST
+    * chunk between fmt and data (chunk WALKING exercised — a decoder
+    * that assumes data at offset 36 breaks the hash). */
+  def syntheticWav(d: Long): Array[Byte] = {
+    val nCh = (1 + d % 2).toInt
+    val rate = (8000 + (d % 3) * 4000).toInt
+    val nFrames = (20 + d % 7).toInt
+    val samples = Array.tabulate(nFrames * nCh)(k =>
+      ((d * 13 + k) % 65536 - 32768).toShort)
+    val canonical = encodeWav(nCh, rate, samples)
+    if (d % 2 == 0) {
+      // splice "LIST" + size 4 + "INFO" between fmt and data
+      val extra = Array[Byte]('L', 'I', 'S', 'T', 4, 0, 0, 0, 'I', 'N',
+        'F', 'O')
+      val out = new Array[Byte](canonical.length + extra.length)
+      System.arraycopy(canonical, 0, out, 0, 36)
+      System.arraycopy(extra, 0, out, 36, extra.length)
+      System.arraycopy(canonical, 36, out, 36 + extra.length,
+        canonical.length - 36)
+      // patch the RIFF size for the spliced bytes
+      val riffSize = canonical.length - 8 + extra.length
+      out(4) = riffSize.toByte; out(5) = (riffSize >> 8).toByte
+      out(6) = (riffSize >> 16).toByte; out(7) = (riffSize >> 24).toByte
+      out
+    } else canonical
+  }
+
+  /** Per-channel sample sums from decoded WAV payloads — audio's
+    * integer-exact twin of [[ppmPixelStats]]/[[bmpPixelStats]]. Mono
+    * payloads report sum_ch1 = 0. */
+  def wavSampleStats(ds: Dataset[MediaFile]): Dataset[WavStats] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val (nCh, rate, samples) = decodeWav(m.payload)
+        var s0 = 0L
+        var s1 = 0L
+        var k = 0
+        while (k < samples.length) {
+          if (k % nCh == 0) s0 += samples(k) else s1 += samples(k)
+          k += 1
+        }
+        WavStats(m.docId, nCh, rate, samples.length / nCh, s0, s1)
+      }
+    }
+  }
+
+  /** REAL decoder factory over [[decodeWav]] — (channels, sampleRate)
+    * stand in for (w, h) in the shared [[MediaMeta]] envelope. */
+  val wavDecoder: DecoderFactory = () => { bytes =>
+    val (nCh, rate, samples) = decodeWav(bytes)
+    (nCh, rate, samples.length / nCh)
+  }
+
   /** Decode + feature-extract per partition. The decoder is created once
     * per partition (a real codec holds native buffers); rows stream through
     * an iterator — no materialization of the partition. */
@@ -389,3 +538,8 @@ case class FrameSample(docId: Long, frameIdx: Int, frameDigest: String)
   * shared by the PPM (q106) and BMP (q115) decode paths. */
 case class PpmStats(doc_id: Long, width: Int, height: Int,
     sum_r: Long, sum_g: Long, sum_b: Long)
+
+/** Decoded-sample channel sums (integer-exact) for one audio payload —
+  * the WAV (q128) decode path. Mono payloads report sum_ch1 = 0. */
+case class WavStats(doc_id: Long, n_channels: Int, sample_rate: Int,
+    n_frames: Int, sum_ch0: Long, sum_ch1: Long)

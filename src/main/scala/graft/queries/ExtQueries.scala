@@ -872,6 +872,43 @@ object ExtQueries {
           |    AS BIGINT) AS sum_b
           |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin)),
 
+    // The THIRD real decode format, and the first AUDIO one: each
+    // document becomes a genuine PCM WAV byte stream (RIFF chunk
+    // structure, little-endian signed 16-bit samples, 1- or 2-channel
+    // interleaving; even docs carry a LIST chunk between fmt and data so
+    // chunk WALKING is exercised — a decoder assuming data at a fixed
+    // offset breaks the hash). Decoded per-channel sample sums are
+    // integer-exact and predicted by the oracle from the closed-form
+    // construction arithmetic with no decoder.
+    Q("q128_wav_sample_stats",
+      (s, dir) => {
+        import s.implicits._
+        val files = Tables.sharded(s, dir, "documents", "doc_id")
+          .select(col("doc_id")).as[Long]
+          .map(d => graft.ext.MediaFile(d, "audio/wav",
+            graft.ext.Multimodal.syntheticWav(d)))
+        graft.ext.Multimodal.wavSampleStats(files).toDF()
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH d AS (SELECT doc_id,
+          |    CAST(1 + doc_id % 2 AS INT) AS n_channels,
+          |    CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+          |    CAST(20 + doc_id % 7 AS INT) AS n_frames
+          |  FROM documents),
+          |s AS (SELECT doc_id, n_channels, sample_rate, n_frames,
+          |    unnest(generate_series(0, n_frames * n_channels - 1)) AS k
+          |  FROM d)
+          |SELECT doc_id, n_channels, sample_rate, n_frames,
+          |  CAST(sum(CASE WHEN k % n_channels = 0
+          |    THEN (doc_id * 13 + k) % 65536 - 32768 END) AS BIGINT)
+          |    AS sum_ch0,
+          |  CAST(coalesce(sum(CASE WHEN k % n_channels = 1
+          |    THEN (doc_id * 13 + k) % 65536 - 32768 END), 0) AS BIGINT)
+          |    AS sum_ch1
+          |FROM s GROUP BY doc_id, n_channels, sample_rate, n_frames
+          |ORDER BY doc_id""".stripMargin)),
+
     // Semi-structured property extraction: the events stream carries a
     // JSON `props` string; pull a typed field out (get_json_object — a
     // codegen'd path evaluation, no UDF, no full from_json materialize
