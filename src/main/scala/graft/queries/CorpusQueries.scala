@@ -13,6 +13,24 @@ import org.apache.spark.sql.functions._
   * same semantics. */
 object CorpusQueries {
 
+  /** The learned BPE merge table, trained once per (session, sf-dir) —
+    * q127's encode and q129's packing both consume it (the same
+    * shared-intermediate convention as [[Caches]]' centroid tables;
+    * three (l, r) string pairs of driver state). q126 itself always
+    * re-trains: training IS that query. */
+  private val mergeTables = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      Seq[(String, String)]]
+
+  private[queries] def learnedMerges(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, String)] =
+    mergeTables.getOrElseUpdate((s, dir),
+      graft.text.Bpe
+        .trainMerges(Tables.sharded(s, dir, "documents", "doc_id"),
+          nMerges = 3)
+        .collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+
   val all: Seq[Q] = Seq(
 
     // BPE merge-candidate statistics (graft.text.Bpe.pairStats): one
@@ -274,13 +292,11 @@ object CorpusQueries {
     // replays the same nested replaces per word, so the hash pins
     // train→apply end to end.
     Q("q127_bpe_encode",
-      (s, dir) => {
-        val docs = Tables.sharded(s, dir, "documents", "doc_id")
-        val merges = graft.text.Bpe.trainMerges(docs, nMerges = 3)
-          .collect().sortBy(_.getInt(0))
-          .map(r => (r.getString(1), r.getString(2))).toSeq
-        graft.text.Bpe.encode(docs, merges).orderBy(col("doc_id"))
-      },
+      (s, dir) =>
+        graft.text.Bpe
+          .encode(Tables.sharded(s, dir, "documents", "doc_id"),
+            learnedMerges(s, dir))
+          .orderBy(col("doc_id")),
       Some {
         def round(k: Int): String = {
           val p = k - 1
@@ -318,6 +334,71 @@ object CorpusQueries {
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
            |  CAST(sum(len(string_split(sym, '|')) - 1) AS BIGINT) AS n_syms
            |FROM s2 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
+    // Tokenizer-aware shard packing: q89 packs by a chars/4 HEURISTIC;
+    // this packs by the EXACT token counts of the learned q126 tokenizer
+    // (q127's encode), which is what a training-shard writer actually
+    // wants — the budget is in real model tokens, not estimates. Chain:
+    // train (memoized per session/dir) → encode (pure map) →
+    // Packing.packByBudget's two-phase distributed prefix sum (no
+    // SinglePartition exchange — PackingSpec's contract). The oracle
+    // replays train + apply + a window cum-sum cut, pinning the whole
+    // composition.
+    Q("q129_bpe_packing",
+      (s, dir) => {
+        val counts = graft.text.Bpe
+          .encode(Tables.sharded(s, dir, "documents", "doc_id"),
+            learnedMerges(s, dir))
+          .select(col("doc_id"), col("n_syms"))
+        graft.analytics.Packing
+          .packByBudget(counts, orderCol = "doc_id", weightCol = "n_syms",
+            budget = 4096L)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        def round(k: Int): String = {
+          val p = k - 1
+          s"""e$k AS (SELECT freq,
+             |    unnest(list_transform(generate_series(1, len(s) - 1),
+             |      i -> {'l': s[i], 'r': s[i + 1]})) AS pr
+             |  FROM (SELECT list_filter(string_split(sym, '|'),
+             |          x -> len(x) > 0) AS s, freq FROM v$p)),
+             |p$k AS (SELECT pr.l AS l, pr.r AS r, sum(freq) AS cnt
+             |  FROM e$k GROUP BY pr.l, pr.r),
+             |b$k AS (SELECT l, r, cnt FROM p$k
+             |  ORDER BY cnt DESC, l, r LIMIT 1),
+             |v$k AS (SELECT replace(sym,
+             |    '|' || (SELECT l FROM b$k) || '|' || (SELECT r FROM b$k),
+             |    '|' || (SELECT l FROM b$k) || (SELECT r FROM b$k)) AS sym,
+             |    freq FROM v$p)""".stripMargin
+        }
+        def applyMerge(k: Int, inner: String): String =
+          s"""replace($inner,
+             |      '|' || (SELECT l FROM b$k) || '|' || (SELECT r FROM b$k),
+             |      '|' || (SELECT l FROM b$k) || (SELECT r FROM b$k))""".stripMargin
+        val encoded = applyMerge(3, applyMerge(2, applyMerge(1,
+          "regexp_replace(word, '(.)', '|\\1', 'g')")))
+        s"""WITH w AS (SELECT unnest(${ExtQueries.duckTokens}) AS word
+           |  FROM documents),
+           |vw AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
+           |v0 AS (SELECT regexp_replace(word, '(.)', '|\\1', 'g') AS sym,
+           |    freq FROM vw WHERE len(word) >= 2),
+           |${round(1)},
+           |${round(2)},
+           |${round(3)},
+           |d2 AS (SELECT doc_id, unnest(${ExtQueries.duckTokens}) AS word
+           |  FROM documents),
+           |s2 AS (SELECT doc_id, $encoded AS sym FROM d2),
+           |tok AS (SELECT doc_id,
+           |    CAST(sum(len(string_split(sym, '|')) - 1) AS BIGINT)
+           |      AS n_syms
+           |  FROM s2 GROUP BY doc_id),
+           |c AS (SELECT doc_id, n_syms,
+           |    sum(n_syms) OVER (ORDER BY doc_id) AS cum FROM tok)
+           |SELECT doc_id, n_syms,
+           |  CAST((cum - n_syms) // 4096 AS BIGINT) AS shard_id
+           |FROM c ORDER BY doc_id""".stripMargin
       })
   )
 }
