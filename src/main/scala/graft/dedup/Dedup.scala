@@ -43,21 +43,32 @@ object Dedup {
     * for sketch-calibration QA (estimated Jaccard = matching-slot
     * fraction, q82). */
   def minhashSignature(grams: DataFrame, idCol: String = "doc_id",
-      k: Int = 12): DataFrame = {
+      k: Int = 12, assumeNonEmpty: Boolean = false): DataFrame = {
     val sig = transform(sequence(lit(1), lit(k)), i =>
       array_min(transform(col("grams"),
         g => md5(concat(i.cast("string"), lit("_"), g)))))
-    grams
-      .where(size(col("grams")) > 0)
-      .select(col(idCol), sig.as("sig"))
+    // The emptiness guard keeps gram-less documents from all sharing the
+    // md5-of-nothing signature (every empty doc would bucket with every
+    // other). When `grams` is an UNMATERIALIZED expression (the streaming
+    // path — no cache exists to make it an attribute), this predicate is
+    // a trap: filter pushdown substitutes the alias, so the ENTIRE
+    // shingling expression re-evaluates per row at the SCAN — below any
+    // repartition, i.e. serially in a single-split source's one task
+    // (measured: ~15 s of q113's 16 s at sf0.1). Callers that already
+    // dropped gram-less docs on a cheap predicate (token count) pass
+    // `assumeNonEmpty = true` to skip the guard entirely.
+    val base =
+      if (assumeNonEmpty) grams else grams.where(size(col("grams")) > 0)
+    base.select(col(idCol), sig.as("sig"))
   }
 
   /** (id, band, band_key): MinHash-LSH band keys, computed document-locally
     * (no shuffle). Signature slot i = min over shingles of
     * md5(i || '_' || shingle); band key = md5 of the band's slice. */
   def minhashBands(grams: DataFrame, idCol: String = "doc_id",
-      k: Int = 12, rowsPerBand: Int = 3): DataFrame = {
-    minhashSignature(grams, idCol, k)
+      k: Int = 12, rowsPerBand: Int = 3,
+      assumeNonEmpty: Boolean = false): DataFrame = {
+    minhashSignature(grams, idCol, k, assumeNonEmpty)
       .select(col(idCol),
         posexplode(transform(sequence(lit(0), lit(k / rowsPerBand - 1)), b =>
           md5(array_join(

@@ -61,6 +61,23 @@ object StreamingQueries {
     spark.table(name)
   }
 
+  /** [[docStream]] fanned out by doc_id BEFORE per-document heavy work —
+    * the streaming twin of `Tables.sharded`: the staged source is ONE
+    * parquet file → one input partition, so without this every
+    * pre-shuffle map stage runs in a single task (q113's K×md5 MinHash
+    * sketch was 10× its own state operator's cost for exactly this
+    * reason). Safe for the keyed-state consumers here: AvailableNow
+    * yields one micro-batch, and each operator's intra-batch semantics
+    * are arrival-order-independent — min-(doc, idx) tie resolution
+    * (q111), set-valued duplicated positions (q112), unordered
+    * normalized pair emission + downstream distinct (q113). At real
+    * scale the source has many splits and this shuffle is cheap
+    * relative to the per-row sketch work it parallelizes. */
+  private def shardedDocStream(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    docStream(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+
   /** The streamed documents table (the staged single-parquet source). */
   private def docStream(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
@@ -107,7 +124,7 @@ object StreamingQueries {
     Q("q111_streaming_passage_dedup",
       (s, dir) => {
         val units = graft.text.TextStats
-          .chunk(docStream(s, dir), size = 32, stride = 32)
+          .chunk(shardedDocStream(s, dir), size = 32, stride = 32)
           .select(col("doc_id"), col("chunk_id"),
             concat_ws(" ", col("ctoks")).as("unit"))
         val decisions = StreamingUnitDedup.decisions(
@@ -152,7 +169,7 @@ object StreamingQueries {
       (s, dir) => {
         val dups = StreamingDupSpans.duplicatedPositions(
           StreamingDupSpans.gramPositions(
-            docStream(s, dir).select(col("doc_id"), col("text"))))
+            shardedDocStream(s, dir).select(col("doc_id"), col("text"))))
         runToTable(dups.toDF(), "stream_dupspans")
           .select(col("docId").as("doc_id"), col("pos"), col("hv"))
           .orderBy(col("doc_id"), col("pos"))
@@ -178,7 +195,7 @@ object StreamingQueries {
         import s.implicits._
         val pairs = StreamingNearDup.candidatePairs(
           StreamingNearDup.bandKeys(
-            docStream(s, dir).select(col("doc_id"), col("text")))
+            shardedDocStream(s, dir).select(col("doc_id"), col("text")))
             .select(col("bucket"), col("doc_id").as("docId"))
             .as[StreamingNearDup.BucketDoc],
           maxBucket = Int.MaxValue)

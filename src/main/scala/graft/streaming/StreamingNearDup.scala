@@ -28,10 +28,20 @@ object StreamingNearDup {
   /** (doc_id, bucket) rows from a (doc_id, text) frame; bucket =
     * band index + band key — the SAME document-local sketch as the batch
     * path ([[graft.dedup.Dedup.minhashBands]]), so stream and batch agree
-    * bit-for-bit. */
+    * bit-for-bit.
+    *
+    * Gram-less docs (< 3 tokens — they'd all share the md5-of-nothing
+    * signature) are dropped HERE on the cheap token-count predicate, and
+    * the minhash layer is told so (`assumeNonEmpty`): its own
+    * size(grams)>0 guard is the expensive-pushdown trap a stream cannot
+    * cache its way out of — the predicate's shingling expression would
+    * re-evaluate serially at the single-split scan (see
+    * [[graft.dedup.Dedup.minhashSignature]]; 15 of q113's 16 s). */
   def bandKeys(docs: DataFrame, k: Int = 12, rowsPerBand: Int = 3): DataFrame =
     graft.dedup.Dedup.minhashBands(
-      graft.dedup.Dedup.shingles(docs), k = k, rowsPerBand = rowsPerBand)
+      graft.dedup.Dedup.shingles(
+        docs.where(size(graft.dedup.Dedup.tokens(col("text"))) >= 3)),
+      k = k, rowsPerBand = rowsPerBand, assumeNonEmpty = true)
       .select(col("doc_id"),
         concat(col("band").cast("string"), lit(":"), col("band_key"))
           .as("bucket"))
