@@ -122,6 +122,40 @@ object AnalyticsQueries {
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id, text, lang, source, n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // WARC-lite web-archive round-trip (graft.sources.WarcLite) — the
+    // crawl-ingest format: bounded-size archive files, each a stream of
+    // Content-Length-framed records, one task per file (the Common Crawl
+    // layout). Same drop-don't-fail gate as q107, plus RESYNC: the
+    // planted garbage archive carries corrupt headers, a bad id, a
+    // non-numeric length, and a truncated final payload — the scanner
+    // skips each and re-locks on the next WARC/1.0 version line, so the
+    // valid corpus survives bit-for-bit (length framing keeps payloads
+    // with blank lines / header-looking text intact). Oracle = the
+    // original table: any parse or framing bug breaks the hash.
+    Q("q130_warc_roundtrip",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select(
+          col("doc_id"), col("text"), col("lang"), col("source"))
+        val path =
+          tempDirCleanedOnExit("graft_warc_").resolve("crawl").toString
+        graft.sources.WarcLite.writeWarcLite(docs, path)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path, "garbage.warc"),
+          ("WARC/1.0\r\nWARC-Record-ID: abc\r\nContent-Language: en\r\n" +
+            "WARC-Target-URI: graft://web/1\r\nContent-Length: 2\r\n\r\nhi\r\n" +
+            "stray junk between records\r\n" +
+            "WARC/1.0\r\nWARC-Record-ID: 7\r\nContent-Language: en\r\n" +
+            "WARC-Target-URI: graft://web/7\r\nContent-Length: oops\r\n\r\nxx\r\n" +
+            "WARC/1.0\r\nnot a header line\r\n" +
+            "WARC/1.0\r\nWARC-Record-ID: 8\r\nContent-Language: en\r\n" +
+            "WARC-Target-URI: graft://web/8\r\nContent-Length: 99999\r\n\r\ntrunc")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        graft.sources.WarcLite.readWarcLite(s, path)
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, text, lang, source
              |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }
