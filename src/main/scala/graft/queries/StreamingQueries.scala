@@ -300,6 +300,56 @@ object StreamingQueries {
           |        b.vec_id) AS rk
           |  FROM aprobe q JOIN afin b ON q.cell = b.cell
           |    AND q.vec_id < 100 AND b.vec_id >= 100
-          |) t WHERE rk <= 3 ORDER BY vec_id, neighbor_id""".stripMargin))
+          |) t WHERE rk <= 3 ORDER BY vec_id, neighbor_id""".stripMargin)),
+
+    // Streaming SESSIONIZATION, oracle-gated: Spark's native session
+    // windows (session_window + watermark — the engine merges adjacent
+    // windows in state, open sessions survive micro-batch boundaries and
+    // close via watermark progress; StreamingSessionSpec proves the
+    // split-robustness on a forced 2-batch stream). Time axis = 1 tick
+    // per event_id, so q52's gap-on-seq rule becomes gap-on-time with
+    // the SAME gap value: session_window merges on NON-strict overlap
+    // (delta <= g — verified empirically: gap 501s merges a 501-tick
+    // delta), matching q52's break-iff-delta>500. Complete mode makes the sunk
+    // session table the final aggregation state regardless of how the
+    // source splits into micro-batches; the per-user rollup on top is
+    // a bounded batch aggregate (n_users rows). Oracle = q52's batch
+    // sessionization SQL VERBATIM — the streamed session structure must
+    // reproduce the batch gap-walk exactly.
+    Q("q131_streaming_sessions",
+      (s, dir) => {
+        val sessions = s.readStream
+          .schema("event_id BIGINT, user_id BIGINT")
+          .parquet(stagedTableDir(dir, "events"))
+          .withColumn("ts", timestamp_seconds(col("event_id")))
+          .withWatermark("ts", "0 seconds")
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "500 seconds"))
+          .agg(count(lit(1)).as("sess_len"))
+        runToTable(sessions, "stream_sessions", mode = "complete")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            max(col("sess_len")).as("max_sess_len"),
+            sum(col("sess_len")).cast("long").as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      Some(
+        """WITH g AS (
+          |  SELECT user_id, event_id,
+          |    CASE WHEN event_id - lag(event_id) OVER w IS NULL
+          |           OR event_id - lag(event_id) OVER w > 500
+          |         THEN 1 ELSE 0 END AS brk
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+          |s AS (
+          |  SELECT user_id, event_id,
+          |    sum(brk) OVER (PARTITION BY user_id ORDER BY event_id) AS sess
+          |  FROM g),
+          |sl AS (
+          |  SELECT user_id, sess, count(*) AS sess_len
+          |  FROM s GROUP BY user_id, sess)
+          |SELECT user_id, count(*) AS n_sessions, max(sess_len) AS max_sess_len,
+          |  CAST(sum(sess_len) AS BIGINT) AS n_events
+          |FROM sl GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }
