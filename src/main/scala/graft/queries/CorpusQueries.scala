@@ -399,6 +399,64 @@ object CorpusQueries {
            |SELECT doc_id, n_syms,
            |  CAST((cum - n_syms) // 4096 AS BIGINT) AS shard_id
            |FROM c ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // Classifier-based curation (graft.text.Classify): multinomial Naive
+    // Bayes provenance classifier — train token×class counts on the
+    // hash-split 80%, score the held-out 20% with Laplace smoothing, emit
+    // each doc's argmax class. The fastText-quality-classifier shape with
+    // closed-form training: ONE corpus aggregation builds the model, apply
+    // is a (word,label)-keyed join + per-doc argmax. Scores round to 6
+    // BEFORE the argmax and ties break on label name, so engine and
+    // oracle rank identically (q87's ln-sum determinism precedent). The
+    // oracle re-derives the md5 dyadic split (q96), the counts, and the
+    // same smoothing arithmetic in CTEs.
+    Q("q132_nb_source_classifier",
+      (s, dir) =>
+        graft.text.Classify
+          .naiveBayesPredict(Tables.sharded(s, dir, "documents", "doc_id"),
+            labelCol = "source")
+          .orderBy(col("doc_id")),
+      Some(
+        s"""WITH u AS (SELECT doc_id, source, text,
+           |    list_aggregate(list_transform(generate_series(1, 13),
+           |      i -> (strpos('0123456789abcdef',
+           |              substr(md5(CAST(doc_id AS VARCHAR) || ':nb'),
+           |                i, 1)) - 1)
+           |           * power(CAST(16 AS DOUBLE), 13 - i)), 'sum')
+           |      / power(CAST(2 AS DOUBLE), 52) AS uu
+           |  FROM documents),
+           |ttok AS (SELECT source AS label,
+           |    unnest(${ExtQueries.duckTokens}) AS word
+           |  FROM u WHERE uu < 0.8),
+           |cwl AS (SELECT label, word, count(*) AS cwl
+           |  FROM ttok GROUP BY 1, 2),
+           |tot AS (SELECT label, CAST(sum(cwl) AS DOUBLE) AS tot
+           |  FROM cwl GROUP BY 1),
+           |v AS (SELECT CAST(count(DISTINCT word) AS DOUBLE) AS v FROM cwl),
+           |pri AS (SELECT source AS label, count(*) AS nd
+           |  FROM u WHERE uu < 0.8 GROUP BY 1),
+           |prin AS (SELECT label,
+           |    ln(CAST(nd AS DOUBLE) / (SELECT sum(nd) FROM pri)) AS lnp
+           |  FROM pri),
+           |dwc AS (SELECT doc_id, word, count(*) AS c FROM (
+           |    SELECT doc_id, unnest(${ExtQueries.duckTokens}) AS word
+           |    FROM u WHERE uu >= 0.8) GROUP BY 1, 2),
+           |sc AS (SELECT w.doc_id, l.label,
+           |    sum(w.c * ln((coalesce(m.cwl, 0) + CAST(1.0 AS DOUBLE))
+           |      / (tot.tot + v.v))) AS s
+           |  FROM dwc w
+           |  CROSS JOIN (SELECT DISTINCT label FROM cwl) l
+           |  LEFT JOIN cwl m ON m.word = w.word AND m.label = l.label
+           |  JOIN tot ON tot.label = l.label
+           |  CROSS JOIN v
+           |  GROUP BY 1, 2),
+           |fin AS (SELECT sc.doc_id, sc.label,
+           |    round(sc.s + prin.lnp, 6) AS score,
+           |    row_number() OVER (PARTITION BY sc.doc_id
+           |      ORDER BY round(sc.s + prin.lnp, 6) DESC, sc.label) AS rk
+           |  FROM sc JOIN prin ON prin.label = sc.label)
+           |SELECT doc_id, label AS pred_source, score
+           |FROM fin WHERE rk = 1 ORDER BY doc_id""".stripMargin))
   )
 }
