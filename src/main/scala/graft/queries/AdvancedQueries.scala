@@ -771,6 +771,81 @@ object AdvancedQueries {
           |FROM shw JOIN nf na ON doc_a = na.doc_id
           |         JOIN nf nb ON doc_b = nb.doc_id
           |WHERE CAST(shared AS DOUBLE) / least(na.n_fp, nb.n_fp) >= 0.75
-          |ORDER BY doc_a, doc_b""".stripMargin))
+          |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Link-graph provenance weighting (graft.analytics.Graphs): weighted
+    // PageRank over the nation trade graph — edges are supplier-nation →
+    // customer-nation revenue flows (the TPC-H Q7 volume join), ranks are
+    // 3 fixed power iterations with damping 0.85, dangling mass
+    // redistributed uniformly. Per iteration: ONE edge⋈rank equi-join +
+    // ONE per-dst aggregate (sparse matvec in relational form) — the
+    // crawl-curation shape for ranking hosts by link centrality before
+    // source mixing. The oracle unrolls the identical 3 iterations in
+    // CTEs; teleport/damping arithmetic is written so both engines do
+    // the same IEEE ops, and ranks round to 6 at the end only.
+    Q("q133_nation_pagerank",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("rev"))
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val c = Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val sup = Tables(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val nat = Tables(s, dir, "nation")
+        val edges = li
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat.select(col("n_nationkey").as("snk"),
+            col("n_name").as("src"))), col("s_nationkey") === col("snk"))
+          .join(broadcast(nat.select(col("n_nationkey").as("cnk"),
+            col("n_name").as("dst"))), col("c_nationkey") === col("cnk"))
+          .groupBy(col("src"), col("dst")).agg(sum(col("rev")).as("w"))
+        graft.analytics.Graphs.pageRank(edges, iters = 3)
+          .select(col("node").as("nation"), round(col("r"), 6).as("pr"))
+          .orderBy(col("nation"))
+      },
+      Some {
+        def iter(k: Int): String = {
+          val prev = if (k == 1) "r0" else s"r${k - 1}"
+          s"""d$k AS (SELECT coalesce(sum(r), CAST(0.0 AS DOUBLE)) AS dang
+             |  FROM $prev WHERE node NOT IN (SELECT src FROM e)),
+             |c$k AS (SELECT ne.dst AS node, sum(ne.p * rp.r) AS s
+             |  FROM ne JOIN $prev rp ON ne.src = rp.node GROUP BY 1),
+             |r$k AS (SELECT nodes.node,
+             |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+             |      + CAST(0.85 AS DOUBLE)
+             |        * (coalesce(c$k.s, CAST(0.0 AS DOUBLE))
+             |           + d$k.dang / nn.n) AS r
+             |  FROM nodes CROSS JOIN nn CROSS JOIN d$k
+             |  LEFT JOIN c$k ON c$k.node = nodes.node)""".stripMargin
+        }
+        s"""WITH e AS (SELECT sn.n_name AS src, cn.n_name AS dst,
+           |    sum(l_extendedprice * (1.0 - l_discount)) AS w
+           |  FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+           |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+           |  GROUP BY 1, 2),
+           |ow AS (SELECT src, sum(w) AS outw FROM e GROUP BY 1),
+           |ne AS (SELECT e.src, e.dst, e.w / ow.outw AS p
+           |  FROM e JOIN ow USING (src)),
+           |nodes AS (SELECT DISTINCT node FROM
+           |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+           |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+           |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS r
+           |  FROM nodes CROSS JOIN nn),
+           |${iter(1)},
+           |${iter(2)},
+           |${iter(3)}
+           |SELECT node AS nation, round(r, 6) AS pr
+           |FROM r3 ORDER BY nation""".stripMargin
+      })
   )
 }
