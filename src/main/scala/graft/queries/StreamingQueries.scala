@@ -350,6 +350,36 @@ object StreamingQueries {
           |  FROM s GROUP BY user_id, sess)
           |SELECT user_id, count(*) AS n_sessions, max(sess_len) AS max_sess_len,
           |  CAST(sum(sess_len) AS BIGINT) AS n_events
-          |FROM sl GROUP BY user_id ORDER BY user_id""".stripMargin))
+          |FROM sl GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Streaming INGEST under the gate: q107's JSONL corpus reader on the
+    // readStream path — the same explicit-schema parse and drop-don't-fail
+    // required-column gate (StreamingCurationSpec proves batch equality
+    // in-test; this row makes the driver's oracle prove it every round).
+    // Stateless map+filter into an append sink, so the sunk table is the
+    // surviving corpus bit-for-bit however the source splits into
+    // micro-batches; the planted garbage file must drop entirely.
+    Q("q134_streaming_jsonl_ingest",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select(
+          col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        val path = AnalyticsQueries
+          .tempDirCleanedOnExit("graft_sjsonl_").resolve("corpus").toString
+        graft.sources.Sources.writeJsonl(docs, path)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path, "garbage.json"),
+          Seq("{not json", """{"doc_id":"abc","text":"x"}""",
+            """{"doc_id":999999999}""", "").mkString("\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val stream = graft.sources.Sources.readJsonlStream(s, path,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+              "n_chars BIGINT"),
+          requiredCols = Seq("doc_id", "text"))
+        runToTable(stream, "jsonl_ingest").orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, text, lang, source, n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }
