@@ -156,6 +156,46 @@ object AnalyticsQueries {
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id, text, lang, source
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Snapshot reconciliation (graft.analytics.Snapshots.diff): which
+    // documents are new, gone, or edited between two corpus snapshots —
+    // the question every recrawl/re-export raises. Snapshot B is derived
+    // deterministically from A by mod arithmetic (doc_id%11=0 removed,
+    // %7=0 edited with a ' [v2]' suffix, %13=0 re-added under id+10⁶),
+    // so the oracle can rebuild the identical B and replay the digest
+    // full-outer join. Output is churn-sized (unchanged rows drop before
+    // materializing); removal beats edit when both apply (the row is
+    // simply absent from B) — same precedence in both engines.
+    Q("q136_corpus_diff",
+      (s, dir) => {
+        val a = Tables.sharded(s, dir, "documents", "doc_id")
+          .select(col("doc_id"), col("text"))
+        val b = a.where(col("doc_id") % 11 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0, concat(col("text"),
+              lit(" [v2]"))).otherwise(col("text")).as("text"))
+          .unionAll(a.where(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        graft.analytics.Snapshots.diff(a, b, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH b AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END
+          |      AS text
+          |  FROM documents WHERE doc_id % 11 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, text FROM documents
+          |  WHERE doc_id % 13 = 0),
+          |d AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+          |    CASE WHEN a.doc_id IS NULL THEN 'added'
+          |         WHEN b.doc_id IS NULL THEN 'removed'
+          |         WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+          |    END AS status
+          |  FROM documents a FULL JOIN b ON a.doc_id = b.doc_id)
+          |SELECT doc_id, status FROM d
+          |WHERE status IS NOT NULL ORDER BY doc_id""".stripMargin))
   )
 }

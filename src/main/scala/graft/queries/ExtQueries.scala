@@ -936,6 +936,59 @@ object ExtQueries {
           |  round(avg(k), 6) AS avg_k,
           |  min(k) AS min_k, max(k) AS max_k,
           |  CAST(count(*) FILTER (WHERE k >= 50) AS BIGINT) AS n_high
-          |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin))
+          |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Domain-similarity map for mixture design: per-label (≈ per-domain)
+    // embedding centroids, then pairwise centroid cosine — the "how close
+    // are my sources in embedding space" table that informs data-mix
+    // weights (near-duplicate domains shouldn't both get full budget).
+    // Scale shape: posexplode → (label, dim) mean with map-side partial
+    // agg (labels×dims rows through the exchange, corpus-independent);
+    // the pairwise stage runs on the tiny centroid table (labels² rows).
+    // Cosine rounds to 6 at the end only; both engines share the same
+    // explode/avg/dot arithmetic.
+    Q("q135_label_centroid_sim",
+      (s, dir) => {
+        val e = Tables.sharded(s, dir, "embeddings", "vec_id")
+          .select(col("label"),
+            posexplode(col("embedding").cast("array<double>"))
+              .as(Seq("d", "v")))
+        val cen = e.groupBy(col("label"), col("d"))
+          .agg(avg(col("v")).as("c"))
+        val nrm = cen.groupBy(col("label"))
+          .agg(sqrt(sum(col("c") * col("c"))).as("nrm"))
+        val dots = cen.alias("a")
+          .join(cen.alias("b"),
+            col("a.d") === col("b.d") && col("a.label") < col("b.label"))
+          .groupBy(col("a.label").as("label_a"),
+            col("b.label").as("label_b"))
+          .agg(sum(col("a.c") * col("b.c")).as("dot"))
+        dots
+          .join(nrm.select(col("label").as("label_a"),
+            col("nrm").as("na")), "label_a")
+          .join(nrm.select(col("label").as("label_b"),
+            col("nrm").as("nb")), "label_b")
+          .select(col("label_a"), col("label_b"),
+            round(col("dot") / (col("na") * col("nb")), 6).as("cos_sim"))
+          .orderBy(col("label_a"), col("label_b"))
+      },
+      Some(
+        """WITH emb AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e
+          |  FROM embeddings),
+          |ex AS (SELECT label, d, e[d] AS v FROM emb
+          |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d)),
+          |cen AS (SELECT label, d, avg(v) AS c FROM ex GROUP BY 1, 2),
+          |nrm AS (SELECT label, sqrt(sum(c * c)) AS nrm
+          |  FROM cen GROUP BY 1),
+          |dots AS (SELECT a.label AS label_a, b.label AS label_b,
+          |    sum(a.c * b.c) AS dot
+          |  FROM cen a JOIN cen b ON a.d = b.d AND a.label < b.label
+          |  GROUP BY 1, 2)
+          |SELECT label_a, label_b,
+          |  round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+          |FROM dots
+          |JOIN nrm na ON label_a = na.label
+          |JOIN nrm nb ON label_b = nb.label
+          |ORDER BY label_a, label_b""".stripMargin))
   )
 }
