@@ -514,4 +514,49 @@ object Dedup {
         org.apache.spark.sql.functions.size(col("__kept")).as("n_kept"),
         md5(concat_ws(" ", col("__kept"))).as("clean_digest"))
   }
+
+  /** Vector-space near-dup: cosine similarity over DF-capped tf-idf
+    * vectors — the bag-of-words complement of the shingle family
+    * (catches reordered/paraphrase-ish duplicates whose word MULTISET
+    * survives but whose n-gram sequence does not). The vocabulary is
+    * pruned to words in ≤ `dfCap` documents before anything else: the
+    * dropped high-DF words carry near-zero idf anyway, and the cap is
+    * what bounds the pair join's per-word fan-out to dfCap² — the same
+    * stop-shingle reasoning as the DF-capped Jaccard path. Weights are
+    * tf·ln(N/df); norms are over the capped vocabulary (standard pruned
+    * tf-idf). Scale shape: word-keyed equi-join with bounded fan-out,
+    * one keyed aggregate per candidate pair — never all-pairs.
+    * Returns (id_a, id_b, cos_sim) for every co-word pair; callers
+    * threshold. */
+  def tfidfPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", dfCap: Int = 20): DataFrame = {
+    val counts = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("c"))
+    val dfs = counts.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap)
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    // wt is exactly 0 when df == n (idf = ln 1): such words carry no
+    // signal, and a document whose every capped word has df == n would
+    // otherwise become a ZERO vector — a 0/0 cosine (ANSI divide error)
+    // against any candidate. Dropping the rows drops those documents
+    // from the candidate space entirely, which is the correct semantics
+    // for an all-ubiquitous-words page.
+    val w = counts.join(dfs, "word").crossJoin(broadcast(n))
+      .select(col(idCol), col("word"),
+        (col("c") * log(col("n") / col("df"))).as("wt"))
+      .where(col("wt") =!= 0.0)
+    val nrm = w.groupBy(col(idCol))
+      .agg(sqrt(sum(col("wt") * col("wt"))).as("nrm"))
+    w.alias("a")
+      .join(w.alias("b"),
+        col("a.word") === col("b.word") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(sum(col("a.wt") * col("b.wt")).as("dot"))
+      .join(nrm.select(col(idCol).as("id_a"), col("nrm").as("na")), "id_a")
+      .join(nrm.select(col(idCol).as("id_b"), col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("dot") / (col("na") * col("nb"))).as("cos_sim"))
+  }
 }

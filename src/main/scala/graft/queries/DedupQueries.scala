@@ -1150,6 +1150,147 @@ object DedupQueries {
         |JOIN sp pa ON jp.doc_a = pa.doc_id
         |JOIN sp pb ON jp.doc_b = pb.doc_id
         |WHERE pa.split <> pb.split
-        |ORDER BY jp.doc_a, jp.doc_b""".stripMargin))
+        |ORDER BY jp.doc_a, jp.doc_b""".stripMargin)),
+
+    // FUZZY passage-grain near-dup — the last quadrant of the dedup
+    // matrix (doc-exact q20, doc-fuzzy q28, passage-exact q108,
+    // passage-fuzzy HERE): q108's 32-token units put through the SAME
+    // MinHash-LSH + exact-Jaccard machinery as documents, just keyed by
+    // unit id (doc_id·10⁵ + chunk_id — chunk counts are page-bounded,
+    // far below 10⁵). Catches lightly-edited boilerplate that exact
+    // passage dedup misses; planted perturbations (first token of chunk
+    // 0 swapped on every 50th doc, J≈0.93 vs the original) guarantee
+    // the near-but-not-exact regime is exercised at any sf. Scale shape
+    // is q28's, at unit grain: document-local sketches, banded
+    // candidate equi-join, candidate-driven verify — never all-pairs.
+    Q("q137_passage_neardup",
+      (s, dir) => {
+        val chunks = graft.text.TextStats
+          .chunk(Tables.sharded(s, dir, "documents", "doc_id"),
+            size = 32, stride = 32)
+        val base = chunks.select(
+          (col("doc_id") * 100000L + col("chunk_id")).as("uid"),
+          concat_ws(" ", col("ctoks")).as("unit"))
+        val perturbed = chunks
+          .where(col("doc_id") % 50 === 0 && col("chunk_id") === 0)
+          .select((col("doc_id") * 100000L + 99999L).as("uid"),
+            concat_ws(" ", concat(array(lit("xqzperturb")),
+              slice(col("ctoks"), lit(2),
+                greatest(size(col("ctoks")) - 1, lit(0))))).as("unit"))
+        // cached: the unit shingle table feeds the sketch AND both sides
+        // of the candidate-driven verify (the grams() barrier pattern)
+        val ugrams = Caches.frame(s, dir, "ugrams") {
+          graft.dedup.Dedup.shingles(base.unionAll(perturbed),
+            idCol = "uid", textCol = "unit")
+        }
+        val bands = graft.dedup.Dedup.minhashBands(ugrams, idCol = "uid")
+        graft.dedup.Dedup
+          .jaccardVerify(graft.dedup.Dedup.lshCandidates(bands,
+            idCol = "uid"), ugrams, idCol = "uid")
+          .where(col("jaccard") >= 0.5)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(
+        s"""WITH d AS (SELECT doc_id, ${ExtQueries.duckTokens} AS toks
+          |  FROM documents),
+          |c AS (SELECT doc_id,
+          |    unnest(list_transform(generate_series(0, (len(toks) - 1) // 32),
+          |      i -> {'chunk_id': i,
+          |            'ctoks': toks[i * 32 + 1 : least(i * 32 + 32,
+          |                                             len(toks))]})) AS ch
+          |  FROM d WHERE len(toks) >= 1),
+          |un AS (
+          |  SELECT doc_id * 100000 + ch.chunk_id AS uid, ch.ctoks AS toks
+          |  FROM c
+          |  UNION ALL
+          |  SELECT doc_id * 100000 + 99999 AS uid,
+          |    list_concat(['xqzperturb'],
+          |      ch.ctoks[2:len(ch.ctoks)]) AS toks
+          |  FROM c WHERE doc_id % 50 = 0 AND ch.chunk_id = 0),
+          |g AS (SELECT uid, list_distinct(CASE WHEN len(toks) >= 3
+          |  THEN list_transform(generate_series(1, len(toks) - 2),
+          |       i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+          |  ELSE [] END) AS grams FROM un),
+          |e AS (SELECT uid, unnest(grams) AS gram FROM g),
+          |sizes AS (SELECT uid, len(grams) AS n FROM g),
+          |hs AS (SELECT unnest(generate_series(1, $K)) AS i),
+          |eh AS (SELECT uid, i,
+          |    min(md5(CAST(i AS VARCHAR) || '_' || gram)) AS h
+          |  FROM e CROSS JOIN hs GROUP BY uid, i),
+          |bands AS (SELECT uid, (i - 1) // $RowsPerBand AS band,
+          |    md5(string_agg(h, ',' ORDER BY i)) AS band_key
+          |  FROM eh GROUP BY uid, (i - 1) // $RowsPerBand),
+          |cand AS (SELECT x.uid AS id_a, y.uid AS id_b
+          |  FROM bands x JOIN bands y ON x.band = y.band
+          |    AND x.band_key = y.band_key AND x.uid < y.uid
+          |  GROUP BY 1, 2),
+          |pairs AS (SELECT c.id_a, c.id_b, count(*) AS common
+          |  FROM cand c
+          |  JOIN e a ON c.id_a = a.uid
+          |  JOIN e b ON c.id_b = b.uid AND a.gram = b.gram
+          |  GROUP BY 1, 2)
+          |SELECT id_a, id_b,
+          |  CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+          |FROM pairs
+          |JOIN sizes sa ON id_a = sa.uid
+          |JOIN sizes sb ON id_b = sb.uid
+          |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5
+          |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Vector-space near-dup (Dedup.tfidfPairs): cosine over DF-capped
+    // tf-idf vectors — the bag-of-words complement of the shingle
+    // detectors: word-order edits that break every 3-gram leave the word
+    // multiset (and so this cosine) almost unchanged. The df≤50 prune is
+    // load-bearing twice: it bounds the pair join's per-word fan-out to
+    // df² (the q41 stop-shingle argument) AND drops only low-idf words
+    // (df≤20 leaves this corpus with ZERO cross-doc capped words —
+    // measured, the synthetic tail is that heavy). Norms are over the
+    // capped vocabulary (standard pruned tf-idf). Perturbed copies
+    // (every 40th doc re-added under id+2·10⁶ with three novel tokens
+    // appended) exercise the near-but-not-exact band the organic corpus
+    // lacks — its only ≥0.5 pairs are exact dups at cosine 1.0.
+    // Threshold compares the UNROUNDED cosine in both engines; the
+    // reported value rounds to 6.
+    Q("q138_tfidf_neardup",
+      (s, dir) => {
+        val base = Tables.sharded(s, dir, "documents", "doc_id")
+          .select(col("doc_id"), col("text"))
+        val docs = base.unionAll(base.where(col("doc_id") % 40 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" xqa xqb xqc")).as("text")))
+        graft.dedup.Dedup.tfidfPairs(docs, dfCap = 50)
+          .where(col("cos_sim") >= 0.5)
+          .select(col("id_a"), col("id_b"),
+            round(col("cos_sim"), 6).as("cos_sim"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(
+        s"""WITH docs AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 2000000, text || ' xqa xqb xqc'
+          |  FROM documents WHERE doc_id % 40 = 0),
+          |t AS (SELECT doc_id,
+          |    unnest(${ExtQueries.duckTokens}) AS word FROM docs),
+          |c AS (SELECT doc_id, word, count(*) AS c FROM t GROUP BY 1, 2),
+          |df AS (SELECT word, count(*) AS df FROM c
+          |  GROUP BY 1 HAVING count(*) <= 50),
+          |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM docs),
+          |w AS (SELECT c.doc_id, c.word, c.c * ln(n.n / df.df) AS wt
+          |  FROM c JOIN df USING (word) CROSS JOIN n
+          |  WHERE df.df <> n.n),
+          |nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm
+          |  FROM w GROUP BY 1),
+          |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |    sum(a.wt * b.wt) AS dot
+          |  FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT id_a, id_b,
+          |  round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+          |FROM dots
+          |JOIN nrm na ON id_a = na.doc_id
+          |JOIN nrm nb ON id_b = nb.doc_id
+          |WHERE dot / (na.nrm * nb.nrm) >= 0.5
+          |ORDER BY id_a, id_b""".stripMargin))
   )
 }
