@@ -26,7 +26,13 @@ object Graphs {
     * standard (1−damping)/n. Returns (node, r) after `iters` rounds
     * from the uniform start — fixed-iteration (not
     * convergence-tested), so the result is a pure deterministic
-    * function of the graph. */
+    * function of the graph.
+    *
+    * PERSIST `edges` before calling: nodes, out-weights, normalized
+    * edges, and every iteration's dangling/contribution pass all
+    * re-derive from it — an unpersisted expensive edge build re-executes
+    * ~4× per iteration (q133 measured 3.9 s → 0.6 s at sf0.1 from this
+    * alone). */
   def pageRank(edges: DataFrame, iters: Int,
       damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")

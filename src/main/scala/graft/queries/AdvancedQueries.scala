@@ -796,15 +796,22 @@ object AdvancedQueries {
         val sup = Tables(s, dir, "supplier")
           .select(col("s_suppkey"), col("s_nationkey"))
         val nat = Tables(s, dir, "nation")
-        val edges = li
-          .join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(nat.select(col("n_nationkey").as("snk"),
-            col("n_name").as("src"))), col("s_nationkey") === col("snk"))
-          .join(broadcast(nat.select(col("n_nationkey").as("cnk"),
-            col("n_name").as("dst"))), col("c_nationkey") === col("cnk"))
-          .groupBy(col("src"), col("dst")).agg(sum(col("rev")).as("w"))
+        // cached: pageRank's nodes/out-weights/normalized edges and every
+        // iteration's dangling/contribution pass all re-derive from
+        // `edges` — without the barrier the lineitem fact join re-executes
+        // ~4× per iteration (measured 3.9 s → 0.6 s at sf0.1). At cluster
+        // scale this materialization is exactly the edge table a graph
+        // job persists before iterating.
+        val edges = Caches.frame(s, dir, "natedges", eager = true) {
+          li.join(o, col("l_orderkey") === col("o_orderkey"))
+            .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+            .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+            .join(broadcast(nat.select(col("n_nationkey").as("snk"),
+              col("n_name").as("src"))), col("s_nationkey") === col("snk"))
+            .join(broadcast(nat.select(col("n_nationkey").as("cnk"),
+              col("n_name").as("dst"))), col("c_nationkey") === col("cnk"))
+            .groupBy(col("src"), col("dst")).agg(sum(col("rev")).as("w"))
+        }
         graft.analytics.Graphs.pageRank(edges, iters = 3)
           .select(col("node").as("nation"), round(col("r"), 6).as("pr"))
           .orderBy(col("nation"))
