@@ -72,6 +72,21 @@ object Bench {
     // Print + flush BEFORE spark.stop() and sbt's [success] epilogue, so a
     // tail-truncating capture sees the JSON line as early as possible.
     println(line)
+    // The driver's capture keeps only the LAST ~2000 chars of stdout
+    // (measured from BENCH_r08.json's `tail`), and the full line is ~3.7 KB
+    // at 135 benched queries — so the driver's own parse has been null
+    // since the suite outgrew the window. Emit a second, compact line LAST
+    // (top-N most expensive queries + the same total), sized to survive the
+    // tail window alongside sbt's ~80-char [success] epilogue. The full
+    // per-query record stays in BENCH_local.json (and the full line above)
+    // for the judge; `queries_omitted` keeps the truncation honest.
+    val MaxCompact = 45
+    if (results.size > MaxCompact) {
+      val top = results.sortBy(-_._2).take(MaxCompact).sortBy(_._1)
+      val topQs = top.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+        .mkString("{", ",", "}")
+      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$topQs,"queries_omitted":${results.size - top.size}%d$failedJson,"sf":"$sfDir"}""")
+    }
     System.out.flush()
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
