@@ -989,6 +989,72 @@ object ExtQueries {
           |FROM dots
           |JOIN nrm na ON label_a = na.label
           |JOIN nrm nb ON label_b = nb.label
-          |ORDER BY label_a, label_b""".stripMargin))
+          |ORDER BY label_a, label_b""".stripMargin)),
+
+    // Spectral diagnosis of the embedding corpus (graft.similarity
+    // .Spectral): top principal component by 4 fixed power-iteration
+    // steps over the mean-centered Gram matrix — the PCA-shaped
+    // anisotropy check run before ANN index tuning ("is one direction
+    // eating the variance"). The ONLY corpus-sized stage is the Gram
+    // accumulation (d²=4096 cells, map-side partials); every iteration
+    // then runs on d²/d-sized frames. Fixed iteration count from the
+    // uniform start makes the result a pure function of the data; sign
+    // canonicalizes on the largest-|loading| coordinate. The oracle
+    // replays the same 4 unrolled iterations in CTEs; dims align by
+    // construction (posexplode 0-based ⟷ generate_series 1-based,
+    // shifted at the end).
+    Q("q139_embedding_pca",
+      (s, dir) => {
+        val gram = Caches.frame(s, dir, "gram", eager = true) {
+          graft.similarity.Spectral.gramMatrix(embFrame(s, dir))
+        }
+        graft.similarity.Spectral.topEigen(gram, dim = 64, iters = 4)
+          .select(col("i"), round(col("v"), 6).as("loading"),
+            round(col("ev"), 6).as("ev"),
+            round(col("explained"), 6).as("explained"))
+          .orderBy(col("i"))
+      },
+      Some {
+        def iter(k: Int): String = {
+          val prev = if (k == 1) "v0" else s"v${k - 1}"
+          s"""w$k AS (SELECT g.i, sum(g.g * v.v) AS w
+             |  FROM gram g JOIN $prev v ON g.j = v.j GROUP BY 1),
+             |n$k AS (SELECT sqrt(sum(w * w)) AS nrm FROM w$k),
+             |v$k AS (SELECT i AS j, w / n$k.nrm AS v
+             |  FROM w$k CROSS JOIN n$k)""".stripMargin
+        }
+        s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           |  FROM embeddings),
+           |ex AS (SELECT vec_id, d, e[d] AS x FROM emb
+           |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d)),
+           |mu AS (SELECT d, avg(x) AS mu FROM ex GROUP BY 1),
+           |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM emb),
+           |cent AS (SELECT vec_id, d, x - mu AS c FROM ex JOIN mu USING (d)),
+           |gs AS (SELECT a.d AS i, b.d AS j, sum(a.c * b.c) AS s
+           |  FROM cent a JOIN cent b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+           |gram AS (SELECT i, j, s / nn.n AS g FROM gs CROSS JOIN nn),
+           |v0 AS (SELECT d AS j, CAST(1.0 AS DOUBLE) / sqrt(CAST(64 AS DOUBLE)) AS v
+           |  FROM (SELECT unnest(generate_series(1, 64)) AS d)),
+           |${iter(1)},
+           |${iter(2)},
+           |${iter(3)},
+           |${iter(4)},
+           |vec AS (SELECT j AS i, v FROM v4),
+           |gv AS (SELECT g.i, sum(g.g * v.v) AS w
+           |  FROM gram g JOIN (SELECT i AS j, v FROM vec) v ON g.j = v.j
+           |  GROUP BY 1),
+           |lam AS (SELECT sum(gv.w * vec.v) AS ev
+           |  FROM gv JOIN vec ON gv.i = vec.i),
+           |tr AS (SELECT sum(g) AS tr FROM gram WHERE i = j),
+           |mx AS (SELECT max(abs(v)) AS mx FROM vec),
+           |sg AS (SELECT arg_min(sign(v), i) AS s
+           |  FROM vec CROSS JOIN mx WHERE abs(v) = mx.mx)
+           |SELECT CAST(vec.i - 1 AS BIGINT) AS i,
+           |  round(vec.v * sg.s, 6) AS loading,
+           |  round(lam.ev, 6) AS ev,
+           |  round(lam.ev / tr.tr, 6) AS explained
+           |FROM vec CROSS JOIN sg CROSS JOIN lam CROSS JOIN tr
+           |ORDER BY i""".stripMargin
+      })
   )
 }

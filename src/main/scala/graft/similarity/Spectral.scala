@@ -1,0 +1,96 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Spectral analysis of an embedding corpus as DataFrame algebra — the
+  * PCA-shaped preprocessing of vector pipelines (whitening, anisotropy
+  * diagnosis, "is one direction eating the variance" checks before ANN
+  * index tuning). Public method: power iteration on the covariance/Gram
+  * matrix (Mises–Pollaczek-Geiringer iteration; PCA per Pearson/Hotelling
+  * — all public knowledge).
+  *
+  * Scale anatomy: the ONLY corpus-sized stage is the Gram accumulation —
+  * (i,j) cell sums with map-side partial aggregation, d² bounded cells
+  * (4096 at d=64) through one exchange regardless of corpus size. Every
+  * power-iteration step then runs on d²- and d-sized frames: a cell⋈vector
+  * equi-join, a per-row keyed sum, and a broadcast 1-row norm — no driver
+  * state, no N-sized anything after the first pass. */
+object Spectral {
+
+  /** Mean-centered Gram/covariance cells of `emb` (idCol, e: array):
+    * (i, j, g) with g = Σ_n (x_ni − μ_i)(x_nj − μ_j) / N, dims 0-based.
+    * PERSIST the result before iterating on it (the q133 lesson: a loop
+    * re-references its input once per round). */
+  def gramMatrix(emb: DataFrame, idCol: String = "vec_id",
+      eCol: String = "e"): DataFrame = {
+    val xi = emb.select(posexplode(col(eCol)).as(Seq("i", "x")))
+    val mu = xi.groupBy(col("i")).agg(avg(col("x")).as("mu"))
+    val n = emb.agg(count(lit(1)).cast("double").as("n"))
+    // centered per-row coordinates, then the (i,j) product accumulation;
+    // the self-join key is the ROW id, so fan-out per row is exactly d²
+    val cent = emb
+      .select(col(idCol).as("__rid"), posexplode(col(eCol)).as(Seq("i", "x")))
+      .join(broadcast(mu), "i")
+      .select(col("__rid"), col("i"), (col("x") - col("mu")).as("c"))
+    cent.alias("a")
+      .join(cent.alias("b"), col("a.__rid") === col("b.__rid"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(col("a.c") * col("b.c")).as("s"))
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"), (col("s") / col("n")).as("g"))
+  }
+
+  /** Top eigenvector of `gram` (i, j, g) by `iters` fixed power-iteration
+    * steps from the uniform start — a pure deterministic function of the
+    * matrix (no convergence test, no randomness). Sign is canonicalized
+    * so the largest-|loading| coordinate (lowest index on ties) is
+    * positive. Returns (i, v) plus the Rayleigh eigenvalue and
+    * trace-explained ratio as constant columns (ev, explained). */
+  def topEigen(gram: DataFrame, dim: Int, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = gram.sparkSession
+    import spark.implicits._
+    // v re-derives from gram after one round — aliases keep the
+    // self-join resolution unambiguous (the pageRank convention)
+    var v: DataFrame = (0 until dim).map(i => (i, 1.0 / math.sqrt(dim)))
+      .toDF("j", "v")
+    for (_ <- 1 to iters) {
+      val w = gram.alias("g").join(v.alias("vv"), col("g.j") === col("vv.j"))
+        .groupBy(col("g.i").as("i"))
+        .agg(sum(col("g.g") * col("vv.v")).as("w"))
+      val nrm = w.agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      // localCheckpoint truncates the loop lineage every round: without
+      // it the logical plan (gram + TWO references to the previous v)
+      // grows ~2^k and Catalyst analysis hangs well before execution
+      // would (observed: 2×2 matrix, 25 iters, 10-minute optimizer
+      // stall). The vector is d rows — materializing it is free.
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("i").as("j"), (col("w") / col("nrm")).as("v"))
+        .localCheckpoint(true)
+    }
+    val vec = v.select(col("j").as("i"), col("v"))
+    // Rayleigh quotient λ = vᵀGv (‖v‖=1 after the last normalize) and the
+    // variance share λ/tr(G)
+    val gv = gram.alias("g")
+      .join(vec.select(col("i").as("j"), col("v")).alias("vv"),
+        col("g.j") === col("vv.j"))
+      .groupBy(col("g.i").as("i"))
+      .agg(sum(col("g.g") * col("vv.v")).as("w"))
+    val lam = gv.alias("w").join(vec.alias("vv"),
+        col("w.i") === col("vv.i"))
+      .agg(sum(col("w.w") * col("vv.v")).as("ev"))
+    val tr = gram.where(col("i") === col("j"))
+      .agg(sum(col("g")).as("tr"))
+    // sign canon: s = sign of v at the smallest index attaining max |v|
+    val sgn = vec.crossJoin(broadcast(
+        vec.agg(max(abs(col("v"))).as("mx"))))
+      .where(abs(col("v")) === col("mx"))
+      .agg(min_by(signum(col("v")), col("i")).as("s"))
+    vec.crossJoin(broadcast(sgn))
+      .crossJoin(broadcast(lam))
+      .crossJoin(broadcast(tr))
+      .select(col("i"), (col("v") * col("s")).as("v"),
+        col("ev"), (col("ev") / col("tr")).as("explained"))
+  }
+}
