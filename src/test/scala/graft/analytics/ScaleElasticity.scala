@@ -124,16 +124,51 @@ object ScaleElasticity {
         shortlist = 64, probes = 4, assignProbes = 2))
     }
 
-    run("exact_dedup", time("exact_dedup", "1x")(exactDedup("1x")),
-      time("exact_dedup", "10x")(exactDedup("10x")))
-    run("minhash_lsh", time("minhash_lsh", "1x")(lsh("1x")),
-      time("minhash_lsh", "10x")(lsh("10x")))
-    run("passage_dedup", time("passage_dedup", "1x")(passage("1x")),
-      time("passage_dedup", "10x")(passage("10x")))
-    run("ivf_multiprobe", time("ivf_multiprobe", "1x")(ann("1x", 8)),
-      time("ivf_multiprobe", "10x")(ann("10x", 80)))
-    run("ivfpq_adc_refine", time("ivfpq_adc_refine", "1x")(pqadc("1x", 8)),
-      time("ivfpq_adc_refine", "10x")(pqadc("10x", 80)))
+    // round-10 additions ------------------------------------------------
+    // spectral PCA: the corpus-sized stage is the N×d² Gram product
+    // accumulation; the 4 power-iteration rounds are d-sized
+    def pca(tag: String): Unit = {
+      val g = graft.similarity.Spectral
+        .gramMatrix(emb(tag), eCol = "e")
+        .persist()
+      try force(graft.similarity.Spectral.topEigen(g, dim = 64, iters = 4))
+      finally g.unpersist()
+    }
+    // NB classifier: train = one corpus token×class aggregation, apply =
+    // (word,label)-keyed join + per-doc argmax
+    def nb(tag: String): Unit =
+      force(graft.text.Classify.naiveBayesPredict(docs(tag), "source"))
+    // pagerank: node/edge counts ∝ corpus (10k/100k nodes, 100k/1M
+    // edges, hash-derived) — per-iteration edge⋈rank join + keyed agg
+    def pagerank(tag: String): Unit = {
+      val (nodes, edges) =
+        if (tag == "10x") (100000L, 1000000L) else (10000L, 100000L)
+      val e = spark.range(edges).select(
+        pmod(xxhash64(col("id")), lit(nodes)).as("src"),
+        pmod(xxhash64(col("id") * 7 + 1), lit(nodes)).as("dst"),
+        (pmod(xxhash64(col("id") * 13 + 2), lit(100)) + 1)
+          .cast("double").as("w"))
+        .persist()
+      try force(graft.analytics.Graphs.pageRank(e, iters = 3))
+      finally e.unpersist()
+    }
+
+    val probes: Seq[(String, String => Unit)] = Seq(
+      ("exact_dedup", exactDedup _),
+      ("minhash_lsh", lsh _),
+      ("passage_dedup", passage _),
+      ("ivf_multiprobe", (t: String) => ann(t, if (t == "10x") 80 else 8)),
+      ("ivfpq_adc_refine",
+        (t: String) => pqadc(t, if (t == "10x") 80 else 8)),
+      ("spectral_pca", pca _),
+      ("nb_classifier", nb _),
+      ("pagerank", pagerank _))
+    // optional name-prefix filter: rerun a subset without paying the rest
+    val selected = args.headOption
+      .map(p => probes.filter(_._1.startsWith(p))).getOrElse(probes)
+    selected.foreach { case (name, f) =>
+      run(name, time(name, "1x")(f("1x")), time(name, "10x")(f("10x")))
+    }
 
     println("[elast] summary (name, 1x s, 10x s, ratio):")
     results.foreach { case (n, (a, b)) =>
