@@ -22,21 +22,30 @@ object Spectral {
     * (i, j, g) with g = Σ_n (x_ni − μ_i)(x_nj − μ_j) / N, dims 0-based.
     * PERSIST the result before iterating on it (the q133 lesson: a loop
     * re-references its input once per round). */
-  def gramMatrix(emb: DataFrame, idCol: String = "vec_id",
-      eCol: String = "e"): DataFrame = {
+  def gramMatrix(emb: DataFrame, eCol: String = "e"): DataFrame = {
     val xi = emb.select(posexplode(col(eCol)).as(Seq("i", "x")))
     val mu = xi.groupBy(col("i")).agg(avg(col("x")).as("mu"))
+    // the per-dim means as ONE broadcast array row (sorted by dim —
+    // struct ordering sorts on the leading unique i), so centering is a
+    // zip_with map, not a join
+    val muArr = mu.agg(transform(
+      array_sort(collect_list(struct(col("i"), col("mu")))),
+      s => s("mu")).as("__mu"))
     val n = emb.agg(count(lit(1)).cast("double").as("n"))
-    // centered per-row coordinates, then the (i,j) product accumulation;
-    // the self-join key is the ROW id, so fan-out per row is exactly d²
-    val cent = emb
-      .select(col(idCol).as("__rid"), posexplode(col(eCol)).as(Seq("i", "x")))
-      .join(broadcast(mu), "i")
-      .select(col("__rid"), col("i"), (col("x") - col("mu")).as("c"))
-    cent.alias("a")
-      .join(cent.alias("b"), col("a.__rid") === col("b.__rid"))
-      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-      .agg(sum(col("a.c") * col("b.c")).as("s"))
+    // Per-row outer product via two stacked generators: N·d² cell rows
+    // materialize map-side and partial-aggregate into d² cells per
+    // partition BEFORE the exchange — the only shuffle in the whole
+    // build is the 4096-cell final aggregate. (The first version
+    // self-joined the exploded corpus on the row id: a corpus-sized
+    // sort-merge shuffle carrying N·d rows per side, caught by
+    // PlanAuditSpec — at 100 TB that shuffle IS the job. This shape has
+    // no corpus-sized exchange at all.)
+    emb.crossJoin(broadcast(muArr))
+      .select(zip_with(col(eCol), col("__mu"), (x, m) => x - m).as("c"))
+      .select(posexplode(col("c")).as(Seq("i", "ci")), col("c"))
+      .select(col("i"), col("ci"), posexplode(col("c")).as(Seq("j", "cj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("ci") * col("cj")).as("s"))
       .crossJoin(broadcast(n))
       .select(col("i"), col("j"), (col("s") / col("n")).as("g"))
   }
@@ -77,7 +86,7 @@ object Spectral {
         col("g.j") === col("vv.j"))
       .groupBy(col("g.i").as("i"))
       .agg(sum(col("g.g") * col("vv.v")).as("w"))
-    val lam = gv.alias("w").join(vec.alias("vv"),
+    val lam = gv.alias("w").join(broadcast(vec.alias("vv")),
         col("w.i") === col("vv.i"))
       .agg(sum(col("w.w") * col("vv.v")).as("ev"))
     val tr = gram.where(col("i") === col("j"))

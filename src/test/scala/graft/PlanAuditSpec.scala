@@ -332,4 +332,55 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase
         s"pair explode must read the aggregated vocabulary, not raw tokens:\n$g")
     }
   }
+
+  test("q132: the NB apply side broadcasts every model-adjacent small " +
+      "frame — labels, totals, vocab size, priors — never a cartesian") {
+    val p = plan("q132_nb_source_classifier")
+    assert(collectWithSubqueries(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"cartesian product in the NB apply plan:\n$p")
+    // the label expansion + scalar attachments are broadcast nested-loop
+    // joins (crossJoin of broadcast tiny frames); the model join itself
+    // must be a keyed join on (word, label)
+    assert(collectWithSubqueries(p) {
+      case b: BroadcastNestedLoopJoinExec => b
+    }.nonEmpty, s"expected broadcast label/scalar expansion:\n$p")
+  }
+
+  test("q133: pagerank iterates over the CACHED edge table (no fact-join " +
+      "re-execution) and never goes cartesian") {
+    val p = plan("q133_nation_pagerank")
+    assert(collectWithSubqueries(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"cartesian product in the pagerank plan:\n$p")
+    // every reference to the edge table must scan the cache — a raw
+    // FileSourceScan of lineitem inside the rank plan means the 4-way
+    // fact join is re-executing per reference (the 3.9 s regression)
+    val factScans = collectWithSubqueries(p) {
+      case f: FileSourceScanExec
+          if f.toString.contains("lineitem") => f
+    }
+    assert(factScans.isEmpty,
+      s"pagerank plan re-scans lineitem — edge cache lost:\n$p")
+  }
+
+  test("q137: the unit shingle table is cached and scanned by sketch and " +
+      "verify alike, never rebuilt") {
+    val p = plan("q137_passage_neardup")
+    val cacheScans = collectWithSubqueries(p) {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+    }
+    assert(cacheScans.size >= 2,
+      s"expected the cached unit-gram table on both sides (sketch + verify):\n$p")
+  }
+
+  test("q139: spectral iterations stay broadcast-joined — no sort-merge " +
+      "join anywhere in a d-sized iteration space") {
+    val p = plan("q139_embedding_pca")
+    assert(collectWithSubqueries(p) { case s: SortMergeJoinExec => s }.isEmpty,
+      s"sort-merge join in the d-sized spectral plan:\n$p")
+    assert(collectWithSubqueries(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"cartesian product in the spectral plan:\n$p")
+  }
 }
