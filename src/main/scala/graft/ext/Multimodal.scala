@@ -26,12 +26,15 @@ case class MediaMeta(docId: Long, kind: String, byteLen: Int, width: Int,
   *
   * STUB NOTE: this container has no media libraries, so the default decoder
   * is a clearly-marked deterministic fake deriving dimensions from the
-  * payload digest. Three UNCOMPRESSED formats are decoded for real with
-  * zero libraries — binary PPM ([[decodePpm]]), 24-bit BMP
-  * ([[decodeBmp]]/[[encodeBmp]]), and 16-bit PCM WAV audio
-  * ([[decodeWav]]/[[encodeWav]]) — so the decode path is genuinely
-  * exercised end-to-end for images AND audio (q106/q115/q128);
-  * compressed formats keep the labeled stub. The partitioning, schema, typed Dataset plumbing and the
+  * payload digest. Four formats are decoded for real with zero external
+  * libraries — binary PPM ([[decodePpm]]), 24-bit BMP
+  * ([[decodeBmp]]/[[encodeBmp]]), 16-bit PCM WAV audio
+  * ([[decodeWav]]/[[encodeWav]]), and COMPRESSED 8-bit truecolor PNG
+  * ([[decodePng]]/[[encodePng]], built on the JDK's Inflater/CRC32) — so
+  * the decode path is genuinely exercised end-to-end for images AND audio,
+  * including a real entropy-coded format (q106/q115/q128/q140); formats
+  * needing codecs the JDK lacks (JPEG/MP3/H.264) keep the labeled stub.
+  * The partitioning, schema, typed Dataset plumbing and the
   * per-partition decoder lifecycle are real and tested; swap `stubDecoder`
   * for a JNI/codec-backed factory in production.
   */
@@ -425,6 +428,242 @@ object Multimodal {
     } else canonical
   }
 
+  // ---------------------------------------------------------------------
+  // REAL decode path #4: PNG (8-bit truecolor, non-interlaced) — the first
+  // COMPRESSED format, decoded with zero media libraries: the JDK ships
+  // the two primitives PNG needs (java.util.zip.Inflater for the DEFLATE
+  // stream, java.util.zip.CRC32 for chunk checksums). Exercises what the
+  // uncompressed formats can't: chunk framing with checksums, a real
+  // entropy-coded payload, and the five per-row predictive filters
+  // (None/Sub/Up/Average/Paeth) whose inversion is the decode. Grammar and
+  // filter algebra per the public PNG spec (RFC 2083 / W3C PNG).
+  // ---------------------------------------------------------------------
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    .map(_.toByte)
+
+  /** Parse a PNG payload → (width, height, rgb bytes top-down). Strict,
+    * like the other codecs: bad signature, CRC mismatch on any chunk,
+    * non-IHDR first chunk, bit depth ≠ 8, color type ≠ 2 (truecolor RGB),
+    * interlacing, a malformed DEFLATE stream, an inflated size that is not
+    * exactly h·(1+3w), an unknown filter type byte, missing IDAT/IEND, or
+    * trailing bytes after IEND all throw — a corrupt payload must surface
+    * per-row, not decode into garbage stats. */
+  def decodePng(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    def fail(msg: String) =
+      throw new IllegalArgumentException(s"decodePng: $msg")
+    def i32(o: Int): Int = ((bytes(o) & 0xff) << 24) |
+      ((bytes(o + 1) & 0xff) << 16) | ((bytes(o + 2) & 0xff) << 8) |
+      (bytes(o + 3) & 0xff)
+    if (bytes.length < 8 || !java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(bytes, 0, 8), PngSig))
+      fail("bad signature")
+    var pos = 8
+    var w = -1
+    var h = -1
+    var sawIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!sawIend) {
+      if (pos + 8 > bytes.length) fail("truncated chunk header")
+      val len = i32(pos)
+      val typ = new String(bytes, pos + 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      if (len < 0 || pos + 12 + len > bytes.length)
+        fail(s"chunk '$typ' length $len overruns payload")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      if (crc.getValue.toInt != i32(pos + 8 + len))
+        fail(s"CRC mismatch on chunk '$typ'")
+      typ match {
+        case "IHDR" =>
+          if (w >= 0) fail("duplicate IHDR")
+          if (len != 13) fail(s"IHDR length $len")
+          w = i32(pos + 8); h = i32(pos + 12)
+          if (w <= 0 || h <= 0) fail(s"bad dimensions ${w}x$h")
+          val (depth, color) = (bytes(pos + 16), bytes(pos + 17))
+          if (depth != 8) fail(s"bit depth $depth (8 only)")
+          if (color != 2) fail(s"color type $color (truecolor RGB only)")
+          if (bytes(pos + 18) != 0) fail("unknown compression method")
+          if (bytes(pos + 19) != 0) fail("unknown filter method")
+          if (bytes(pos + 20) != 0) fail("interlaced PNGs unsupported")
+        case "IDAT" =>
+          if (w < 0) fail("IDAT before IHDR")
+          idat.write(bytes, pos + 8, len)
+        case "IEND" =>
+          if (len != 0) fail(s"IEND length $len")
+          sawIend = true
+        case _ if w < 0 => fail(s"first chunk '$typ' (IHDR required)")
+        case _ => // ancillary chunk (tEXt, …) — CRC-checked above, skipped
+      }
+      pos += 12 + len
+    }
+    if (pos != bytes.length) fail(s"${bytes.length - pos} bytes after IEND")
+    if (idat.size == 0) fail("no IDAT chunk")
+    // inflate the concatenated IDAT stream to exactly h*(1+3w) bytes
+    val stride = 1 + 3 * w
+    val raw = new Array[Byte](h * stride)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    try {
+      var got = 0
+      var progressing = true
+      while (progressing && got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        got += n
+        progressing = n > 0
+      }
+      if (got != raw.length)
+        fail(s"inflated $got bytes, expected ${raw.length}")
+      // the stream must END here: extra compressed rows would silently
+      // vanish if we only checked the byte count
+      if (!inf.finished() && inf.inflate(new Array[Byte](1)) != 0)
+        fail(s"DEFLATE stream longer than ${raw.length} bytes")
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        fail(s"malformed DEFLATE stream: ${e.getMessage}")
+    } finally inf.end()
+    // invert the per-row filters → top-down interleaved RGB
+    val rgb = new Array[Byte](w * h * 3)
+    val bpp = 3
+    var row = 0
+    while (row < h) {
+      val ft = raw(row * stride) & 0xff
+      var x = 0
+      while (x < w * 3) {
+        val cur = raw(row * stride + 1 + x) & 0xff
+        val left = if (x >= bpp) rgb(row * w * 3 + x - bpp) & 0xff else 0
+        val up = if (row > 0) rgb((row - 1) * w * 3 + x) & 0xff else 0
+        val upLeft = if (row > 0 && x >= bpp)
+          rgb((row - 1) * w * 3 + x - bpp) & 0xff else 0
+        val recon = ft match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case 4 => // Paeth predictor, per the spec's exact tie-break order
+            val p = left + up - upLeft
+            val (pa, pb, pc) =
+              (math.abs(p - left), math.abs(p - up), math.abs(p - upLeft))
+            cur + (if (pa <= pb && pa <= pc) left
+                   else if (pb <= pc) up
+                   else upLeft)
+          case other => fail(s"unknown filter type $other in row $row")
+        }
+        rgb(row * w * 3 + x) = recon.toByte
+        x += 1
+      }
+      row += 1
+    }
+    (w, h, rgb)
+  }
+
+  /** Encode a top-down RGB raster as a PNG (8-bit truecolor). Row `r` is
+    * filtered with type `r % 5`, so a round-trip exercises ALL FIVE filter
+    * inversions — an encoder that always picked filter 0 would leave the
+    * interesting 4/5 of [[decodePng]] untested. Round-trip is raster-exact
+    * (the filters are lossless predictors, DEFLATE is lossless). */
+  def encodePng(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0, s"encodePng: bad dimensions ${w}x$h")
+    require(rgb.length == w * h * 3,
+      s"encodePng: raster length ${rgb.length} != ${w * h * 3}")
+    val bpp = 3
+    val stride = 1 + 3 * w
+    val raw = new Array[Byte](h * stride)
+    var row = 0
+    while (row < h) {
+      val ft = row % 5
+      raw(row * stride) = ft.toByte
+      var x = 0
+      while (x < w * 3) {
+        val cur = rgb(row * w * 3 + x) & 0xff
+        val left = if (x >= bpp) rgb(row * w * 3 + x - bpp) & 0xff else 0
+        val up = if (row > 0) rgb((row - 1) * w * 3 + x) & 0xff else 0
+        val upLeft = if (row > 0 && x >= bpp)
+          rgb((row - 1) * w * 3 + x - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case _ =>
+            val p = left + up - upLeft
+            val (pa, pb, pc) =
+              (math.abs(p - left), math.abs(p - up), math.abs(p - upLeft))
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft
+        }
+        raw(row * stride + 1 + x) = (cur - pred).toByte
+        x += 1
+      }
+      row += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw)
+    defl.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val idat = out.toByteArray
+    val png = new java.io.ByteArrayOutputStream()
+    png.write(PngSig, 0, 8)
+    def writeChunk(typ: String, data: Array[Byte]): Unit = {
+      def be32(v: Int): Array[Byte] = Array((v >> 24).toByte,
+        (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+      val t = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      png.write(be32(data.length), 0, 4)
+      png.write(t, 0, 4)
+      png.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      png.write(be32(crc.getValue.toInt), 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (w >> 24).toByte; ihdr(1) = (w >> 16).toByte
+    ihdr(2) = (w >> 8).toByte; ihdr(3) = w.toByte
+    ihdr(4) = (h >> 24).toByte; ihdr(5) = (h >> 16).toByte
+    ihdr(6) = (h >> 8).toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8; ihdr(9) = 2 // depth 8, truecolor
+    writeChunk("IHDR", ihdr)
+    writeChunk("IDAT", idat)
+    writeChunk("IEND", Array.emptyByteArray)
+    png.toByteArray
+  }
+
+  /** Deterministic PNG payload for doc `d` — a REAL compressed byte stream
+    * (signature, CRC'd chunks, DEFLATE'd filtered rows) whose DECODED
+    * raster follows closed-form arithmetic `(d*41 + i) % 256`, so a SQL
+    * oracle predicts the decoded channel sums with no decoder. Heights are
+    * ≥ 5 so every payload exercises all five row filters (row r uses
+    * filter r % 5); any bug in chunk walking, CRC math, inflation, or a
+    * filter inversion shifts a sum and breaks the hash. */
+  def syntheticPng(d: Long): Array[Byte] = {
+    val w = (3 + d % 5).toInt
+    val h = (5 + d % 4).toInt
+    encodePng(w, h,
+      Array.tabulate(w * h * 3)(i => ((d * 41 + i) % 256).toByte))
+  }
+
+  /** REAL decoder factory over [[decodePng]] — same per-partition factory
+    * contract as the other codecs. */
+  val pngDecoder: DecoderFactory = () => { bytes =>
+    val (w, h, _) = decodePng(bytes)
+    (w, h, 1)
+  }
+
+  /** Per-channel pixel sums from decoded PNG payloads — the compressed
+    * sibling of [[ppmPixelStats]]/[[bmpPixelStats]], meeting them at the
+    * same integer-exact shape. */
+  def pngPixelStats(ds: Dataset[MediaFile]): Dataset[PpmStats] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val (w, h, rgb) = decodePng(m.payload)
+        channelSums(m.docId, w, h, rgb)
+      }
+    }
+  }
+
   /** Per-channel sample sums from decoded WAV payloads — audio's
     * integer-exact twin of [[ppmPixelStats]]/[[bmpPixelStats]]. Mono
     * payloads report sum_ch1 = 0. */
@@ -506,6 +745,281 @@ object Multimodal {
       Array.tabulate(n)(i => seed(i % seed.length))
     }
 
+  // ---------------------------------------------------------------------
+  // REAL resize path: pixel-level resampling over decoded rasters. Two
+  // classical kernels, both integer-exact so an oracle can replay them:
+  // nearest-neighbor (the mask/label-image kernel: src = floor(dst·s/d))
+  // and box average (the downscale kernel: mean over the source box,
+  // floored). The resized raster re-encodes as a REAL payload, so resize
+  // output flows back through the decode path like any other media file.
+  // ---------------------------------------------------------------------
+
+  /** Encode a top-down interleaved RGB raster as a binary PPM (P6) — the
+    * sink-side inverse of [[decodePpm]]; round-trip is raster-exact. */
+  def encodePpm(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0, s"encodePpm: bad dimensions ${w}x$h")
+    require(rgb.length == w * h * 3,
+      s"encodePpm: raster length ${rgb.length} != ${w * h * 3}")
+    s"P6\n$w $h\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ rgb
+  }
+
+  /** Nearest-neighbor resample of a top-down RGB raster: output pixel
+    * (y, x) copies source pixel (⌊y·srcH/dstH⌋, ⌊x·srcW/dstW⌋) — the
+    * standard zero-order kernel (exact for any scale factor, never blends
+    * values, which is why it is the kernel of choice for masks/labels). */
+  def resizeNearestRgb(srcW: Int, srcH: Int, rgb: Array[Byte],
+      dstW: Int, dstH: Int): Array[Byte] = {
+    require(dstW > 0 && dstH > 0, s"bad target dimensions ${dstW}x$dstH")
+    require(rgb.length == srcW * srcH * 3,
+      s"raster length ${rgb.length} != ${srcW * srcH * 3}")
+    val out = new Array[Byte](dstW * dstH * 3)
+    var y = 0
+    while (y < dstH) {
+      val sy = y * srcH / dstH
+      var x = 0
+      while (x < dstW) {
+        val sx = x * srcW / dstW
+        val s = (sy * srcW + sx) * 3
+        val d = (y * dstW + x) * 3
+        out(d) = rgb(s); out(d + 1) = rgb(s + 1); out(d + 2) = rgb(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Box-average downsample: output pixel (y, x, c) is the floored mean of
+    * the source box [⌊y·srcH/dstH⌋, ⌊(y+1)·srcH/dstH⌋) ×
+    * [⌊x·srcW/dstW⌋, ⌊(x+1)·srcW/dstW⌋) — integer-exact (sum then one
+    * floor division), so no float accumulation can drift. Downscale only:
+    * an empty box (upscale) would divide by zero, so dst ≤ src is
+    * required. */
+  def resizeBoxRgb(srcW: Int, srcH: Int, rgb: Array[Byte],
+      dstW: Int, dstH: Int): Array[Byte] = {
+    require(dstW > 0 && dstH > 0, s"bad target dimensions ${dstW}x$dstH")
+    require(dstW <= srcW && dstH <= srcH,
+      s"box resize is downscale-only: ${srcW}x$srcH -> ${dstW}x$dstH")
+    require(rgb.length == srcW * srcH * 3,
+      s"raster length ${rgb.length} != ${srcW * srcH * 3}")
+    val out = new Array[Byte](dstW * dstH * 3)
+    var y = 0
+    while (y < dstH) {
+      val y0 = y * srcH / dstH
+      val y1 = (y + 1) * srcH / dstH
+      var x = 0
+      while (x < dstW) {
+        val x0 = x * srcW / dstW
+        val x1 = (x + 1) * srcW / dstW
+        var c = 0
+        while (c < 3) {
+          var sum = 0L
+          var sy = y0
+          while (sy < y1) {
+            var sx = x0
+            while (sx < x1) {
+              sum += rgb((sy * srcW + sx) * 3 + c) & 0xff
+              sx += 1
+            }
+            sy += 1
+          }
+          out((y * dstW + x) * 3 + c) =
+            (sum / ((y1 - y0).toLong * (x1 - x0))).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL resizer factory over PPM payloads: decode → nearest-neighbor
+    * resample → re-encode. Slots into [[resize]]'s per-partition factory
+    * contract in place of [[stubResizer]]. */
+  val ppmNearestResizer: () => (Array[Byte], Int, Int) => Array[Byte] =
+    () => { (bytes, w, h) =>
+      val (sw, sh, rgb) = decodePpm(bytes)
+      encodePpm(w, h, resizeNearestRgb(sw, sh, rgb, w, h))
+    }
+
+  /** Resize PPM payloads to (dstW, dstH) with the nearest-neighbor kernel,
+    * emitting REAL re-encoded PPM payloads — resize output is a media file
+    * like any other, so it flows straight back into [[ppmPixelStats]]
+    * (q141 chains exactly that: decode → resample → encode → decode). */
+  def resizePpmNearest(ds: Dataset[MediaFile], dstW: Int,
+      dstH: Int): Dataset[MediaFile] = {
+    require(dstW > 0 && dstH > 0, s"bad target dimensions ${dstW}x$dstH")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      val rs = ppmNearestResizer() // per-partition init, on the executor
+      it.map(m => MediaFile(m.docId, m.kind, rs(m.payload, dstW, dstH)))
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // REAL decode path #5: YUV4MPEG2 (Y4M) — VIDEO, the uncompressed
+  // interchange format every ffmpeg pipeline can emit. An ASCII stream
+  // header ("YUV4MPEG2 W.. H.. F..:.." + optional tags) followed by
+  // frames, each an ASCII "FRAME" marker line + raw planar YUV bytes.
+  // Exercises what the image formats don't: MULTI-FRAME payloads with
+  // per-frame framing, and planar (not interleaved) channel layout. C444
+  // (full-rate chroma) only — subsampled layouts are rejected, not
+  // misread. Frames decode via a bounded-memory iterator: one frame's
+  // planes at a time, never the whole video.
+  // ---------------------------------------------------------------------
+
+  /** Parsed Y4M stream header + frame geometry. */
+  private final case class Y4mHeader(w: Int, h: Int, frameBytes: Int,
+      bodyOff: Int)
+
+  private def parseY4mHeader(bytes: Array[Byte]): Y4mHeader = {
+    def fail(msg: String) =
+      throw new IllegalArgumentException(s"decodeY4m: $msg")
+    val nl = bytes.indexOf('\n'.toByte)
+    if (nl < 0) fail("no stream-header line")
+    val header = new String(bytes, 0, nl,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    val parts = header.split(' ')
+    if (parts.head != "YUV4MPEG2") fail(s"bad magic '${parts.head}'")
+    var w = -1
+    var h = -1
+    var rate = ""
+    var chroma = "C420jpeg" // the spec's default when no C tag is present
+    parts.tail.foreach { p =>
+      if (p.isEmpty) fail("empty stream-header parameter")
+      else p.head match {
+        case 'W' => w = p.tail.toIntOption.getOrElse(fail(s"bad width '$p'"))
+        case 'H' => h = p.tail.toIntOption.getOrElse(fail(s"bad height '$p'"))
+        case 'F' => rate = p.tail
+        case 'C' => chroma = p
+        case 'I' | 'A' | 'X' => // interlacing/aspect/comment — irrelevant here
+        case _ => fail(s"unknown stream-header parameter '$p'")
+      }
+    }
+    if (w <= 0 || h <= 0) fail(s"bad dimensions ${w}x$h")
+    if (!rate.matches("\\d+:\\d+")) fail(s"bad frame rate '$rate'")
+    if (chroma != "C444")
+      fail(s"chroma '$chroma' (C444 only — subsampled layouts would " +
+        "need resample arithmetic this decoder does not implement)")
+    Y4mHeader(w, h, 3 * w * h, nl + 1)
+  }
+
+  /** Decode a Y4M payload's geometry → (width, height, frameCount),
+    * walking and validating every FRAME marker. Strict like the other
+    * codecs: bad magic, unknown header parameters, non-C444 chroma, a
+    * malformed FRAME line, or a short final frame all throw. */
+  def decodeY4m(bytes: Array[Byte]): (Int, Int, Int) = {
+    val hd = parseY4mHeader(bytes)
+    var n = 0
+    val it = y4mFrameIterator(bytes, hd)
+    while (it.hasNext) { it.next(); n += 1 }
+    (hd.w, hd.h, n)
+  }
+
+  /** Iterator of (frameIdx, offset of this frame's Y plane) — frames are
+    * validated lazily; only offsets are held, so memory stays bounded by
+    * ONE frame regardless of video length. */
+  private def y4mFrameIterator(bytes: Array[Byte],
+      hd: Y4mHeader): Iterator[(Int, Int)] = new Iterator[(Int, Int)] {
+    def fail(msg: String) =
+      throw new IllegalArgumentException(s"decodeY4m: $msg")
+    private var pos = hd.bodyOff
+    private var idx = 0
+    def hasNext: Boolean = pos < bytes.length
+    def next(): (Int, Int) = {
+      // each frame: "FRAME"[ params]"\n" + frameBytes of planar YUV
+      if (pos + 5 > bytes.length ||
+          new String(bytes, pos, 5,
+            java.nio.charset.StandardCharsets.US_ASCII) != "FRAME")
+        fail(s"frame $idx: missing FRAME marker at byte $pos")
+      var nl = pos + 5
+      while (nl < bytes.length && bytes(nl) != '\n') nl += 1
+      if (nl >= bytes.length) fail(s"frame $idx: unterminated FRAME line")
+      if (nl > pos + 5 && bytes(pos + 5) != ' ')
+        fail(s"frame $idx: malformed FRAME parameters")
+      val dataOff = nl + 1
+      if (dataOff + hd.frameBytes > bytes.length)
+        fail(s"frame $idx: short frame (need ${hd.frameBytes}, have " +
+          s"${bytes.length - dataOff})")
+      val out = (idx, dataOff)
+      pos = dataOff + hd.frameBytes
+      idx += 1
+      out
+    }
+  }
+
+  /** Encode planar C444 frames as a Y4M stream — the sink-side inverse of
+    * the frame walk; round-trip is frame-exact. Each frame is 3·w·h bytes:
+    * the Y plane, then U, then V. */
+  def encodeY4m(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(w > 0 && h > 0, s"encodeY4m: bad dimensions ${w}x$h")
+    frames.foreach(f => require(f.length == 3 * w * h,
+      s"encodeY4m: frame length ${f.length} != ${3 * w * h}"))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C444\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    frames.foreach { f =>
+      out.write("FRAME\n".getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII))
+      out.write(f)
+    }
+    out.toByteArray
+  }
+
+  /** Deterministic Y4M payload for doc `d` — a REAL multi-frame video
+    * stream whose plane bytes follow closed-form arithmetic
+    * `(d*23 + f*5 + j) % 256` (f = frame index, j = linear offset within
+    * the frame's 3 planes), so a SQL oracle predicts per-frame plane sums
+    * with no decoder. Frame counts 3..6 ensure stride sampling has
+    * something to skip. */
+  def syntheticY4m(d: Long): Array[Byte] = {
+    val w = (3 + d % 3).toInt
+    val h = (2 + d % 3).toInt
+    val nFrames = (3 + d % 4).toInt
+    encodeY4m(w, h, (0 until nFrames).map(f =>
+      Array.tabulate(3 * w * h)(j => ((d * 23 + f * 5 + j) % 256).toByte)))
+  }
+
+  /** REAL decoder factory over [[decodeY4m]] — (w, h, frameCount) fills
+    * the shared envelope, so the generic [[sampleFrames]] fan-out runs on
+    * genuine video geometry. */
+  val y4mDecoder: DecoderFactory = () => { bytes =>
+    decodeY4m(bytes)
+  }
+
+  /** Per-plane sums for every `every`-th frame — video's integer-exact
+    * sibling of [[ppmPixelStats]]: the 1:N decode-and-sample shape, one
+    * output row per SAMPLED frame. Skipped frames are never touched
+    * beyond the marker walk, and only one frame's planes are live at a
+    * time (the iterator holds offsets, not frames). */
+  def y4mFrameStats(ds: Dataset[MediaFile], every: Int): Dataset[FrameStats] = {
+    require(every > 0, s"frame stride `every` must be positive, got $every")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { m =>
+        val hd = parseY4mHeader(m.payload)
+        val planeLen = hd.w * hd.h
+        y4mFrameIterator(m.payload, hd)
+          .filter { case (f, _) => f % every == 0 }
+          .map { case (f, off) =>
+            var sy = 0L; var su = 0L; var sv = 0L
+            var j = 0
+            while (j < planeLen) {
+              sy += m.payload(off + j) & 0xff
+              su += m.payload(off + planeLen + j) & 0xff
+              sv += m.payload(off + 2 * planeLen + j) & 0xff
+              j += 1
+            }
+            FrameStats(m.docId, f, hd.w, hd.h, sy, su, sv)
+          }
+      }
+    }
+  }
+
   /** One row per sampled frame — the 1:N fan-out batch shape (video →
     * frames). Frame payloads derive deterministically from (payload,
     * frameIdx); `every` controls the stride (validated on the driver: a
@@ -543,3 +1057,8 @@ case class PpmStats(doc_id: Long, width: Int, height: Int,
   * the WAV (q128) decode path. Mono payloads report sum_ch1 = 0. */
 case class WavStats(doc_id: Long, n_channels: Int, sample_rate: Int,
     n_frames: Int, sum_ch0: Long, sum_ch1: Long)
+
+/** Decoded per-plane sums (integer-exact) for one SAMPLED video frame —
+  * the Y4M (q142) decode path: one row per kept frame. */
+case class FrameStats(doc_id: Long, frame_idx: Int, width: Int, height: Int,
+    sum_y: Long, sum_u: Long, sum_v: Long)

@@ -1055,6 +1055,124 @@ object ExtQueries {
            |  round(lam.ev / tr.tr, 6) AS explained
            |FROM vec CROSS JOIN sg CROSS JOIN lam CROSS JOIN tr
            |ORDER BY i""".stripMargin
-      })
+      }),
+
+    // The FOURTH real decode format — and the first COMPRESSED one. Each
+    // document becomes a genuine PNG byte stream (signature, CRC32'd
+    // chunks, DEFLATE'd rows via the JDK's Inflater — no media library)
+    // whose DECODED raster follows closed-form arithmetic. Heights ≥ 5
+    // guarantee every payload cycles through ALL FIVE row filters
+    // (None/Sub/Up/Average/Paeth, row r filtered with r % 5), so the
+    // oracle hash breaks on any bug in chunk walking, CRC math, DEFLATE
+    // inflation, or any single filter inversion. Same integer-exact
+    // channel-sum shape as the PPM/BMP twins (q106/q115).
+    Q("q140_png_pixel_stats",
+      (s, dir) => {
+        import s.implicits._
+        val files = Tables.sharded(s, dir, "documents", "doc_id")
+          .select(col("doc_id")).as[Long]
+          .map(d => graft.ext.MediaFile(d, "image/png",
+            graft.ext.Multimodal.syntheticPng(d)))
+        graft.ext.Multimodal.pngPixelStats(files).toDF()
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH d AS (SELECT doc_id,
+          |    CAST(3 + doc_id % 5 AS INT) AS width,
+          |    CAST(5 + doc_id % 4 AS INT) AS height
+          |  FROM documents),
+          |px AS (SELECT doc_id, width, height,
+          |    unnest(generate_series(0, width * height * 3 - 1)) AS i
+          |  FROM d)
+          |SELECT doc_id, width, height,
+          |  CAST(sum(CASE WHEN i % 3 = 0 THEN (doc_id * 41 + i) % 256 END)
+          |    AS BIGINT) AS sum_r,
+          |  CAST(sum(CASE WHEN i % 3 = 1 THEN (doc_id * 41 + i) % 256 END)
+          |    AS BIGINT) AS sum_g,
+          |  CAST(sum(CASE WHEN i % 3 = 2 THEN (doc_id * 41 + i) % 256 END)
+          |    AS BIGINT) AS sum_b
+          |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin)),
+
+    // REAL resize: decode PPM → nearest-neighbor resample → re-encode →
+    // decode again. The kernel is integer-exact (src = ⌊dst·s/d⌋, no
+    // blending), so the oracle replays the resample arithmetic on the
+    // closed-form source raster directly — any off-by-one in the index
+    // mapping, or any corruption introduced by the re-encode leg, shifts
+    // a channel sum and breaks the hash. The chain exercises the resize
+    // contract end-to-end: resize OUTPUT is a real payload the standard
+    // decode path consumes, not a digest.
+    Q("q141_ppm_resize_stats",
+      (s, dir) => {
+        import s.implicits._
+        val files = Tables.sharded(s, dir, "documents", "doc_id")
+          .select(col("doc_id")).as[Long]
+          .map(d => graft.ext.MediaFile(d, "image/ppm",
+            graft.ext.Multimodal.syntheticPpm(d)))
+        val resized = graft.ext.Multimodal.resizePpmNearest(files, 3, 2)
+        graft.ext.Multimodal.ppmPixelStats(resized).toDF()
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH d AS (SELECT doc_id,
+          |    CAST(4 + doc_id % 5 AS INT) AS sw,
+          |    CAST(3 + doc_id % 4 AS INT) AS sh
+          |  FROM documents),
+          |px AS (SELECT doc_id, sw, sh,
+          |    unnest(generate_series(0, 2 * 3 * 3 - 1)) AS j
+          |  FROM d),
+          |m AS (SELECT doc_id, sw, sh, j % 3 AS c,
+          |    ((j // 9) * sh // 2) AS sy, (((j % 9) // 3) * sw // 3) AS sx
+          |  FROM px),
+          |v AS (SELECT doc_id, c,
+          |    (doc_id * 31 + (sy * sw + sx) * 3 + c) % 256 AS val
+          |  FROM m)
+          |SELECT doc_id, 3 AS width, 2 AS height,
+          |  CAST(sum(CASE WHEN c = 0 THEN val END) AS BIGINT) AS sum_r,
+          |  CAST(sum(CASE WHEN c = 1 THEN val END) AS BIGINT) AS sum_g,
+          |  CAST(sum(CASE WHEN c = 2 THEN val END) AS BIGINT) AS sum_b
+          |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // REAL video decode (YUV4MPEG2) + stride frame sampling: each
+    // document becomes a genuine multi-frame Y4M stream (ASCII stream
+    // header, per-frame FRAME markers, planar C444 YUV) built from
+    // closed-form plane arithmetic, then walked and sampled every 2nd
+    // frame into per-plane sums — one row per KEPT frame (the 1:N
+    // decode shape). The oracle predicts every sampled frame's plane
+    // sums from the construction formula with no decoder: a marker-walk
+    // bug, a plane-boundary off-by-one, or sampling the wrong frames
+    // all break the hash.
+    Q("q142_y4m_frame_stats",
+      (s, dir) => {
+        import s.implicits._
+        val files = Tables.sharded(s, dir, "documents", "doc_id")
+          .select(col("doc_id")).as[Long]
+          .map(d => graft.ext.MediaFile(d, "video/y4m",
+            graft.ext.Multimodal.syntheticY4m(d)))
+        graft.ext.Multimodal.y4mFrameStats(files, every = 2).toDF()
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some(
+        """WITH d AS (SELECT doc_id,
+          |    CAST(3 + doc_id % 3 AS INT) AS width,
+          |    CAST(2 + doc_id % 3 AS INT) AS height,
+          |    CAST(3 + doc_id % 4 AS INT) AS n_frames
+          |  FROM documents),
+          |f AS (SELECT doc_id, width, height,
+          |    unnest(generate_series(0, n_frames - 1)) AS frame_idx
+          |  FROM d),
+          |kept AS (SELECT * FROM f WHERE frame_idx % 2 = 0),
+          |b AS (SELECT doc_id, width, height, frame_idx,
+          |    unnest(generate_series(0, 3 * width * height - 1)) AS j
+          |  FROM kept),
+          |v AS (SELECT doc_id, width, height, frame_idx,
+          |    j // (width * height) AS plane,
+          |    (doc_id * 23 + frame_idx * 5 + j) % 256 AS val
+          |  FROM b)
+          |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, width, height,
+          |  CAST(sum(CASE WHEN plane = 0 THEN val END) AS BIGINT) AS sum_y,
+          |  CAST(sum(CASE WHEN plane = 1 THEN val END) AS BIGINT) AS sum_u,
+          |  CAST(sum(CASE WHEN plane = 2 THEN val END) AS BIGINT) AS sum_v
+          |FROM v GROUP BY doc_id, frame_idx, width, height
+          |ORDER BY doc_id, frame_idx""".stripMargin))
   )
 }

@@ -188,4 +188,139 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       (1 until stats(6L).width * stats(6L).height * 3 by 3)
         .map(i => (6L * 37 + i) % 256).sum)
   }
+
+  test("decodePng: malformed payloads fail loudly, never decode garbage") {
+    def bad(bytes: Array[Byte], why: String): Unit = {
+      val e = intercept[IllegalArgumentException](Multimodal.decodePng(bytes))
+      assert(e.getMessage.contains("decodePng"), why)
+    }
+    val ok = Multimodal.encodePng(3, 6, Array.tabulate[Byte](54)(_.toByte))
+    bad(ok.take(7), "short signature")
+    bad({ val b = ok.clone(); b(1) = 'X'; b }, "bad signature")
+    bad({ val b = ok.clone(); b(8 + 8 + 9) = 4; b },
+      "16-bit depth must be rejected (CRC catches the edit first, " +
+        "either failure is loud)")
+    bad(ok.dropRight(1), "truncated IEND")
+    bad(ok ++ Array[Byte](1, 2, 3), "trailing bytes after IEND")
+    // corrupt one byte of compressed IDAT data: CRC must catch it
+    bad({ val b = ok.clone(); b(8 + 25 + 8) = (b(8 + 25 + 8) ^ 1).toByte; b },
+      "flipped IDAT byte")
+    // a chunk whose declared length overruns the payload
+    bad({ val b = ok.clone(); b(8 + 3) = 99; b }, "overrun chunk length")
+  }
+
+  test("syntheticPng: a real compressed stream exercising all five " +
+      "filters round-trips with closed-form channel sums (q140's contract)") {
+    for (d <- Seq(0L, 7L, 123L)) {
+      val (w, h, rgb) = Multimodal.decodePng(Multimodal.syntheticPng(d))
+      assert(w === (3 + d % 5).toInt && h === (5 + d % 4).toInt)
+      assert(h >= 5, "all five row filters must be exercised")
+      for (ch <- 0 until 3) {
+        val exp = (ch until w * h * 3 by 3).map(i => (d * 41 + i) % 256).sum
+        val got = (ch until rgb.length by 3).map(i => (rgb(i) & 0xff).toLong).sum
+        assert(got === exp, s"doc $d channel $ch")
+      }
+    }
+    // and through the distributed pipeline
+    import spark.implicits._
+    val ds = Seq(5L, 6L).toDS()
+      .map(d => MediaFile(d, "image/png", Multimodal.syntheticPng(d)))
+    val stats = Multimodal.pngPixelStats(ds).collect()
+      .map(s => s.doc_id -> s).toMap
+    assert(stats(5L).width === 3 && stats(5L).height === 6)
+    assert(stats(6L).sum_b ===
+      (2 until stats(6L).width * stats(6L).height * 3 by 3)
+        .map(i => (6L * 41 + i) % 256).sum)
+  }
+
+  test("resizeNearestRgb: exact index mapping, upscale and downscale") {
+    // 2x2 source with distinct pixels; upscale to 4x4 replicates each
+    // pixel into a 2x2 block (sx = x*2/4 = x/2), downscale to 1x1 keeps
+    // the top-left pixel (sx = 0*2/1 = 0)
+    val src = Array.tabulate[Byte](12)(i => (i * 10).toByte)
+    val up = Multimodal.resizeNearestRgb(2, 2, src, 4, 4)
+    for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3)
+      assert(up((y * 4 + x) * 3 + c) === src(((y / 2) * 2 + x / 2) * 3 + c),
+        s"($y,$x,$c)")
+    val down = Multimodal.resizeNearestRgb(2, 2, src, 1, 1)
+    assert(down.toSeq === src.take(3).toSeq)
+  }
+
+  test("resizeBoxRgb: floored box mean, exact on a hand-built image; " +
+      "upscale rejected") {
+    // 4x2 -> 2x1: each output pixel averages a 2x2 box
+    val src = Array.tabulate[Byte](24)(i => (i * 2).toByte)
+    val out = Multimodal.resizeBoxRgb(4, 2, src, 2, 1)
+    for (x <- 0 until 2; c <- 0 until 3) {
+      val box = for (sy <- 0 until 2; sx <- 2 * x until 2 * x + 2)
+        yield src((sy * 4 + sx) * 3 + c) & 0xff
+      assert((out(x * 3 + c) & 0xff) === box.sum / 4, s"($x,$c)")
+    }
+    intercept[IllegalArgumentException](
+      Multimodal.resizeBoxRgb(2, 2, Array.fill[Byte](12)(0), 3, 1))
+  }
+
+  test("resizePpmNearest: decode -> resample -> re-encode emits real " +
+      "payloads the standard decode path consumes (q141's contract)") {
+    import spark.implicits._
+    val ds = Seq(3L, 9L).toDS()
+      .map(d => MediaFile(d, "image/ppm", Multimodal.syntheticPpm(d)))
+    val stats = Multimodal.ppmPixelStats(
+      Multimodal.resizePpmNearest(ds, 3, 2)).collect()
+      .map(s => s.doc_id -> s).toMap
+    for (d <- Seq(3L, 9L)) {
+      val (sw, sh, rgb) = Multimodal.decodePpm(Multimodal.syntheticPpm(d))
+      val exp = Multimodal.resizeNearestRgb(sw, sh, rgb, 3, 2)
+      assert(stats(d).width === 3 && stats(d).height === 2)
+      assert(stats(d).sum_r ===
+        (0 until exp.length by 3).map(i => (exp(i) & 0xff).toLong).sum)
+    }
+  }
+
+  test("decodeY4m: real stream parse — header tags, frame walk, strict " +
+      "failures") {
+    val frames = (0 until 3).map(f =>
+      Array.tabulate[Byte](3 * 4 * 2)(j => (f * 50 + j).toByte))
+    val ok = Multimodal.encodeY4m(4, 2, frames)
+    assert(Multimodal.decodeY4m(ok) === ((4, 2, 3)))
+    def bad(bytes: Array[Byte], why: String): Unit = {
+      val e = intercept[IllegalArgumentException](Multimodal.decodeY4m(bytes))
+      assert(e.getMessage.contains("decodeY4m"), why)
+    }
+    bad("JUNK W4 H2 F25:1 C444\n".getBytes("US-ASCII"), "bad magic")
+    bad("YUV4MPEG2 W4 H2 F25:1\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](30)(0),
+      "default C420 chroma must be rejected, not misread as C444")
+    bad("YUV4MPEG2 W4 H2 F25:1 C420\n".getBytes("US-ASCII"),
+      "subsampled chroma rejected")
+    bad(ok.dropRight(1), "short final frame")
+    bad({ val b = ok.clone(); b(ok.indexOfSlice("FRAME".getBytes)) = 'G'; b },
+      "corrupt FRAME marker")
+  }
+
+  test("syntheticY4m: multi-frame walk + stride sampling with closed-form " +
+      "plane sums (q142's contract)") {
+    import spark.implicits._
+    val ds = Seq(4L, 5L).toDS()
+      .map(d => MediaFile(d, "video/y4m", Multimodal.syntheticY4m(d)))
+    val rows = Multimodal.y4mFrameStats(ds, every = 2).collect()
+      .map(s => (s.doc_id, s.frame_idx) -> s).toMap
+    for (d <- Seq(4L, 5L)) {
+      val w = (3 + d % 3).toInt
+      val h = (2 + d % 3).toInt
+      val nFrames = (3 + d % 4).toInt
+      val kept = (0 until nFrames by 2)
+      assert(rows.keys.count(_._1 == d) === kept.size, s"doc $d frame count")
+      for (f <- kept) {
+        val s = rows((d, f))
+        assert(s.width === w && s.height === h)
+        def planeSum(p: Int): Long =
+          (p * w * h until (p + 1) * w * h)
+            .map(j => (d * 23 + f * 5 + j) % 256).sum
+        assert(s.sum_y === planeSum(0), s"doc $d frame $f Y")
+        assert(s.sum_u === planeSum(1), s"doc $d frame $f U")
+        assert(s.sum_v === planeSum(2), s"doc $d frame $f V")
+      }
+    }
+  }
 }
