@@ -515,6 +515,56 @@ object Dedup {
         md5(concat_ws(" ", col("__kept"))).as("clean_digest"))
   }
 
+  /** INCREMENTAL exact dedup: scrub a freshly-ingested `delta` batch
+    * against an already-curated `history` corpus without re-processing
+    * history — the shape every recurring crawl runs (yesterday's 100 TB
+    * stays untouched; only today's batch pays compute). A delta document
+    * survives iff its normalized-text digest (a) does not appear in
+    * history and (b) is the FIRST occurrence (min id) within the delta
+    * itself.
+    *
+    * Scale contract: the history side collapses to DISTINCT digests
+    * BEFORE the join — map-side partial distinct, so only the
+    * digest-index (32 chars per distinct document, the thing a
+    * production pipeline persists between runs) crosses the exchange,
+    * never history text. The delta side is one keyed aggregate
+    * (keep-first, q108's shape) plus two digest-keyed equi-joins;
+    * nothing global, nothing driver-side. Callers with a persisted
+    * index pass it as `history` with `historyIsDigests = true` and skip
+    * the digest scan entirely; a Bloom filter over the index (q77's
+    * decontamination shape) slots in front as a pre-filter when the
+    * index outgrows a broadcast.
+    *
+    * Normalization matches [[dedupUnits]] (trim + lowercase +
+    * whitespace-collapse), and NULL text fails LOUDLY the same way.
+    * Returns the delta frame + `n_occ_delta` (occurrences within the
+    * batch), `in_history`, and `keep`. */
+  def dedupDelta(history: DataFrame, delta: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      historyIsDigests: Boolean = false): DataFrame = {
+    val digest: Column = {
+      val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
+      when(col(textCol).isNotNull, md5(norm)).otherwise(
+        raise_error(concat(lit(s"dedupDelta: NULL $textCol at "),
+          col(idCol).cast("string"))))
+    }
+    val histIdx =
+      (if (historyIsDigests) history.select(col("__k"))
+       else history.select(digest.as("__k")))
+        .distinct()
+        .withColumn("__in_hist", lit(true))
+    val withK = delta.withColumn("__k", digest)
+    val firsts = withK.groupBy(col("__k"))
+      .agg(min(col(idCol)).as("__first"),
+        count(lit(1)).as("n_occ_delta"))
+    withK.join(firsts, "__k")
+      .join(histIdx, Seq("__k"), "left_outer")
+      .withColumn("in_history", coalesce(col("__in_hist"), lit(false)))
+      .withColumn("keep",
+        !col("in_history") && col(idCol) === col("__first"))
+      .drop("__k", "__first", "__in_hist")
+  }
+
   /** Vector-space near-dup: cosine similarity over DF-capped tf-idf
     * vectors — the bag-of-words complement of the shingle family
     * (catches reordered/paraphrase-ish duplicates whose word MULTISET

@@ -1291,6 +1291,52 @@ object DedupQueries {
           |JOIN nrm na ON id_a = na.doc_id
           |JOIN nrm nb ON id_b = nb.doc_id
           |WHERE dot / (na.nrm * nb.nrm) >= 0.5
-          |ORDER BY id_a, id_b""".stripMargin))
+          |ORDER BY id_a, id_b""".stripMargin)),
+
+    // INCREMENTAL dedup (graft.dedup.Dedup.dedupDelta): scrub a new
+    // ingest batch against the already-curated history without touching
+    // history — the recurring-crawl shape (only the delta pays compute;
+    // the history side collapses to its digest index before the join).
+    // History = docs with doc_id%10 < 8; the delta is the remaining docs
+    // plus PLANTED collisions covering both duplicate classes: every
+    // doc_id%10 = 0 history doc re-ingested under a new id (must flag
+    // in_history) and a second copy of every doc_id%10 = 8 delta doc
+    // (must lose keep-first within the batch). The oracle replays the
+    // digest index, the keep-first window, and the membership join.
+    Q("q143_delta_dedup",
+      (s, dir) => {
+        val docs = Tables.sharded(s, dir, "documents", "doc_id")
+        val history = docs.where(col("doc_id") % 10 < 8)
+        val delta = docs.where(col("doc_id") % 10 >= 8)
+          .select(col("doc_id"), col("text"))
+          .unionAll(docs.where(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+          .unionAll(docs.where(col("doc_id") % 10 === 8)
+            .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+        graft.dedup.Dedup.dedupDelta(history, delta)
+          .select(col("doc_id"), col("n_occ_delta"), col("in_history"),
+            col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH hist AS (SELECT DISTINCT
+          |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS k
+          |  FROM documents WHERE doc_id % 10 < 8),
+          |delta AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+          |  UNION ALL SELECT doc_id + 100000, text FROM documents
+          |    WHERE doc_id % 10 = 0
+          |  UNION ALL SELECT doc_id + 200000, text FROM documents
+          |    WHERE doc_id % 10 = 8),
+          |dk AS (SELECT doc_id,
+          |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS k
+          |  FROM delta),
+          |f AS (SELECT k, min(doc_id) AS first_id,
+          |    count(*) AS n_occ_delta FROM dk GROUP BY k)
+          |SELECT dk.doc_id, f.n_occ_delta,
+          |  hist.k IS NOT NULL AS in_history,
+          |  hist.k IS NULL AND dk.doc_id = f.first_id AS keep
+          |FROM dk JOIN f USING (k) LEFT JOIN hist USING (k)
+          |ORDER BY dk.doc_id""".stripMargin))
   )
 }

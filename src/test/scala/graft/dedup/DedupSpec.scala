@@ -142,6 +142,67 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out.count { case (_, (_, keep)) => keep } === 3)
   }
 
+  test("dedupDelta: history collisions flagged, keep-first within the " +
+      "batch, normalization-insensitive") {
+    import spark.implicits._
+    val history = Seq((1L, "Seen Before"), (2L, "also seen"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "brand new"),
+      (11L, "seen   before"), // history dup modulo case/whitespace
+      (12L, "repeated in delta"),
+      (13L, "Repeated In Delta"), // intra-batch dup of 12
+      (14L, "repeated in delta")) // and another
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupDelta(history, delta).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_occ_delta"), r.getAs[Boolean]("in_history"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(out(10L) === ((1L, false, true)))
+    assert(out(11L) === ((1L, true, false)))
+    assert(out(12L) === ((3L, false, true))) // first of three copies
+    assert(out(13L) === ((3L, false, false)))
+    assert(out(14L) === ((3L, false, false)))
+  }
+
+  test("dedupDelta: NULL delta text fails loudly; digest-index history " +
+      "input skips the text scan") {
+    import spark.implicits._
+    val history = Seq((1L, "seen")).toDF("doc_id", "text")
+    val bad = Seq((10L, null: String)).toDF("doc_id", "text")
+    val e = intercept[Exception](Dedup.dedupDelta(history, bad).collect())
+    assert(e.getMessage.contains("dedupDelta"))
+    // a persisted digest index (the production input) works directly
+    val idx = history
+      .select(md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+        .as("__k"))
+    val out = Dedup.dedupDelta(idx,
+        Seq((10L, "seen"), (11L, "new")).toDF("doc_id", "text"),
+        historyIsDigests = true)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("keep")).toMap
+    assert(out === Map(10L -> false, 11L -> true))
+  }
+
+  test("dedupDelta plan: history collapses to its digest index before " +
+      "the join; no window, nothing single-partition") {
+    import spark.implicits._
+    val history = (1L to 100L).map(i => (i, s"h $i")).toDF("doc_id", "text")
+    val delta = (1L to 50L).map(i => (i, s"d ${i % 20}")).toDF("doc_id", "text")
+    val qe = Dedup.dedupDelta(history, delta).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"single-partition exchange in dedupDelta plan:\n$plan")
+    assert(!plan.contains("Window"),
+      s"window operator in dedupDelta plan:\n$plan")
+    // the distinct over history digests must sit BELOW the membership
+    // join (index-sized join input, never history text): the optimized
+    // plan has an Aggregate on the history branch feeding the join
+    val optimized = qe.optimizedPlan.toString
+    assert(optimized.contains("Aggregate"),
+      s"no aggregate (digest distinct) in optimized plan:\n$optimized")
+  }
+
   test("dedupUnits plan: keyed aggregation + join, nothing global") {
     import spark.implicits._
     val units = (1L to 200L).map(i => (i, 0L, s"unit ${i % 50}"))
