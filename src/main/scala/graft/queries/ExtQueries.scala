@@ -1173,6 +1173,57 @@ object ExtQueries {
           |  CAST(sum(CASE WHEN plane = 1 THEN val END) AS BIGINT) AS sum_u,
           |  CAST(sum(CASE WHEN plane = 2 THEN val END) AS BIGINT) AS sum_v
           |FROM v GROUP BY doc_id, frame_idx, width, height
-          |ORDER BY doc_id, frame_idx""".stripMargin))
+          |ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // Full-corpus Lloyd k-means (graft.similarity.Clustering.lloyd): the
+    // general clustering operator beside the sample-trained IVF/PQ
+    // quantizers — 3 assignment rounds, k=4, seeds = the 4 smallest
+    // vec_ids labeled by their own id. Everything is INTEGER-exact
+    // (vectors quantized to ⌊x·1000⌋ up front; argmin over the encoded
+    // dist·2²⁰+cid long; centroid update = floored integer division), so
+    // the oracle unrolls the identical 3 rounds in CTEs and the hash
+    // pins every assignment AND every intermediate centroid bit-for-bit
+    // — float k-means could never cross-engine-hash like this. Scale
+    // shape per round: assignment is a pure map against the k×d centroid
+    // literal; the update exchanges exactly k·d rows.
+    Q("q144_kmeans_lloyd",
+      (s, dir) =>
+        graft.similarity.Clustering.lloyd(
+            Tables.sharded(s, dir, "embeddings", "vec_id"),
+            k = 4, rounds = 3, scale = 1000)
+          .orderBy(col("vec_id")),
+      Some {
+        def iter(n: Int): String = {
+          val p = n - 1
+          s"""d$n AS (SELECT qd.vec_id AS vec_id, c.cid AS cid,
+             |    sum((qd.v - c.v) * (qd.v - c.v)) AS dist
+             |  FROM qd JOIN c$p c ON qd.d = c.d GROUP BY 1, 2),
+             |a$n AS (SELECT vec_id, min(dist * 1048576 + cid) AS comb
+             |  FROM d$n GROUP BY 1),
+             |m$n AS (SELECT vec_id, comb % 1048576 AS cid FROM a$n),
+             |c$n AS (SELECT m.cid AS cid, qd.d AS d,
+             |    CAST(floor(CAST(sum(qd.v) AS DOUBLE) / count(*)) AS BIGINT)
+             |      AS v
+             |  FROM qd JOIN m$n m USING (vec_id) GROUP BY 1, 2)""".stripMargin
+        }
+        s"""WITH q AS (SELECT vec_id,
+           |    unnest(list_transform(embedding, (x, i) -> {'d': i,
+           |      'v': CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)})) AS e
+           |  FROM embeddings),
+           |qd AS (SELECT vec_id, e.d AS d, e.v AS v FROM q),
+           |seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4),
+           |c0 AS (SELECT qd.vec_id AS cid, d, v
+           |  FROM qd JOIN seeds USING (vec_id)),
+           |${iter(1)},
+           |${iter(2)},
+           |d3 AS (SELECT qd.vec_id AS vec_id, c.cid AS cid,
+           |    sum((qd.v - c.v) * (qd.v - c.v)) AS dist
+           |  FROM qd JOIN c2 c ON qd.d = c.d GROUP BY 1, 2),
+           |a3 AS (SELECT vec_id, min(dist * 1048576 + cid) AS comb
+           |  FROM d3 GROUP BY 1)
+           |SELECT vec_id, CAST(comb % 1048576 AS BIGINT) AS cluster,
+           |  CAST(comb // 1048576 AS BIGINT) AS dist2
+           |FROM a3 ORDER BY vec_id""".stripMargin
+      })
   )
 }

@@ -1,0 +1,73 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Lloyd k-means: planted clusters recovered, deterministic integer
+  * tie-breaks, and the per-round scale shape (assignment is a pure map —
+  * no exchange anywhere in the final assignment plan). */
+class ClusteringSpec extends AnyFunSuite with SparkTestBase {
+
+  private def frame(rows: Seq[(Long, Seq[Float])]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("planted clusters are recovered; dist2 is integer-exact") {
+    val vecs = frame(Seq(
+      0L -> Seq(0f, 0f),
+      1L -> Seq(10f, 10f),
+      2L -> Seq(0.1f, 0f),
+      3L -> Seq(9.9f, 10f)))
+    val out = Clustering.lloyd(vecs, k = 2, rounds = 2, scale = 1000)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out(0L)._1 === 0L && out(2L)._1 === 0L)
+    assert(out(1L)._1 === 1L && out(3L)._1 === 1L)
+    // after one update, centroid 0 = floor-mean of q-vectors {(0,0),
+    // (100,0)} = (50, 0); vec 2 quantizes to (100, 0) -> dist2 = 50²
+    assert(out(2L)._2 === 2500L)
+  }
+
+  test("equidistant vectors break toward the smaller cluster id") {
+    val vecs = frame(Seq(
+      0L -> Seq(0f, 0f),
+      1L -> Seq(10f, 10f),
+      2L -> Seq(5f, 5f))) // exactly between the two seeds
+    val out = Clustering.lloyd(vecs, k = 2, rounds = 1, scale = 1000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(2L) === 0L, "tie must go to the smaller cluster id")
+  }
+
+  test("quantization floors (never rounds): -0.0005 and 0.0004 land in " +
+      "different integer cells") {
+    import spark.implicits._
+    val q = Seq((0L, Seq(-0.0005f, 0.0004f))).toDF("vec_id", "embedding")
+      .select(Clustering.quantized(col("embedding"), 1000).as("q"))
+      .collect().head.getSeq[Long](0)
+    assert(q === Seq(-1L, 0L))
+  }
+
+  test("assignment plan is a pure map: no exchange, no join") {
+    val vecs = frame((0L until 64L).map(i =>
+      i -> Seq.fill(4)((i % 7).toFloat)))
+    val plan = Clustering.lloyd(vecs, k = 3, rounds = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"assignment must not shuffle the corpus:\n$plan")
+    assert(!plan.contains("Join"),
+      s"assignment must not join the corpus:\n$plan")
+  }
+
+  test("three rounds on a drifting corpus stay deterministic across " +
+      "repeated runs (integer arithmetic has no summation-order noise)") {
+    val vecs = frame((0L until 40L).map(i =>
+      i -> Seq.tabulate(8)(d => ((i * 13 + d * 5) % 29).toFloat / 3f)))
+    def run() = Clustering.lloyd(vecs, k = 4, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(run() === run())
+  }
+}
