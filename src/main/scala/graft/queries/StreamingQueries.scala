@@ -380,6 +380,61 @@ object StreamingQueries {
         runToTable(stream, "jsonl_ingest").orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id, text, lang, source, n_chars
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Streaming incremental dedup under the gate — q143's recurring-crawl
+    // shape with the delta as a LIVE STREAM: the history digest index is
+    // a static frame joined per micro-batch (stream-static left join, the
+    // Structured Streaming primitive this query exists to gate), and
+    // first-arrival keep-first state is held ONLY for digests absent from
+    // history (in-history arrivals are decided statelessly). The delta is
+    // q143's exactly: the doc_id%10 >= 8 tail plus planted re-ingests of
+    // history docs (+100000) and intra-batch copies (+200000), built
+    // in-stream with a stateless explode. Single-batch AvailableNow input
+    // + the operator's intra-batch docId sort make keep-first-arrival
+    // coincide with the batch min-id rule, so the oracle is q143's SQL
+    // minus n_occ_delta (a corpus rollup a per-arrival decision stream
+    // deliberately does not carry — q111's argument).
+    Q("q145_streaming_delta_dedup",
+      (s, dir) => {
+        val histIdx = graft.streaming.StreamingDeltaDedup.digests(
+          Tables(s, dir, "documents").where(col("doc_id") % 10 < 8))
+        val delta = docStream(s, dir)
+          .select(explode(array(
+            when(col("doc_id") % 10 >= 8,
+              struct(col("doc_id"), col("text"))),
+            when(col("doc_id") % 10 === 0,
+              struct((col("doc_id") + 100000).as("doc_id"), col("text"))),
+            when(col("doc_id") % 10 === 8,
+              struct((col("doc_id") + 200000).as("doc_id"), col("text")))))
+            .as("r"))
+          .where(col("r").isNotNull)
+          .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        val decisions = graft.streaming.StreamingDeltaDedup.decisions(
+          graft.streaming.StreamingDeltaDedup.rows(delta, histIdx))
+        runToTable(decisions.toDF(), "stream_deltadedup")
+          .select(col("docId").as("doc_id"),
+            col("inHistory").as("in_history"), col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH hist AS (SELECT DISTINCT
+          |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS k
+          |  FROM documents WHERE doc_id % 10 < 8),
+          |delta AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+          |  UNION ALL SELECT doc_id + 100000, text FROM documents
+          |    WHERE doc_id % 10 = 0
+          |  UNION ALL SELECT doc_id + 200000, text FROM documents
+          |    WHERE doc_id % 10 = 8),
+          |dk AS (SELECT doc_id,
+          |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS k
+          |  FROM delta),
+          |f AS (SELECT k, min(doc_id) AS first_id FROM dk GROUP BY k)
+          |SELECT dk.doc_id, hist.k IS NOT NULL AS in_history,
+          |  hist.k IS NULL AND dk.doc_id = f.first_id AS keep
+          |FROM dk JOIN f USING (k) LEFT JOIN hist USING (k)
+          |ORDER BY dk.doc_id""".stripMargin))
   )
 }
