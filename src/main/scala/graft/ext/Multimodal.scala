@@ -709,6 +709,54 @@ object Multimodal {
     }
   }
 
+  /** All five REAL codecs keyed by MIME-ish kind — the routing table for
+    * [[decodeMetaByKind]] over a heterogeneous corpus. Lazy: the decoder
+    * vals it references are defined across the object body, and an eager
+    * Map would capture nulls for the ones initialized after it. */
+  lazy val realDecoders: Map[String, DecoderFactory] = Map(
+    "image/ppm" -> ppmDecoder,
+    "image/bmp" -> bmpDecoder,
+    "image/png" -> pngDecoder,
+    "audio/wav" -> wavDecoder,
+    "video/y4m" -> y4mDecoder)
+
+  /** Decode a MIXED-format corpus in one pass: each partition instantiates
+    * every format's decoder once (the per-partition codec lifecycle,
+    * per-format), then rows route by their `kind` column — the shape of a
+    * real multimodal table, where image/audio/video payloads share one
+    * binary column and one scan. An unknown kind fails LOUDLY per row
+    * (silently skipping would undercount the corpus); callers with
+    * expected-unknown kinds filter them first, explicitly. */
+  def decodeMetaByKind(ds: Dataset[MediaFile],
+      decoders: Map[String, DecoderFactory] = realDecoders)
+      : Dataset[MediaMeta] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      val dec = decoders.map { case (k, f) => k -> f() } // once per task
+      it.map { m =>
+        val d = dec.getOrElse(m.kind, throw new IllegalArgumentException(
+          s"decodeMetaByKind: no decoder for kind '${m.kind}' " +
+            s"(doc ${m.docId}); known: ${decoders.keys.toSeq.sorted
+              .mkString(", ")}"))
+        val (w, h, frames) = d(m.payload)
+        MediaMeta(m.docId, m.kind, m.payload.length, w, h, frames,
+          md5Hex(m.payload))
+      }
+    }
+  }
+
+  /** Deterministic MIXED-format payload for doc `d` — doc_id % 5 picks the
+    * format, so a corpus built from this exercises every codec inside one
+    * scan (q146). */
+  def syntheticMedia(d: Long): MediaFile = (d % 5) match {
+    case 0 => MediaFile(d, "image/ppm", syntheticPpm(d))
+    case 1 => MediaFile(d, "image/bmp", syntheticBmp(d))
+    case 2 => MediaFile(d, "image/png", syntheticPng(d))
+    case 3 => MediaFile(d, "audio/wav", syntheticWav(d))
+    case _ => MediaFile(d, "video/y4m", syntheticY4m(d))
+  }
+
   /** Adapter: the driver `documents` table as fake media payloads (text
     * bytes as payload) — lets the typed pipeline run against real parquet. */
   def fromDocuments(spark: SparkSession, dir: String): Dataset[MediaFile] = {

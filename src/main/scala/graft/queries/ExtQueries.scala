@@ -1224,6 +1224,46 @@ object ExtQueries {
            |SELECT vec_id, CAST(comb % 1048576 AS BIGINT) AS cluster,
            |  CAST(comb // 1048576 AS BIGINT) AS dist2
            |FROM a3 ORDER BY vec_id""".stripMargin
-      })
+      }),
+
+    // The HETEROGENEOUS multimodal pipeline: one corpus, one scan, five
+    // real formats (PPM/BMP/PNG images, WAV audio, Y4M video) routed to
+    // their codecs per row by the `kind` column — each partition
+    // instantiates every decoder once (the per-format per-task codec
+    // lifecycle), and an unknown kind fails loudly. The oracle predicts
+    // each format's decoded envelope (dims / channels+rate / frame count)
+    // from the synthetic construction arithmetic, so a routing bug that
+    // sent a payload to the wrong codec would either throw (strict
+    // parsers) or break the hash.
+    Q("q146_media_dispatch",
+      (s, dir) => {
+        import s.implicits._
+        val files = Tables.sharded(s, dir, "documents", "doc_id")
+          .select(col("doc_id")).as[Long]
+          .map(graft.ext.Multimodal.syntheticMedia)
+        graft.ext.Multimodal.decodeMetaByKind(files).toDF()
+          .select(col("docId").as("doc_id"), col("kind"),
+            col("width"), col("height"), col("nFrames").as("n_frames"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """SELECT doc_id,
+          |  CASE doc_id % 5 WHEN 0 THEN 'image/ppm' WHEN 1 THEN 'image/bmp'
+          |    WHEN 2 THEN 'image/png' WHEN 3 THEN 'audio/wav'
+          |    ELSE 'video/y4m' END AS kind,
+          |  CAST(CASE doc_id % 5
+          |    WHEN 0 THEN 4 WHEN 1 THEN 4 WHEN 2 THEN 5
+          |    WHEN 3 THEN 1 + doc_id % 2
+          |    ELSE 3 + doc_id % 3 END AS INT) AS width,
+          |  CAST(CASE doc_id % 5
+          |    WHEN 0 THEN 3 + doc_id % 4 WHEN 1 THEN 2 + doc_id % 4
+          |    WHEN 2 THEN 5 + doc_id % 4
+          |    WHEN 3 THEN 8000 + (doc_id % 3) * 4000
+          |    ELSE 2 + doc_id % 3 END AS INT) AS height,
+          |  CAST(CASE doc_id % 5
+          |    WHEN 3 THEN 20 + doc_id % 7
+          |    WHEN 4 THEN 3 + doc_id % 4
+          |    ELSE 1 END AS INT) AS n_frames
+          |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

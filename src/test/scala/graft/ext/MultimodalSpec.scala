@@ -298,6 +298,27 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       "corrupt FRAME marker")
   }
 
+  test("decodeMetaByKind: five formats route to their codecs in one " +
+      "pass; unknown kinds fail loudly (q146's contract)") {
+    import spark.implicits._
+    val ds = Seq(0L, 1L, 2L, 3L, 4L).toDS()
+      .map(graft.ext.Multimodal.syntheticMedia)
+    val metas = Multimodal.decodeMetaByKind(ds).collect()
+      .map(m => m.docId -> m).toMap
+    assert(metas(0L).kind === "image/ppm" && metas(0L).width === 4)
+    assert(metas(1L).kind === "image/bmp" && metas(1L).height === 3)
+    assert(metas(2L).kind === "image/png" && metas(2L).width === 5)
+    assert(metas(3L).kind === "audio/wav" && metas(3L).width === 2 &&
+      metas(3L).height === 8000 && metas(3L).nFrames === 23)
+    assert(metas(4L).kind === "video/y4m" && metas(4L).nFrames === 3)
+    val unknown = Seq(MediaFile(9L, "image/webp", Array[Byte](1, 2)))
+      .toDS()
+    val e = intercept[org.apache.spark.SparkException](
+      Multimodal.decodeMetaByKind(unknown).collect())
+    assert(e.getMessage.contains("no decoder for kind") ||
+      e.getCause.getMessage.contains("no decoder for kind"))
+  }
+
   test("syntheticY4m: multi-frame walk + stride sampling with closed-form " +
       "plane sums (q142's contract)") {
     import spark.implicits._
