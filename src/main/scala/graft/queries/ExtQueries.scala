@@ -1264,6 +1264,89 @@ object ExtQueries {
           |    WHEN 3 THEN 20 + doc_id % 7
           |    WHEN 4 THEN 3 + doc_id % 4
           |    ELSE 1 END AS INT) AS n_frames
-          |FROM documents ORDER BY doc_id""".stripMargin))
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // SemDeDup COMPOSED end-to-end from the in-engine operators: Lloyd
+    // k-means clusters the corpus (q144's operator, 2 rounds), then the
+    // prune step drops any vector whose cosine with a smaller-id
+    // cluster-mate reaches 0.8 — keep-min-id, one representative per
+    // semantic-dup relation. Planted near-dups (every 50th vector
+    // re-ingested with +0.5 on dim 0, cosine ≈ 0.98 vs its source against
+    // a ≈ N(0, 0.12) background) guarantee both decision classes at any
+    // sf. The cosine test is integer-exact over the same quantization as
+    // the clustering (tauDen²·dot² vs tauNum²·|a|²·|b|², no square
+    // roots), so the oracle replays clustering AND pruning bit-for-bit.
+    // The pair join is cluster-keyed — bounded by the largest cluster,
+    // never corpus²; production scales k to bound cluster size.
+    Q("q147_semdedup_kmeans",
+      (s, dir) => {
+        val emb = Tables.sharded(s, dir, "embeddings", "vec_id")
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double"))
+              .as("embedding"))
+        val corpus = emb.unionAll(
+          emb.where(col("vec_id") % 50 === 0)
+            .select((col("vec_id") + 100000).as("vec_id"),
+              transform(col("embedding"), (x, i) =>
+                when(i === 0, x + lit(0.5)).otherwise(x)).as("embedding")))
+        val assign = graft.similarity.Clustering
+          .lloyd(corpus, k = 4, rounds = 2)
+        graft.similarity.Clustering.clusterPrune(corpus, assign)
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        def iter(n: Int): String = {
+          val p = n - 1
+          s"""d$n AS (SELECT qd.vec_id AS vec_id, c.cid AS cid,
+             |    sum((qd.v - c.v) * (qd.v - c.v)) AS dist
+             |  FROM qd JOIN c$p c ON qd.d = c.d GROUP BY 1, 2),
+             |a$n AS (SELECT vec_id, min(dist * 1048576 + cid) AS comb
+             |  FROM d$n GROUP BY 1),
+             |m$n AS (SELECT vec_id, comb % 1048576 AS cid FROM a$n),
+             |c$n AS (SELECT m.cid AS cid, qd.d AS d,
+             |    CAST(floor(CAST(sum(qd.v) AS DOUBLE) / count(*)) AS BIGINT)
+             |      AS v
+             |  FROM qd JOIN m$n m USING (vec_id) GROUP BY 1, 2)""".stripMargin
+        }
+        s"""WITH corpus AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+           |  FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 100000, list_transform(embedding,
+           |    (x, i) -> CASE WHEN i = 1 THEN CAST(x AS DOUBLE) + 0.5
+           |                   ELSE CAST(x AS DOUBLE) END)
+           |  FROM embeddings WHERE vec_id % 50 = 0),
+           |q AS (SELECT vec_id,
+           |    unnest(list_transform(embedding, (x, i) -> {'d': i,
+           |      'v': CAST(floor(x * 1000) AS BIGINT)})) AS e
+           |  FROM corpus),
+           |qd AS (SELECT vec_id, e.d AS d, e.v AS v FROM q),
+           |seeds AS (SELECT vec_id FROM corpus ORDER BY vec_id LIMIT 4),
+           |c0 AS (SELECT qd.vec_id AS cid, d, v
+           |  FROM qd JOIN seeds USING (vec_id)),
+           |${iter(1)},
+           |d2 AS (SELECT qd.vec_id AS vec_id, c.cid AS cid,
+           |    sum((qd.v - c.v) * (qd.v - c.v)) AS dist
+           |  FROM qd JOIN c1 c ON qd.d = c.d GROUP BY 1, 2),
+           |a2 AS (SELECT vec_id, min(dist * 1048576 + cid) AS comb
+           |  FROM d2 GROUP BY 1),
+           |asg AS (SELECT vec_id, comb % 1048576 AS cluster FROM a2),
+           |n2 AS (SELECT vec_id, sum(v * v) AS n2 FROM qd GROUP BY 1),
+           |dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |    sum(a.v * b.v) AS dot
+           |  FROM qd a JOIN qd b ON a.d = b.d
+           |  JOIN asg ca ON ca.vec_id = a.vec_id
+           |  JOIN asg cb ON cb.vec_id = b.vec_id AND cb.cluster = ca.cluster
+           |  WHERE a.vec_id < b.vec_id
+           |  GROUP BY 1, 2),
+           |dup AS (SELECT DISTINCT d.id_b AS vec_id
+           |  FROM dots d JOIN n2 na ON na.vec_id = d.id_a
+           |  JOIN n2 nb ON nb.vec_id = d.id_b
+           |  WHERE d.dot > 0 AND 25 * d.dot * d.dot >= 16 * na.n2 * nb.n2)
+           |SELECT asg.vec_id, CAST(asg.cluster AS BIGINT) AS cluster,
+           |  dup.vec_id IS NULL AS keep
+           |FROM asg LEFT JOIN dup USING (vec_id) ORDER BY vec_id""".stripMargin
+      })
   )
 }

@@ -104,4 +104,49 @@ object Clustering {
         (col("__comb") - pmod(col("__comb"), lit(CidCap)))
           .divide(lit(CidCap)).cast("long").as("dist2"))
   }
+
+  /** The SemDeDup prune step (Abbas et al., public method) composed over
+    * [[lloyd]]'s output: within each cluster, a vector is DROPPED when its
+    * cosine with any smaller-id cluster-mate reaches `tauNum/tauDen` —
+    * keep-min-id, the deterministic one-representative rule. The cosine
+    * test is INTEGER-exact over the same ⌊x·scale⌋ quantization as the
+    * clustering: cos(a,b) ≥ τ ⟺ dot > 0 ∧ tauDen²·dot² ≥ tauNum²·|a|²·|b|²
+    * — no square roots, no float accumulation, so the decision replays
+    * bit-for-bit in a SQL oracle (q147).
+    *
+    * Scale shape: the pair join is CLUSTER-KEYED — per-pair work is
+    * bounded by the largest cluster, never corpus² (the published recipe
+    * scales k with the corpus precisely so clusters stay bounded; callers
+    * own that knob). One keyed equi-join + one distinct over dropped ids +
+    * one membership join; norms ride the vector rows, precomputed once.
+    *
+    * Returns (idCol, cluster, keep). */
+  def clusterPrune(vecs: DataFrame, assign: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      tauNum: Long = 4, tauDen: Long = 5, scale: Int = 1000): DataFrame = {
+    require(tauNum >= 0 && tauDen > 0 && tauNum <= tauDen,
+      s"cosine threshold $tauNum/$tauDen outside [0, 1]")
+    val q = vecs
+      .select(col(idCol), quantized(col(vecCol), scale).as("__q"))
+      .withColumn("__n2", aggregate(transform(col("__q"), x => x * x),
+        lit(0L), (acc, x) => acc + x))
+      .join(assign.select(col(idCol), col("cluster")), Seq(idCol))
+    val a = q.select(col(idCol).as("__id_a"), col("__q").as("__qa"),
+      col("__n2").as("__na"), col("cluster"))
+    val b = q.select(col(idCol).as("__id_b"), col("__q").as("__qb"),
+      col("__n2").as("__nb"), col("cluster"))
+    val dropped = a.join(b, Seq("cluster"))
+      .where(col("__id_a") < col("__id_b"))
+      .withColumn("__dot", aggregate(
+        zip_with(col("__qa"), col("__qb"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x))
+      .where(col("__dot") > 0 &&
+        lit(tauDen * tauDen) * col("__dot") * col("__dot") >=
+          lit(tauNum * tauNum) * col("__na") * col("__nb"))
+      .select(col("__id_b").as(idCol)).distinct()
+      .withColumn("__dup", lit(true))
+    q.join(dropped, Seq(idCol), "left_outer")
+      .select(col(idCol), col("cluster"),
+        coalesce(!col("__dup"), lit(true)).as("keep"))
+  }
 }

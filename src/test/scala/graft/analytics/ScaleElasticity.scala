@@ -153,6 +153,26 @@ object ScaleElasticity {
       finally e.unpersist()
     }
 
+    // round-11 additions ------------------------------------------------
+    // full-corpus Lloyd k-means, k FIXED (model size is its own knob —
+    // production scales k with the corpus to bound cluster sizes, which
+    // adds another ×10 of assignment work by design, not by engine
+    // inefficiency): per round one pure-map assignment + a k·d exchange
+    def kmeans(tag: String): Unit =
+      force(graft.similarity.Clustering.lloyd(emb(tag), vecCol = "e",
+        k = 16, rounds = 3))
+    // incremental dedup: a 20%-of-corpus delta (half re-ingests = history
+    // dups, half novel) against the history digest index
+    def delta(tag: String): Unit = {
+      val d = docs(tag)
+      val batch = d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+        .unionAll(d.where(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 2000000000L).as("doc_id"),
+            concat(col("text"), lit(" novel"), col("doc_id")).as("text")))
+      force(Dedup.dedupDelta(d, batch))
+    }
+
     val probes: Seq[(String, String => Unit)] = Seq(
       ("exact_dedup", exactDedup _),
       ("minhash_lsh", lsh _),
@@ -162,7 +182,9 @@ object ScaleElasticity {
         (t: String) => pqadc(t, if (t == "10x") 80 else 8)),
       ("spectral_pca", pca _),
       ("nb_classifier", nb _),
-      ("pagerank", pagerank _))
+      ("pagerank", pagerank _),
+      ("kmeans_lloyd", kmeans _),
+      ("delta_dedup", delta _))
     // optional name-prefix filter: rerun a subset without paying the rest
     val selected = args.headOption
       .map(p => probes.filter(_._1.startsWith(p))).getOrElse(probes)

@@ -61,6 +61,27 @@ class ClusteringSpec extends AnyFunSuite with SparkTestBase {
       s"assignment must not join the corpus:\n$plan")
   }
 
+  test("clusterPrune: keep-min-id within the dup relation; exact " +
+      "threshold boundary drops (>= semantics); cross-cluster pairs " +
+      "never compared") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(3f, 4f)),   // cluster 0
+      (1L, Seq(6f, 8f)),   // parallel to 0 -> cos 1 -> dropped (larger id)
+      (2L, Seq(4f, -3f)),  // orthogonal to 0 -> kept
+      (3L, Seq(1f, 0f)),   // cluster 1
+      (4L, Seq(4f, 3f)),   // cos(3,4) = 4/5 = tau exactly -> dropped
+      (5L, Seq(3f, 4f)))   // cluster 2: IDENTICAL to vec 0, but alone in
+                           // its cluster -> must be kept
+      .toDF("vec_id", "embedding")
+    val assign = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L),
+      (5L, 2L)).toDF("vec_id", "cluster")
+    val out = Clustering.clusterPrune(vecs, assign, scale = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out === Map(0L -> true, 1L -> false, 2L -> true, 3L -> true,
+      4L -> false, 5L -> true))
+  }
+
   test("three rounds on a drifting corpus stay deterministic across " +
       "repeated runs (integer arithmetic has no summation-order noise)") {
     val vecs = frame((0L until 40L).map(i =>
