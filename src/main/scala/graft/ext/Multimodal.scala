@@ -132,8 +132,9 @@ object Multimodal {
   }
 
   /** Integer-exact per-channel sums over an interleaved RGB raster —
-    * shared reduce of the decoded-raster queries (PPM q106, BMP q115). */
-  private def channelSums(docId: Long, w: Int, h: Int,
+    * shared reduce of the decoded-raster queries (PPM q106, BMP q115,
+    * PNG q140, GIF q149). */
+  private[ext] def channelSums(docId: Long, w: Int, h: Int,
       rgb: Array[Byte]): PpmStats = {
     var r = 0L; var g = 0L; var b = 0L
     var i = 0
@@ -717,8 +718,30 @@ object Multimodal {
     "image/ppm" -> ppmDecoder,
     "image/bmp" -> bmpDecoder,
     "image/png" -> pngDecoder,
+    "image/gif" -> gifDecoder,
     "audio/wav" -> wavDecoder,
     "video/y4m" -> y4mDecoder)
+
+  /** REAL decoder factory over [[Gif.decodeGif]] — the second compressed
+    * format, with the from-scratch LZW. */
+  val gifDecoder: DecoderFactory = () => { bytes =>
+    val (w, h, _) = Gif.decodeGif(bytes)
+    (w, h, 1)
+  }
+
+  /** Per-channel pixel sums from decoded GIF payloads — palette-mapped
+    * through the from-scratch LZW, meeting the other image paths at the
+    * same integer-exact shape. */
+  def gifPixelStats(ds: Dataset[MediaFile]): Dataset[PpmStats] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val (w, h, rgb) = Gif.decodeGif(m.payload)
+        channelSums(m.docId, w, h, rgb)
+      }
+    }
+  }
 
   /** Decode a MIXED-format corpus in one pass: each partition instantiates
     * every format's decoder once (the per-partition codec lifecycle,

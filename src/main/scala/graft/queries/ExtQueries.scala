@@ -1347,6 +1347,134 @@ object ExtQueries {
            |SELECT asg.vec_id, CAST(asg.cluster AS BIGINT) AS cluster,
            |  dup.vec_id IS NULL AS keep
            |FROM asg LEFT JOIN dup USING (vec_id) ORDER BY vec_id""".stripMargin
-      })
+      }),
+
+    // MMR diverse selection (Carbonell & Goldstein 1998): top-4 vectors
+    // RELEVANT to a query (vector 0) but DIVERSE — each greedy round
+    // maximizes round(0.7·rel − 0.3·max-cos-to-selected, 6), min-id
+    // tie-break, so the oracle replays the full trajectory. Per round
+    // the engine runs ONE distributed argmax (TakeOrderedAndProject)
+    // over a pure map stage — the selected set rides as ≤ k·d literal
+    // doubles, no join touches the corpus. Round-6 on every pairwise
+    // cosine absorbs summation-order ULP noise (the engine-wide float
+    // determinism convention).
+    Q("q148_mmr_select",
+      (s, dir) => {
+        val emb = Tables.sharded(s, dir, "embeddings", "vec_id")
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double"))
+              .as("embedding"))
+        val v0 = emb.where(col("vec_id") === 0)
+          .select(col("embedding")).collect().head.getSeq[Double](0).toArray
+        val n0 = math.sqrt(v0.map(x => x * x).sum)
+        val dot = aggregate(zip_with(col("embedding"), typedLit(v0),
+          (a, b) => a * b), lit(0d), (a, x) => a + x)
+        val nrm = sqrt(aggregate(
+          transform(col("embedding"), x => x * x), lit(0d), (a, x) => a + x))
+        val cands = emb.where(col("vec_id") > 0)
+          .withColumn("rel", round(dot / (nrm * lit(n0)), 6))
+        graft.similarity.Mmr.select(cands, "rel").orderBy(col("rank"))
+      },
+      Some {
+        // cos{r}: round-6 cosine of every candidate to round r's pick
+        def cosCte(r: Int): String =
+          s"""c$r AS (SELECT a.vec_id,
+             |    round(sum(a.x * b.x) / (max(na.nrm) * max(nb.nrm)), 6) AS c
+             |  FROM xd a JOIN xd b ON a.d = b.d
+             |    AND b.vec_id = (SELECT vec_id FROM s$r)
+             |  JOIN nr na ON na.vec_id = a.vec_id
+             |  JOIN nr nb ON nb.vec_id = b.vec_id
+             |  WHERE a.vec_id > 0 GROUP BY a.vec_id)""".stripMargin
+        s"""WITH e AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |ex AS (SELECT vec_id,
+           |    unnest(list_transform(v, (x, i) -> {'d': i, 'x': x})) AS p
+           |  FROM e),
+           |xd AS (SELECT vec_id, p.d AS d, p.x AS x FROM ex),
+           |nr AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM xd GROUP BY 1),
+           |rel AS (SELECT a.vec_id,
+           |    round(sum(a.x * q.x) /
+           |      (max(na.nrm) * max(n0.nrm)), 6) AS rel
+           |  FROM xd a
+           |  JOIN (SELECT d, x FROM xd WHERE vec_id = 0) q ON a.d = q.d
+           |  JOIN nr na ON na.vec_id = a.vec_id
+           |  CROSS JOIN (SELECT nrm FROM nr WHERE vec_id = 0) n0
+           |  WHERE a.vec_id > 0 GROUP BY a.vec_id),
+           |s1 AS (SELECT vec_id, rel AS mmr FROM rel
+           |  ORDER BY rel DESC, vec_id LIMIT 1),
+           |${cosCte(1)},
+           |m2 AS (SELECT r.vec_id,
+           |    round(CAST(0.7 AS DOUBLE) * r.rel -
+           |      CAST(0.3 AS DOUBLE) * c1.c, 6) AS mmr
+           |  FROM rel r JOIN c1 ON c1.vec_id = r.vec_id
+           |  WHERE r.vec_id NOT IN (SELECT vec_id FROM s1)),
+           |s2 AS (SELECT vec_id, mmr FROM m2
+           |  ORDER BY mmr DESC, vec_id LIMIT 1),
+           |${cosCte(2)},
+           |m3 AS (SELECT r.vec_id,
+           |    round(CAST(0.7 AS DOUBLE) * r.rel -
+           |      CAST(0.3 AS DOUBLE) * greatest(c1.c, c2.c), 6) AS mmr
+           |  FROM rel r JOIN c1 ON c1.vec_id = r.vec_id
+           |  JOIN c2 ON c2.vec_id = r.vec_id
+           |  WHERE r.vec_id NOT IN (SELECT vec_id FROM s1
+           |    UNION ALL SELECT vec_id FROM s2)),
+           |s3 AS (SELECT vec_id, mmr FROM m3
+           |  ORDER BY mmr DESC, vec_id LIMIT 1),
+           |${cosCte(3)},
+           |m4 AS (SELECT r.vec_id,
+           |    round(CAST(0.7 AS DOUBLE) * r.rel -
+           |      CAST(0.3 AS DOUBLE) * greatest(c1.c, c2.c, c3.c), 6) AS mmr
+           |  FROM rel r JOIN c1 ON c1.vec_id = r.vec_id
+           |  JOIN c2 ON c2.vec_id = r.vec_id
+           |  JOIN c3 ON c3.vec_id = r.vec_id
+           |  WHERE r.vec_id NOT IN (SELECT vec_id FROM s1
+           |    UNION ALL SELECT vec_id FROM s2
+           |    UNION ALL SELECT vec_id FROM s3)),
+           |s4 AS (SELECT vec_id, mmr FROM m4
+           |  ORDER BY mmr DESC, vec_id LIMIT 1)
+           |SELECT CAST(1 AS BIGINT) AS rank, vec_id, mmr FROM s1
+           |UNION ALL SELECT 2, vec_id, mmr FROM s2
+           |UNION ALL SELECT 3, vec_id, mmr FROM s3
+           |UNION ALL SELECT 4, vec_id, mmr FROM s4
+           |ORDER BY rank""".stripMargin
+      }),
+
+    // The FIFTH real decode format and SECOND compressed one — GIF, whose
+    // entropy coder (variable-width LSB-first LZW) is implemented from
+    // scratch (the JDK ships DEFLATE for PNG but no LZW): dictionary
+    // growth one code behind the encoder, width bumps at powers of two,
+    // the 4096-entry clear/reset, the KwKwK case. Payload indices follow
+    // closed-form arithmetic and the 256-entry palette maps v to
+    // ((3v)%256, (5v)%256, (7v)%256), so the oracle predicts the decoded
+    // channel sums straight through the compression round-trip — a
+    // one-bit width desync anywhere garbles every code after the first
+    // 512 dictionary entries and breaks the hash.
+    Q("q149_gif_pixel_stats",
+      (s, dir) => {
+        import s.implicits._
+        val files = Tables.sharded(s, dir, "documents", "doc_id")
+          .select(col("doc_id")).as[Long]
+          .map(d => graft.ext.MediaFile(d, "image/gif",
+            graft.ext.Gif.syntheticGif(d)))
+        graft.ext.Multimodal.gifPixelStats(files).toDF()
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH d AS (SELECT doc_id,
+          |    CAST(3 + doc_id % 5 AS INT) AS width,
+          |    CAST(4 + doc_id % 4 AS INT) AS height
+          |  FROM documents),
+          |px AS (SELECT doc_id, width, height,
+          |    unnest(generate_series(0, width * height - 1)) AS i
+          |  FROM d),
+          |v AS (SELECT doc_id, width, height,
+          |    (doc_id * 43 + i) % 256 AS idx
+          |  FROM px)
+          |SELECT doc_id, width, height,
+          |  CAST(sum((idx * 3) % 256) AS BIGINT) AS sum_r,
+          |  CAST(sum((idx * 5) % 256) AS BIGINT) AS sum_g,
+          |  CAST(sum((idx * 7) % 256) AS BIGINT) AS sum_b
+          |FROM v GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin))
   )
 }
