@@ -686,6 +686,37 @@ object Multimodal {
     }
   }
 
+  /** Audio FEATURE extraction over decoded WAV payloads — one row per
+    * (doc, channel): zero-crossing count (adjacent in-channel samples
+    * with strictly negative product — the classic voiced/unvoiced and
+    * noisiness cue) and signal energy (Σ s², the loudness/silence cue).
+    * Both integer-exact (energy peaks at 26 frames · 32768² ≈ 2.8e10,
+    * comfortably in a Long), so the oracle replays them from the
+    * synthetic construction arithmetic — decode + both features stream
+    * per partition in one pass over the samples. */
+  def wavChannelFeatures(ds: Dataset[MediaFile]): Dataset[WavChannelFeats] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { m =>
+        val (nCh, _, samples) = decodeWav(m.payload)
+        val nFrames = samples.length / nCh
+        (0 until nCh).iterator.map { c =>
+          var zcr = 0L
+          var energy = 0L
+          var f = 0
+          while (f < nFrames) {
+            val s = samples(f * nCh + c).toLong
+            energy += s * s
+            if (f > 0 && samples((f - 1) * nCh + c).toLong * s < 0) zcr += 1
+            f += 1
+          }
+          WavChannelFeats(m.docId, c, nFrames, zcr, energy)
+        }
+      }
+    }
+  }
+
   /** REAL decoder factory over [[decodeWav]] — (channels, sampleRate)
     * stand in for (w, h) in the shared [[MediaMeta]] envelope. */
   val wavDecoder: DecoderFactory = () => { bytes =>
@@ -904,6 +935,56 @@ object Multimodal {
       y += 1
     }
     out
+  }
+
+  // ---------------------------------------------------------------------
+  // Perceptual image hash: dHash (difference hash, public method — the
+  // standard cheap near-dup fingerprint for images). Grayscale, resample
+  // to a fixed 8×8 grid, hash = the 56 horizontal brightness-gradient
+  // signs (7 compares × 8 rows; 56 bits keeps every arithmetic step in a
+  // signed 64-bit integer on BOTH engines — the classic 9×8/64-bit
+  // variant would need 2^63). Gradient SIGNS survive exposure/scale
+  // changes that break byte-exact hashing, so Hamming distance over
+  // dHashes is the image twin of SimHash-over-text.
+  // ---------------------------------------------------------------------
+
+  /** 56-bit dHash of a top-down RGB raster: integer grayscale
+    * ⌊(r+g+b)/3⌋, nearest-neighbor resample to 8×8 (exact index
+    * arithmetic — the same kernel as [[resizeNearestRgb]]), bit
+    * y·7+x = 1 iff gray(y, x+1) > gray(y, x). Fully integer-exact, so a
+    * SQL oracle replays the hash bit-for-bit. */
+  def dhash56(w: Int, h: Int, rgb: Array[Byte]): Long = {
+    require(rgb.length == w * h * 3,
+      s"dhash56: raster length ${rgb.length} != ${w * h * 3}")
+    val g = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val s = ((y * h / 8) * w + (x * w / 8)) * 3
+        g(y * 8 + x) =
+          ((rgb(s) & 0xff) + (rgb(s + 1) & 0xff) + (rgb(s + 2) & 0xff)) / 3
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 7) {
+        if (g(y * 8 + x + 1) > g(y * 8 + x)) hash |= 1L << (y * 7 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** dHash straight from a PPM payload — through the real decode path. */
+  def dhashFromPpm(payload: Array[Byte]): Long = {
+    val (w, h, rgb) = decodePpm(payload)
+    dhash56(w, h, rgb)
   }
 
   /** REAL resizer factory over PPM payloads: decode → nearest-neighbor
@@ -1133,3 +1214,8 @@ case class WavStats(doc_id: Long, n_channels: Int, sample_rate: Int,
   * the Y4M (q142) decode path: one row per kept frame. */
 case class FrameStats(doc_id: Long, frame_idx: Int, width: Int, height: Int,
     sum_y: Long, sum_u: Long, sum_v: Long)
+
+/** Per-channel audio features (integer-exact) — the WAV feature path
+  * (q150): one row per (doc, channel). */
+case class WavChannelFeats(doc_id: Long, ch: Int, n_frames: Int,
+    zcr: Long, energy: Long)

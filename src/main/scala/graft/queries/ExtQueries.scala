@@ -1289,8 +1289,14 @@ object ExtQueries {
             .select((col("vec_id") + 100000).as("vec_id"),
               transform(col("embedding"), (x, i) =>
                 when(i === 0, x + lit(0.5)).otherwise(x)).as("embedding")))
-        val assign = graft.similarity.Clustering
-          .lloyd(corpus, k = 4, rounds = 2)
+        // cached: clusterPrune references the assignment from BOTH pair
+        // sides and the final membership join — without the barrier the
+        // whole lloyd lineage (2 rounds incl. a k·d update aggregate)
+        // re-executes 3×. n rows × 2 longs: cheap to pin, q133's lesson.
+        val assign = Caches.frame(s, dir, "semdedup_lloyd_assign",
+          eager = true) {
+          graft.similarity.Clustering.lloyd(corpus, k = 4, rounds = 2)
+        }
         graft.similarity.Clustering.clusterPrune(corpus, assign)
           .orderBy(col("vec_id"))
       },
@@ -1475,6 +1481,117 @@ object ExtQueries {
           |  CAST(sum((idx * 3) % 256) AS BIGINT) AS sum_r,
           |  CAST(sum((idx * 5) % 256) AS BIGINT) AS sum_g,
           |  CAST(sum((idx * 7) % 256) AS BIGINT) AS sum_b
-          |FROM v GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin))
+          |FROM v GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin)),
+
+    // Audio FEATURE extraction past the decode: per-channel zero-crossing
+    // count (the voiced/unvoiced + noisiness cue) and signal energy (the
+    // loudness/silence cue) over the same synthetic WAV payloads as q128
+    // — both integer-exact, one pass over the samples, one row per
+    // (doc, channel). The oracle replays both features from the
+    // construction arithmetic (the zcr needs the PREVIOUS in-channel
+    // sample: an interleave bug that compared across channels would
+    // shift every crossing count).
+    Q("q150_wav_features",
+      (s, dir) => {
+        import s.implicits._
+        val files = Tables.sharded(s, dir, "documents", "doc_id")
+          .select(col("doc_id")).as[Long]
+          .map(d => graft.ext.MediaFile(d, "audio/wav",
+            graft.ext.Multimodal.syntheticWav(d)))
+        graft.ext.Multimodal.wavChannelFeatures(files).toDF()
+          .orderBy(col("doc_id"), col("ch"))
+      },
+      Some(
+        """WITH d AS (SELECT doc_id,
+          |    CAST(1 + doc_id % 2 AS INT) AS n_channels,
+          |    CAST(20 + doc_id % 7 AS INT) AS n_frames
+          |  FROM documents),
+          |chs AS (SELECT doc_id, n_channels, n_frames,
+          |    unnest(generate_series(0, n_channels - 1)) AS ch
+          |  FROM d),
+          |fr AS (SELECT doc_id, n_channels, n_frames, ch,
+          |    unnest(generate_series(0, n_frames - 1)) AS f
+          |  FROM chs),
+          |v AS (SELECT doc_id, ch, n_frames,
+          |    (doc_id * 13 + f * n_channels + ch) % 65536 - 32768 AS s,
+          |    CASE WHEN f > 0 THEN
+          |      (doc_id * 13 + (f - 1) * n_channels + ch) % 65536 - 32768
+          |    END AS sp
+          |  FROM fr)
+          |SELECT doc_id, CAST(ch AS INT) AS ch,
+          |  CAST(n_frames AS INT) AS n_frames,
+          |  CAST(count(*) FILTER (WHERE sp * s < 0) AS BIGINT) AS zcr,
+          |  CAST(sum(s * s) AS BIGINT) AS energy
+          |FROM v GROUP BY doc_id, ch, n_frames
+          |ORDER BY doc_id, ch""".stripMargin)),
+
+    // IMAGE near-dup via perceptual hash: 56-bit dHash (grayscale → 8×8
+    // nearest resample → horizontal gradient signs) of each synthetic
+    // image AND a perturbed re-encode (raster byte 0 bumped to value
+    // (d·31+128)%256 — a visible dot in one corner), compared by Hamming
+    // distance — the image twin of SimHash-over-text: gradient signs
+    // survive small edits byte-exact hashing can't. Everything is
+    // integer-exact (gray = ⌊(r+g+b)/3⌋, exact resample indices, bits
+    // summed as shifted longs), so the oracle replays BOTH hashes and
+    // the Hamming distance bit-for-bit; both payloads run the real
+    // encode → decode path. Most perturbed copies stay within Hamming 2
+    // (near dup); docs whose corner lands on a resample cell boundary
+    // drift farther — both classes appear at any sf.
+    Q("q151_image_dhash",
+      (s, dir) => {
+        import s.implicits._
+        def payload(d: Long, pert: Boolean): Array[Byte] = {
+          val w = (4 + d % 5).toInt
+          val h = (3 + d % 4).toInt
+          val raster = Array.tabulate(w * h * 3)(i =>
+            ((d * 31 + (if (pert && i == 0) 128L else i.toLong)) % 256)
+              .toByte)
+          graft.ext.Multimodal.encodePpm(w, h, raster)
+        }
+        Tables.sharded(s, dir, "documents", "doc_id")
+          .select(col("doc_id")).as[Long]
+          .map { d =>
+            val a = graft.ext.Multimodal.dhashFromPpm(payload(d, false))
+            val b = graft.ext.Multimodal.dhashFromPpm(payload(d, true))
+            val ham = java.lang.Long.bitCount(a ^ b).toLong
+            (d, a, b, ham, ham <= 2)
+          }
+          .toDF("doc_id", "dhash", "dhash_pert", "hamming", "near")
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH d AS (SELECT doc_id,
+          |    CAST(4 + doc_id % 5 AS INT) AS w,
+          |    CAST(3 + doc_id % 4 AS INT) AS h
+          |  FROM documents),
+          |ys AS (SELECT unnest(generate_series(0, 7)) AS y),
+          |xs AS (SELECT unnest(generate_series(0, 7)) AS x),
+          |cell AS (SELECT doc_id, y, x,
+          |    ((y * h // 8) * w + (x * w // 8)) * 3 AS i0
+          |  FROM d CROSS JOIN ys CROSS JOIN xs),
+          |g AS (SELECT doc_id, y, x,
+          |    ((doc_id * 31 + i0) % 256 + (doc_id * 31 + i0 + 1) % 256
+          |      + (doc_id * 31 + i0 + 2) % 256) // 3 AS gb,
+          |    ((CASE WHEN i0 = 0 THEN (doc_id * 31 + 128) % 256
+          |           ELSE (doc_id * 31 + i0) % 256 END)
+          |      + (doc_id * 31 + i0 + 1) % 256
+          |      + (doc_id * 31 + i0 + 2) % 256) // 3 AS gp
+          |  FROM cell),
+          |bits AS (SELECT a.doc_id, a.y, a.x,
+          |    CASE WHEN b.gb > a.gb THEN 1 ELSE 0 END AS bb,
+          |    CASE WHEN b.gp > a.gp THEN 1 ELSE 0 END AS bp
+          |  FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.y = b.y
+          |    AND b.x = a.x + 1
+          |  WHERE a.x < 7),
+          |hs AS (SELECT doc_id,
+          |    CAST(sum(bb * (CAST(1 AS BIGINT) << (y * 7 + x)))
+          |      AS BIGINT) AS dhash,
+          |    CAST(sum(bp * (CAST(1 AS BIGINT) << (y * 7 + x)))
+          |      AS BIGINT) AS dhash_pert
+          |  FROM bits GROUP BY doc_id)
+          |SELECT doc_id, dhash, dhash_pert,
+          |  CAST(bit_count(xor(dhash, dhash_pert)) AS BIGINT) AS hamming,
+          |  bit_count(xor(dhash, dhash_pert)) <= 2 AS near
+          |FROM hs ORDER BY doc_id""".stripMargin))
   )
 }

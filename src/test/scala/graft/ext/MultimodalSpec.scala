@@ -298,6 +298,42 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       "corrupt FRAME marker")
   }
 
+  test("wavChannelFeatures: zero crossings and energy, per channel, " +
+      "integer-exact (q150's contract)") {
+    import spark.implicits._
+    // mono [1,-1,2,-2]: 3 sign changes, energy 1+1+4+4 = 10; stereo
+    // interleaved [5,-3, -5,3]: ch0 [5,-5] -> 1 crossing, energy 50;
+    // ch1 [-3,3] -> 1 crossing, energy 18
+    val mono = Multimodal.encodeWav(1, 8000, Array[Short](1, -1, 2, -2))
+    val stereo = Multimodal.encodeWav(2, 8000, Array[Short](5, -3, -5, 3))
+    val ds = Seq((1L, mono), (2L, stereo)).toDS()
+      .map { case (d, p) => MediaFile(d, "audio/wav", p) }
+    val rows = Multimodal.wavChannelFeatures(ds).collect()
+      .map(r => (r.doc_id, r.ch) -> ((r.zcr, r.energy))).toMap
+    assert(rows((1L, 0)) === ((3L, 10L)))
+    assert(rows((2L, 0)) === ((1L, 50L)))
+    assert(rows((2L, 1)) === ((1L, 18L)))
+  }
+
+  test("dhash56: gradient-sign bits on a hand raster; small edits stay " +
+      "Hamming-near, byte-identity is not required (q151's contract)") {
+    // 2x1 image: left pixel gray 10, right gray 20 -> in the 8x8 resample
+    // columns 0-3 map to the left pixel, 4-7 to the right; the only
+    // horizontal gradient is at x=3, so bits y*7+3 are set for every row
+    val rgb = Array[Byte](10, 10, 10, 20, 20, 20)
+    val h = Multimodal.dhash56(2, 1, rgb)
+    val expected = (0 until 8).map(y => 1L << (y * 7 + 3)).sum
+    assert(h === expected)
+    // flat image: no gradients, hash 0
+    assert(Multimodal.dhash56(2, 2, Array.fill[Byte](12)(7)) === 0L)
+    // a small brightness bump on ONE source pixel moves few bits
+    val base = Array.tabulate[Byte](4 * 4 * 3)(i => (i * 5).toByte)
+    val edit = base.clone(); edit(0) = (edit(0) + 90).toByte
+    val hd = java.lang.Long.bitCount(
+      Multimodal.dhash56(4, 4, base) ^ Multimodal.dhash56(4, 4, edit))
+    assert(hd >= 1 && hd <= 8, s"edit moved $hd bits")
+  }
+
   test("decodeMetaByKind: five formats route to their codecs in one " +
       "pass; unknown kinds fail loudly (q146's contract)") {
     import spark.implicits._
