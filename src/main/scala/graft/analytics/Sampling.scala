@@ -160,4 +160,28 @@ object Sampling {
     df.join(broadcast(thrs), groupCol)
       .where(col(scoreCol) >= col("thr"))
   }
+
+  /** Temperature-scaled mixture weights (the multilingual/source
+    * rebalancing rule used by every large-corpus sampling recipe, public
+    * — e.g. the exponentially-smoothed sampling of multilingual BERT /
+    * XLM-R, p_i ∝ size_i^α): one keyed aggregate for per-group sizes, a
+    * 1-row broadcast for the normalizer, everything else per-group math
+    * on a groups-sized frame. α = 1 reproduces proportional sampling,
+    * α = 0 uniform; α ∈ (0, 1) lifts low-resource groups. Weights are
+    * round-6 (pow differs across engines at ulp scale); `alloc_ppm` is
+    * the integer parts-per-million allocation derived from the rounded
+    * weight, stable by construction. */
+  def temperatureWeights(df: DataFrame, groupCol: String, sizeCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val totals = df.groupBy(col(groupCol))
+      .agg(sum(col(sizeCol)).as("__gs"))
+      .withColumn("__p", pow(col("__gs").cast("double"), lit(alpha)))
+    val z = totals.agg(sum(col("__p")).as("__z"))
+    totals.crossJoin(broadcast(z))
+      .select(col(groupCol), col("__gs").cast("long").as("group_size"),
+        round(col("__p") / col("__z"), 6).as("weight"))
+      .withColumn("alloc_ppm",
+        round(col("weight") * lit(1000000d)).cast("long"))
+  }
 }

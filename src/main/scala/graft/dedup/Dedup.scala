@@ -218,6 +218,43 @@ object Dedup {
       .select(col(idCol), posexplode(col("__hs")).as(Seq("pos", "hv")))
   }
 
+  /** CONTENT-DEFINED chunking (Rabin-style, the LBFS rule — public:
+    * Muthitacharoen et al. 2001): a chunk boundary falls wherever the
+    * rolling hash of the `window`-char gram starting at a position is
+    * ≡ 0 mod `divisor` — so boundaries follow CONTENT, not offsets, and
+    * an insertion early in a document shifts only the chunk it lands in
+    * (fixed-size tiling — q100/q108's grain — re-cuts everything after
+    * the edit, which defeats chunk-level dedup on revised documents).
+    * Expected chunk length ≈ divisor chars over the normalized text.
+    *
+    * Reuses [[gramPositions]]' O(n) double-width rolling hash (a native
+    * codegen expression), so the scan is one map stage; the per-document
+    * boundary rollup is a keyed aggregate carrying only boundary
+    * positions. Returns (id, n_norm, n_chunks, bounds_digest) — the
+    * digest pins the exact boundary set for oracle comparison; callers
+    * slicing real chunks explode on the same positions. */
+  def cdcChunks(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", window: Int = 8,
+      divisor: Long = 32): DataFrame = {
+    require(window >= 1 && divisor >= 1,
+      s"bad CDC parameters window=$window divisor=$divisor")
+    val pos = gramPositions(docs, idCol, textCol, k = window)
+    val bounds = pos
+      .where(col("pos") >= 1 && pmod(col("hv"), lit(divisor)) === 0)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bounds"),
+        md5(concat_ws(",", transform(sort_array(collect_list(col("pos"))),
+          p => p.cast("string")))).as("bounds_digest"))
+    docs
+      .select(col(idCol),
+        length(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", ""))
+          .as("n_norm"))
+      .join(bounds, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_norm"),
+        (coalesce(col("n_bounds"), lit(0L)) + 1).as("n_chunks"),
+        coalesce(col("bounds_digest"), md5(lit(""))).as("bounds_digest"))
+  }
+
   /** Exact-substring duplicate spans per document, in the style of Lee et
     * al. 2021 ("Deduplicating Training Data Makes Language Models
     * Better"): a char position is *duplicated* when some `k`-gram covering

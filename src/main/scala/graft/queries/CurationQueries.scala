@@ -590,6 +590,30 @@ object CurationQueries {
           |SELECT doc_id, source, est_tokens, tok_start, quality,
           |  ((rk - 1) * 10) // n AS bin,
           |  md5(CAST(doc_id AS VARCHAR) || ':cur') AS shuffle_key
-          |FROM r ORDER BY doc_id""".stripMargin))
+          |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // Temperature-scaled source mixing (Sampling.temperatureWeights):
+    // w_s ∝ size_s^α, the exponential-smoothing rebalance every
+    // multilingual/multi-source sampling recipe uses (α = 0.3 here —
+    // strongly lifting low-resource sources) — the WEIGHT-DERIVATION
+    // half that feeds q97's budget-taking half. One keyed aggregate for
+    // sizes, a 1-row broadcast normalizer; weights round-6 (pow differs
+    // across engines at ulp), alloc_ppm derived from the ROUNDED weight
+    // so the integer allocation is stable by construction.
+    Q("q153_temperature_mix",
+      (s, dir) =>
+        graft.analytics.Sampling.temperatureWeights(
+            Tables(s, dir, "documents"), "source", "n_chars", alpha = 0.3)
+          .orderBy(col("source")),
+      Some(
+        """WITH t AS (SELECT source, sum(n_chars) AS gs
+          |  FROM documents GROUP BY source),
+          |p AS (SELECT source, gs, pow(CAST(gs AS DOUBLE), 0.3) AS pw
+          |  FROM t),
+          |z AS (SELECT sum(pw) AS z FROM p)
+          |SELECT source, CAST(gs AS BIGINT) AS group_size,
+          |  round(pw / z.z, 6) AS weight,
+          |  CAST(round(round(pw / z.z, 6) * 1000000) AS BIGINT) AS alloc_ppm
+          |FROM p CROSS JOIN z ORDER BY source""".stripMargin))
   )
 }

@@ -1337,6 +1337,44 @@ object DedupQueries {
           |  hist.k IS NOT NULL AS in_history,
           |  hist.k IS NULL AND dk.doc_id = f.first_id AS keep
           |FROM dk JOIN f USING (k) LEFT JOIN hist USING (k)
-          |ORDER BY dk.doc_id""".stripMargin))
+          |ORDER BY dk.doc_id""".stripMargin)),
+
+    // Content-defined chunking (Dedup.cdcChunks, the LBFS/Rabin rule):
+    // boundaries wherever the 8-char rolling hash ≡ 0 mod 32, so cuts
+    // follow CONTENT and an early edit re-cuts only its own chunk —
+    // the chunk grain that makes chunk-level dedup survive document
+    // revisions (fixed tiling, q100/q108, re-cuts everything after an
+    // insertion). One native rolling-hash map stage + a per-doc keyed
+    // rollup; the oracle replays the identical 62-bit double hash in
+    // SQL and the bounds_digest pins the exact boundary SET, not just
+    // its size (1-based oracle positions shifted to the engine's
+    // 0-based before hashing).
+    Q("q154_cdc_chunks",
+      (s, dir) =>
+        graft.dedup.Dedup.cdcChunks(
+            Tables.sharded(s, dir, "documents", "doc_id"))
+          .orderBy(col("doc_id")),
+      Some {
+        val hash = graft.functions.GramHashes
+          .duckGramHashWide("norm", "i", 8)
+        s"""WITH nrm AS (SELECT doc_id,
+           |    regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS norm
+           |  FROM documents),
+           |hs AS (SELECT doc_id, len(norm) AS n_norm,
+           |    CASE WHEN len(norm) >= 8
+           |      THEN list_transform(generate_series(1, len(norm) - 7),
+           |           i -> $hash)
+           |      ELSE [] END AS h
+           |  FROM nrm),
+           |p AS (SELECT doc_id, unnest(generate_series(1, len(h))) AS pos,
+           |             unnest(h) AS hv FROM hs),
+           |b AS (SELECT doc_id, count(*) AS n_bounds,
+           |    md5(array_to_string(list_sort(list(pos - 1)), ',')) AS bd
+           |  FROM p WHERE pos >= 2 AND hv % 32 = 0 GROUP BY doc_id)
+           |SELECT hs.doc_id, CAST(hs.n_norm AS INT) AS n_norm,
+           |  CAST(coalesce(b.n_bounds, 0) + 1 AS BIGINT) AS n_chunks,
+           |  coalesce(b.bd, md5('')) AS bounds_digest
+           |FROM hs LEFT JOIN b USING (doc_id) ORDER BY doc_id""".stripMargin
+      })
   )
 }

@@ -1592,6 +1592,35 @@ object ExtQueries {
           |SELECT doc_id, dhash, dhash_pert,
           |  CAST(bit_count(xor(dhash, dhash_pert)) AS BIGINT) AS hamming,
           |  bit_count(xor(dhash, dhash_pert)) <= 2 AS near
-          |FROM hs ORDER BY doc_id""".stripMargin))
+          |FROM hs ORDER BY doc_id""".stripMargin)),
+
+    // Character-level Shannon entropy per document
+    // (TextStats.charEntropy): the gibberish/junk detector the regex
+    // gates can't see — base64 and compressed garbage score near the
+    // alphabet ceiling, natural text ~3 nats, repeated-char spam near 0.
+    // One explode → (doc, char) keyed aggregate (map-side partials keep
+    // the exchange at distinct-chars-per-doc, not corpus×len) + a
+    // doc-keyed total join; round-6 absorbs entropy-term order.
+    Q("q155_char_entropy",
+      (s, dir) =>
+        graft.text.TextStats.charEntropy(
+            Tables.sharded(s, dir, "documents", "doc_id"))
+          .orderBy(col("doc_id")),
+      Some(
+        """WITH ch AS (SELECT doc_id,
+          |    unnest(string_split(lower(text), '')) AS c
+          |  FROM documents),
+          |cnt AS (SELECT doc_id, c, count(*) AS n FROM ch
+          |  WHERE len(c) > 0 GROUP BY doc_id, c),
+          |tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars_total,
+          |    count(*) AS n_distinct
+          |  FROM cnt GROUP BY doc_id)
+          |SELECT cnt.doc_id, tot.n_chars_total,
+          |  CAST(tot.n_distinct AS BIGINT) AS n_distinct,
+          |  round(-sum((CAST(cnt.n AS DOUBLE) / tot.n_chars_total) *
+          |    ln(CAST(cnt.n AS DOUBLE) / tot.n_chars_total)), 6) AS entropy
+          |FROM cnt JOIN tot USING (doc_id)
+          |GROUP BY cnt.doc_id, tot.n_chars_total, tot.n_distinct
+          |ORDER BY cnt.doc_id""".stripMargin))
   )
 }

@@ -435,6 +435,45 @@ object StreamingQueries {
           |SELECT dk.doc_id, hist.k IS NOT NULL AS in_history,
           |  hist.k IS NULL AND dk.doc_id = f.first_id AS keep
           |FROM dk JOIN f USING (k) LEFT JOIN hist USING (k)
-          |ORDER BY dk.doc_id""".stripMargin))
+          |ORDER BY dk.doc_id""".stripMargin)),
+
+    // Streaming MULTIMODAL ingest under the gate: the five-format media
+    // corpus of q146 decoded as a STREAM — per micro-batch, rows route
+    // to their real codecs (PPM/BMP/PNG/WAV/Y4M) through the same typed
+    // mapPartitions dispatch the batch path uses (stateless, so the
+    // result is split-invariant by construction), append sink. This is
+    // the crawl-side shape: media files land continuously and decode
+    // incrementally, with per-partition per-format codec lifecycle.
+    // Oracle = q146's envelope arithmetic verbatim.
+    Q("q152_streaming_media_decode",
+      (s, dir) => {
+        import s.implicits._
+        val files = docStream(s, dir)
+          .select(col("doc_id")).as[Long]
+          .map(graft.ext.Multimodal.syntheticMedia)
+        val metas = graft.ext.Multimodal.decodeMetaByKind(files).toDF()
+          .select(col("docId").as("doc_id"), col("kind"),
+            col("width"), col("height"), col("nFrames").as("n_frames"))
+        runToTable(metas, "stream_media").orderBy(col("doc_id"))
+      },
+      Some(
+        """SELECT doc_id,
+          |  CASE doc_id % 5 WHEN 0 THEN 'image/ppm' WHEN 1 THEN 'image/bmp'
+          |    WHEN 2 THEN 'image/png' WHEN 3 THEN 'audio/wav'
+          |    ELSE 'video/y4m' END AS kind,
+          |  CAST(CASE doc_id % 5
+          |    WHEN 0 THEN 4 WHEN 1 THEN 4 WHEN 2 THEN 5
+          |    WHEN 3 THEN 1 + doc_id % 2
+          |    ELSE 3 + doc_id % 3 END AS INT) AS width,
+          |  CAST(CASE doc_id % 5
+          |    WHEN 0 THEN 3 + doc_id % 4 WHEN 1 THEN 2 + doc_id % 4
+          |    WHEN 2 THEN 5 + doc_id % 4
+          |    WHEN 3 THEN 8000 + (doc_id % 3) * 4000
+          |    ELSE 2 + doc_id % 3 END AS INT) AS height,
+          |  CAST(CASE doc_id % 5
+          |    WHEN 3 THEN 20 + doc_id % 7
+          |    WHEN 4 THEN 3 + doc_id % 4
+          |    ELSE 1 END AS INT) AS n_frames
+          |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

@@ -419,4 +419,31 @@ object TextStats {
           col("gate_alpha"))
       .drop("__words")
   }
+
+  /** Per-document character-level Shannon entropy (nats, round-6) over
+    * the lowercased text — the gibberish/junk detector the regex gates
+    * miss: base64 blobs and compressed garbage sit near ln(alphabet)
+    * (≈ 4+ nats), natural language near ~3, single-char spam near 0.
+    * Scale shape: one explode → (doc, char) keyed aggregate with
+    * map-side partials (≤ distinct-chars-per-doc rows per partition
+    * reach the exchange) + a doc-keyed total join. Entropy term order is
+    * engine-dependent, hence the round-6 (the engine-wide float
+    * convention). Caveat: characters are UTF-16 code units on the JVM
+    * and code points in the SQL oracle — identical on BMP-only corpora
+    * (this testdata: verified zero non-BMP), and the oracle hash is the
+    * tripwire if that drifts. */
+  def charEntropy(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(col(idCol), explode(split(lower(col(textCol)), "")).as("c"))
+      .where(length(col("c")) > 0)
+      .groupBy(col(idCol), col("c")).agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col(idCol))
+      .agg(sum(col("n")).as("n_chars_total"),
+        count(lit(1)).as("n_distinct"))
+    counts.join(totals, idCol)
+      .groupBy(col(idCol), col("n_chars_total"), col("n_distinct"))
+      .agg(round(-sum((col("n") / col("n_chars_total")) *
+        log(col("n") / col("n_chars_total"))), 6).as("entropy"))
+  }
 }

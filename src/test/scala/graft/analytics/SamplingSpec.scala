@@ -33,4 +33,25 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(picked !== other) // independent draw under a different salt
   }
+
+  test("temperatureWeights: alpha=1 proportional, alpha=0 uniform, " +
+      "alpha=0.3 lifts the low-resource group; allocations sum ~1e6") {
+    import spark.implicits._
+    val df = Seq(("a", 900L), ("a", 100L), ("b", 100L), ("c", 10L))
+      .toDF("src", "sz")
+    def w(alpha: Double) = Sampling.temperatureWeights(df, "src", "sz", alpha)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    val prop = w(1.0)
+    assert(prop("a")._1 === 1000L)
+    assert(math.abs(prop("a")._2 - 1000.0 / 1110) < 1e-5)
+    val unif = w(0.0)
+    assert(unif.values.forall(v => math.abs(v._2 - 1.0 / 3) < 1e-5))
+    val t = w(0.3)
+    // temperature compresses the ratio: a/c size ratio 100x -> weight
+    // ratio 100^0.3 ~ 3.98x
+    assert(math.abs(t("a")._2 / t("c")._2 - math.pow(100, 0.3)) < 1e-3)
+    assert(math.abs(t.values.map(_._3).sum - 1000000L) <= 3,
+      "ppm allocations must sum to ~1e6")
+  }
 }

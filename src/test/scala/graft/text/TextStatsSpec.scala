@@ -91,4 +91,20 @@ class TextStatsSpec extends AnyFunSuite with SparkTestBase {
     // the corpus-typical bigram scores strictly higher than the rare one
     assert(out(1L)._2 > out(3L)._2)
   }
+
+  test("charEntropy: 0 for single-char spam, ln 2 for a two-symbol " +
+      "coin, case-folded, round-6") {
+    import spark.implicits._
+    val out = TextStats.charEntropy(Seq(
+      (1L, "aaaaaaaa"),
+      (2L, "abababab"),
+      (3L, "AbAbAbAb")) // case folds onto doc 2's distribution
+      .toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((8L, 1L, 0.0)))
+    assert(out(2L)._3 === math.BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(3L) === out(2L))
+  }
 }
