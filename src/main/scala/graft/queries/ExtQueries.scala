@@ -1621,6 +1621,45 @@ object ExtQueries {
           |    ln(CAST(cnt.n AS DOUBLE) / tot.n_chars_total)), 6) AS entropy
           |FROM cnt JOIN tot USING (doc_id)
           |GROUP BY cnt.doc_id, tot.n_chars_total, tot.n_distinct
-          |ORDER BY cnt.doc_id""".stripMargin))
+          |ORDER BY cnt.doc_id""".stripMargin)),
+
+    // Cross-format TRANSCODE: decode BMP → encode PNG → decode PNG —
+    // the format-conversion pipeline shape (normalize a mixed crawl to
+    // one storage format), asserting LOSSLESSNESS end to end: the final
+    // channel sums must equal q115's closed-form BMP oracle VERBATIM,
+    // so any byte lost or shifted crossing the codec boundary (layout
+    // transforms on the BMP side, filters + DEFLATE on the PNG side)
+    // breaks the hash. Per-partition: one decode, one encode, one
+    // decode, all streaming through the iterator.
+    Q("q156_transcode_bmp_png",
+      (s, dir) => {
+        import s.implicits._
+        val files = Tables.sharded(s, dir, "documents", "doc_id")
+          .select(col("doc_id")).as[Long]
+          .map { d =>
+            val (w, h, rgb) = graft.ext.Multimodal.decodeBmp(
+              graft.ext.Multimodal.syntheticBmp(d))
+            graft.ext.MediaFile(d, "image/png",
+              graft.ext.Multimodal.encodePng(w, h, rgb))
+          }
+        graft.ext.Multimodal.pngPixelStats(files).toDF()
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH d AS (SELECT doc_id,
+          |    CAST(3 + doc_id % 5 AS INT) AS width,
+          |    CAST(2 + doc_id % 4 AS INT) AS height
+          |  FROM documents),
+          |px AS (SELECT doc_id, width, height,
+          |    unnest(generate_series(0, width * height * 3 - 1)) AS i
+          |  FROM d)
+          |SELECT doc_id, width, height,
+          |  CAST(sum(CASE WHEN i % 3 = 0 THEN (doc_id * 37 + i) % 256 END)
+          |    AS BIGINT) AS sum_r,
+          |  CAST(sum(CASE WHEN i % 3 = 1 THEN (doc_id * 37 + i) % 256 END)
+          |    AS BIGINT) AS sum_g,
+          |  CAST(sum(CASE WHEN i % 3 = 2 THEN (doc_id * 37 + i) % 256 END)
+          |    AS BIGINT) AS sum_b
+          |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin))
   )
 }
