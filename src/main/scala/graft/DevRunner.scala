@@ -35,13 +35,25 @@ object DevRunner {
       println(s"[dev] entry() smoke rows=$n ${if (n > 0) "OK" else "FAILED"}")
       if (n == 0) failed += 1
     }
+    // "force3": the bench's warm shape — run 3×, print each (first is
+    // cold: codegen + session caches; min of the rest ≈ bench min-of-3)
+    val reps = if (args.length > 2 && args(2) == "force3") 3 else 1
     Registry.all.filter(_.name.startsWith(prefix)).foreach { q =>
       val t0 = System.nanoTime()
       try {
         val df = q.run(spark, sfDir)
         val n =
-          if (args.length > 2 && args(2) == "force") {
-            df.write.format("noop").mode("overwrite").save(); -1L
+          if (args.length > 2 && args(2).startsWith("force")) {
+            df.write.format("noop").mode("overwrite").save()
+            var r = 1
+            while (r < reps) {
+              val tr = System.nanoTime()
+              q.run(spark, sfDir).write.format("noop")
+                .mode("overwrite").save()
+              println(f"[dev] ${q.name}%-28s rerun ${(System.nanoTime() - tr) / 1e9}%.2fs")
+              r += 1
+            }
+            -1L
           } else df.count()
         println(f"[dev] ${q.name}%-28s rows=$n%-8d ${(System.nanoTime() - t0) / 1e9}%.2fs")
       } catch {

@@ -32,7 +32,16 @@ object Graphs {
     * edges, and every iteration's dangling/contribution pass all
     * re-derive from it — an unpersisted expensive edge build re-executes
     * ~4× per iteration (q133 measured 3.9 s → 0.6 s at sf0.1 from this
-    * alone). */
+    * alone).
+    *
+    * The rank frame itself is localCheckpoint'ed every round (the
+    * Spectral.topEigen lesson one module over): each iteration references
+    * the previous ranks THREE times (dangling mass, contributions, and
+    * through the new ranks), so the unbarriered logical plan grows ~3^k
+    * and the stage count with it — measured 10.5 s → ~1 s at q133's
+    * 25-node graph, where the arithmetic is trivial and ALL the cost was
+    * plan/stage explosion. Rank state is node-sized, the right thing to
+    * materialize. */
   def pageRank(edges: DataFrame, iters: Int,
       damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
@@ -66,6 +75,7 @@ object Graphs {
           (lit(1.0 - damping) / col("n") + lit(damping) *
             (coalesce(col("s"), lit(0.0)) + col("dang") / col("n")))
             .as("r"))
+        .localCheckpoint(true)
     }
     ranks
   }

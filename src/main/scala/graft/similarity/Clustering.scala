@@ -71,12 +71,14 @@ object Clustering {
         s"cluster label $cid outside [0, $CidCap) — the (dist, cid) " +
           "encoding needs small non-negative seed ids") }
 
+    // native codegen'd kernel (graft.functions.SqDistLong): the HOF
+    // aggregate(zip_with(...)) form pays an interpreted lambda frame per
+    // ELEMENT — k centroids × d dims per row on the hot path. Integer
+    // addition is associative, so results are bit-identical.
     def encodedArgmin(): Column =
       cents.map { case (cid, cq) =>
-        val dist = aggregate(
-          zip_with(col("__q"), typedLit(cq), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x)
-        dist * lit(CidCap) + lit(cid)
+        graft.functions.SqDistLong(col("__q"), typedLit(cq)) *
+          lit(CidCap) + lit(cid)
       }.reduce(least(_, _))
 
     var r = 1
@@ -128,8 +130,8 @@ object Clustering {
       s"cosine threshold $tauNum/$tauDen outside [0, 1]")
     val q = vecs
       .select(col(idCol), quantized(col(vecCol), scale).as("__q"))
-      .withColumn("__n2", aggregate(transform(col("__q"), x => x * x),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("__n2",
+        graft.functions.DotProductLong(col("__q"), col("__q")))
       .join(assign.select(col(idCol), col("cluster")), Seq(idCol))
     val a = q.select(col(idCol).as("__id_a"), col("__q").as("__qa"),
       col("__n2").as("__na"), col("cluster"))
@@ -137,9 +139,8 @@ object Clustering {
       col("__n2").as("__nb"), col("cluster"))
     val dropped = a.join(b, Seq("cluster"))
       .where(col("__id_a") < col("__id_b"))
-      .withColumn("__dot", aggregate(
-        zip_with(col("__qa"), col("__qb"), (x, y) => x * y),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("__dot",
+        graft.functions.DotProductLong(col("__qa"), col("__qb")))
       .where(col("__dot") > 0 &&
         lit(tauDen * tauDen) * col("__dot") * col("__dot") >=
           lit(tauNum * tauNum) * col("__na") * col("__nb"))
