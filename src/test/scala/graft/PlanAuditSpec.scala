@@ -383,4 +383,44 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase
       case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
     }.isEmpty, s"cartesian product in the spectral plan:\n$p")
   }
+
+  test("q154: CDC chunking is one rolling-hash map + a keyed rollup — " +
+      "no window, nothing single-partition") {
+    val p = plan("q154_cdc_chunks")
+    val s = p.toString
+    assert(!s.contains("SinglePartition"), s"single-partition exchange:\n$p")
+    assert(!s.contains("Window"), s"window operator:\n$p")
+  }
+
+  test("q155: the (doc, char) aggregation is PARTIAL before its exchange " +
+      "(the shuffle carries distinct-chars-per-doc, not corpus x len)") {
+    val p = plan("q155_char_entropy")
+    val s = p.toString
+    assert(s.contains("partial_count") || s.contains("partial"),
+      s"no map-side partial aggregation:\n$p")
+    assert(!s.contains("SinglePartition"), s"single-partition exchange:\n$p")
+  }
+
+  test("q143: incremental dedup joins the digest INDEX — the history " +
+      "branch aggregates to distinct digests below the membership join") {
+    val p = plan("q143_delta_dedup")
+    val s = p.toString
+    assert(!s.contains("SinglePartition"), s"single-partition exchange:\n$p")
+    assert(!s.contains("Window"), s"window operator:\n$p")
+  }
+
+  test("q148: each MMR round's argmax plans as TakeOrderedAndProject — " +
+      "map-side top-1, never a global sort") {
+    // the returned frame is the driver-built picks table; audit the
+    // ROUND plan instead: relevance-scored candidates limited to 1
+    import org.apache.spark.sql.functions._
+    val emb = graft.queries.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      .withColumn("rel", lit(0.5))
+    val round = emb.orderBy(col("rel").desc, col("vec_id")).limit(1)
+    assert(collectWithSubqueries(round.queryExecution.executedPlan) {
+      case t: TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"${round.queryExecution.executedPlan}")
+  }
 }
