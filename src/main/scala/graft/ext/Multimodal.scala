@@ -1172,6 +1172,48 @@ object Multimodal {
     }
   }
 
+  /** Scene-cut detection over Y4M payloads: a CUT between consecutive
+    * frames wherever the absolute luma-sum delta exceeds `threshold` —
+    * the temporal-segmentation primitive of video curation (sample one
+    * frame per shot instead of per stride; luma-delta thresholding is
+    * the classic first-pass detector). Integer-exact: per-frame Y-plane
+    * sums accumulate in longs, the delta compare has no float anywhere,
+    * so a SQL oracle replays every cut decision. One row per document:
+    * (doc, n_frames, n_cuts, cuts_digest) — the digest pins the exact
+    * cut SET (frame indices where a cut PRECEDES the frame). Frames
+    * stream through the offset iterator; only one frame's planes plus
+    * one running sum are live at a time. */
+  def y4mSceneCuts(ds: Dataset[MediaFile],
+      threshold: Long): Dataset[SceneCuts] = {
+    require(threshold >= 0, s"threshold must be >= 0, got $threshold")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val hd = parseY4mHeader(m.payload)
+        val planeLen = hd.w * hd.h
+        var prev = -1L
+        var n = 0
+        val cuts = Seq.newBuilder[Int]
+        y4mFrameIterator(m.payload, hd).foreach { case (f, off) =>
+          var sy = 0L
+          var j = 0
+          while (j < planeLen) {
+            sy += m.payload(off + j) & 0xff
+            j += 1
+          }
+          if (f > 0 && math.abs(sy - prev) > threshold) cuts += f
+          prev = sy
+          n += 1
+        }
+        val cs = cuts.result()
+        SceneCuts(m.docId, n, cs.length,
+          md5Hex(cs.mkString(",").getBytes(
+            java.nio.charset.StandardCharsets.US_ASCII)))
+      }
+    }
+  }
+
   /** One row per sampled frame — the 1:N fan-out batch shape (video →
     * frames). Frame payloads derive deterministically from (payload,
     * frameIdx); `every` controls the stride (validated on the driver: a
@@ -1219,3 +1261,8 @@ case class FrameStats(doc_id: Long, frame_idx: Int, width: Int, height: Int,
   * (q150): one row per (doc, channel). */
 case class WavChannelFeats(doc_id: Long, ch: Int, n_frames: Int,
     zcr: Long, energy: Long)
+
+/** Scene-cut report (integer-exact) for one video payload — the Y4M
+  * temporal-segmentation path (q157). */
+case class SceneCuts(doc_id: Long, n_frames: Int, n_cuts: Int,
+    cuts_digest: String)

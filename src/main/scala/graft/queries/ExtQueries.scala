@@ -1660,6 +1660,52 @@ object ExtQueries {
           |    AS BIGINT) AS sum_g,
           |  CAST(sum(CASE WHEN i % 3 = 2 THEN (doc_id * 37 + i) % 256 END)
           |    AS BIGINT) AS sum_b
-          |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin))
+          |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin)),
+
+    // Video SCENE-CUT detection (Multimodal.y4mSceneCuts): temporal
+    // segmentation by luma-sum delta — the per-shot sampling primitive
+    // (one frame per shot beats one frame per stride for training-data
+    // diversity). Integer-exact end to end, so the oracle replays every
+    // cut decision via a lag window over the closed-form per-frame sums;
+    // the digest pins the exact cut SET. Threshold 200 splits the
+    // synthetic corpus into both classes (55 docs with cuts / 445
+    // without at sf0.01 — byte wrap-around makes deltas vary per frame).
+    Q("q157_scene_cuts",
+      (s, dir) => {
+        import s.implicits._
+        val files = Tables.sharded(s, dir, "documents", "doc_id")
+          .select(col("doc_id")).as[Long]
+          .map(d => graft.ext.MediaFile(d, "video/y4m",
+            graft.ext.Multimodal.syntheticY4m(d)))
+        graft.ext.Multimodal.y4mSceneCuts(files, threshold = 200).toDF()
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH d AS (SELECT doc_id,
+          |    CAST(3 + doc_id % 3 AS INT) AS w,
+          |    CAST(2 + doc_id % 3 AS INT) AS h,
+          |    CAST(3 + doc_id % 4 AS INT) AS n_frames
+          |  FROM documents),
+          |f AS (SELECT doc_id, w, h, n_frames,
+          |    unnest(generate_series(0, n_frames - 1)) AS fr
+          |  FROM d),
+          |jj AS (SELECT doc_id, n_frames, fr,
+          |    unnest(generate_series(0, w * h - 1)) AS j
+          |  FROM f),
+          |sums AS (SELECT doc_id, n_frames, fr,
+          |    sum((doc_id * 23 + fr * 5 + j) % 256) AS sy
+          |  FROM jj GROUP BY doc_id, n_frames, fr),
+          |dl AS (SELECT doc_id, fr, sy,
+          |    lag(sy) OVER (PARTITION BY doc_id ORDER BY fr) AS ps
+          |  FROM sums),
+          |cuts AS (SELECT doc_id, fr FROM dl
+          |  WHERE ps IS NOT NULL AND abs(sy - ps) > 200),
+          |agg AS (SELECT doc_id, count(*) AS n,
+          |    md5(array_to_string(list_sort(list(fr)), ',')) AS dg
+          |  FROM cuts GROUP BY doc_id)
+          |SELECT d.doc_id, CAST(d.n_frames AS INT) AS n_frames,
+          |  CAST(coalesce(agg.n, 0) AS INT) AS n_cuts,
+          |  coalesce(agg.dg, md5('')) AS cuts_digest
+          |FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin))
   )
 }

@@ -355,6 +355,22 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       e.getCause.getMessage.contains("no decoder for kind"))
   }
 
+  test("y4mSceneCuts: a hard luma jump is a cut, a flat continuation is " +
+      "not; digest pins the cut set (q157's contract)") {
+    import spark.implicits._
+    val dark = Array.fill[Byte](3 * 2 * 2)(0)
+    val bright = Array.fill[Byte](3 * 2 * 2)(-1) // 255 unsigned
+    // frames: dark, dark (no cut), bright (cut at frame 2), bright
+    val v = Multimodal.encodeY4m(2, 2, Seq(dark, dark, bright, bright))
+    val ds = Seq(MediaFile(1L, "video/y4m", v)).toDS()
+    val out = Multimodal.y4mSceneCuts(ds, threshold = 200).collect().head
+    assert(out.n_frames === 4)
+    assert(out.n_cuts === 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("2".getBytes).map(b => f"$b%02x").mkString
+    assert(out.cuts_digest === md)
+  }
+
   test("syntheticY4m: multi-frame walk + stride sampling with closed-form " +
       "plane sums (q142's contract)") {
     import spark.implicits._
