@@ -209,6 +209,18 @@ object ExtQueries {
         .trainPq(embFrame(s, dir), m = 8, ksub = 256, iters = 2)
     }
 
+  /** Synthetic PPM payload for the perceptual-hash family (q151/q158):
+    * closed-form gradient raster; `pert` plants a visible corner dot
+    * (raster byte 0 → (d·31+128)%256) — the small edit dHash should
+    * survive. */
+  private def dhashPayload(d: Long, pert: Boolean): Array[Byte] = {
+    val w = (4 + d % 5).toInt
+    val h = (3 + d % 4).toInt
+    val raster = Array.tabulate(w * h * 3)(i =>
+      ((d * 31 + (if (pert && i == 0) 128L else i.toLong)) % 256).toByte)
+    graft.ext.Multimodal.encodePpm(w, h, raster)
+  }
+
   val all: Seq[Q] = Seq(
     // ---- Deduplication -------------------------------------------------
     // Exact dedup: hash-groupBy on content digest; canonical id = min doc_id.
@@ -1540,14 +1552,8 @@ object ExtQueries {
     Q("q151_image_dhash",
       (s, dir) => {
         import s.implicits._
-        def payload(d: Long, pert: Boolean): Array[Byte] = {
-          val w = (4 + d % 5).toInt
-          val h = (3 + d % 4).toInt
-          val raster = Array.tabulate(w * h * 3)(i =>
-            ((d * 31 + (if (pert && i == 0) 128L else i.toLong)) % 256)
-              .toByte)
-          graft.ext.Multimodal.encodePpm(w, h, raster)
-        }
+        def payload(d: Long, pert: Boolean): Array[Byte] =
+          dhashPayload(d, pert)
         Tables.sharded(s, dir, "documents", "doc_id")
           .select(col("doc_id")).as[Long]
           .map { d =>
@@ -1706,6 +1712,83 @@ object ExtQueries {
           |SELECT d.doc_id, CAST(d.n_frames AS INT) AS n_frames,
           |  CAST(coalesce(agg.n, 0) AS INT) AS n_cuts,
           |  coalesce(agg.dg, md5('')) AS cuts_digest
-          |FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin))
+          |FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin)),
+
+    // IMAGE near-dup PAIRS — the dedup-matrix row at image grain,
+    // end-to-end: dHash each image (base corpus + a perturbed re-ingest
+    // of every 3rd doc), collapse EXACT hash duplicates to a min-id
+    // representative (q20's move at hash grain — on this gradient-heavy
+    // synthetic corpus exact groups are large, and banding distinct
+    // fingerprints instead of all images is what keeps the candidate
+    // join at 23k pairs instead of 14M at sf0.1), then the SAME banded
+    // Hamming machinery as text SimHash (Dedup.simhashPairs, 4 blocks,
+    // pigeonhole-complete for Hamming ≤ 3) over the 56-char bit strings.
+    // The oracle re-derives every hash, bands by integer shifts
+    // ((hash >> 42-14b) & 16383 = the MSB-first substring the engine
+    // bands), and verifies with bit_count(xor).
+    Q("q158_image_neardup_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val hashes = Tables.sharded(s, dir, "documents", "doc_id")
+          .select(col("doc_id")).as[Long]
+          .flatMap { d =>
+            val base = (d,
+              graft.ext.Multimodal.dhashFromPpm(dhashPayload(d, false)))
+            if (d % 3 == 0)
+              Seq(base, (d + 100000,
+                graft.ext.Multimodal.dhashFromPpm(dhashPayload(d, true))))
+            else Seq(base)
+          }
+          .toDF("img_id", "h")
+          .select(col("img_id"),
+            lpad(bin(col("h")), 56, "0").as("fingerprint"))
+        val reps = hashes.groupBy(col("fingerprint"))
+          .agg(min(col("img_id")).as("img_id"))
+        graft.dedup.Dedup.simhashPairs(reps, idCol = "img_id",
+          nBlocks = 4, maxHamming = 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(
+        """WITH imgs AS (
+          |  SELECT doc_id AS img_id, doc_id, 0 AS pert FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000, doc_id, 1 FROM documents
+          |  WHERE doc_id % 3 = 0),
+          |dims AS (SELECT img_id, doc_id, pert,
+          |    CAST(4 + doc_id % 5 AS INT) AS w,
+          |    CAST(3 + doc_id % 4 AS INT) AS h
+          |  FROM imgs),
+          |ys AS (SELECT unnest(generate_series(0, 7)) AS y),
+          |xs AS (SELECT unnest(generate_series(0, 7)) AS x),
+          |cell AS (SELECT img_id, doc_id, pert, y, x,
+          |    ((y * h // 8) * w + (x * w // 8)) * 3 AS i0
+          |  FROM dims CROSS JOIN ys CROSS JOIN xs),
+          |g AS (SELECT img_id, y, x,
+          |    ((CASE WHEN pert = 1 AND i0 = 0 THEN (doc_id * 31 + 128) % 256
+          |           ELSE (doc_id * 31 + i0) % 256 END)
+          |      + (doc_id * 31 + i0 + 1) % 256
+          |      + (doc_id * 31 + i0 + 2) % 256) // 3 AS gv
+          |  FROM cell),
+          |bits AS (SELECT a.img_id, a.y, a.x,
+          |    CASE WHEN b.gv > a.gv THEN 1 ELSE 0 END AS bit
+          |  FROM g a JOIN g b ON a.img_id = b.img_id AND a.y = b.y
+          |    AND b.x = a.x + 1
+          |  WHERE a.x < 7),
+          |hs AS (SELECT img_id,
+          |    CAST(sum(bit * (CAST(1 AS BIGINT) << (y * 7 + x)))
+          |      AS BIGINT) AS hash
+          |  FROM bits GROUP BY img_id),
+          |reps AS (SELECT hash, min(img_id) AS rep FROM hs GROUP BY hash),
+          |bands AS (SELECT rep, hash, b,
+          |    (hash >> (42 - 14 * b)) & 16383 AS bv
+          |  FROM reps CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
+          |cand AS (SELECT DISTINCT a.rep AS id_a, b.rep AS id_b,
+          |    a.hash AS ha, b.hash AS hb
+          |  FROM bands a JOIN bands b
+          |    ON a.b = b.b AND a.bv = b.bv AND a.rep < b.rep)
+          |SELECT id_a, id_b,
+          |  CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+          |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin))
   )
 }
