@@ -717,6 +717,42 @@ object Multimodal {
     }
   }
 
+  /** Leading/trailing SILENCE trim boundaries per WAV payload — the
+    * audio-prep step before training (dead air carries no signal and
+    * skews duration budgets): a frame is silent when every channel's
+    * |sample| < `threshold`; the report gives the first and last LOUD
+    * frame (−1/−1 for an all-silent payload) and the kept length.
+    * Integer-exact, one pass, so the oracle replays the boundaries from
+    * the construction arithmetic. Callers slice payloads with
+    * [[encodeWav]] over the kept range. */
+  def wavTrimBounds(ds: Dataset[MediaFile],
+      threshold: Int): Dataset[WavTrim] = {
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val (nCh, _, samples) = decodeWav(m.payload)
+        val nFrames = samples.length / nCh
+        var first = -1
+        var last = -1
+        var f = 0
+        while (f < nFrames) {
+          var loud = false
+          var c = 0
+          while (c < nCh && !loud) {
+            if (math.abs(samples(f * nCh + c).toInt) >= threshold) loud = true
+            c += 1
+          }
+          if (loud) { if (first < 0) first = f; last = f }
+          f += 1
+        }
+        WavTrim(m.docId, nFrames, first, last,
+          if (first < 0) 0 else last - first + 1)
+      }
+    }
+  }
+
   /** REAL decoder factory over [[decodeWav]] — (channels, sampleRate)
     * stand in for (w, h) in the shared [[MediaMeta]] envelope. */
   val wavDecoder: DecoderFactory = () => { bytes =>
@@ -1266,3 +1302,8 @@ case class WavChannelFeats(doc_id: Long, ch: Int, n_frames: Int,
   * temporal-segmentation path (q157). */
 case class SceneCuts(doc_id: Long, n_frames: Int, n_cuts: Int,
     cuts_digest: String)
+
+/** Silence-trim boundaries (integer-exact) for one audio payload — the
+  * WAV trim path (q159): first/last loud frame, −1/−1 when all-silent. */
+case class WavTrim(doc_id: Long, n_frames: Int, first_loud: Int,
+    last_loud: Int, n_kept: Int)

@@ -1789,6 +1789,47 @@ object ExtQueries {
           |SELECT id_a, id_b,
           |  CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
           |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
-          |ORDER BY id_a, id_b""".stripMargin))
+          |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Audio SILENCE-TRIM boundaries (Multimodal.wavTrimBounds): first and
+    // last frame where ANY channel reaches |sample| ≥ 30000 — the dead-air
+    // cut run before duration budgeting. Integer-exact one-pass decode;
+    // the oracle replays the per-frame any-channel max from the synthetic
+    // construction arithmetic; all-silent payloads report −1/−1 (≈7% of
+    // docs at this threshold, so both classes appear at any sf).
+    Q("q159_wav_trim",
+      (s, dir) => {
+        import s.implicits._
+        val files = Tables.sharded(s, dir, "documents", "doc_id")
+          .select(col("doc_id")).as[Long]
+          .map(d => graft.ext.MediaFile(d, "audio/wav",
+            graft.ext.Multimodal.syntheticWav(d)))
+        graft.ext.Multimodal.wavTrimBounds(files, threshold = 30000).toDF()
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH d AS (SELECT doc_id,
+          |    CAST(1 + doc_id % 2 AS INT) AS nch,
+          |    CAST(20 + doc_id % 7 AS INT) AS nf
+          |  FROM documents),
+          |fr AS (SELECT doc_id, nch, nf,
+          |    unnest(generate_series(0, nf - 1)) AS f
+          |  FROM d),
+          |chs AS (SELECT doc_id, nch, nf, f,
+          |    unnest(generate_series(0, nch - 1)) AS c
+          |  FROM fr),
+          |s AS (SELECT doc_id, nf, f,
+          |    abs((doc_id * 13 + f * nch + c) % 65536 - 32768) AS a
+          |  FROM chs),
+          |loud AS (SELECT doc_id, f FROM s
+          |  GROUP BY doc_id, f HAVING max(a) >= 30000),
+          |agg AS (SELECT doc_id, min(f) AS fi, max(f) AS la FROM loud
+          |  GROUP BY doc_id)
+          |SELECT d.doc_id, CAST(d.nf AS INT) AS n_frames,
+          |  CAST(coalesce(agg.fi, -1) AS INT) AS first_loud,
+          |  CAST(coalesce(agg.la, -1) AS INT) AS last_loud,
+          |  CAST(CASE WHEN agg.fi IS NULL THEN 0
+          |       ELSE agg.la - agg.fi + 1 END AS INT) AS n_kept
+          |FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin))
   )
 }

@@ -173,6 +173,20 @@ object ScaleElasticity {
       force(Dedup.dedupDelta(d, batch))
     }
 
+    // compressed-codec decode (PNG encode+decode, GIF LZW encode+decode):
+    // a pure map stage — the embarrassingly-parallel claim, measured
+    def codecs(tag: String): Unit = {
+      import spark.implicits._
+      val n = if (tag == "10x") 50000L else 5000L
+      val ids = spark.range(n).as[java.lang.Long].map(_.toLong)
+      force(graft.ext.Multimodal.pngPixelStats(ids.map(d =>
+        graft.ext.MediaFile(d, "image/png",
+          graft.ext.Multimodal.syntheticPng(d)))).toDF)
+      force(graft.ext.Multimodal.gifPixelStats(ids.map(d =>
+        graft.ext.MediaFile(d, "image/gif",
+          graft.ext.Gif.syntheticGif(d)))).toDF)
+    }
+
     val probes: Seq[(String, String => Unit)] = Seq(
       ("exact_dedup", exactDedup _),
       ("minhash_lsh", lsh _),
@@ -184,7 +198,8 @@ object ScaleElasticity {
       ("nb_classifier", nb _),
       ("pagerank", pagerank _),
       ("kmeans_lloyd", kmeans _),
-      ("delta_dedup", delta _))
+      ("delta_dedup", delta _),
+      ("codec_decode", codecs _))
     // optional name-prefix filter: rerun a subset without paying the rest
     val selected = args.headOption
       .map(p => probes.filter(_._1.startsWith(p))).getOrElse(probes)

@@ -315,6 +315,26 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(rows((2L, 1)) === ((1L, 18L)))
   }
 
+  test("wavTrimBounds: leading/trailing silence cut, any-channel rule, " +
+      "all-silent reports -1 (q159's contract)") {
+    import spark.implicits._
+    // mono: silent, silent, loud, silent, loud, silent -> keep [2, 4]
+    val a = Multimodal.encodeWav(1, 8000,
+      Array[Short](10, -20, 30000, 5, -30001, 99))
+    // stereo where only channel 1 ever gets loud -> keep [1, 1]
+    val b = Multimodal.encodeWav(2, 8000,
+      Array[Short](0, 100, 7, 31000, 4, -200))
+    // all silent
+    val c = Multimodal.encodeWav(1, 8000, Array[Short](1, 2, 3))
+    val ds = Seq((1L, a), (2L, b), (3L, c)).toDS()
+      .map { case (d, p) => MediaFile(d, "audio/wav", p) }
+    val out = Multimodal.wavTrimBounds(ds, threshold = 30000).collect()
+      .map(r => r.doc_id -> ((r.first_loud, r.last_loud, r.n_kept))).toMap
+    assert(out(1L) === ((2, 4, 3)))
+    assert(out(2L) === ((1, 1, 1)))
+    assert(out(3L) === ((-1, -1, 0)))
+  }
+
   test("dhash56: gradient-sign bits on a hand raster; small edits stay " +
       "Hamming-near, byte-identity is not required (q151's contract)") {
     // 2x1 image: left pixel gray 10, right gray 20 -> in the 8x8 resample
