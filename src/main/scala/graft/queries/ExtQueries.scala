@@ -1830,6 +1830,50 @@ object ExtQueries {
           |  CAST(coalesce(agg.la, -1) AS INT) AS last_loud,
           |  CAST(CASE WHEN agg.fi IS NULL THEN 0
           |       ELSE agg.la - agg.fi + 1 END AS INT) AS n_kept
-          |FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin))
+          |FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin)),
+
+    // IMAGE geometry gate — the LAION-style pre-filter every image-corpus
+    // pipeline runs before anything expensive: drop images below a
+    // minimum pixel count and outside an aspect-ratio band. Dimensions
+    // come from the REAL decoders (the three image formats of the mixed
+    // corpus, routed by kind), and both gates are integer-exact — the
+    // aspect test is cross-multiplied (3·min(w,h) ≥ 2·max(w,h) ⇔ ratio
+    // ≤ 1.5), never a float division — so the oracle replays every
+    // decision; the synthetic dims land on both sides of both gates,
+    // including exact boundaries (4×6 hits aspect equality).
+    Q("q160_image_geometry_gate",
+      (s, dir) => {
+        import s.implicits._
+        val files = Tables.sharded(s, dir, "documents", "doc_id")
+          .where(col("doc_id") % 5 < 3) // the three image kinds
+          .select(col("doc_id")).as[Long]
+          .map(graft.ext.Multimodal.syntheticMedia)
+        graft.ext.Multimodal.decodeMetaByKind(files).toDF()
+          .select(col("docId").as("doc_id"), col("kind"),
+            col("width"), col("height"),
+            (col("width") * col("height") >= 20).as("pass_pixels"),
+            (least(col("width"), col("height")) * 3 >=
+              greatest(col("width"), col("height")) * 2).as("pass_aspect"))
+          .withColumn("keep", col("pass_pixels") && col("pass_aspect"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH m AS (SELECT doc_id,
+          |  CASE doc_id % 5 WHEN 0 THEN 'image/ppm' WHEN 1 THEN 'image/bmp'
+          |    ELSE 'image/png' END AS kind,
+          |  CAST(CASE doc_id % 5 WHEN 0 THEN 4 WHEN 1 THEN 4
+          |    ELSE 5 END AS INT) AS width,
+          |  CAST(CASE doc_id % 5 WHEN 0 THEN 3 + doc_id % 4
+          |    WHEN 1 THEN 2 + doc_id % 4
+          |    ELSE 5 + doc_id % 4 END AS INT) AS height
+          |  FROM documents WHERE doc_id % 5 < 3)
+          |SELECT doc_id, kind, width, height,
+          |  width * height >= 20 AS pass_pixels,
+          |  least(width, height) * 3 >= greatest(width, height) * 2
+          |    AS pass_aspect,
+          |  (width * height >= 20) AND
+          |    (least(width, height) * 3 >= greatest(width, height) * 2)
+          |    AS keep
+          |FROM m ORDER BY doc_id""".stripMargin))
   )
 }
