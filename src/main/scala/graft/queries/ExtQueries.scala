@@ -221,6 +221,29 @@ object ExtQueries {
     graft.ext.Multimodal.encodePpm(w, h, raster)
   }
 
+  /** (img_id, fingerprint): 56-char dHash bit strings of the base corpus
+    * plus a perturbed re-ingest of every 3rd doc — shared by the image
+    * dedup family (q158 pairs, q161 clusters), cached: both queries band
+    * and join it. */
+  private def imageHashFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Caches.frame(s, dir, "image_dhashes") {
+      import s.implicits._
+      Tables.sharded(s, dir, "documents", "doc_id")
+        .select(col("doc_id")).as[Long]
+        .flatMap { d =>
+          val base = (d,
+            graft.ext.Multimodal.dhashFromPpm(dhashPayload(d, false)))
+          if (d % 3 == 0)
+            Seq(base, (d + 100000,
+              graft.ext.Multimodal.dhashFromPpm(dhashPayload(d, true))))
+          else Seq(base)
+        }
+        .toDF("img_id", "h")
+        .select(col("img_id"),
+          lpad(bin(col("h")), 56, "0").as("fingerprint"))
+    }
+
   val all: Seq[Q] = Seq(
     // ---- Deduplication -------------------------------------------------
     // Exact dedup: hash-groupBy on content digest; canonical id = min doc_id.
@@ -1728,20 +1751,7 @@ object ExtQueries {
     // bands), and verifies with bit_count(xor).
     Q("q158_image_neardup_pairs",
       (s, dir) => {
-        import s.implicits._
-        val hashes = Tables.sharded(s, dir, "documents", "doc_id")
-          .select(col("doc_id")).as[Long]
-          .flatMap { d =>
-            val base = (d,
-              graft.ext.Multimodal.dhashFromPpm(dhashPayload(d, false)))
-            if (d % 3 == 0)
-              Seq(base, (d + 100000,
-                graft.ext.Multimodal.dhashFromPpm(dhashPayload(d, true))))
-            else Seq(base)
-          }
-          .toDF("img_id", "h")
-          .select(col("img_id"),
-            lpad(bin(col("h")), 56, "0").as("fingerprint"))
+        val hashes = imageHashFrame(s, dir)
         val reps = hashes.groupBy(col("fingerprint"))
           .agg(min(col("img_id")).as("img_id"))
         graft.dedup.Dedup.simhashPairs(reps, idCol = "img_id",
@@ -1874,6 +1884,84 @@ object ExtQueries {
           |  (width * height >= 20) AND
           |    (least(width, height) * 3 >= greatest(width, height) * 2)
           |    AS keep
-          |FROM m ORDER BY doc_id""".stripMargin))
+          |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // IMAGE dedup CLUSTERS — the full image-dedup chain composed:
+    // dHash → exact-hash groups (member→representative edges) →
+    // banded-Hamming near-dup pairs between representatives (q158) →
+    // connected components (Dedup.clusters' min-label propagation, the
+    // Pregel shape) → every image labeled with its component's minimum
+    // id; canonical selection = keep img_id == cluster_id. The edge set
+    // mirrors the two-level candidate structure, so components span
+    // exact copies AND near-dups transitively. The oracle replays the
+    // whole chain and closes the graph with a recursive CTE (q55's
+    // pattern at image grain).
+    Q("q161_image_dedup_clusters",
+      (s, dir) => {
+        val hashes = imageHashFrame(s, dir)
+        val reps = hashes.groupBy(col("fingerprint"))
+          .agg(min(col("img_id")).as("rep"))
+        val exactEdges = hashes.join(reps, "fingerprint")
+          .where(col("img_id") =!= col("rep"))
+          .select(col("img_id").as("id_a"), col("rep").as("id_b"))
+        val nearEdges = graft.dedup.Dedup.simhashPairs(
+            reps.withColumnRenamed("rep", "img_id"), idCol = "img_id",
+            nBlocks = 4, maxHamming = 3)
+          .select(col("id_a"), col("id_b"))
+        graft.dedup.Dedup.clusters(hashes.select(col("img_id")),
+            exactEdges.unionAll(nearEdges), idCol = "img_id")
+          .orderBy(col("img_id"))
+      },
+      Some(
+        """WITH RECURSIVE imgs AS (
+          |  SELECT doc_id AS img_id, doc_id, 0 AS pert FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000, doc_id, 1 FROM documents
+          |  WHERE doc_id % 3 = 0),
+          |dims AS (SELECT img_id, doc_id, pert,
+          |    CAST(4 + doc_id % 5 AS INT) AS w,
+          |    CAST(3 + doc_id % 4 AS INT) AS h
+          |  FROM imgs),
+          |ys AS (SELECT unnest(generate_series(0, 7)) AS y),
+          |xs AS (SELECT unnest(generate_series(0, 7)) AS x),
+          |cell AS (SELECT img_id, doc_id, pert, y, x,
+          |    ((y * h // 8) * w + (x * w // 8)) * 3 AS i0
+          |  FROM dims CROSS JOIN ys CROSS JOIN xs),
+          |g AS (SELECT img_id, y, x,
+          |    ((CASE WHEN pert = 1 AND i0 = 0 THEN (doc_id * 31 + 128) % 256
+          |           ELSE (doc_id * 31 + i0) % 256 END)
+          |      + (doc_id * 31 + i0 + 1) % 256
+          |      + (doc_id * 31 + i0 + 2) % 256) // 3 AS gv
+          |  FROM cell),
+          |bits AS (SELECT a.img_id, a.y, a.x,
+          |    CASE WHEN b.gv > a.gv THEN 1 ELSE 0 END AS bit
+          |  FROM g a JOIN g b ON a.img_id = b.img_id AND a.y = b.y
+          |    AND b.x = a.x + 1
+          |  WHERE a.x < 7),
+          |hs AS (SELECT img_id,
+          |    CAST(sum(bit * (CAST(1 AS BIGINT) << (y * 7 + x)))
+          |      AS BIGINT) AS hash
+          |  FROM bits GROUP BY img_id),
+          |reps AS (SELECT hash, min(img_id) AS rep FROM hs GROUP BY hash),
+          |exact AS (SELECT hs.img_id AS s, r.rep AS t
+          |  FROM hs JOIN reps r ON hs.hash = r.hash
+          |  WHERE hs.img_id <> r.rep),
+          |bands AS (SELECT rep, hash, b,
+          |    (hash >> (42 - 14 * b)) & 16383 AS bv
+          |  FROM reps CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
+          |near AS (SELECT DISTINCT a.rep AS s, b.rep AS t
+          |  FROM bands a JOIN bands b
+          |    ON a.b = b.b AND a.bv = b.bv AND a.rep < b.rep
+          |  WHERE bit_count(xor(a.hash, b.hash)) <= 3),
+          |und AS (SELECT s, t FROM exact UNION ALL SELECT t, s FROM exact
+          |  UNION ALL SELECT s, t FROM near UNION ALL SELECT t, s FROM near),
+          |reach AS (SELECT s, t FROM und
+          |  UNION
+          |  SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s
+          |  WHERE u.t <> r.s)
+          |SELECT i.img_id,
+          |  least(i.img_id, coalesce(min(r.t), i.img_id)) AS cluster_id
+          |FROM imgs i LEFT JOIN reach r ON i.img_id = r.s
+          |GROUP BY i.img_id ORDER BY i.img_id""".stripMargin))
   )
 }
