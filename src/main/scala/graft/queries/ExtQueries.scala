@@ -1962,6 +1962,55 @@ object ExtQueries {
           |SELECT i.img_id,
           |  least(i.img_id, coalesce(min(r.t), i.img_id)) AS cluster_id
           |FROM imgs i LEFT JOIN reach r ON i.img_id = r.s
-          |GROUP BY i.img_id ORDER BY i.img_id""".stripMargin))
+          |GROUP BY i.img_id ORDER BY i.img_id""".stripMargin)),
+
+    // The multimodal DATASET CARD: per-kind manifest rollup over the
+    // five-format corpus — the summary every corpus release ships
+    // (counts, dimension spread, total frames per modality). Decoded
+    // envelopes (real codecs, kind-routed) feed one keyed aggregate
+    // with map-side partials; the kinds×stats result is scale-free.
+    // Sums are over decoded dims/frames (closed-form), never payload
+    // byte lengths (DEFLATE/LZW output sizes are codec-version
+    // artifacts no cross-engine oracle should pin).
+    Q("q162_media_manifest",
+      (s, dir) => {
+        import s.implicits._
+        val files = Tables.sharded(s, dir, "documents", "doc_id")
+          .select(col("doc_id")).as[Long]
+          .map(graft.ext.Multimodal.syntheticMedia)
+        graft.ext.Multimodal.decodeMetaByKind(files).toDF()
+          .groupBy(col("kind"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("width"), col("height")).as("n_dims"),
+            sum(col("width")).as("sum_width"),
+            sum(col("height")).as("sum_height"),
+            sum(col("nFrames")).as("sum_frames"))
+          .orderBy(col("kind"))
+      },
+      Some(
+        """WITH m AS (SELECT doc_id,
+          |  CASE doc_id % 5 WHEN 0 THEN 'image/ppm' WHEN 1 THEN 'image/bmp'
+          |    WHEN 2 THEN 'image/png' WHEN 3 THEN 'audio/wav'
+          |    ELSE 'video/y4m' END AS kind,
+          |  CAST(CASE doc_id % 5
+          |    WHEN 0 THEN 4 WHEN 1 THEN 4 WHEN 2 THEN 5
+          |    WHEN 3 THEN 1 + doc_id % 2
+          |    ELSE 3 + doc_id % 3 END AS INT) AS width,
+          |  CAST(CASE doc_id % 5
+          |    WHEN 0 THEN 3 + doc_id % 4 WHEN 1 THEN 2 + doc_id % 4
+          |    WHEN 2 THEN 5 + doc_id % 4
+          |    WHEN 3 THEN 8000 + (doc_id % 3) * 4000
+          |    ELSE 2 + doc_id % 3 END AS INT) AS height,
+          |  CAST(CASE doc_id % 5
+          |    WHEN 3 THEN 20 + doc_id % 7
+          |    WHEN 4 THEN 3 + doc_id % 4
+          |    ELSE 1 END AS INT) AS n_frames
+          |  FROM documents)
+          |SELECT kind, count(*) AS n,
+          |  CAST(count(DISTINCT (width, height)) AS BIGINT) AS n_dims,
+          |  CAST(sum(width) AS BIGINT) AS sum_width,
+          |  CAST(sum(height) AS BIGINT) AS sum_height,
+          |  CAST(sum(n_frames) AS BIGINT) AS sum_frames
+          |FROM m GROUP BY kind ORDER BY kind""".stripMargin))
   )
 }
