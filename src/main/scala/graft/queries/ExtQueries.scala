@@ -2011,6 +2011,99 @@ object ExtQueries {
           |  CAST(sum(width) AS BIGINT) AS sum_width,
           |  CAST(sum(height) AS BIGINT) AS sum_height,
           |  CAST(sum(n_frames) AS BIGINT) AS sum_frames
-          |FROM m GROUP BY kind ORDER BY kind""".stripMargin))
+          |FROM m GROUP BY kind ORDER BY kind""".stripMargin)),
+
+    // MULTI-PROBE SemDeDup — retiring q147's documented failure mode:
+    // a near-dup pair split across a cluster boundary is invisible to
+    // single-assignment pruning (2 of 10 planted pairs escaped). With
+    // each vector assigned to its TOP-2 clusters (q75's multi-probe idea
+    // on the k-means index; rank order deterministic via the sorted
+    // encoded-long argmin), boundary pairs share a cluster again and the
+    // SAME integer-exact prune catches them — all 10 planted copies drop
+    // at sf0.01. Candidate cost multiplies by ≤ m², never corpus². The
+    // oracle replays centroid training, rank-2 assignment (row_number
+    // over the encoded longs — tie-free since cid rides the low bits),
+    // and the pruning decisions bit-for-bit.
+    Q("q163_semdedup_multiprobe",
+      (s, dir) => {
+        val emb = Tables.sharded(s, dir, "embeddings", "vec_id")
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double"))
+              .as("embedding"))
+        val corpus = emb.unionAll(
+          emb.where(col("vec_id") % 50 === 0)
+            .select((col("vec_id") + 100000).as("vec_id"),
+              transform(col("embedding"), (x, i) =>
+                when(i === 0, x + lit(0.5)).otherwise(x)).as("embedding")))
+        val cents = graft.similarity.Clustering
+          .lloydCentroids(corpus, k = 4, updates = 1)
+        val a2 = Caches.frame(s, dir, "semdedup_topm_assign",
+          eager = true) {
+          graft.similarity.Clustering.assignTopM(corpus, cents, m = 2)
+        }
+        val pruned = graft.similarity.Clustering
+          .clusterPrune(corpus, a2)
+          .select(col("vec_id"), col("keep")).distinct()
+        a2.groupBy(col("vec_id"))
+          .agg(max(when(col("rank") === 1, col("cluster"))).as("c1"),
+            max(when(col("rank") === 2, col("cluster"))).as("c2"))
+          .join(pruned, "vec_id")
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        s"""WITH corpus AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+           |  FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 100000, list_transform(embedding,
+           |    (x, i) -> CASE WHEN i = 1 THEN CAST(x AS DOUBLE) + 0.5
+           |                   ELSE CAST(x AS DOUBLE) END)
+           |  FROM embeddings WHERE vec_id % 50 = 0),
+           |q AS (SELECT vec_id,
+           |    unnest(list_transform(embedding, (x, i) -> {'d': i,
+           |      'v': CAST(floor(x * 1000) AS BIGINT)})) AS e
+           |  FROM corpus),
+           |qd AS (SELECT vec_id, e.d AS d, e.v AS v FROM q),
+           |seeds AS (SELECT vec_id FROM corpus ORDER BY vec_id LIMIT 4),
+           |c0 AS (SELECT qd.vec_id AS cid, d, v
+           |  FROM qd JOIN seeds USING (vec_id)),
+           |d1 AS (SELECT qd.vec_id AS vec_id, c.cid AS cid,
+           |    sum((qd.v - c.v) * (qd.v - c.v)) AS dist
+           |  FROM qd JOIN c0 c ON qd.d = c.d GROUP BY 1, 2),
+           |a1 AS (SELECT vec_id, min(dist * 1048576 + cid) AS comb
+           |  FROM d1 GROUP BY 1),
+           |m1 AS (SELECT vec_id, comb % 1048576 AS cid FROM a1),
+           |c1 AS (SELECT m.cid AS cid, qd.d AS d,
+           |    CAST(floor(CAST(sum(qd.v) AS DOUBLE) / count(*)) AS BIGINT)
+           |      AS v
+           |  FROM qd JOIN m1 m USING (vec_id) GROUP BY 1, 2),
+           |d2 AS (SELECT qd.vec_id AS vec_id, c.cid AS cid,
+           |    sum((qd.v - c.v) * (qd.v - c.v)) AS dist
+           |  FROM qd JOIN c1 c ON qd.d = c.d GROUP BY 1, 2),
+           |rk AS (SELECT vec_id, cid, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY dist * 1048576 + cid) AS rnk
+           |  FROM d2),
+           |m AS (SELECT vec_id, cid, rnk FROM rk WHERE rnk <= 2),
+           |n2 AS (SELECT vec_id, sum(v * v) AS n2 FROM qd GROUP BY 1),
+           |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+           |dots AS (SELECT c.id_a, c.id_b, sum(qa.v * qb.v) AS dot
+           |  FROM cand c
+           |  JOIN qd qa ON qa.vec_id = c.id_a
+           |  JOIN qd qb ON qb.vec_id = c.id_b AND qa.d = qb.d
+           |  GROUP BY 1, 2),
+           |dup AS (SELECT DISTINCT d.id_b AS vec_id
+           |  FROM dots d JOIN n2 na ON na.vec_id = d.id_a
+           |  JOIN n2 nb ON nb.vec_id = d.id_b
+           |  WHERE d.dot > 0 AND 25 * d.dot * d.dot >= 16 * na.n2 * nb.n2),
+           |wide AS (SELECT vec_id,
+           |    CAST(max(CASE WHEN rnk = 1 THEN cid END) AS BIGINT) AS c1,
+           |    CAST(max(CASE WHEN rnk = 2 THEN cid END) AS BIGINT) AS c2
+           |  FROM m GROUP BY vec_id)
+           |SELECT w.vec_id, w.c1, w.c2, dup.vec_id IS NULL AS keep
+           |FROM wide w LEFT JOIN dup USING (vec_id)
+           |ORDER BY w.vec_id""".stripMargin
+      })
   )
 }

@@ -107,6 +107,66 @@ object Clustering {
           .divide(lit(CidCap)).cast("long").as("dist2"))
   }
 
+  /** Final centroids of a [[lloyd]] run — (cluster, quantized vector),
+    * for callers that assign separately (multi-probe assignment,
+    * serving). Same seeds/update arithmetic as lloyd; `rounds` here
+    * counts UPDATE rounds (lloyd with `rounds = r` assigns against the
+    * centroids this returns for `updates = r − 1`). */
+  def lloydCentroids(vecs: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", k: Int = 4, updates: Int = 1,
+      scale: Int = 1000): Seq[(Long, Array[Long])] = {
+    require(k >= 1 && updates >= 0, s"need k >= 1, updates >= 0")
+    val q = vecs.select(col(idCol), quantized(col(vecCol), scale).as("__q"))
+    var cents: Seq[(Long, Array[Long])] = q.orderBy(col(idCol)).limit(k)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toSeq
+    var r = 0
+    while (r < updates) {
+      val argmin = cents.map { case (cid, cq) =>
+        graft.functions.SqDistLong(col("__q"), typedLit(cq)) *
+          lit(CidCap) + lit(cid)
+      }.reduce(least(_, _))
+      val updated = q
+        .withColumn("__cid", pmod(argmin, lit(CidCap)))
+        .select(col("__cid"), posexplode(col("__q")).as(Seq("__d", "__v")))
+        .groupBy(col("__cid"), col("__d"))
+        .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+        .collect()
+      cents = updated.groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          val byDim = rows.map(row => row.getInt(1) ->
+            Math.floorDiv(row.getLong(2), row.getLong(3))).toMap
+          cid -> Array.tabulate(byDim.size)(byDim)
+        }
+        .toSeq.sortBy(_._1)
+      r += 1
+    }
+    cents
+  }
+
+  /** Multi-probe assignment: each vector's `m` NEAREST clusters (rank
+    * 1..m by the same encoded integer argmin as [[lloyd]] — sorting the
+    * per-centroid encoded longs makes rank order deterministic including
+    * ties). The SemDeDup boundary fix: a near-dup pair split across a
+    * cluster boundary shares a cluster again once both sides carry their
+    * top-2 — q75's multi-probe idea on the k-means index. Pure map
+    * stage; output one row per (vector, probed cluster). */
+  def assignTopM(vecs: DataFrame, cents: Seq[(Long, Array[Long])],
+      m: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      scale: Int = 1000): DataFrame = {
+    require(m >= 1 && m <= cents.length,
+      s"m must be in [1, ${cents.length}], got $m")
+    val q = vecs.select(col(idCol), quantized(col(vecCol), scale).as("__q"))
+    val encs = array(cents.map { case (cid, cq) =>
+      graft.functions.SqDistLong(col("__q"), typedLit(cq)) *
+        lit(CidCap) + lit(cid)
+    }: _*)
+    q.select(col(idCol),
+        posexplode(slice(sort_array(encs), 1, m)).as(Seq("__r", "__enc")))
+      .select(col(idCol), (col("__r") + 1).as("rank"),
+        pmod(col("__enc"), lit(CidCap)).as("cluster"))
+  }
+
   /** The SemDeDup prune step (Abbas et al., public method) composed over
     * [[lloyd]]'s output: within each cluster, a vector is DROPPED when its
     * cosine with any smaller-id cluster-mate reaches `tauNum/tauDen` —

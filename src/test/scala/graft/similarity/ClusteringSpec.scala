@@ -82,6 +82,24 @@ class ClusteringSpec extends AnyFunSuite with SparkTestBase {
       4L -> false, 5L -> true))
   }
 
+  test("assignTopM: rank order by encoded distance, ties to smaller " +
+      "cluster id; rank-1 equals lloyd's assignment") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(10f, 10f)), (2L, Seq(5f, 5f)))
+      .toDF("vec_id", "embedding")
+    val cents = Clustering.lloydCentroids(vecs, k = 2, updates = 0)
+    val a2 = Clustering.assignTopM(vecs, cents, m = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(a2((0L, 1)) === 0L && a2((0L, 2)) === 1L)
+    assert(a2((1L, 1)) === 1L && a2((1L, 2)) === 0L)
+    // vec 2 equidistant: rank 1 -> smaller cluster id
+    assert(a2((2L, 1)) === 0L && a2((2L, 2)) === 1L)
+    val lloyd1 = Clustering.lloyd(vecs, k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 2L).forall(i => lloyd1(i) === a2((i, 1))))
+  }
+
   test("three rounds on a drifting corpus stay deterministic across " +
       "repeated runs (integer arithmetic has no summation-order noise)") {
     val vecs = frame((0L until 40L).map(i =>
