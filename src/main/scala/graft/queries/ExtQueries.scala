@@ -2104,6 +2104,58 @@ object ExtQueries {
            |SELECT w.vec_id, w.c1, w.c2, dup.vec_id IS NULL AS keep
            |FROM wide w LEFT JOIN dup USING (vec_id)
            |ORDER BY w.vec_id""".stripMargin
+      }),
+
+    // Clustering DIAGNOSTICS: per-cluster size, inertia (Σ dist², the
+    // elbow-method input), and worst-member distance over q144's Lloyd
+    // assignment — the model-QA rollup run before committing to a k.
+    // Integer-exact (the assignment's dist2 is already integer), one
+    // keyed aggregate over the assignment frame; the oracle extends
+    // q144's unrolled CTEs with the same rollup.
+    Q("q164_kmeans_diagnostics",
+      (s, dir) =>
+        graft.similarity.Clustering.lloyd(
+            Tables.sharded(s, dir, "embeddings", "vec_id"),
+            k = 4, rounds = 3, scale = 1000)
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("dist2")).as("inertia"),
+            max(col("dist2")).as("worst_dist2"))
+          .orderBy(col("cluster")),
+      Some {
+        def iter(n: Int): String = {
+          val p = n - 1
+          s"""d$n AS (SELECT qd.vec_id AS vec_id, c.cid AS cid,
+             |    sum((qd.v - c.v) * (qd.v - c.v)) AS dist
+             |  FROM qd JOIN c$p c ON qd.d = c.d GROUP BY 1, 2),
+             |a$n AS (SELECT vec_id, min(dist * 1048576 + cid) AS comb
+             |  FROM d$n GROUP BY 1),
+             |m$n AS (SELECT vec_id, comb % 1048576 AS cid FROM a$n),
+             |c$n AS (SELECT m.cid AS cid, qd.d AS d,
+             |    CAST(floor(CAST(sum(qd.v) AS DOUBLE) / count(*)) AS BIGINT)
+             |      AS v
+             |  FROM qd JOIN m$n m USING (vec_id) GROUP BY 1, 2)""".stripMargin
+        }
+        s"""WITH q AS (SELECT vec_id,
+           |    unnest(list_transform(embedding, (x, i) -> {'d': i,
+           |      'v': CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)})) AS e
+           |  FROM embeddings),
+           |qd AS (SELECT vec_id, e.d AS d, e.v AS v FROM q),
+           |seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4),
+           |c0 AS (SELECT qd.vec_id AS cid, d, v
+           |  FROM qd JOIN seeds USING (vec_id)),
+           |${iter(1)},
+           |${iter(2)},
+           |d3 AS (SELECT qd.vec_id AS vec_id, c.cid AS cid,
+           |    sum((qd.v - c.v) * (qd.v - c.v)) AS dist
+           |  FROM qd JOIN c2 c ON qd.d = c.d GROUP BY 1, 2),
+           |a3 AS (SELECT vec_id, min(dist * 1048576 + cid) AS comb
+           |  FROM d3 GROUP BY 1)
+           |SELECT CAST(comb % 1048576 AS BIGINT) AS cluster,
+           |  count(*) AS n,
+           |  CAST(sum(comb // 1048576) AS BIGINT) AS inertia,
+           |  CAST(max(comb // 1048576) AS BIGINT) AS worst_dist2
+           |FROM a3 GROUP BY 1 ORDER BY cluster""".stripMargin
       })
   )
 }
