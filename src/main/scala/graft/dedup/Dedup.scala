@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   * Scale contract: `shingles`/`minhashBands`/`simhash` are pure map stages
   * (document-local signatures); only fixed-size sketch keys reach a
   * shuffle, via the candidate equi-joins. `clusters` is the Pregel-shaped
-  * iterative step. All hashing is md5-based and engine-portable.
+  * iterative step. All hashing is engine-portable: integer minwise
+  * signatures ([[graft.functions.MinHashSlots]]) for the MinHash family,
+  * md5 where a digest is genuinely needed.
   */
 object Dedup {
 
@@ -37,42 +39,45 @@ object Dedup {
           .otherwise(array().cast("array<string>")).as("grams"))
   }
 
-  /** (id, sig: array<string>): the K-slot MinHash signature, computed
-    * document-locally — slot i = min over shingles of
-    * md5(i || '_' || shingle). Exposed separately from [[minhashBands]]
-    * for sketch-calibration QA (estimated Jaccard = matching-slot
-    * fraction, q82). */
+  /** (id, sig: array<long>): the K-slot integer minwise signature
+    * ([[graft.functions.MinHashSlots]] — one polynomial double-hash per
+    * shingle, K universal integer mixes; the Broder scheme), computed
+    * document-locally in one fused native pass. Replaces the K×md5
+    * formulation, which paid K full digests + a 32-char string per shingle
+    * per document — the engine's heaviest measured path. Exposed
+    * separately from [[minhashBands]] for sketch-calibration QA (estimated
+    * Jaccard = matching-slot fraction, q82). */
   def minhashSignature(grams: DataFrame, idCol: String = "doc_id",
       k: Int = 12, assumeNonEmpty: Boolean = false): DataFrame = {
-    val sig = transform(sequence(lit(1), lit(k)), i =>
-      array_min(transform(col("grams"),
-        g => md5(concat(i.cast("string"), lit("_"), g)))))
     // The emptiness guard keeps gram-less documents from all sharing the
-    // md5-of-nothing signature (every empty doc would bucket with every
-    // other). When `grams` is an UNMATERIALIZED expression (the streaming
-    // path — no cache exists to make it an attribute), this predicate is
-    // a trap: filter pushdown substitutes the alias, so the ENTIRE
-    // shingling expression re-evaluates per row at the SCAN — below any
+    // empty signature (every empty doc would bucket with every other).
+    // When `grams` is an UNMATERIALIZED expression (the streaming path —
+    // no cache exists to make it an attribute), this predicate is a trap:
+    // filter pushdown substitutes the alias, so the ENTIRE shingling
+    // expression re-evaluates per row at the SCAN — below any
     // repartition, i.e. serially in a single-split source's one task
-    // (measured: ~15 s of q113's 16 s at sf0.1). Callers that already
-    // dropped gram-less docs on a cheap predicate (token count) pass
-    // `assumeNonEmpty = true` to skip the guard entirely.
+    // (measured: ~15 s of q113's 16 s at sf0.1 in the md5 era). Callers
+    // that already dropped gram-less docs on a cheap predicate (token
+    // count) pass `assumeNonEmpty = true` to skip the guard entirely.
     val base =
       if (assumeNonEmpty) grams else grams.where(size(col("grams")) > 0)
-    base.select(col(idCol), sig.as("sig"))
+    base.select(col(idCol),
+      graft.functions.MinHashSlots(k)(col("grams")).as("sig"))
   }
 
   /** (id, band, band_key): MinHash-LSH band keys, computed document-locally
-    * (no shuffle). Signature slot i = min over shingles of
-    * md5(i || '_' || shingle); band key = md5 of the band's slice. */
+    * (no shuffle). Band key = the band's signature slice joined as a
+    * comma-separated integer string — equality-only, so no digest is
+    * needed on top of the slot values. */
   def minhashBands(grams: DataFrame, idCol: String = "doc_id",
       k: Int = 12, rowsPerBand: Int = 3,
       assumeNonEmpty: Boolean = false): DataFrame = {
     minhashSignature(grams, idCol, k, assumeNonEmpty)
       .select(col(idCol),
         posexplode(transform(sequence(lit(0), lit(k / rowsPerBand - 1)), b =>
-          md5(array_join(
-            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ","))))
+          array_join(transform(
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string")), ",")))
           .as(Seq("band", "band_key")))
   }
 

@@ -25,11 +25,66 @@ object CorpusQueries {
   private[queries] def learnedMerges(s: org.apache.spark.sql.SparkSession,
       dir: String): Seq[(String, String)] =
     mergeTables.getOrElseUpdate((s, dir),
+      // the PRODUCTION trainer (driver-local merge loop over the one
+      // collected vocabulary artifact) — identical output to
+      // trainMerges by construction (BpeSpec), so q127/q129's oracles,
+      // which unroll trainMerges' rounds in SQL, stay exact while the
+      // engine side exercises the scale path
       graft.text.Bpe
-        .trainMerges(Tables.sharded(s, dir, "documents", "doc_id"),
+        .trainMergesLocal(Tables.sharded(s, dir, "documents", "doc_id"),
           nMerges = 3)
         .collect().sortBy(_.getInt(0))
         .map(r => (r.getString(1), r.getString(2))).toSeq)
+
+  /** Oracle replica of [[graft.text.Bpe]]'s wrapped symbol encoding
+    * ("cat" → "|c||a||t|" — both ends of every symbol anchored, see
+    * trainMerges' scaladoc) as the v0 CTE; shared by q126/q127/q129. */
+  private def bpeV0: String =
+    """v0 AS (SELECT regexp_replace(word, '(.)', '|\1|', 'g') AS sym,
+      |    freq FROM vw WHERE len(word) >= 2)""".stripMargin
+
+  /** One trainMerges round as oracle CTEs: pair counts over v{k-1} →
+    * top-1 by (cnt desc, l, r) as b{k} → merge applied as v{k}. */
+  private def bpeRound(k: Int): String = {
+    val p = k - 1
+    s"""e$k AS (SELECT freq,
+       |    unnest(list_transform(generate_series(1, len(s) - 1),
+       |      i -> {'l': s[i], 'r': s[i + 1]})) AS pr
+       |  FROM (SELECT list_filter(string_split(sym, '|'),
+       |          x -> len(x) > 0) AS s, freq FROM v$p)),
+       |p$k AS (SELECT pr.l AS l, pr.r AS r, sum(freq) AS cnt
+       |  FROM e$k GROUP BY pr.l, pr.r),
+       |b$k AS (SELECT l, r, cnt FROM p$k
+       |  ORDER BY cnt DESC, l, r LIMIT 1),
+       |v$k AS (SELECT replace(sym,
+       |    '|' || (SELECT l FROM b$k) || '||' || (SELECT r FROM b$k) || '|',
+       |    '|' || (SELECT l FROM b$k) || (SELECT r FROM b$k) || '|') AS sym,
+       |    freq FROM v$p)""".stripMargin
+  }
+
+  /** Round k's merge applied to an encoded-word expression (the oracle
+    * side of [[graft.text.Bpe.encode]]'s per-word replace fold). */
+  private def bpeApplyMerge(k: Int, inner: String): String =
+    s"""replace($inner,
+       |      '|' || (SELECT l FROM b$k) || '||' || (SELECT r FROM b$k) || '|',
+       |      '|' || (SELECT l FROM b$k) || (SELECT r FROM b$k) || '|')""".stripMargin
+
+  /** The 3-round train + per-word apply prefix (CTEs w/vw/v0/rounds/d2/s2)
+    * shared verbatim by q127's encode oracle and q129's packing oracle. */
+  private def bpeEncodedWords: String = {
+    val encoded = bpeApplyMerge(3, bpeApplyMerge(2, bpeApplyMerge(1,
+      "regexp_replace(word, '(.)', '|\\1|', 'g')")))
+    s"""WITH w AS (SELECT unnest(${ExtQueries.duckTokens}) AS word
+       |  FROM documents),
+       |vw AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
+       |$bpeV0,
+       |${bpeRound(1)},
+       |${bpeRound(2)},
+       |${bpeRound(3)},
+       |d2 AS (SELECT doc_id, unnest(${ExtQueries.duckTokens}) AS word
+       |  FROM documents),
+       |s2 AS (SELECT doc_id, $encoded AS sym FROM d2)""".stripMargin
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -238,40 +293,27 @@ object CorpusQueries {
     // greedy merge steps over the corpus vocabulary, returning the
     // learned merge table — each step is one vocabulary-sized
     // pair-count job, a ONE-row driver collect (the k-means-centroid
-    // scalar class), and a pure-map literal replace on marker-anchored
-    // symbol strings ("|c|a|t") that cannot merge across symbol
-    // boundaries. The oracle unrolls the identical three rounds as CTEs
-    // (pair counts → top-1 by (cnt desc, l, r) → replace), so the hash
-    // pins the greedy selection AND the merge application semantics.
+    // scalar class), and a pure-map literal replace on wrapped symbol
+    // strings ("|c||a||t|" — both symbol ends anchored) that cannot
+    // merge across symbol boundaries or into a longer symbol's prefix.
+    // The oracle unrolls the identical three rounds as CTEs (pair
+    // counts → top-1 by (cnt desc, l, r) → replace), so the hash pins
+    // the greedy selection AND the merge application semantics. The
+    // production trainer (trainMergesLocal — driver-local merge loop,
+    // no per-step job) is pinned EQUAL to this one by BpeSpec and runs
+    // under q127/q129.
     Q("q126_bpe_train",
       (s, dir) =>
         graft.text.Bpe.trainMerges(
           Tables.sharded(s, dir, "documents", "doc_id"), nMerges = 3),
       Some {
-        def round(k: Int): String = {
-          val p = k - 1
-          s"""e$k AS (SELECT freq,
-             |    unnest(list_transform(generate_series(1, len(s) - 1),
-             |      i -> {'l': s[i], 'r': s[i + 1]})) AS pr
-             |  FROM (SELECT list_filter(string_split(sym, '|'),
-             |          x -> len(x) > 0) AS s, freq FROM v$p)),
-             |p$k AS (SELECT pr.l AS l, pr.r AS r, sum(freq) AS cnt
-             |  FROM e$k GROUP BY pr.l, pr.r),
-             |b$k AS (SELECT l, r, cnt FROM p$k
-             |  ORDER BY cnt DESC, l, r LIMIT 1),
-             |v$k AS (SELECT replace(sym,
-             |    '|' || (SELECT l FROM b$k) || '|' || (SELECT r FROM b$k),
-             |    '|' || (SELECT l FROM b$k) || (SELECT r FROM b$k)) AS sym,
-             |    freq FROM v$p)""".stripMargin
-        }
         s"""WITH w AS (SELECT unnest(${ExtQueries.duckTokens}) AS word
            |  FROM documents),
            |vw AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
-           |v0 AS (SELECT regexp_replace(word, '(.)', '|\\1', 'g') AS sym,
-           |    freq FROM vw WHERE len(word) >= 2),
-           |${round(1)},
-           |${round(2)},
-           |${round(3)}
+           |$bpeV0,
+           |${bpeRound(1)},
+           |${bpeRound(2)},
+           |${bpeRound(3)}
            |SELECT * FROM (
            |  SELECT 1 AS step, l, r, CAST(cnt AS BIGINT) AS cnt FROM b1
            |  UNION ALL
@@ -298,41 +340,9 @@ object CorpusQueries {
             learnedMerges(s, dir))
           .orderBy(col("doc_id")),
       Some {
-        def round(k: Int): String = {
-          val p = k - 1
-          s"""e$k AS (SELECT freq,
-             |    unnest(list_transform(generate_series(1, len(s) - 1),
-             |      i -> {'l': s[i], 'r': s[i + 1]})) AS pr
-             |  FROM (SELECT list_filter(string_split(sym, '|'),
-             |          x -> len(x) > 0) AS s, freq FROM v$p)),
-             |p$k AS (SELECT pr.l AS l, pr.r AS r, sum(freq) AS cnt
-             |  FROM e$k GROUP BY pr.l, pr.r),
-             |b$k AS (SELECT l, r, cnt FROM p$k
-             |  ORDER BY cnt DESC, l, r LIMIT 1),
-             |v$k AS (SELECT replace(sym,
-             |    '|' || (SELECT l FROM b$k) || '|' || (SELECT r FROM b$k),
-             |    '|' || (SELECT l FROM b$k) || (SELECT r FROM b$k)) AS sym,
-             |    freq FROM v$p)""".stripMargin
-        }
-        def applyMerge(k: Int, inner: String): String =
-          s"""replace($inner,
-             |      '|' || (SELECT l FROM b$k) || '|' || (SELECT r FROM b$k),
-             |      '|' || (SELECT l FROM b$k) || (SELECT r FROM b$k))""".stripMargin
-        val encoded = applyMerge(3, applyMerge(2, applyMerge(1,
-          "regexp_replace(word, '(.)', '|\\1', 'g')")))
-        s"""WITH w AS (SELECT unnest(${ExtQueries.duckTokens}) AS word
-           |  FROM documents),
-           |vw AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
-           |v0 AS (SELECT regexp_replace(word, '(.)', '|\\1', 'g') AS sym,
-           |    freq FROM vw WHERE len(word) >= 2),
-           |${round(1)},
-           |${round(2)},
-           |${round(3)},
-           |d2 AS (SELECT doc_id, unnest(${ExtQueries.duckTokens}) AS word
-           |  FROM documents),
-           |s2 AS (SELECT doc_id, $encoded AS sym FROM d2)
+        s"""$bpeEncodedWords
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-           |  CAST(sum(len(string_split(sym, '|')) - 1) AS BIGINT) AS n_syms
+           |  CAST(sum(len(string_split(sym, '||'))) AS BIGINT) AS n_syms
            |FROM s2 GROUP BY doc_id ORDER BY doc_id""".stripMargin
       }),
 
@@ -357,41 +367,9 @@ object CorpusQueries {
           .orderBy(col("doc_id"))
       },
       Some {
-        def round(k: Int): String = {
-          val p = k - 1
-          s"""e$k AS (SELECT freq,
-             |    unnest(list_transform(generate_series(1, len(s) - 1),
-             |      i -> {'l': s[i], 'r': s[i + 1]})) AS pr
-             |  FROM (SELECT list_filter(string_split(sym, '|'),
-             |          x -> len(x) > 0) AS s, freq FROM v$p)),
-             |p$k AS (SELECT pr.l AS l, pr.r AS r, sum(freq) AS cnt
-             |  FROM e$k GROUP BY pr.l, pr.r),
-             |b$k AS (SELECT l, r, cnt FROM p$k
-             |  ORDER BY cnt DESC, l, r LIMIT 1),
-             |v$k AS (SELECT replace(sym,
-             |    '|' || (SELECT l FROM b$k) || '|' || (SELECT r FROM b$k),
-             |    '|' || (SELECT l FROM b$k) || (SELECT r FROM b$k)) AS sym,
-             |    freq FROM v$p)""".stripMargin
-        }
-        def applyMerge(k: Int, inner: String): String =
-          s"""replace($inner,
-             |      '|' || (SELECT l FROM b$k) || '|' || (SELECT r FROM b$k),
-             |      '|' || (SELECT l FROM b$k) || (SELECT r FROM b$k))""".stripMargin
-        val encoded = applyMerge(3, applyMerge(2, applyMerge(1,
-          "regexp_replace(word, '(.)', '|\\1', 'g')")))
-        s"""WITH w AS (SELECT unnest(${ExtQueries.duckTokens}) AS word
-           |  FROM documents),
-           |vw AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
-           |v0 AS (SELECT regexp_replace(word, '(.)', '|\\1', 'g') AS sym,
-           |    freq FROM vw WHERE len(word) >= 2),
-           |${round(1)},
-           |${round(2)},
-           |${round(3)},
-           |d2 AS (SELECT doc_id, unnest(${ExtQueries.duckTokens}) AS word
-           |  FROM documents),
-           |s2 AS (SELECT doc_id, $encoded AS sym FROM d2),
+        s"""$bpeEncodedWords,
            |tok AS (SELECT doc_id,
-           |    CAST(sum(len(string_split(sym, '|')) - 1) AS BIGINT)
+           |    CAST(sum(len(string_split(sym, '||'))) AS BIGINT)
            |      AS n_syms
            |  FROM s2 GROUP BY doc_id),
            |c AS (SELECT doc_id, n_syms,

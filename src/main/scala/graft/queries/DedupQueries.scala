@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions._
 /** Near-duplicate detection at training-pipeline scale (SURVEY §7.6):
   * n-gram Jaccard (exact verify), MinHash signatures + LSH banding (the
   * 100 TB candidate-generation path), SimHash fingerprints, and brute-force
-  * embedding similarity pairs. All hashing is md5-string-based so the DuckDB
+  * embedding similarity pairs. All hashing is engine-portable integer
+  * arithmetic (or md5 where a digest is genuinely needed) so the DuckDB
   * oracle reproduces every value bit-for-bit.
   *
   * Scale design: the gram→pair self-join (q26) is quadratic in hot shingles
   * and exists as the exact baseline; the production path is q27/q28 —
-  * signatures are fixed-size (K md5 strings per doc), banding turns
+  * signatures are fixed-size (K longs per doc), banding turns
   * similarity search into an equi-join on (band, band_key), and the exact
   * Jaccard verify runs only on LSH candidates.
   */
@@ -101,19 +102,17 @@ object DedupQueries {
       |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
       |sizes AS (SELECT doc_id, len(grams) AS n FROM g)""".stripMargin
 
-  /** LSH band keys per document, computed DOCUMENT-LOCALLY: signature slot
-    * i = min over shingles of md5(i || '_' || shingle) (the lexicographic
-    * min of a salted digest is a valid random min-hash and is
-    * engine-portable); band key = digest of the band's signature slice in
-    * i-order. The whole sketch is one map-stage expression over the cached
-    * shingle table — no explode, no per-(doc, i) shuffle: at 100 TB the
-    * signature pass is embarrassingly parallel and only the K-string
-    * signatures ever reach an exchange (via the band-bucket join in q28). */
+  /** LSH band keys per document, computed DOCUMENT-LOCALLY: integer
+    * minwise signature ([[graft.functions.MinHashSlots]] — one polynomial
+    * double-hash per shingle, K universal mixes, all engine-portable
+    * BIGINT arithmetic); band key = the band's slot slice as a
+    * comma-joined integer string. The whole sketch is one fused native
+    * pass over the cached shingle table — no explode, no per-(doc, i)
+    * shuffle: at 100 TB the signature pass is embarrassingly parallel and
+    * only the K-long signatures ever reach an exchange (via the
+    * band-bucket join in q28). */
   private def bandsDf(s: SparkSession, dir: String): DataFrame =
-    // Library core: graft.dedup.Dedup.minhashBands. Benched tradeoff vs an
-    // explode + per-slot min() aggregation: that variant keeps md5 in
-    // codegen but pays a shuffle, and string min() forces SortAggregate —
-    // 1.3s vs 0.76s at sf0.1 for the document-local shape. Cached: the
+    // Library core: graft.dedup.Dedup.minhashBands. Cached: the
     // band table sits on both sides of the bucket self-join in q28, and
     // q55/q59 reuse it for cluster edges.
     Caches.frame(s, dir, "bands") {
@@ -161,14 +160,18 @@ object DedupQueries {
       |    ) AS bucket
       |  FROM emb)""".stripMargin
 
-  private[queries] val duckMinhash: String =
+  private[queries] val duckMinhash: String = {
+    val (h1, h2) = graft.functions.MinHashSlots.duckHashPair("gram")
+    val slot = graft.functions.MinHashSlots.duckSlotValue("h1", "h2", "i")
     duckGrams + s""",
+      |hh AS (SELECT doc_id, $h1 AS h1, $h2 AS h2 FROM e),
       |hs AS (SELECT unnest(generate_series(1, $K)) AS i),
-      |eh AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '_' || gram)) AS h
-      |       FROM e CROSS JOIN hs GROUP BY doc_id, i),
+      |eh AS (SELECT doc_id, i, min($slot) AS h
+      |       FROM hh CROSS JOIN hs GROUP BY doc_id, i),
       |bands AS (SELECT doc_id, (i-1)//$RowsPerBand AS band,
-      |                 md5(string_agg(h, ',' ORDER BY i)) AS band_key
+      |                 string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS band_key
       |          FROM eh GROUP BY doc_id, (i-1)//$RowsPerBand)""".stripMargin
+  }
 
   /** Near-dup cluster edges from the SCALE path: LSH band-key candidates
     * (a fixed-fan-out equi-join on the sketch keys) verified with exact
@@ -1213,12 +1216,16 @@ object DedupQueries {
           |  ELSE [] END) AS grams FROM un),
           |e AS (SELECT uid, unnest(grams) AS gram FROM g),
           |sizes AS (SELECT uid, len(grams) AS n FROM g),
+          |hh AS (SELECT uid,
+          |    ${graft.functions.MinHashSlots.duckHashPair("gram")._1} AS h1,
+          |    ${graft.functions.MinHashSlots.duckHashPair("gram")._2} AS h2
+          |  FROM e),
           |hs AS (SELECT unnest(generate_series(1, $K)) AS i),
           |eh AS (SELECT uid, i,
-          |    min(md5(CAST(i AS VARCHAR) || '_' || gram)) AS h
-          |  FROM e CROSS JOIN hs GROUP BY uid, i),
+          |    min(${graft.functions.MinHashSlots.duckSlotValue("h1", "h2", "i")}) AS h
+          |  FROM hh CROSS JOIN hs GROUP BY uid, i),
           |bands AS (SELECT uid, (i - 1) // $RowsPerBand AS band,
-          |    md5(string_agg(h, ',' ORDER BY i)) AS band_key
+          |    string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS band_key
           |  FROM eh GROUP BY uid, (i - 1) // $RowsPerBand),
           |cand AS (SELECT x.uid AS id_a, y.uid AS id_b
           |  FROM bands x JOIN bands y ON x.band = y.band

@@ -188,8 +188,8 @@ object StreamingQueries {
     // ANY batch split. The driver run deliberately sets maxBucket to
     // MaxValue: the hot-bucket cap is a production lever whose drops
     // depend on arrival order (not hashable); capped behavior is pinned
-    // by StreamingNearDupSpec instead. The oracle replays the md5
-    // MinHash bands in SQL (duckMinhash) and self-joins them.
+    // by StreamingNearDupSpec instead. The oracle replays the integer
+    // minwise MinHash bands in SQL (duckMinhash) and self-joins them.
     Q("q113_streaming_neardup_cands",
       (s, dir) => {
         import s.implicits._
@@ -225,11 +225,12 @@ object StreamingQueries {
     Q("q114_streaming_heavy_hitters",
       (s, dir) => {
         import s.implicits._
-        val shardUdf = udf((t: String) =>
-          StreamingHeavyHitters.shardOf(t, 4))
         val toks = docStream(s, dir)
           .select(explode(graft.dedup.Dedup.tokens(col("text"))).as("token"))
-          .select(shardUdf(col("token")).as("shard"), col("token"))
+          // codegen'd shard key; provably equal to the typed operator's
+          // own shardOf (same xxhash64 — ShardAgreementSpec)
+          .select(StreamingHeavyHitters.shardCol(col("token"), 4).as("shard"),
+            col("token"))
           .as[StreamingHeavyHitters.Tok]
         val hh = StreamingHeavyHitters.heavyHitters(toks, k = 4096)
         runToTable(hh.toDF(), "stream_hh", mode = "update")

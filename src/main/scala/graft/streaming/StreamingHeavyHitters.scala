@@ -36,10 +36,26 @@ object StreamingHeavyHitters {
   final case class SSState(n: Long, toks: Array[String],
       counts: Array[Long], errs: Array[Long])
 
-  /** Deterministic token → shard assignment (stream and batch sides of a
-    * comparison must use the same function). */
-  def shardOf(token: String, nShards: Int): Int =
-    (token.hashCode & Int.MaxValue) % nShards
+  /** Deterministic token → shard assignment — `pmod(xxhash64(token), n)`,
+    * computed through the SAME Spark-internal hash the codegen'd SQL
+    * expression uses (seed 42), so a query can shard with the native
+    * column function and this typed side provably agrees (the sharded
+    * SpaceSaving guarantee needs a token's whole count in one shard).
+    * [[shardCol]] is that SQL side; ShardAgreementSpec pins the equality. */
+  def shardOf(token: String, nShards: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(token),
+      org.apache.spark.sql.types.StringType, 42L)
+    val m = (h % nShards).toInt
+    if (m < 0) m + nShards else m
+  }
+
+  /** The codegen'd column twin of [[shardOf]]. */
+  def shardCol(token: org.apache.spark.sql.Column,
+      nShards: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    pmod(xxhash64(token), lit(nShards.toLong)).cast("int")
+  }
 
   def heavyHitters(tokens: Dataset[Tok], k: Int): Dataset[HH] = {
     import tokens.sparkSession.implicits._

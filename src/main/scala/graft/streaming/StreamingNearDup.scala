@@ -15,10 +15,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * handful of ids (hot buckets are the same problem the batch DF-cap
   * handles; `maxBucket` bounds them here).
   *
-  * The signature is computed DOCUMENT-LOCALLY (nested higher-order
-  * expressions): a pure map over the stream, no shuffle before the bucket
-  * exchange — the per-element interpreter overhead that disqualified this
-  * shape for the batch hot path is what makes it streamable.
+  * The signature is computed DOCUMENT-LOCALLY (the same fused native
+  * [[graft.functions.MinHashSlots]] pass as the batch path): a pure map
+  * over the stream, no shuffle before the bucket exchange.
   */
 object StreamingNearDup {
 
@@ -30,7 +29,7 @@ object StreamingNearDup {
     * path ([[graft.dedup.Dedup.minhashBands]]), so stream and batch agree
     * bit-for-bit.
     *
-    * Gram-less docs (< 3 tokens — they'd all share the md5-of-nothing
+    * Gram-less docs (< 3 tokens — they'd all share the empty
     * signature) are dropped HERE on the cheap token-count predicate, and
     * the minhash layer is told so (`assumeNonEmpty`): its own
     * size(grams)>0 guard is the expensive-pushdown trap a stream cannot

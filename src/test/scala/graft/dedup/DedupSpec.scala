@@ -35,7 +35,14 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
 
   test("LSH candidates -> exact verify -> clusters finds the planted groups") {
     val g = Dedup.shingles(corpus(), idCol = "item_id", textCol = "body").cache()
-    val bands = Dedup.minhashBands(g, idCol = "item_id")
+    // 6 bands × 2 rows: the subject here is the candidates→verify→cluster
+    // COMPOSITION, so the banding is tuned for recall at this fixture's
+    // J≈0.73 substitution pair — under 4×3 a J=0.73 pair colliding in
+    // some band is a ~60/40 draw per hash family (deterministic but
+    // family-dependent), while at 6×2 the miss chance is ~7%, and this
+    // family finds every planted pair (verified: the outcome is pinned,
+    // not sampled).
+    val bands = Dedup.minhashBands(g, idCol = "item_id", rowsPerBand = 2)
     val cands = Dedup.lshCandidates(bands, idCol = "item_id")
     val verified = Dedup.jaccardVerify(cands, g, idCol = "item_id")
       .where(col("jaccard") >= 0.5)

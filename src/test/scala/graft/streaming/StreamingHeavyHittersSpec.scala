@@ -13,6 +13,28 @@ class StreamingHeavyHittersSpec extends AnyFunSuite with SparkTestBase {
   private val NShards = 8
   private val K = 16
 
+  test("shardCol (codegen'd pmod(xxhash64)) equals the typed shardOf on " +
+      "the corpus vocabulary and adversarial strings (ShardAgreementSpec)") {
+    import spark.implicits._
+    val vocab = graft.queries.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+      .select(explode(graft.dedup.Dedup.tokens(col("text"))).as("token"))
+      .distinct().as[String].collect().toSeq
+    val extra = Seq("", "a", "µ-unicode", "ÿ", "0", "long" * 100,
+      "tab\tnewline\n")
+    for (ns <- Seq(1, 4, 8, 31)) {
+      val got = (vocab ++ extra).toDF("token")
+        .select(col("token"),
+          StreamingHeavyHitters.shardCol(col("token"), ns).as("shard"))
+        .collect().map(r => r.getString(0) -> r.getInt(1))
+      got.foreach { case (t, s) =>
+        assert(s === StreamingHeavyHitters.shardOf(t, ns),
+          s"disagreement on '$t' at nShards=$ns")
+        assert(s >= 0 && s < ns)
+      }
+    }
+  }
+
   test("streamed shard summaries satisfy the SpaceSaving bounds") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_shh").toString
@@ -29,11 +51,10 @@ class StreamingHeavyHittersSpec extends AnyFunSuite with SparkTestBase {
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/in/a.json"),
       first.map(jline).mkString("\n").getBytes)
 
-    val ns = NShards // local copy: the udf closure must not capture `this`
-    val shardUdf = udf((t: String) => StreamingHeavyHitters.shardOf(t, ns))
     def tokens(df: org.apache.spark.sql.DataFrame) = df
       .select(explode(graft.dedup.Dedup.tokens(col("text"))).as("token"))
-      .select(shardUdf(col("token")).as("shard"), col("token"))
+      .select(StreamingHeavyHitters.shardCol(col("token"), NShards)
+        .as("shard"), col("token"))
 
     val streamDocs = spark.readStream.schema("doc_id LONG, text STRING")
       .json(s"$dir/in")

@@ -64,6 +64,110 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(m.toSeq === Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
   }
 
+  test("merging (a,b) must NOT fire where b is a PREFIX of a longer " +
+      "symbol (the one-sided-marker corruption the wrapped encoding fixes)") {
+    // step1 merges (b,c) cnt 6, turning "abc" into symbols [a, bc];
+    // step2 merges (a,b) cnt 2 — which must leave [a, bc] UNTOUCHED
+    // (the old "|a|b" marker form matched "|a|bc" and corrupted it to
+    // [abc], silently destroying the (a,bc) pair); step3 then still
+    // finds (a, bc) cnt 1.
+    val docs = Seq("bc bc bc bc bc abc ab ab").toDF("text")
+    val m = Bpe.trainMerges(docs, nMerges = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq === Seq((1, "b", "c", 6L), (2, "a", "b", 2L),
+      (3, "a", "bc", 1L)))
+  }
+
+  test("trainMergesLocal equals trainMerges row-for-row on the fixture " +
+      "corpora and on a real corpus slice") {
+    def table(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val fixtures = Seq("abab ab ab abab", "ab ab ba", "aaaa aa",
+      "bc bc bc bc bc abc ab ab")
+    fixtures.foreach { text =>
+      val docs = Seq(text).toDF("text")
+      assert(table(Bpe.trainMergesLocal(docs, nMerges = 4)) ===
+        table(Bpe.trainMerges(docs, nMerges = 4)), s"fixture '$text'")
+    }
+    val corpus = graft.queries.Tables(spark, "/root/testdata/sf0.001",
+      "documents").select(org.apache.spark.sql.functions.col("text"))
+    assert(table(Bpe.trainMergesLocal(corpus, nMerges = 5)) ===
+      table(Bpe.trainMerges(corpus, nMerges = 5)))
+  }
+
+  test("trainMergesLocal runs at 1000+ merges: counts non-increasing, " +
+      "pairs never repeat, encode consumes the table") {
+    // the sf0.001 synthetic corpus has ~31 distinct tokens (exhausts at
+    // <100 merges), so the DEPTH test runs on a generated vocabulary:
+    // 4000 distinct seeded pseudo-words, Zipf-ish frequencies
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdefgh"
+    val vocabWords = (0 until 4000).map(_ =>
+      (0 until (6 + rnd.nextInt(8)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val corpus = vocabWords.zipWithIndex.map { case (w, i) =>
+      (i.toLong, (w + " ") * (1 + 2000 / (i + 1)))
+    }.toDF("doc_id", "text")
+    val m = Bpe.trainMergesLocal(corpus, nMerges = 1000).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(m.length > 100, s"expected a deep merge table, got ${m.length}")
+    m.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 >= b._4, s"count increased ${a} -> ${b}")
+    }
+    assert(m.map(x => (x._2, x._3)).distinct.length === m.length,
+      "a merged pair re-surfaced — leftmost non-overlapping merge broken")
+    // the learned table drives encode AT DEPTH (the native BpeSymCount
+    // path — the replace-fold would stack-overflow the Column converter
+    // at this table size): token counts shrink vs no merges
+    val merges = m.map(x => (x._2, x._3)).toSeq
+    val enc = Bpe.encode(corpus, merges)
+      .agg(org.apache.spark.sql.functions.sum("n_syms"),
+        org.apache.spark.sql.functions.sum("n_words")).collect().head
+    val enc0 = Bpe.encode(corpus, Seq.empty)
+      .agg(org.apache.spark.sql.functions.sum("n_syms")).collect().head
+    assert(enc.getLong(0) < enc0.getLong(0), "merges must compress")
+    assert(enc.getLong(0) >= enc.getLong(1), "a word is >= 1 symbol")
+  }
+
+  test("encode's two evaluators agree: the codegen'd replace-fold and " +
+      "the native deep-table BpeSymCount produce identical n_syms") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "abab cdcd abcd aabb"), (2L, "aaaa bc abc"),
+      (3L, "xyz")).toDF("doc_id", "text")
+    val merges = Seq(("a", "b"), ("c", "d"), ("ab", "cd"), ("a", "a"),
+      ("b", "c"), ("ab", "ab"))
+    val fold = Bpe.encode(docs, merges).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // same table through the native evaluator, via the per-word column
+    val native = docs
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.explode(
+          graft.dedup.Dedup.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), BpeSymCount(merges)(col("w")).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(org.apache.spark.sql.functions.count("*").as("n_words"),
+        org.apache.spark.sql.functions.sum("n").as("n_syms"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(fold === native)
+    // and the plain-Scala reference agrees word-for-word
+    assert(Bpe.symbolCount("abab", merges) === 1) // (a,b)x2 then (ab,ab)
+    assert(Bpe.symbolCount("abcd", merges) === 1) // (a,b),(c,d),(ab,cd)
+    assert(Bpe.symbolCount("aabb", merges) === 3) // (a,b) once: a,ab,b
+    assert(Bpe.symbolCount("aaaa", merges) === 2) // (a,a) pass: aa,aa
+  }
+
+  test("trainMergesLocal fails loudly past maxVocab instead of " +
+      "truncating the vocabulary") {
+    val docs = Seq("one two three four five six").toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainMergesLocal(docs, nMerges = 1, maxVocab = 3)
+    }
+    assert(e.getMessage.contains("maxVocab"))
+  }
+
   test("encode applies merges in learned order, per document") {
     val docs = Seq((1L, "abab cd"), (2L, "ba"), (3L, "...")).toDF("doc_id", "text")
     // merges (a,b) then (ab,ab): "abab"→1 sym, "cd"→2, "ba"→2
