@@ -40,6 +40,26 @@ object Clustering {
   private val CidBits = 20
   private val CidCap = 1L << CidBits
 
+  /** Largest dist2 the (dist, cid) long encoding can carry without
+    * overflow: dist·2²⁰ + cid must stay below Long.MaxValue. */
+  private val MaxEncodableDist = (Long.MaxValue - (CidCap - 1)) / CidCap
+
+  /** ⌊√Long.MaxValue⌋, slack-adjusted down so root·root provably fits —
+    * the building block for the clusterPrune product guards. */
+  private val LongRoot = 3037000498L
+
+  /** Encode (dist2, cid) into one long, failing LOUDLY per row if dist2
+    * exceeds the 2⁴³-ish encodable ceiling (reachable only when
+    * scale²·dims·magnitude² outgrows the testdata envelope — a silent
+    * wrap here would corrupt every argmin downstream). Codegen'd: one
+    * branch + integer multiply-add per (row, centroid). */
+  private def encode(dist2: Column, cid: Long): Column =
+    when(dist2 <= lit(MaxEncodableDist), dist2 * lit(CidCap) + lit(cid))
+      .otherwise(raise_error(concat(
+        lit(s"Clustering: dist2 > $MaxEncodableDist overflows the " +
+          "(dist,cid) encoding — lower `scale` (dist2 grows as " +
+          "dims*(2*scale*|x|)^2); got dist2="), dist2.cast("string"))))
+
   /** Quantized integer vector: element i = ⌊vec(i)·scale⌋ (floor, not
     * round — floats exactly on a rounding boundary would tie-break
     * differently across engines; floor never ties). */
@@ -77,8 +97,7 @@ object Clustering {
     // addition is associative, so results are bit-identical.
     def encodedArgmin(): Column =
       cents.map { case (cid, cq) =>
-        graft.functions.SqDistLong(col("__q"), typedLit(cq)) *
-          lit(CidCap) + lit(cid)
+        encode(graft.functions.SqDistLong(col("__q"), typedLit(cq)), cid)
       }.reduce(least(_, _))
 
     var r = 1
@@ -100,11 +119,13 @@ object Clustering {
         .toSeq.sortBy(_._1)
       r += 1
     }
+    // dist2 extraction is a pure integer shift — the earlier double
+    // .divide form lost low bits past 2⁵³-total, silently, at scales the
+    // encoding itself still supports
     q.withColumn("__comb", encodedArgmin())
       .select(col(idCol),
         pmod(col("__comb"), lit(CidCap)).as("cluster"),
-        (col("__comb") - pmod(col("__comb"), lit(CidCap)))
-          .divide(lit(CidCap)).cast("long").as("dist2"))
+        shiftright(col("__comb"), CidBits).as("dist2"))
   }
 
   /** Final centroids of a [[lloyd]] run — (cluster, quantized vector),
@@ -123,8 +144,7 @@ object Clustering {
     var r = 0
     while (r < updates) {
       val argmin = cents.map { case (cid, cq) =>
-        graft.functions.SqDistLong(col("__q"), typedLit(cq)) *
-          lit(CidCap) + lit(cid)
+        encode(graft.functions.SqDistLong(col("__q"), typedLit(cq)), cid)
       }.reduce(least(_, _))
       val updated = q
         .withColumn("__cid", pmod(argmin, lit(CidCap)))
@@ -158,8 +178,7 @@ object Clustering {
       s"m must be in [1, ${cents.length}], got $m")
     val q = vecs.select(col(idCol), quantized(col(vecCol), scale).as("__q"))
     val encs = array(cents.map { case (cid, cq) =>
-      graft.functions.SqDistLong(col("__q"), typedLit(cq)) *
-        lit(CidCap) + lit(cid)
+      encode(graft.functions.SqDistLong(col("__q"), typedLit(cq)), cid)
     }: _*)
     q.select(col(idCol),
         posexplode(slice(sort_array(encs), 1, m)).as(Seq("__r", "__enc")))
@@ -188,6 +207,10 @@ object Clustering {
       tauNum: Long = 4, tauDen: Long = 5, scale: Int = 1000): DataFrame = {
     require(tauNum >= 0 && tauDen > 0 && tauNum <= tauDen,
       s"cosine threshold $tauNum/$tauDen outside [0, 1]")
+    require(tauDen <= 1000000L, // keeps tauDen² (driver-side) exact
+      s"tauDen $tauDen past 10^6 — more threshold resolution than the " +
+        "quantization can distinguish, and tauDen^2 would near the Long " +
+        "ceiling")
     val q = vecs
       .select(col(idCol), quantized(col(vecCol), scale).as("__q"))
       .withColumn("__n2",
@@ -197,13 +220,31 @@ object Clustering {
       col("__n2").as("__na"), col("cluster"))
     val b = q.select(col(idCol).as("__id_b"), col("__q").as("__qb"),
       col("__n2").as("__nb"), col("cluster"))
+    // Overflow guards for the all-integer cosine test: dot grows as
+    // dims·scale², so tauDen²·dot² (and tauNum²·na·nb) can pass the Long
+    // ceiling on wider/larger-scale vectors than the testdata. A silent
+    // wrap would FLIP prune decisions; instead each side is bounded so
+    // its product provably fits, and out-of-bound rows raise.
+    val maxSafeDot = LongRoot / math.max(tauDen, 1L)
+    val maxSafeNorm = LongRoot / math.max(tauNum, 1L)
+    val cosineAtLeastTau =
+      when(col("__dot") <= lit(0L), lit(false))
+        .when(col("__dot") <= lit(maxSafeDot) &&
+            col("__na") <= lit(maxSafeNorm) &&
+            col("__nb") <= lit(maxSafeNorm),
+          lit(tauDen * tauDen) * col("__dot") * col("__dot") >=
+            lit(tauNum * tauNum) * col("__na") * col("__nb"))
+        .otherwise(raise_error(concat(
+          lit("Clustering.clusterPrune: integer cosine test would " +
+            "overflow Long (dims*scale^2 too large) — lower `scale`; " +
+            "got dot="), col("__dot").cast("string"),
+          lit(" na="), col("__na").cast("string"),
+          lit(" nb="), col("__nb").cast("string"))).cast("boolean"))
     val dropped = a.join(b, Seq("cluster"))
       .where(col("__id_a") < col("__id_b"))
       .withColumn("__dot",
         graft.functions.DotProductLong(col("__qa"), col("__qb")))
-      .where(col("__dot") > 0 &&
-        lit(tauDen * tauDen) * col("__dot") * col("__dot") >=
-          lit(tauNum * tauNum) * col("__na") * col("__nb"))
+      .where(cosineAtLeastTau)
       .select(col("__id_b").as(idCol)).distinct()
       .withColumn("__dup", lit(true))
     q.join(dropped, Seq(idCol), "left_outer")

@@ -25,6 +25,53 @@ import org.apache.spark.sql.functions._
   * SQL oracle replays the full greedy trajectory exactly (q148). */
 object Mmr {
 
+  /** Normalized candidate frame `select` scores each round:
+    * (idCol long, __v double array, __rel, __nrm). A zero-norm (or
+    * NaN-element) vector fails LOUDLY here — its cosine against anything
+    * is null/NaN, which would silently poison every later round's argmax
+    * (same loud-failure contract as dedupUnits' NULL guard). */
+  def prepared(vecs: DataFrame, relCol: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    vecs.select(col(idCol).cast("long").as(idCol),
+      transform(col(vecCol), x => x.cast("double")).as("__v"),
+      col(relCol).cast("double").as("__rel"))
+      .withColumn("__nrm", {
+        val n = sqrt(aggregate(
+          transform(col("__v"), x => x * x), lit(0d), (a, x) => a + x))
+        // n > 0 is false for NaN too, so both degeneracies raise
+        when(n > lit(0d), n).otherwise(raise_error(concat(
+          lit(s"Mmr: zero-norm or NaN vector at $idCol="),
+          col(idCol).cast("string"))))
+      })
+
+  /** The EXACT frame one greedy round of [[select]] executes against a
+    * [[prepared]] base: already-selected ids filtered out, MMR scored
+    * with the selected vectors baked in as literals, argmax as
+    * orderBy+limit(1) (plans as TakeOrderedAndProject — map-side top-1).
+    * Public so the plan audit pins this real per-round plan, not a
+    * hand-rebuilt approximation. `selected` rows are (id, vector, norm). */
+  def roundFrame(base: DataFrame,
+      selected: Seq[(Long, Array[Double], Double)], lambda: Double,
+      idCol: String = "vec_id"): DataFrame = {
+    def cosTo(v: Array[Double], nrm: Double): Column = {
+      val dot = aggregate(zip_with(col("__v"), typedLit(v),
+        (a, b) => a * b), lit(0d), (a, x) => a + x)
+      round(dot / (col("__nrm") * lit(nrm)), 6)
+    }
+    val scored =
+      if (selected.isEmpty) base.withColumn("__mmr", col("__rel"))
+      else {
+        val maxCos = selected.map(s => cosTo(s._2, s._3))
+          .reduce((a, b) => greatest(a, b))
+        base.where(!col(idCol).isin(selected.map(_._1): _*))
+          .withColumn("__mmr",
+            round(lit(lambda) * col("__rel") - lit(1 - lambda) * maxCos, 6))
+      }
+    scored.orderBy(col("__mmr").desc, col(idCol))
+      .select(col(idCol), col("__v"), col("__nrm"), col("__mmr"))
+      .limit(1)
+  }
+
   /** Select `k` rows from `vecs(idCol, vecCol, relCol)`; `relCol` is the
     * caller's relevance score (round it to 6 decimals if it comes from
     * float math — the oracle contract needs stable inputs). Returns
@@ -36,36 +83,13 @@ object Mmr {
     require(k >= 1, s"k must be >= 1, got $k")
     require(lambda >= 0 && lambda <= 1, s"lambda $lambda outside [0, 1]")
     val spark = vecs.sparkSession
-    val base = vecs.select(col(idCol).cast("long").as(idCol),
-      transform(col(vecCol), x => x.cast("double")).as("__v"),
-      col(relCol).cast("double").as("__rel"))
-      .withColumn("__nrm", sqrt(aggregate(
-        transform(col("__v"), x => x * x), lit(0d), (a, x) => a + x)))
-
-    def cosTo(sel: (Array[Double], Double)): Column = {
-      val (v, nrm) = sel
-      val dot = aggregate(zip_with(col("__v"), typedLit(v),
-        (a, b) => a * b), lit(0d), (a, x) => a + x)
-      round(dot / (col("__nrm") * lit(nrm)), 6)
-    }
+    val base = prepared(vecs, relCol, idCol, vecCol)
 
     var selected = List.empty[(Long, Array[Double], Double)] // id, v, nrm
     val picks = Seq.newBuilder[(Long, Long, Double)]         // rank, id, mmr
     var rank = 1
     while (rank <= k) {
-      val scored =
-        if (selected.isEmpty) base.withColumn("__mmr", col("__rel"))
-        else {
-          val maxCos = selected.map(s => cosTo((s._2, s._3)))
-            .reduce((a, b) => greatest(a, b))
-          base.where(!col(idCol).isin(selected.map(_._1): _*))
-            .withColumn("__mmr",
-              round(lit(lambda) * col("__rel") - lit(1 - lambda) * maxCos, 6))
-        }
-      val top = scored
-        .orderBy(col("__mmr").desc, col(idCol))
-        .select(col(idCol), col("__v"), col("__nrm"), col("__mmr"))
-        .limit(1).collect()
+      val top = roundFrame(base, selected, lambda, idCol).collect()
       if (top.isEmpty) rank = k + 1 // fewer than k candidates: stop
       else {
         val r: Row = top.head

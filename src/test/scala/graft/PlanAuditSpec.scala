@@ -411,16 +411,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase
 
   test("q148: each MMR round's argmax plans as TakeOrderedAndProject — " +
       "map-side top-1, never a global sort") {
-    // the returned frame is the driver-built picks table; audit the
-    // ROUND plan instead: relevance-scored candidates limited to 1
+    // audit the EXACT frame Mmr.select executes per round (isin filter +
+    // literal-cosine scoring + argmax), not a hand-rebuilt approximation
     import org.apache.spark.sql.functions._
     val emb = graft.queries.Tables(spark, dir, "embeddings")
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("embedding"))
       .withColumn("rel", lit(0.5))
-    val round = emb.orderBy(col("rel").desc, col("vec_id")).limit(1)
-    assert(collectWithSubqueries(round.queryExecution.executedPlan) {
+    val base = graft.similarity.Mmr.prepared(emb, "rel")
+    val round = graft.similarity.Mmr.roundFrame(
+      base, Seq((0L, Array.fill(8)(0.1), 0.283)), lambda = 0.7)
+    val p = round.queryExecution.executedPlan
+    assert(collectWithSubqueries(p) {
       case t: TakeOrderedAndProjectExec => t
-    }.nonEmpty, s"${round.queryExecution.executedPlan}")
+    }.nonEmpty, s"$p")
+    assert(!p.toString.contains("SortMergeJoin") &&
+      !p.toString.contains("Exchange hashpartitioning"),
+      s"MMR round should be a pure map under the argmax:\n$p")
   }
 }

@@ -100,6 +100,41 @@ class ClusteringSpec extends AnyFunSuite with SparkTestBase {
     assert((0L to 2L).forall(i => lloyd1(i) === a2((i, 1))))
   }
 
+  test("dist2 past 2^33 stays bit-exact (shiftright extraction — the " +
+      "double-division form lost low bits here)") {
+    // 1-dim, diff 150000 after scale: dist2 = 150000^2 = 22_500_000_000
+    // > 2^33; encoded comb ~ 2.36e16 > 2^53 would round under double /
+    val vecs = frame(Seq(0L -> Seq(0f), 1L -> Seq(150f)))
+    val out = Clustering.lloyd(vecs, k = 1, rounds = 1, scale = 1000)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) === 22500000000L)
+  }
+
+  test("a dist2 the (dist,cid) encoding cannot carry raises instead of " +
+      "silently wrapping the argmin") {
+    // diff 3_000_000 after scale: dist2 = 9e12 > (2^63-2^20)/2^20
+    val vecs = frame(Seq(0L -> Seq(0f), 1L -> Seq(3000f)))
+    val e = intercept[Exception](
+      Clustering.lloyd(vecs, k = 1, rounds = 1, scale = 1000).collect())
+    assert(e.getMessage.contains("overflows") ||
+      Option(e.getCause).exists(_.getMessage.contains("overflows")),
+      s"expected the encoding-overflow raise, got: ${e.getMessage}")
+  }
+
+  test("clusterPrune raises when the integer cosine products would pass " +
+      "the Long ceiling instead of flipping the decision") {
+    import spark.implicits._
+    // dot = (30*1000)^2 = 9e8 > LongRoot/tauDen with tauDen=5 (6.07e8)
+    val vecs = frame(Seq(0L -> Seq(30f), 1L -> Seq(30f)))
+    val assign = Seq((0L, 0L), (1L, 0L)).toDF("vec_id", "cluster")
+    val e = intercept[Exception](
+      Clustering.clusterPrune(vecs, assign, tauNum = 4, tauDen = 5,
+        scale = 1000).collect())
+    assert(e.getMessage.contains("overflow") ||
+      Option(e.getCause).exists(_.getMessage.contains("overflow")),
+      s"expected the cosine-overflow raise, got: ${e.getMessage}")
+  }
+
   test("three rounds on a drifting corpus stay deterministic across " +
       "repeated runs (integer arithmetic has no summation-order noise)") {
     val vecs = frame((0L until 40L).map(i =>

@@ -30,6 +30,17 @@ class MmrSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1)._3 > out(2)._3, "diverse pick scored above the copy")
   }
 
+  test("zero-norm vector fails loudly instead of poisoning the greedy " +
+      "trajectory with null cosines") {
+    import spark.implicits._
+    val vecs = Seq((1L, Seq(1f, 0f), 0.9), (2L, Seq(0f, 0f), 0.8))
+      .toDF("vec_id", "embedding", "rel")
+    val e = intercept[Exception](Mmr.select(vecs, "rel", k = 2).collect())
+    assert(e.getMessage.contains("zero-norm") ||
+      Option(e.getCause).exists(_.getMessage.contains("zero-norm")),
+      s"expected the zero-norm raise, got: ${e.getMessage}")
+  }
+
   test("selection stops when candidates run out (k > pool)") {
     import spark.implicits._
     val vecs = Seq((1L, Seq(1f, 0f), 0.9), (2L, Seq(0f, 1f), 0.8))
