@@ -93,21 +93,28 @@ object Dedup {
       .distinct()
 
   /** Exact Jaccard over given candidate pairs only (candidate-driven
-    * verify): returns (id_a, id_b, jaccard). */
+    * verify): returns (id_a, id_b, jaccard).
+    *
+    * Shape: fetch both documents' gram ARRAYS onto the pair row (two
+    * id-keyed equi-joins, one row per pair) and intersect them natively —
+    * |A∩B| is a per-row hash-set probe over ~hundreds of elements. The
+    * earlier explode-join form (pairs × grams rows shuffled through a
+    * count aggregate, then two more joins for the set sizes) was 81% of
+    * the measured 10× LSH wall time; verify work here is
+    * O(pairs · gramsPerDoc) with NO corpus-sized explode and no
+    * re-aggregation — the shuffles carry pairs and grams rows only. */
   def jaccardVerify(cands: DataFrame, grams: DataFrame,
-      idCol: String = "doc_id"): DataFrame = {
-    val e = grams.select(col(idCol), explode(col("grams")).as("gram"))
-    val sizes = grams.select(col(idCol), size(col("grams")).as("n"))
+      idCol: String = "doc_id"): DataFrame =
     cands
-      .join(e.as("a"), col("id_a") === col(s"a.$idCol"))
-      .join(e.as("b"),
-        col("id_b") === col(s"b.$idCol") && col("a.gram") === col("b.gram"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
-      .join(sizes.select(col(idCol).as("id_a"), col("n").as("na")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("n").as("nb")), "id_b")
+      .join(grams.select(col(idCol).as("id_a"), col("grams").as("__ga")),
+        "id_a")
+      .join(grams.select(col(idCol).as("id_b"), col("grams").as("__gb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__ga"), col("__gb"))).as("common"),
+        size(col("__ga")).as("na"), size(col("__gb")).as("nb"))
       .select(col("id_a"), col("id_b"),
         (col("common") / (col("na") + col("nb") - col("common"))).as("jaccard"))
-  }
 
   /** (id, fingerprint): SimHash over an array-of-features column — bit j
     * is the sign of the ±1 vote sum over md5(feature) hex digit j. Use the

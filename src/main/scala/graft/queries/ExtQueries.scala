@@ -154,7 +154,12 @@ object ExtQueries {
     * shared scan of the trained-IVF family (q65/q66/q67 and the Lloyd
     * iterations inside training). */
   private[queries] def embFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Caches.frame(s, dir, "emb") {
+    // eager: q92's single action consumes this frame FOUR times (probe,
+    // candidate, and both exact-gather sides) — materializing lazily lets
+    // those branches race to fill the cache concurrently on a cold
+    // driver run (BENCH_r09 recorded q92 at 4x its warm min); one count
+    // up front pins the cost where it belongs, on the first toucher
+    Caches.frame(s, dir, "emb", eager = true) {
       Tables.sharded(s, dir, "embeddings", "vec_id")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     }

@@ -98,6 +98,15 @@ object ScaleElasticity {
       force(Dedup.jaccardVerify(cands, grams)
         .where(col("jaccard") >= 0.8))
     }
+    // decomposition probe: signature+banding ALONE (no candidate join, no
+    // verify) — isolates what the integer minwise rewrite changed from
+    // the candidate/verify stages that dominate the full path
+    def lshBandsOnly(tag: String): Unit =
+      force(Dedup.minhashBands(Dedup.shingles(docs(tag))))
+    // through the candidate self-join + distinct, no verify
+    def lshCandsOnly(tag: String): Unit =
+      force(Dedup.lshCandidates(
+        Dedup.minhashBands(Dedup.shingles(docs(tag)))))
     // passage-grain dedup over 32-token chunks (q108)
     def passage(tag: String): Unit = {
       val units = graft.text.TextStats
@@ -190,6 +199,8 @@ object ScaleElasticity {
     val probes: Seq[(String, String => Unit)] = Seq(
       ("exact_dedup", exactDedup _),
       ("minhash_lsh", lsh _),
+      ("minhash_bands_only", lshBandsOnly _),
+      ("minhash_cands_only", lshCandsOnly _),
       ("passage_dedup", passage _),
       ("ivf_multiprobe", (t: String) => ann(t, if (t == "10x") 80 else 8)),
       ("ivfpq_adc_refine",
