@@ -49,20 +49,24 @@ object SkewStress {
       greatest(lit(1L), pow(lit(max.toDouble), u).cast("long"))
     }
 
-    /** Boilerplate-heavy Zipfian corpus: 15% of docs are EXACT copies of
-      * one of 40 templates (the hot-bucket source — crawl boilerplate),
-      * 5% are 1-token mutations of a template (true near-dups the LSH
-      * must still find), 80% unique bodies with Zipfian token draws. */
+    /** Boilerplate-heavy Zipfian corpus: 50% of docs are EXACT copies of
+      * one of just TWO templates (the hot-bucket source — think a
+      * crawl's dominant error/empty boilerplate page; at 10× each
+      * template's band bucket holds ~12.5k docs, so the naive pair join
+      * faces ~78M pairs per bucket per band, all on the ONE task that
+      * owns that band key), 5% are 1-token mutations of a template (true
+      * near-dups the LSH must still find), 45% unique bodies with
+      * Zipfian token draws. */
     def genDocs(n: Long, path: String): Unit = {
       def body(seed: org.apache.spark.sql.Column) = concat_ws(" ",
         transform(sequence(lit(1), lit(120)),
           i => concat(lit("w"), zipf(seed * 1000 + i, 5000))))
-      val tmpl = pmod(xxhash64(col("id")), lit(40))
+      val tmpl = pmod(xxhash64(col("id")), lit(2))
       spark.range(n).select(col("id").as("doc_id"),
         concat(lit("d"), zipf(xxhash64(col("id") * 7 + 3), 1000))
           .as("domain"),
-        when(col("id") % 20 < 3, body(tmpl - 100))            // exact copy
-          .when(col("id") % 20 === 3, concat(body(tmpl - 100), // near-dup
+        when(col("id") % 20 < 10, body(tmpl - 100))           // exact copy
+          .when(col("id") % 20 === 10, concat(body(tmpl - 100), // near-dup
             lit(" mut"), col("id")))
           .otherwise(body(col("id"))).as("text"))
         .write.mode("overwrite").parquet(path)
@@ -96,9 +100,11 @@ object SkewStress {
         .agg(max("count")).head.getLong(0)
       val maxDomain = docs(tag).groupBy("domain").count()
         .agg(max("count")).head.getLong(0)
+      val maxFactKey = genJoin(tag)._1.groupBy("key").count()
+        .agg(max("count")).head.getLong(0)
       val n = docs(tag).count()
       println(s"[skew] diag $tag: n=$n maxBandBucket=$maxBucket " +
-        s"maxDomainRows=$maxDomain")
+        s"maxDomainRows=$maxDomain maxFactKeyRows=$maxFactKey")
     }
 
     // LSH naive: unbounded band buckets — each T-sized template bucket
@@ -119,12 +125,17 @@ object SkewStress {
       force(Dedup.lshCandidates(bands))
     }
 
-    // Zipfian-key join: facts (n·10 rows, key Zipf over n/5 keys — the
-    // hottest key holds ~7% of all facts) ⋈ a dim too large to broadcast
+    // Skew-key join: facts (n·1000 rows; 30% pinned on key 1 — "one giant
+    // domain" — the rest Zipf over n/5 keys) ⋈ a dim the probe forces
+    // through a shuffle join (merge hint; broadcasting the small dim is
+    // the FIRST answer — this measures the path for when the dim isn't
+    // small). The hot reducer sees ~10× an average partition's rows.
     def genJoin(tag: String): (DataFrame, DataFrame) = {
       val n = if (tag == "10x") 50000L else 5000L
-      val facts = spark.range(n * 10).select(col("id").as("fact_id"),
-        zipf(xxhash64(col("id") * 11 + 5), (n / 5).toInt).as("key"),
+      val facts = spark.range(n * 1000).select(col("id").as("fact_id"),
+        when(pmod(xxhash64(col("id") * 3 + 1), lit(10)) < 3, lit(1L))
+          .otherwise(zipf(xxhash64(col("id") * 11 + 5), (n / 5).toInt))
+          .as("key"),
         pmod(xxhash64(col("id")), lit(97)).as("payload"))
       val dim = spark.range(1, n / 5 + 1).select(col("id").as("key"),
         concat(lit("attr"), pmod(xxhash64(col("id")), lit(13))).as("attr"))
