@@ -70,16 +70,22 @@ object ScaleElasticity {
       df.write.format("noop").mode("overwrite").save()
 
     val results = scala.collection.mutable.LinkedHashMap
-      .empty[String, (Double, Double)]
-    def run(name: String, t1: Double, t10: Double): Unit = {
-      results(name) = (t1, t10)
-      println(f"[elast] $name%-22s ratio ${t10 / t1}%5.2f×")
+      .empty[String, Seq[Double]]
+    def run(name: String, times: Seq[Double]): Unit = {
+      results(name) = times
+      println(f"[elast] $name%-22s ratio ${times.last / times.head}%5.2f×")
     }
 
-    for ((tag, nd, ne) <- Seq(("1x", 5000L, 2000L),
-        ("10x", 50000L, 20000L))) {
-      genDocs(nd, s"$base/docs_$tag")
-      genEmb(ne, s"$base/emb_$tag")
+    // scale tags: default 1x/10x; a second arg like "1x,30x" or "30x"
+    // adds the >10× points (corpus sizes scale with the tag — 30x = 150k
+    // docs / 60k vectors; ANN cells and PQ sample fraction follow the
+    // same occupancy rules)
+    val tags: Seq[String] = if (args.length > 1)
+      args(1).split(",").toSeq else Seq("1x", "10x")
+    def scaleOf(tag: String): Int = tag.stripSuffix("x").toInt
+    for (tag <- tags) {
+      genDocs(5000L * scaleOf(tag), s"$base/docs_$tag")
+      genEmb(2000L * scaleOf(tag), s"$base/emb_$tag")
     }
     def docs(tag: String) = spark.read.parquet(s"$base/docs_$tag")
     def emb(tag: String) = spark.read.parquet(s"$base/emb_$tag")
@@ -128,7 +134,7 @@ object ScaleElasticity {
       val e = emb(tag)
       val cc = Similarity.trainCells(e, k = cells, iters = 2)
       val pq = Similarity.trainPq(e, m = 8, ksub = 16, iters = 2,
-        sampleFraction = if (tag == "10x") 0.1 else 1.0)
+        sampleFraction = math.min(1.0, 1.0 / scaleOf(tag)))
       force(Similarity.pqAdcRefineTopK(e, cc, pq, m = 8, k = 3,
         shortlist = 64, probes = 4, assignProbes = 2))
     }
@@ -151,7 +157,7 @@ object ScaleElasticity {
     // edges, hash-derived) — per-iteration edge⋈rank join + keyed agg
     def pagerank(tag: String): Unit = {
       val (nodes, edges) =
-        if (tag == "10x") (100000L, 1000000L) else (10000L, 100000L)
+        (10000L * scaleOf(tag), 100000L * scaleOf(tag))
       val e = spark.range(edges).select(
         pmod(xxhash64(col("id")), lit(nodes)).as("src"),
         pmod(xxhash64(col("id") * 7 + 1), lit(nodes)).as("dst"),
@@ -186,7 +192,7 @@ object ScaleElasticity {
     // a pure map stage — the embarrassingly-parallel claim, measured
     def codecs(tag: String): Unit = {
       import spark.implicits._
-      val n = if (tag == "10x") 50000L else 5000L
+      val n = 5000L * scaleOf(tag)
       val ids = spark.range(n).as[java.lang.Long].map(_.toLong)
       force(graft.ext.Multimodal.pngPixelStats(ids.map(d =>
         graft.ext.MediaFile(d, "image/png",
@@ -202,9 +208,8 @@ object ScaleElasticity {
       ("minhash_bands_only", lshBandsOnly _),
       ("minhash_cands_only", lshCandsOnly _),
       ("passage_dedup", passage _),
-      ("ivf_multiprobe", (t: String) => ann(t, if (t == "10x") 80 else 8)),
-      ("ivfpq_adc_refine",
-        (t: String) => pqadc(t, if (t == "10x") 80 else 8)),
+      ("ivf_multiprobe", (t: String) => ann(t, 8 * scaleOf(t))),
+      ("ivfpq_adc_refine", (t: String) => pqadc(t, 8 * scaleOf(t))),
       ("spectral_pca", pca _),
       ("nb_classifier", nb _),
       ("pagerank", pagerank _),
@@ -215,12 +220,13 @@ object ScaleElasticity {
     val selected = args.headOption
       .map(p => probes.filter(_._1.startsWith(p))).getOrElse(probes)
     selected.foreach { case (name, f) =>
-      run(name, time(name, "1x")(f("1x")), time(name, "10x")(f("10x")))
+      run(name, tags.map(t => time(name, t)(f(t))))
     }
 
-    println("[elast] summary (name, 1x s, 10x s, ratio):")
-    results.foreach { case (n, (a, b)) =>
-      println(f"[elast]   $n%-20s $a%7.1f $b%7.1f ${b / a}%5.2f×")
+    println(s"[elast] summary (name, ${tags.mkString(" s, ")} s, ratio):")
+    results.foreach { case (n, ts) =>
+      val cols = ts.map(t => f"$t%7.1f").mkString(" ")
+      println(f"[elast]   $n%-20s $cols ${ts.last / ts.head}%5.2f×")
     }
     spark.stop()
   }
