@@ -32,8 +32,9 @@ case class MediaMeta(docId: Long, kind: String, byteLen: Int, width: Int,
   * ([[decodeWav]]/[[encodeWav]]), and COMPRESSED 8-bit truecolor PNG
   * ([[decodePng]]/[[encodePng]], built on the JDK's Inflater/CRC32) — so
   * the decode path is genuinely exercised end-to-end for images AND audio,
-  * including a real entropy-coded format (q106/q115/q128/q140); formats
-  * needing codecs the JDK lacks (JPEG/MP3/H.264) keep the labeled stub.
+  * including real entropy-coded formats (q106/q115/q128/q140), plus
+  * baseline JPEG written from ITU-T T.81 ([[Jpeg]]); formats needing
+  * codecs the JDK lacks (MP3/H.264) keep the labeled stub.
   * The partitioning, schema, typed Dataset plumbing and the
   * per-partition decoder lifecycle are real and tested; swap `stubDecoder`
   * for a JNI/codec-backed factory in production.
@@ -786,6 +787,7 @@ object Multimodal {
     "image/bmp" -> bmpDecoder,
     "image/png" -> pngDecoder,
     "image/gif" -> gifDecoder,
+    "image/jpeg" -> Jpeg.jpegDecoder,
     "audio/wav" -> wavDecoder,
     "video/y4m" -> y4mDecoder)
 
@@ -805,6 +807,22 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.map { m =>
         val (w, h, rgb) = Gif.decodeGif(m.payload)
+        channelSums(m.docId, w, h, rgb)
+      }
+    }
+  }
+
+  /** Per-channel pixel sums from decoded baseline JPEG payloads
+    * ([[Jpeg.decodeJpeg]]) — the third compressed format at the shared
+    * integer-exact stats shape. JPEG being lossy, the sums have no
+    * closed-form SQL oracle; JpegSpec pins them against the JDK's
+    * independent codec instead (the sketch-family precedent). */
+  def jpegPixelStats(ds: Dataset[MediaFile]): Dataset[PpmStats] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val (w, h, rgb) = Jpeg.decodeJpeg(m.payload)
         channelSums(m.docId, w, h, rgb)
       }
     }

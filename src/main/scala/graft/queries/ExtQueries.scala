@@ -2161,6 +2161,25 @@ object ExtQueries {
            |  CAST(sum(comb // 1048576) AS BIGINT) AS inertia,
            |  CAST(max(comb // 1048576) AS BIGINT) AS worst_dist2
            |FROM a3 GROUP BY 1 ORDER BY cluster""".stripMargin
-      })
+      }),
+
+    // Baseline JPEG (ITU-T T.81, written from the spec — graft.ext.Jpeg)
+    // through the distributed decode pipeline: per-channel pixel sums
+    // over synthetic lossy-compressed payloads. Unlike the PNG/GIF
+    // rows, JPEG quantization has no closed-form SQL oracle, so this is
+    // rows-gated (the sketch-family precedent) and the cross-engine
+    // check lives in JpegSpec: both-direction pixel agreement with the
+    // JDK's independent ImageIO codec, restart-marker streams included.
+    Q("q165_jpeg_decode",
+      (s, dir) => {
+        import s.implicits._
+        val files = Tables.sharded(s, dir, "documents", "doc_id")
+          .select(col("doc_id")).as[Long]
+          .map(d => graft.ext.MediaFile(d, "image/jpeg",
+            graft.ext.Jpeg.syntheticJpeg(d)))
+        graft.ext.Multimodal.jpegPixelStats(files).toDF()
+          .orderBy(col("doc_id"))
+      },
+      None)
   )
 }
