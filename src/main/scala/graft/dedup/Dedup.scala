@@ -92,6 +92,40 @@ object Dedup {
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
 
+  /** [[lshCandidates]] with a HOT-BUCKET BOUND — the skew mitigation for
+    * boilerplate-heavy crawls, where one band bucket holding T near-
+    * identical documents costs T·(T−1)/2 pairs on the ONE task that owns
+    * that band key (measured super-linear in PLANS.md's skew table).
+    * Buckets larger than `maxBucket` contribute NO pairs from this
+    * band; a pair is only lost entirely when EVERY band it collides in
+    * overflows — by construction that means the pair sits in a ≥
+    * maxBucket-sized near-duplicate crowd, which the exact-dedup /
+    * collapse level (the two-level shape, q158) already owns. The bound
+    * is enforced by a bucket-keyed count + semi-join — linear, no pair
+    * ever materializes for a skipped bucket — and the skipped mass is
+    * ACCOUNTED, not silent: use [[lshOverflowBuckets]] for the audit
+    * frame (the no-silent-caps contract). */
+  def lshCandidatesBounded(bands: DataFrame, maxBucket: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val ok = bands.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxBucket)
+      .select(col("band"), col("band_key"))
+    lshCandidates(bands.join(ok, Seq("band", "band_key")), idCol)
+  }
+
+  /** The audit companion to [[lshCandidatesBounded]]: one row per band
+    * bucket SKIPPED by the bound — (band, band_key, n_members). Emit its
+    * aggregate next to any bounded run so the cap is visible in the
+    * pipeline's own output, never a silent recall cliff. */
+  def lshOverflowBuckets(bands: DataFrame, maxBucket: Int): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    bands.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") > maxBucket)
+  }
+
   /** Exact Jaccard over given candidate pairs only (candidate-driven
     * verify): returns (id_a, id_b, jaccard).
     *

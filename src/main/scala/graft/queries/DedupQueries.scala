@@ -320,6 +320,64 @@ object DedupQueries {
         |JOIN sizes sb ON c.doc_b = sb.doc_id
         |ORDER BY c.doc_a, c.doc_b""".stripMargin)),
 
+    // q28 under a HOT-BUCKET BOUND (maxBucket=2 — engages on this corpus:
+    // 7 band buckets skipped at sf0.001, 5 at sf0.01): the skew
+    // mitigation for boilerplate-heavy crawls, where one T-member band
+    // bucket costs T·(T−1)/2 pairs on the one task owning that key
+    // (PLANS.md skew table: super-linear naive, 15.4× at 10× data). A
+    // pair is lost only when EVERY one of its colliding buckets
+    // overflows — a ≥maxBucket-sized near-dup crowd, which the exact/
+    // collapse level owns. q167 is the mandatory audit twin.
+    Q("q166_lsh_bounded_pairs",
+      (s, dir) => {
+        val cands = graft.dedup.Dedup
+          .lshCandidatesBounded(bandsDf(s, dir), maxBucket = 2)
+        graft.dedup.Dedup.jaccardVerify(cands, grams(s, dir))
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+            col("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(duckMinhash + """,
+        |ok AS (SELECT band, band_key FROM bands
+        |       GROUP BY 1, 2 HAVING count(*) <= 2),
+        |bb AS (SELECT b.doc_id, b.band, b.band_key
+        |       FROM bands b JOIN ok USING (band, band_key)),
+        |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |          FROM bb x JOIN bb y
+        |            ON x.band = y.band AND x.band_key = y.band_key
+        |           AND x.doc_id < y.doc_id),
+        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |           FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2)
+        |SELECT c.doc_a, c.doc_b,
+        |  CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+        |FROM cands c
+        |JOIN common m ON c.doc_a = m.doc_a AND c.doc_b = m.doc_b
+        |JOIN sizes sa ON c.doc_a = sa.doc_id
+        |JOIN sizes sb ON c.doc_b = sb.doc_id
+        |ORDER BY c.doc_a, c.doc_b""".stripMargin)),
+
+    // The no-silent-caps audit for q166: what the bound skipped, per
+    // band — bucket count, largest membership, and total members in
+    // skipped buckets. Ship this next to any bounded run; a bound whose
+    // skipped mass isn't visible in the pipeline's own output is a
+    // silent recall cliff.
+    Q("q167_lsh_overflow_audit",
+      (s, dir) =>
+        graft.dedup.Dedup.lshOverflowBuckets(bandsDf(s, dir), maxBucket = 2)
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n_buckets"),
+            max(col("n_members")).as("max_members"),
+            sum(col("n_members")).as("skipped_members"))
+          .orderBy(col("band")),
+      Some(duckMinhash + """,
+        |over AS (SELECT band, band_key, count(*) AS n_members FROM bands
+        |         GROUP BY 1, 2 HAVING count(*) > 2)
+        |SELECT band, count(*) AS n_buckets,
+        |  CAST(max(n_members) AS BIGINT) AS max_members,
+        |  CAST(sum(n_members) AS BIGINT) AS skipped_members
+        |FROM over GROUP BY band ORDER BY band""".stripMargin)),
+
     // SimHash fingerprint (16-bit md5-nibble variant, engine-portable):
     // per token, bit j votes +1 if the high bit of md5 hex digit j is set;
     // fingerprint bit = sign of the vote sum. Hamming-close fingerprints ≈

@@ -125,6 +125,15 @@ object SkewStress {
       force(Dedup.lshCandidates(bands))
     }
 
+    // bounded buckets: keep banding the RAW corpus but skip buckets past
+    // maxBucket (Dedup.lshCandidatesBounded + the q167 audit) — the
+    // mitigation when the hot mass is NEAR-duplicate (distinct digests),
+    // which exact-collapse cannot fold
+    def lshBounded(tag: String): Unit = {
+      val bands = Dedup.minhashBands(Dedup.shingles(docs(tag)))
+      force(Dedup.lshCandidatesBounded(bands, maxBucket = 64))
+    }
+
     // Skew-key join: facts (n·1000 rows; 30% pinned on key 1 — "one giant
     // domain" — the rest Zipf over n/5 keys) ⋈ a dim the probe forces
     // through a shuffle join (merge hint; broadcasting the small dim is
@@ -166,6 +175,7 @@ object SkewStress {
     val probes: Seq[(String, String => Unit)] = Seq(
       ("lsh_naive", lshNaive _),
       ("lsh_collapsed", lshCollapsed _),
+      ("lsh_bounded", lshBounded _),
       ("join_plain_noskewaqe", (t: String) => joinForced(t, skewAqe = false)),
       ("join_plain_skewaqe", (t: String) => joinForced(t, skewAqe = true)),
       ("join_salted", joinSalted _),

@@ -57,6 +57,42 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(labels(30L) === 30L && labels(31L) === 31L)
   }
 
+  test("bounded LSH candidates: a hot bucket is skipped (audited, never " +
+      "silent) while clean pairs survive; a loose bound equals unbounded") {
+    import spark.implicits._
+    // 4 exact copies (a boilerplate crowd: every band bucket they share
+    // has 4 members) + one clean near-dup pair + an unrelated doc
+    val boiler = "terms of service apply to all users of this site always"
+    val base = "the quick brown fox jumps over the lazy dog near the river"
+    val docs = Seq(
+      (1L, boiler), (2L, boiler), (3L, boiler), (4L, boiler),
+      (10L, base), (11L, base + " today"),
+      (30L, "an entirely different document about spark physical planning")
+    ).toDF("doc_id", "text")
+    val g = Dedup.shingles(docs).cache()
+    val bands = Dedup.minhashBands(g, rowsPerBand = 2)
+    val bounded = Dedup.lshCandidatesBounded(bands, maxBucket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 4-member boilerplate buckets are over the bound: none of the
+    // 6 crowd pairs appear; the 2-member clean bucket survives
+    assert(bounded.contains((10L, 11L)), "clean pair lost")
+    assert(!bounded.exists { case (a, b) => a <= 4 && b <= 4 },
+      s"crowd pair leaked through the bound: $bounded")
+    // the audit frame names exactly the skipped buckets, with membership
+    val over = Dedup.lshOverflowBuckets(bands, maxBucket = 3).collect()
+    assert(over.nonEmpty && over.forall(_.getLong(2) === 4L),
+      "audit must carry the 4-member boilerplate buckets")
+    // loose bound ≡ unbounded (the mitigation is a pure refinement)
+    val all = Dedup.lshCandidates(bands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val loose = Dedup.lshCandidatesBounded(bands, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose === all)
+    assert(Dedup.lshOverflowBuckets(bands, maxBucket = 100).isEmpty)
+    intercept[IllegalArgumentException](
+      Dedup.lshCandidatesBounded(bands, maxBucket = 1))
+  }
+
   test("shingle simhash separates near-dups from unrelated docs") {
     val g = Dedup.shingles(corpus(), idCol = "item_id", textCol = "body")
     val sim = Dedup.simhash(g, "grams", idCol = "item_id", bits = 32)
