@@ -8,12 +8,16 @@ package graft.ext
   * Decoder scope (strict — everything outside it FAILS LOUDLY, per the
   * codec convention that a corrupt or unsupported payload must surface
   * per-row, not decode into garbage stats):
-  *   - baseline sequential DCT (SOF0), 8-bit precision, Huffman coded;
-  *     progressive (SOF2) and every other frame type are rejected by
-  *     marker name;
+  *   - baseline sequential DCT (SOF0) AND progressive DCT (SOF2 —
+  *     spectral selection, successive approximation, EOB runs, T.81
+  *     Annex G; both paths share one coefficient-plane reconstruction,
+  *     and JpegSpec pins that the two encodings of one image decode
+  *     BIT-identically); 8-bit precision, Huffman coded; every other
+  *     frame type is rejected by marker name;
   *   - 1 (grayscale) or 3 (YCbCr) components, sampling factors 1 or 2 in
   *     each axis (covers 4:4:4, 4:2:2, 4:4:0, 4:2:0 — everything common
-  *     encoders emit), single interleaved scan;
+  *     encoders emit); baseline takes one interleaved scan, progressive
+  *     any Annex-G scan script;
   *   - restart markers (DRI/RSTn) with sequence checking; 0xFF00 byte
   *     unstuffing; entropy-segment truncation and mid-scan foreign
   *     markers are errors.
@@ -216,7 +220,12 @@ object Jpeg {
 
   private case class Component(id: Int, h: Int, v: Int, tq: Int)
 
-  /** Parse a baseline JPEG payload → (width, height, rgb bytes top-down).
+  /** Parse a JPEG payload — baseline sequential (SOF0) or PROGRESSIVE
+    * (SOF2, spectral selection + successive approximation, T.81 Annex G)
+    * → (width, height, rgb bytes top-down). Architecture: every scan
+    * accumulates RAW quantized-domain coefficients into per-component
+    * block planes (baseline = the degenerate single full-band scan);
+    * EOI triggers dequantization + IDCT + upsampling + color conversion.
     * See the object doc for the supported envelope; everything else
     * throws `IllegalArgumentException` with the offending marker/field. */
   def decodeJpeg(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
@@ -231,9 +240,23 @@ object Jpeg {
     val dcTabs = new Array[Huff](4)
     val acTabs = new Array[Huff](4)
     var comps: Array[Component] = null
+    var progressive = false
     var width = 0
     var height = 0
+    var hMax = 1
+    var vMax = 1
+    var mcusX = 0
+    var mcusY = 0
+    // per component: raw coefficients for the PADDED block grid (the
+    // interleaved-MCU grid; non-interleaved scans touch its ceil-grid
+    // prefix), plus both grids' dimensions in blocks
+    var coefPlanes: Array[Array[Int]] = null
+    var bwPad: Array[Int] = null
+    var bhPad: Array[Int] = null
+    var bwComp: Array[Int] = null
+    var bhComp: Array[Int] = null
     var restartInterval = 0
+    var scanCount = 0
     var pos = 2
 
     def segLen(o: Int): Int = {
@@ -243,14 +266,291 @@ object Jpeg {
       l
     }
 
-    while (comps == null || true) {
+    /** One scan's entropy-coded data → the coefficient planes. Returns
+      * the stream position after the scan (at the next marker). The
+      * successive-approximation paths follow T.81 G.1.2 (the published
+      * flowcharts): DC refinement appends one bit per block; AC first
+      * scans carry the EOB-run extension; AC refinement interleaves
+      * correction bits for nonzero-history coefficients with the
+      * placement of new ±1·2^Al coefficients. */
+    def decodeOneScan(start: Int, sel: Array[(Int, Int, Int)], ss: Int,
+        se: Int, ah: Int, al: Int): Int = {
+      val scanCis = sel.map { case (id, _, _) => comps.indexWhere(_.id == id) }
+      val interleaved = sel.length > 1
+      val br = new BitReader(bytes, start)
+      val dcPred = new Array[Int](comps.length)
+      var eobrun = 0
+      var restartCount = 0
+      var unitsSinceRestart = 0
+
+      def checkRestart(): Unit =
+        if (restartInterval > 0 && unitsSinceRestart == restartInterval) {
+          br.align()
+          if (br.pos + 2 > bytes.length) fail("truncated at restart")
+          val m = ((bytes(br.pos) & 0xff) << 8) | (bytes(br.pos + 1) & 0xff)
+          val want = 0xffd0 + (restartCount & 7)
+          if (m != want) fail(f"expected RST${restartCount & 7} got $m%04X")
+          br.pos += 2
+          restartCount += 1
+          unitsSinceRestart = 0
+          java.util.Arrays.fill(dcPred, 0)
+          eobrun = 0
+        }
+
+      def decodeBlock(scanIdx: Int, ci: Int, blockIdx: Int): Unit = {
+        val coef = coefPlanes(ci)
+        val base = blockIdx * 64
+        val (_, dcSel, acSel) = sel(scanIdx)
+        if (ss == 0) {                                   // DC band
+          if (ah == 0) {
+            val huf = dcTabs(dcSel)
+            if (huf == null) fail(s"missing DC DHT $dcSel")
+            val t = huf.decode(br)
+            if (t > 11) fail(s"DC category $t > 11")
+            dcPred(ci) += extend(br.receive(t), t)
+            coef(base) = dcPred(ci) << al
+          } else if (br.readBit() == 1) coef(base) |= (1 << al)
+        }
+        val kStart = math.max(ss, 1)
+        if (se >= kStart) {                              // AC band
+          val huf = acTabs(acSel)
+          if (huf == null) fail(s"missing AC DHT $acSel")
+          if (ah == 0) {
+            // AC first scan (baseline's AC section is the al=0 case)
+            if (eobrun > 0) eobrun -= 1
+            else {
+              var k = kStart
+              var done = false
+              while (!done && k <= se) {
+                val rs = huf.decode(br)
+                val r = rs >> 4
+                val s = rs & 0x0f
+                if (s == 0) {
+                  if (r == 15) k += 16                   // ZRL
+                  else {
+                    if (!progressive && r != 0)
+                      fail("EOB run in a baseline scan")
+                    eobrun = (1 << r) - 1
+                    if (r > 0) eobrun += br.receive(r)
+                    done = true
+                  }
+                } else {
+                  k += r
+                  if (k > se) fail("AC run past band end")
+                  coef(base + Zigzag(k)) = extend(br.receive(s), s) << al
+                  k += 1
+                }
+              }
+            }
+          } else {
+            // AC refinement (T.81 G.1.2.3)
+            val p1 = 1 << al
+            var k = kStart
+            if (eobrun == 0) {
+              var brk = false
+              while (!brk && k <= se) {
+                val rs = huf.decode(br)
+                var r = rs >> 4
+                val s = rs & 0x0f
+                var newCoef = 0
+                if (s == 0) {
+                  if (r != 15) {
+                    eobrun = 1 << r
+                    if (r > 0) eobrun += br.receive(r)
+                    brk = true
+                  } // r == 15: pass 16 zero-history coefficients below
+                } else {
+                  if (s != 1) fail("AC refinement size must be 1")
+                  newCoef = if (br.readBit() == 1) p1 else -p1
+                }
+                if (!brk) {
+                  var placed = false
+                  while (!placed && k <= se) {
+                    val z = base + Zigzag(k)
+                    if (coef(z) != 0) {
+                      if (br.readBit() == 1 && (coef(z) & p1) == 0)
+                        coef(z) += (if (coef(z) >= 0) p1 else -p1)
+                    } else if (r == 0) {
+                      if (s != 0) coef(z) = newCoef
+                      placed = true
+                    } else r -= 1
+                    k += 1
+                  }
+                  if (!placed && s != 0)
+                    fail("AC refinement coefficient past band end")
+                }
+              }
+            }
+            if (eobrun > 0) {
+              // the EOB-run tail still carries correction bits for every
+              // nonzero-history coefficient left in the band
+              while (k <= se) {
+                val z = base + Zigzag(k)
+                if (coef(z) != 0 && br.readBit() == 1 && (coef(z) & p1) == 0)
+                  coef(z) += (if (coef(z) >= 0) p1 else -p1)
+                k += 1
+              }
+              eobrun -= 1
+            }
+          }
+        }
+      }
+
+      if (interleaved) {
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            checkRestart()
+            var si = 0
+            while (si < scanCis.length) {
+              val ci = scanCis(si)
+              val c = comps(ci)
+              var by = 0
+              while (by < c.v) {
+                var bx = 0
+                while (bx < c.h) {
+                  decodeBlock(si, ci,
+                    (my * c.v + by) * bwPad(ci) + mx * c.h + bx)
+                  bx += 1
+                }
+                by += 1
+              }
+              si += 1
+            }
+            unitsSinceRestart += 1
+            mx += 1
+          }
+          my += 1
+        }
+      } else {
+        // single-component scan: the component's own ceil grid (T.81
+        // A.2.2 — NOT padded to MCU multiples)
+        val ci = scanCis(0)
+        var byy = 0
+        while (byy < bhComp(ci)) {
+          var bxx = 0
+          while (bxx < bwComp(ci)) {
+            checkRestart()
+            decodeBlock(0, ci, byy * bwPad(ci) + bxx)
+            unitsSinceRestart += 1
+            bxx += 1
+          }
+          byy += 1
+        }
+      }
+      br.align()
+      br.pos
+    }
+
+    /** Dequantize + IDCT every padded block, then upsample (sample
+      * replication) + color-convert. */
+    def reconstruct(): (Int, Int, Array[Byte]) = {
+      val planeW = comps.map(c => mcusX * c.h * 8)
+      val planes = comps.indices.map(i =>
+        new Array[Byte](planeW(i) * mcusY * comps(i).v * 8)).toArray
+      val block = new Array[Int](64)
+      val tmp = new Array[Double](64)
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val q = qtabs(c.tq)
+        if (q == null) fail(s"missing DQT ${c.tq}")
+        val coef = coefPlanes(ci)
+        val pw = planeW(ci)
+        var byy = 0
+        while (byy < bhPad(ci)) {
+          var bxx = 0
+          while (bxx < bwPad(ci)) {
+            val base = (byy * bwPad(ci) + bxx) * 64
+            var i = 0
+            while (i < 64) { block(i) = coef(base + i) * q(i); i += 1 }
+            var y0 = 0
+            while (y0 < 8) {                  // rows: tmp = block · CosT
+              var x0 = 0
+              while (x0 < 8) {
+                var s2 = 0.0
+                var u = 0
+                while (u < 8) { s2 += Cos(x0)(u) * block(y0 * 8 + u); u += 1 }
+                tmp(y0 * 8 + x0) = s2
+                x0 += 1
+              }
+              y0 += 1
+            }
+            val px0 = bxx * 8
+            val py0 = byy * 8
+            var x1 = 0
+            while (x1 < 8) {                  // cols
+              var y1 = 0
+              while (y1 < 8) {
+                var s2 = 0.0
+                var v = 0
+                while (v < 8) { s2 += Cos(y1)(v) * tmp(v * 8 + x1); v += 1 }
+                val p = math.max(0, math.min(255,
+                  math.round(s2 + 128.0).toInt))
+                planes(ci)((py0 + y1) * pw + px0 + x1) = p.toByte
+                y1 += 1
+              }
+              x1 += 1
+            }
+            bxx += 1
+          }
+          byy += 1
+        }
+        ci += 1
+      }
+
+      val rgb = new Array[Byte](width * height * 3)
+      if (comps.length == 1) {
+        val pw = planeW(0)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val g = planes(0)(y * pw + x)
+            val o = (y * width + x) * 3
+            rgb(o) = g; rgb(o + 1) = g; rgb(o + 2) = g
+            x += 1
+          }
+          y += 1
+        }
+      } else {
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            def samp(i: Int): Int = {
+              val c = comps(i)
+              planes(i)((y * c.v / vMax) * planeW(i) + x * c.h / hMax) & 0xff
+            }
+            val yy = samp(0).toDouble
+            val cb = samp(1) - 128.0
+            val cr = samp(2) - 128.0
+            def cl(d: Double): Byte =
+              math.max(0, math.min(255, math.round(d).toInt)).toByte
+            val o = (y * width + x) * 3
+            rgb(o) = cl(yy + 1.402 * cr)
+            rgb(o + 1) = cl(yy - 0.344136 * cb - 0.714136 * cr)
+            rgb(o + 2) = cl(yy + 1.772 * cb)
+            x += 1
+          }
+          y += 1
+        }
+      }
+      (width, height, rgb)
+    }
+
+    while (true) {
       if (pos + 2 > bytes.length) fail("truncated marker")
       if (u8(pos) != 0xff) fail(f"expected marker, got 0x${u8(pos)}%02X")
       val m = u8(pos + 1)
       pos += 2
       m match {
         case 0xd8 => fail("unexpected second SOI")
-        case 0xd9 => fail("EOI before SOS (no image data)")
+        case 0xd9 =>                                           // EOI
+          if (scanCount == 0) fail("EOI before any scan (no image data)")
+          if (pos != bytes.length) fail("trailing bytes after EOI")
+          return reconstruct()
         case x if x >= 0xe0 && x <= 0xef => pos += segLen(pos) // APPn
         case 0xfe => pos += segLen(pos)                        // COM
         case 0xdb =>                                           // DQT
@@ -285,9 +585,10 @@ object Jpeg {
             o += 17 + n
           }
           pos = end
-        case 0xc0 =>                                           // SOF0
+        case x if x == 0xc0 || x == 0xc2 =>                    // SOF0/SOF2
           val end = pos + segLen(pos)
           if (comps != null) fail("second frame header")
+          progressive = x == 0xc2
           if (u8(pos + 2) != 8) fail(s"precision ${u8(pos + 2)} (want 8)")
           height = u16(pos + 3)
           width = u16(pos + 5)
@@ -303,206 +604,69 @@ object Jpeg {
             if (c.tq > 3) fail(s"quant table id ${c.tq}")
             c
           }
+          hMax = comps.map(_.h).max
+          vMax = comps.map(_.v).max
+          mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+          mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+          bwPad = comps.map(c => mcusX * c.h)
+          bhPad = comps.map(c => mcusY * c.v)
+          bwComp = comps.map(c => ((width * c.h + hMax - 1) / hMax + 7) / 8)
+          bhComp = comps.map(c => ((height * c.v + vMax - 1) / vMax + 7) / 8)
+          coefPlanes = comps.indices
+            .map(i => new Array[Int](bwPad(i) * bhPad(i) * 64)).toArray
           pos = end
-        case x if Set(0xc1, 0xc2, 0xc3, 0xc5, 0xc6, 0xc7, 0xc9, 0xca,
+        case x if Set(0xc1, 0xc3, 0xc5, 0xc6, 0xc7, 0xc9, 0xca,
             0xcb, 0xcd, 0xce, 0xcf).contains(x) =>
-          fail(f"frame type FF$x%02X unsupported (baseline SOF0 only)")
+          fail(f"frame type FF$x%02X unsupported (SOF0/SOF2 only)")
         case 0xdd =>                                           // DRI
           val end = pos + segLen(pos)
           restartInterval = u16(pos + 2)
           pos = end
         case 0xda =>                                           // SOS
-          if (comps == null) fail("SOS before SOF0")
+          if (comps == null) fail("SOS before SOF")
           val end = pos + segLen(pos)
           val ns = u8(pos + 2)
-          if (ns != comps.length)
-            fail(s"scan has $ns components, frame has ${comps.length} " +
-              "(non-interleaved multi-scan unsupported)")
-          val scanSel = Array.tabulate(ns) { i =>
+          if (ns < 1 || ns > comps.length) fail(s"scan has $ns components")
+          if (end != pos + 2 + 1 + 2 * ns + 3) fail("SOS length mismatch")
+          val sel = Array.tabulate(ns) { i =>
             val o = pos + 3 + i * 2
             (u8(o), u8(o + 1) >> 4, u8(o + 1) & 0x0f) // (id, dcTab, acTab)
           }
-          for ((id, _, _) <- scanSel)
+          for ((id, _, _) <- sel)
             if (!comps.exists(_.id == id)) fail(s"scan component id $id")
-          if (scanSel.map(_._1).distinct.length != ns)
+          if (sel.map(_._1).distinct.length != ns)
             fail("duplicate component id in scan header")
-          if (u8(end - 3) != 0 || u8(end - 2) != 63 || u8(end - 1) != 0)
-            fail("spectral selection/approx not 0/63/0 (not baseline)")
-          return decodeScan(bytes, end, comps, scanSel, qtabs, dcTabs,
-            acTabs, width, height, restartInterval)
+          val ssB = u8(end - 3)
+          val seB = u8(end - 2)
+          val ahB = u8(end - 1) >> 4
+          val alB = u8(end - 1) & 0x0f
+          if (!progressive) {
+            if (ns != comps.length)
+              fail(s"scan has $ns components, frame has ${comps.length} " +
+                "(non-interleaved multi-scan unsupported in baseline)")
+            if (ssB != 0 || seB != 63 || ahB != 0 || alB != 0)
+              fail("spectral selection/approx not 0/63/0 (not baseline)")
+            if (scanCount > 0) fail("second scan in a baseline stream")
+          } else {
+            if (ssB == 0 && seB != 0)
+              fail("progressive DC scan must have Se = 0")
+            if (ssB > 0 && ns != 1)
+              fail("progressive AC scan must be single-component")
+            if (ssB > 63 || seB > 63 || seB < ssB)
+              fail(s"bad spectral range $ssB..$seB")
+            if (ahB > 13 || alB > 13) fail("bad successive approximation")
+            if (ahB != 0 && ahB != alB + 1)
+              fail(s"successive approximation Ah=$ahB with Al=$alB " +
+                "(refinement must lower one bit at a time)")
+          }
+          pos = decodeOneScan(end, sel, ssB, seB, ahB, alB)
+          scanCount += 1
         case x if x >= 0xd0 && x <= 0xd7 => fail(f"RST$x%02X outside scan")
         case 0x01 => ()                                        // TEM
         case x => fail(f"marker FF$x%02X unsupported")
       }
     }
     fail("unreachable")
-  }
-
-  /** Decode the single interleaved scan, then upsample + color-convert. */
-  private def decodeScan(bytes: Array[Byte], start: Int,
-      comps: Array[Component], scanSel: Array[(Int, Int, Int)],
-      qtabs: Array[Array[Int]], dcTabs: Array[Huff], acTabs: Array[Huff],
-      width: Int, height: Int, restartInterval: Int)
-      : (Int, Int, Array[Byte]) = {
-    def fail(msg: String) =
-      throw new IllegalArgumentException(s"decodeJpeg: $msg")
-    val hMax = comps.map(_.h).max
-    val vMax = comps.map(_.v).max
-    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
-    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
-    // per-component sample planes, padded to whole MCUs
-    val planeW = comps.map(c => mcusX * c.h * 8)
-    val planes = comps.indices.map(i =>
-      new Array[Byte](planeW(i) * mcusY * comps(i).v * 8)).toArray
-    val sel = comps.map(c => scanSel.find(_._1 == c.id).get)
-    for (i <- comps.indices) {
-      if (qtabs(comps(i).tq) == null) fail(s"missing DQT ${comps(i).tq}")
-      if (dcTabs(sel(i)._2) == null) fail(s"missing DC DHT ${sel(i)._2}")
-      if (acTabs(sel(i)._3) == null) fail(s"missing AC DHT ${sel(i)._3}")
-    }
-
-    val br = new BitReader(bytes, start)
-    val dcPred = new Array[Int](comps.length)
-    val coef = new Array[Int](64)
-    val block = new Array[Double](64)
-    val tmp = new Array[Double](64)
-    var restartCount = 0
-    var mcusSinceRestart = 0
-
-    var my = 0
-    while (my < mcusY) {
-      var mx = 0
-      while (mx < mcusX) {
-        if (restartInterval > 0 && mcusSinceRestart == restartInterval) {
-          br.align()
-          if (br.pos + 2 > bytes.length) fail("truncated at restart")
-          val m = ((bytes(br.pos) & 0xff) << 8) | (bytes(br.pos + 1) & 0xff)
-          val want = 0xffd0 + (restartCount & 7)
-          if (m != want) fail(f"expected RST${restartCount & 7} got $m%04X")
-          br.pos += 2
-          restartCount += 1
-          mcusSinceRestart = 0
-          java.util.Arrays.fill(dcPred, 0)
-        }
-        var ci = 0
-        while (ci < comps.length) {
-          val c = comps(ci)
-          val q = qtabs(c.tq)
-          var by = 0
-          while (by < c.v) {
-            var bx = 0
-            while (bx < c.h) {
-              // ---- decode one 8x8 block (T.81 F.2.2) ----
-              java.util.Arrays.fill(coef, 0)
-              val t = dcTabs(sel(ci)._2).decode(br)
-              if (t > 11) fail(s"DC category $t > 11")
-              dcPred(ci) += extend(br.receive(t), t)
-              coef(0) = dcPred(ci) * q(0)
-              var k = 1
-              while (k < 64) {
-                val rs = acTabs(sel(ci)._3).decode(br)
-                val r = rs >> 4
-                val s = rs & 0x0f
-                if (s == 0) {
-                  if (r == 15) k += 16            // ZRL
-                  else k = 64                     // EOB
-                } else {
-                  k += r
-                  if (k > 63) fail("AC run past block end")
-                  val nat = Zigzag(k)
-                  coef(nat) = extend(br.receive(s), s) * q(nat)
-                  k += 1
-                }
-              }
-              // ---- IDCT (separable, doubles) + level shift ----
-              var y0 = 0
-              while (y0 < 8) {                    // rows: tmp = coef · CosT
-                var x0 = 0
-                while (x0 < 8) {
-                  var s2 = 0.0
-                  var u = 0
-                  while (u < 8) {
-                    s2 += Cos(x0)(u) * coef(y0 * 8 + u); u += 1 }
-                  tmp(y0 * 8 + x0) = s2
-                  x0 += 1
-                }
-                y0 += 1
-              }
-              val pw = planeW(ci)
-              val px0 = (mx * c.h + bx) * 8
-              val py0 = (my * c.v + by) * 8
-              var x1 = 0
-              while (x1 < 8) {                    // cols
-                var y1 = 0
-                while (y1 < 8) {
-                  var s2 = 0.0
-                  var v = 0
-                  while (v < 8) { s2 += Cos(y1)(v) * tmp(v * 8 + x1); v += 1 }
-                  val p = math.max(0, math.min(255,
-                    math.round(s2 + 128.0).toInt))
-                  planes(ci)((py0 + y1) * pw + px0 + x1) = p.toByte
-                  y1 += 1
-                }
-                x1 += 1
-              }
-              bx += 1
-            }
-            by += 1
-          }
-          ci += 1
-        }
-        mcusSinceRestart += 1
-        mx += 1
-      }
-      my += 1
-    }
-
-    // after the last MCU: padding bits, then EOI must close the stream
-    br.align()
-    if (br.pos + 2 > bytes.length ||
-        (bytes(br.pos) & 0xff) != 0xff || (bytes(br.pos + 1) & 0xff) != 0xd9)
-      fail("missing EOI after entropy-coded segment")
-    if (br.pos + 2 != bytes.length) fail("trailing bytes after EOI")
-
-    // upsample (sample replication) + color convert
-    val rgb = new Array[Byte](width * height * 3)
-    if (comps.length == 1) {
-      val pw = planeW(0)
-      var y = 0
-      while (y < height) {
-        var x = 0
-        while (x < width) {
-          val g = planes(0)(y * pw + x)
-          val o = (y * width + x) * 3
-          rgb(o) = g; rgb(o + 1) = g; rgb(o + 2) = g
-          x += 1
-        }
-        y += 1
-      }
-    } else {
-      var y = 0
-      while (y < height) {
-        var x = 0
-        while (x < width) {
-          def samp(ci: Int): Int = {
-            val c = comps(ci)
-            planes(ci)((y * c.v / vMax) * planeW(ci) + x * c.h / hMax) & 0xff
-          }
-          val yy = samp(0).toDouble
-          val cb = samp(1) - 128.0
-          val cr = samp(2) - 128.0
-          def cl(d: Double): Byte =
-            math.max(0, math.min(255, math.round(d).toInt)).toByte
-          val o = (y * width + x) * 3
-          rgb(o) = cl(yy + 1.402 * cr)
-          rgb(o + 1) = cl(yy - 0.344136 * cb - 0.714136 * cr)
-          rgb(o + 2) = cl(yy + 1.772 * cb)
-          x += 1
-        }
-        y += 1
-      }
-    }
-    (width, height, rgb)
   }
 
   // -------------------------------------------------------------------

@@ -109,6 +109,100 @@ class JpegSpec extends AnyFunSuite with SparkTestBase {
     assert(maxAbsDiff(mine, theirs) <= 16, "max vs ImageIO")
   }
 
+  private def imageioProgressive(img: BufferedImage, quality: Float)
+      : Array[Byte] = {
+    val w = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+    val bos = new ByteArrayOutputStream()
+    w.setOutput(new MemoryCacheImageOutputStream(bos))
+    w.write(null, new IIOImage(img, null, null), p)
+    w.dispose()
+    bos.toByteArray
+  }
+
+  private def isProgressive(bytes: Array[Byte]): Boolean =
+    bytes.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2)
+
+  test("PROGRESSIVE color streams (the JDK's default multi-scan script: " +
+      "DC+AC first scans, successive-approximation refinements, EOB " +
+      "runs) decode under ours close to the JDK's own reading") {
+    val img = new BufferedImage(43, 31, BufferedImage.TYPE_INT_RGB)
+    // wrap-free gradients (a mod-256 cliff rings, and ringing is where
+    // box and triangular chroma upsamplers legitimately diverge)
+    for (y <- 0 until 31; x <- 0 until 43)
+      img.setRGB(x, y, ((55 + x * 2) << 16) | ((45 + y * 3) << 8) |
+        (75 + x + y))
+    val bytes = imageioProgressive(img, 0.85f)
+    assert(isProgressive(bytes), "fixture is not actually progressive")
+    val (w, h, mine) = Jpeg.decodeJpeg(bytes)
+    assert(w === 43 && h === 31)
+    val theirs = rgbOf(ImageIO.read(new ByteArrayInputStream(bytes)))
+    assert(meanAbsDiff(mine, theirs) <= 2.0, "mean vs ImageIO")
+    assert(maxAbsDiff(mine, theirs) <= 16, "max vs ImageIO")
+  }
+
+  test("PROGRESSIVE grayscale streams decode under ours to the JDK's " +
+      "raster samples (±IDCT rounding)") {
+    val img = new BufferedImage(29, 38, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 38; x <- 0 until 29)
+      img.getRaster.setSample(x, y, 0, 20 + (x * 7 + y * 3) % 200)
+    val bytes = imageioProgressive(img, 0.9f)
+    assert(isProgressive(bytes), "fixture is not actually progressive")
+    val (w, h, mine) = Jpeg.decodeJpeg(bytes)
+    assert(w === 29 && h === 38)
+    val theirs = ImageIO.read(new ByteArrayInputStream(bytes))
+    val diffs = for (y <- 0 until h; x <- 0 until w) yield
+      math.abs((mine((y * w + x) * 3) & 0xff) -
+        theirs.getRaster.getSample(x, y, 0))
+    assert(diffs.max <= 2, s"max gray diff ${diffs.max}")
+  }
+
+  test("sequential and progressive encodings of the same image decode " +
+      "BIT-IDENTICALLY (same coefficients — the scan organization must " +
+      "not change one reconstructed sample)") {
+    val img = new BufferedImage(43, 31, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 31; x <- 0 until 43)
+      img.setRGB(x, y, ((55 + x * 4) << 16) | ((45 + y * 6) << 8) |
+        (75 + (x * 2 + y) * 2)) // wraps allowed: exactness is the point
+    val seq = imageioJpeg(img, 0.85f)
+    val prog = imageioProgressive(img, 0.85f)
+    assert(!isProgressive(seq) && isProgressive(prog))
+    val (w1, h1, a) = Jpeg.decodeJpeg(seq)
+    val (w2, h2, b) = Jpeg.decodeJpeg(prog)
+    assert(w1 === w2 && h1 === h2)
+    assert(java.util.Arrays.equals(a, b),
+      "progressive reconstruction diverged from sequential")
+  }
+
+  test("a flipped byte in a PROGRESSIVE stream's entropy data never " +
+      "passes silently") {
+    val img = new BufferedImage(24, 24, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 24; x <- 0 until 24)
+      img.setRGB(x, y, ((90 + x * 5) << 16) | ((80 + y * 5) << 8) | 110)
+    val bytes = imageioProgressive(img, 0.85f)
+    val (_, _, clean) = Jpeg.decodeJpeg(bytes)
+    // first SOS's entropy region start
+    val sos = bytes.indices.find(i => (bytes(i) & 0xff) == 0xff &&
+      i + 1 < bytes.length && (bytes(i + 1) & 0xff) == 0xda).get
+    val entropyStart = sos + 2 + (((bytes(sos + 2) & 0xff) << 8) |
+      (bytes(sos + 3) & 0xff))
+    val flips = (0 until 10).map(k =>
+      entropyStart + (k * 5077) % (bytes.length - entropyStart - 4))
+    for (at <- flips) {
+      val mut = bytes.clone()
+      mut(at) = (mut(at) ^ 0x22).toByte
+      val silent = try {
+        val (_, _, out) = Jpeg.decodeJpeg(mut)
+        java.util.Arrays.equals(out, clean)
+      } catch { case _: Exception => false }
+      assert(!silent, s"flip at $at produced a silent identical decode")
+    }
+  }
+
   test("restart markers: every 3rd fixture carries DRI/RSTn; both " +
       "decoders accept and agree") {
     val bytes = Jpeg.syntheticJpeg(3L) // d % 3 == 0 -> restartInterval 2
@@ -131,12 +225,17 @@ class JpegSpec extends AnyFunSuite with SparkTestBase {
     bad(ok.dropRight(1), "missing EOI")
     bad(ok.dropRight(40), "truncated entropy segment")
     bad(ok ++ Array[Byte](0), "trailing bytes after EOI")
-    // progressive frame marker: SOF0 (FFC0) -> SOF2 (FFC2)
+    // extended-sequential frame marker: SOF0 (FFC0) -> SOF1 (FFC1)
     val sof = ok.indices.find(i => (ok(i) & 0xff) == 0xff &&
       i + 1 < ok.length && (ok(i + 1) & 0xff) == 0xc0).get
-    val prog = ok.clone(); prog(sof + 1) = 0xc2.toByte
-    val e = intercept[IllegalArgumentException](Jpeg.decodeJpeg(prog))
+    val ext = ok.clone(); ext(sof + 1) = 0xc1.toByte
+    val e = intercept[IllegalArgumentException](Jpeg.decodeJpeg(ext))
     assert(e.getMessage.contains("unsupported"))
+    // SOF2 is SUPPORTED now — but relabeling a baseline stream as
+    // progressive must still fail loudly on the scan header (a baseline
+    // full-band scan is invalid inside a progressive frame)
+    bad({ val b = ok.clone(); b(sof + 1) = 0xc2.toByte; b },
+      "baseline scan inside a progressive frame")
   }
 
   test("a flipped byte in the entropy-coded segment never passes " +
