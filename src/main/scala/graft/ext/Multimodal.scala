@@ -854,15 +854,18 @@ object Multimodal {
     }
   }
 
-  /** Deterministic MIXED-format payload for doc `d` — doc_id % 5 picks the
-    * format, so a corpus built from this exercises every codec inside one
-    * scan (q146). */
-  def syntheticMedia(d: Long): MediaFile = (d % 5) match {
+  /** Deterministic MIXED-format payload for doc `d` — doc_id % 7 picks the
+    * format, so a corpus built from this exercises every REAL codec —
+    * including both entropy-coded image formats (GIF LZW, JPEG) — inside
+    * one scan (q146). */
+  def syntheticMedia(d: Long): MediaFile = (d % 7) match {
     case 0 => MediaFile(d, "image/ppm", syntheticPpm(d))
     case 1 => MediaFile(d, "image/bmp", syntheticBmp(d))
     case 2 => MediaFile(d, "image/png", syntheticPng(d))
     case 3 => MediaFile(d, "audio/wav", syntheticWav(d))
-    case _ => MediaFile(d, "video/y4m", syntheticY4m(d))
+    case 4 => MediaFile(d, "video/y4m", syntheticY4m(d))
+    case 5 => MediaFile(d, "image/gif", Gif.syntheticGif(d))
+    case _ => MediaFile(d, "image/jpeg", Jpeg.syntheticJpeg(d))
   }
 
   /** Adapter: the driver `documents` table as fake media payloads (text

@@ -1288,19 +1288,25 @@ object ExtQueries {
       },
       Some(
         """SELECT doc_id,
-          |  CASE doc_id % 5 WHEN 0 THEN 'image/ppm' WHEN 1 THEN 'image/bmp'
+          |  CASE doc_id % 7 WHEN 0 THEN 'image/ppm' WHEN 1 THEN 'image/bmp'
           |    WHEN 2 THEN 'image/png' WHEN 3 THEN 'audio/wav'
-          |    ELSE 'video/y4m' END AS kind,
-          |  CAST(CASE doc_id % 5
-          |    WHEN 0 THEN 4 WHEN 1 THEN 4 WHEN 2 THEN 5
+          |    WHEN 4 THEN 'video/y4m' WHEN 5 THEN 'image/gif'
+          |    ELSE 'image/jpeg' END AS kind,
+          |  CAST(CASE doc_id % 7
+          |    WHEN 0 THEN 4 + doc_id % 5 WHEN 1 THEN 3 + doc_id % 5
+          |    WHEN 2 THEN 3 + doc_id % 5
           |    WHEN 3 THEN 1 + doc_id % 2
-          |    ELSE 3 + doc_id % 3 END AS INT) AS width,
-          |  CAST(CASE doc_id % 5
+          |    WHEN 4 THEN 3 + doc_id % 3
+          |    WHEN 5 THEN 3 + doc_id % 5
+          |    ELSE 10 + doc_id % 23 END AS INT) AS width,
+          |  CAST(CASE doc_id % 7
           |    WHEN 0 THEN 3 + doc_id % 4 WHEN 1 THEN 2 + doc_id % 4
           |    WHEN 2 THEN 5 + doc_id % 4
           |    WHEN 3 THEN 8000 + (doc_id % 3) * 4000
-          |    ELSE 2 + doc_id % 3 END AS INT) AS height,
-          |  CAST(CASE doc_id % 5
+          |    WHEN 4 THEN 2 + doc_id % 3
+          |    WHEN 5 THEN 4 + doc_id % 4
+          |    ELSE 10 + doc_id % 17 END AS INT) AS height,
+          |  CAST(CASE doc_id % 7
           |    WHEN 3 THEN 20 + doc_id % 7
           |    WHEN 4 THEN 3 + doc_id % 4
           |    ELSE 1 END AS INT) AS n_frames
@@ -1860,7 +1866,7 @@ object ExtQueries {
       (s, dir) => {
         import s.implicits._
         val files = Tables.sharded(s, dir, "documents", "doc_id")
-          .where(col("doc_id") % 5 < 3) // the three image kinds
+          .where(col("doc_id") % 7 =!= 3 && col("doc_id") % 7 =!= 4) // the five image kinds
           .select(col("doc_id")).as[Long]
           .map(graft.ext.Multimodal.syntheticMedia)
         graft.ext.Multimodal.decodeMetaByKind(files).toDF()
@@ -1874,14 +1880,19 @@ object ExtQueries {
       },
       Some(
         """WITH m AS (SELECT doc_id,
-          |  CASE doc_id % 5 WHEN 0 THEN 'image/ppm' WHEN 1 THEN 'image/bmp'
-          |    ELSE 'image/png' END AS kind,
-          |  CAST(CASE doc_id % 5 WHEN 0 THEN 4 WHEN 1 THEN 4
-          |    ELSE 5 END AS INT) AS width,
-          |  CAST(CASE doc_id % 5 WHEN 0 THEN 3 + doc_id % 4
+          |  CASE doc_id % 7 WHEN 0 THEN 'image/ppm' WHEN 1 THEN 'image/bmp'
+          |    WHEN 2 THEN 'image/png' WHEN 5 THEN 'image/gif'
+          |    ELSE 'image/jpeg' END AS kind,
+          |  CAST(CASE doc_id % 7 WHEN 0 THEN 4 + doc_id % 5
+          |    WHEN 1 THEN 3 + doc_id % 5
+          |    WHEN 2 THEN 3 + doc_id % 5 WHEN 5 THEN 3 + doc_id % 5
+          |    ELSE 10 + doc_id % 23 END AS INT) AS width,
+          |  CAST(CASE doc_id % 7 WHEN 0 THEN 3 + doc_id % 4
           |    WHEN 1 THEN 2 + doc_id % 4
-          |    ELSE 5 + doc_id % 4 END AS INT) AS height
-          |  FROM documents WHERE doc_id % 5 < 3)
+          |    WHEN 2 THEN 5 + doc_id % 4
+          |    WHEN 5 THEN 4 + doc_id % 4
+          |    ELSE 10 + doc_id % 17 END AS INT) AS height
+          |  FROM documents WHERE doc_id % 7 NOT IN (3, 4))
           |SELECT doc_id, kind, width, height,
           |  width * height >= 20 AS pass_pixels,
           |  least(width, height) * 3 >= greatest(width, height) * 2
@@ -1994,19 +2005,25 @@ object ExtQueries {
       },
       Some(
         """WITH m AS (SELECT doc_id,
-          |  CASE doc_id % 5 WHEN 0 THEN 'image/ppm' WHEN 1 THEN 'image/bmp'
+          |  CASE doc_id % 7 WHEN 0 THEN 'image/ppm' WHEN 1 THEN 'image/bmp'
           |    WHEN 2 THEN 'image/png' WHEN 3 THEN 'audio/wav'
-          |    ELSE 'video/y4m' END AS kind,
-          |  CAST(CASE doc_id % 5
-          |    WHEN 0 THEN 4 WHEN 1 THEN 4 WHEN 2 THEN 5
+          |    WHEN 4 THEN 'video/y4m' WHEN 5 THEN 'image/gif'
+          |    ELSE 'image/jpeg' END AS kind,
+          |  CAST(CASE doc_id % 7
+          |    WHEN 0 THEN 4 + doc_id % 5 WHEN 1 THEN 3 + doc_id % 5
+          |    WHEN 2 THEN 3 + doc_id % 5
           |    WHEN 3 THEN 1 + doc_id % 2
-          |    ELSE 3 + doc_id % 3 END AS INT) AS width,
-          |  CAST(CASE doc_id % 5
+          |    WHEN 4 THEN 3 + doc_id % 3
+          |    WHEN 5 THEN 3 + doc_id % 5
+          |    ELSE 10 + doc_id % 23 END AS INT) AS width,
+          |  CAST(CASE doc_id % 7
           |    WHEN 0 THEN 3 + doc_id % 4 WHEN 1 THEN 2 + doc_id % 4
           |    WHEN 2 THEN 5 + doc_id % 4
           |    WHEN 3 THEN 8000 + (doc_id % 3) * 4000
-          |    ELSE 2 + doc_id % 3 END AS INT) AS height,
-          |  CAST(CASE doc_id % 5
+          |    WHEN 4 THEN 2 + doc_id % 3
+          |    WHEN 5 THEN 4 + doc_id % 4
+          |    ELSE 10 + doc_id % 17 END AS INT) AS height,
+          |  CAST(CASE doc_id % 7
           |    WHEN 3 THEN 20 + doc_id % 7
           |    WHEN 4 THEN 3 + doc_id % 4
           |    ELSE 1 END AS INT) AS n_frames

@@ -459,19 +459,25 @@ object StreamingQueries {
       },
       Some(
         """SELECT doc_id,
-          |  CASE doc_id % 5 WHEN 0 THEN 'image/ppm' WHEN 1 THEN 'image/bmp'
+          |  CASE doc_id % 7 WHEN 0 THEN 'image/ppm' WHEN 1 THEN 'image/bmp'
           |    WHEN 2 THEN 'image/png' WHEN 3 THEN 'audio/wav'
-          |    ELSE 'video/y4m' END AS kind,
-          |  CAST(CASE doc_id % 5
-          |    WHEN 0 THEN 4 WHEN 1 THEN 4 WHEN 2 THEN 5
+          |    WHEN 4 THEN 'video/y4m' WHEN 5 THEN 'image/gif'
+          |    ELSE 'image/jpeg' END AS kind,
+          |  CAST(CASE doc_id % 7
+          |    WHEN 0 THEN 4 + doc_id % 5 WHEN 1 THEN 3 + doc_id % 5
+          |    WHEN 2 THEN 3 + doc_id % 5
           |    WHEN 3 THEN 1 + doc_id % 2
-          |    ELSE 3 + doc_id % 3 END AS INT) AS width,
-          |  CAST(CASE doc_id % 5
+          |    WHEN 4 THEN 3 + doc_id % 3
+          |    WHEN 5 THEN 3 + doc_id % 5
+          |    ELSE 10 + doc_id % 23 END AS INT) AS width,
+          |  CAST(CASE doc_id % 7
           |    WHEN 0 THEN 3 + doc_id % 4 WHEN 1 THEN 2 + doc_id % 4
           |    WHEN 2 THEN 5 + doc_id % 4
           |    WHEN 3 THEN 8000 + (doc_id % 3) * 4000
-          |    ELSE 2 + doc_id % 3 END AS INT) AS height,
-          |  CAST(CASE doc_id % 5
+          |    WHEN 4 THEN 2 + doc_id % 3
+          |    WHEN 5 THEN 4 + doc_id % 4
+          |    ELSE 10 + doc_id % 17 END AS INT) AS height,
+          |  CAST(CASE doc_id % 7
           |    WHEN 3 THEN 20 + doc_id % 7
           |    WHEN 4 THEN 3 + doc_id % 4
           |    ELSE 1 END AS INT) AS n_frames

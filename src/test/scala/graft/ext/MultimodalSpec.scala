@@ -354,10 +354,10 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(hd >= 1 && hd <= 8, s"edit moved $hd bits")
   }
 
-  test("decodeMetaByKind: five formats route to their codecs in one " +
+  test("decodeMetaByKind: seven formats route to their codecs in one " +
       "pass; unknown kinds fail loudly (q146's contract)") {
     import spark.implicits._
-    val ds = Seq(0L, 1L, 2L, 3L, 4L).toDS()
+    val ds = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L).toDS()
       .map(graft.ext.Multimodal.syntheticMedia)
     val metas = Multimodal.decodeMetaByKind(ds).collect()
       .map(m => m.docId -> m).toMap
@@ -367,6 +367,10 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(metas(3L).kind === "audio/wav" && metas(3L).width === 2 &&
       metas(3L).height === 8000 && metas(3L).nFrames === 23)
     assert(metas(4L).kind === "video/y4m" && metas(4L).nFrames === 3)
+    assert(metas(5L).kind === "image/gif" && metas(5L).width === 3 &&
+      metas(5L).height === 5)
+    assert(metas(6L).kind === "image/jpeg" && metas(6L).width === 16 &&
+      metas(6L).height === 16)
     val unknown = Seq(MediaFile(9L, "image/webp", Array[Byte](1, 2)))
       .toDS()
     val e = intercept[org.apache.spark.SparkException](
