@@ -716,87 +716,33 @@ object Jpeg {
     base.map(v => math.max(1, math.min(255, (v * s + 50) / 100)))
   }
 
-  /** Encode `rgb` (top-down, interleaved) as a baseline 4:4:4 YCbCr JPEG.
-    * `restartInterval` > 0 emits DRI + RSTn markers (the decoder-side
-    * restart machinery's fixture hook). */
-  def encodeJpeg(w: Int, h: Int, rgb: Array[Byte], quality: Int = 90,
-      restartInterval: Int = 0): Array[Byte] = {
-    require(w > 0 && h > 0 && rgb.length == w * h * 3,
-      s"encodeJpeg: bad dims ${w}x$h for ${rgb.length} bytes")
-    val qLum = scaleQ(QLum, quality)
-    val qChr = scaleQ(QChr, quality)
-    val out = new java.io.ByteArrayOutputStream()
-    def u8(v: Int): Unit = out.write(v & 0xff)
-    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
-    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+  private def magnitude(v: Int): Int = {
+    var a = math.abs(v)
+    var n = 0
+    while (a != 0) { n += 1; a >>= 1 }
+    n
+  }
 
-    marker(0xd8)                                  // SOI
-    marker(0xe0); u16(16)                         // APP0 JFIF
-    Seq('J', 'F', 'I', 'F', 0).foreach(c => u8(c.toInt))
-    u16(0x0101); u8(0); u16(1); u16(1); u8(0); u8(0)
-    for ((tq, t) <- Seq((0, qLum), (1, qChr))) {  // DQT
-      marker(0xdb); u16(67); u8(tq)
-      for (i <- 0 until 64) u8(t(Zigzag(i)))
-    }
-    marker(0xc0); u16(8 + 3 * 3); u8(8)           // SOF0
-    u16(h); u16(w); u8(3)
-    for ((id, tq) <- Seq((1, 0), (2, 1), (3, 1))) {
-      u8(id); u8(0x11); u8(tq)                    // 1x1 sampling (4:4:4)
-    }
-    for ((tc, th, bits, vals) <- Seq(
-        (0, 0, DcLumBits, DcLumVals), (1, 0, AcLumBits, AcLumVals),
-        (0, 1, DcChrBits, DcChrVals), (1, 1, AcChrBits, AcChrVals))) {
-      marker(0xc4); u16(2 + 17 + vals.length)     // DHT
-      u8((tc << 4) | th)
-      for (l <- 1 to 16) u8(bits(l))
-      vals.foreach(v => u8(v.toInt))
-    }
-    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
-    marker(0xda); u16(6 + 2 * 3); u8(3)           // SOS
-    for ((id, td, ta) <- Seq((1, 0, 0), (2, 1, 1), (3, 1, 1))) {
-      u8(id); u8((td << 4) | ta)
-    }
-    u8(0); u8(63); u8(0)
-
-    val dcLum = encodeTable(DcLumBits, DcLumVals)
-    val acLum = encodeTable(AcLumBits, AcLumVals)
-    val dcChr = encodeTable(DcChrBits, DcChrVals)
-    val acChr = encodeTable(AcChrBits, AcChrVals)
-    val bw = new BitWriter(out)
-    val dcPred = new Array[Int](3)
-    val mcusX = (w + 7) / 8
-    val mcusY = (h + 7) / 8
-    var restartCount = 0
-    var sinceRestart = 0
+  /** Quantized coefficient planes (per component, ceil-grid blocks
+    * row-major, 64 natural-order coefficients each) for a 4:4:4 YCbCr
+    * encode — the shared front half of both entropy organizations
+    * (baseline writes DC+AC per block; progressive deals them into
+    * separate scans from the same planes). Edge blocks replicate the
+    * last row/column. */
+  private def quantPlanes(w: Int, h: Int, rgb: Array[Byte],
+      qLum: Array[Int], qChr: Array[Int]): Array[Array[Int]] = {
+    val bw = (w + 7) / 8
+    val bh = (h + 7) / 8
+    val planes = Array.fill(3)(new Array[Int](bw * bh * 64))
     val samp = new Array[Double](64)
-    val freq = new Array[Double](64)
     val tmp = new Array[Double](64)
-
-    def magnitude(v: Int): Int = {
-      var a = math.abs(v)
-      var n = 0
-      while (a != 0) { n += 1; a >>= 1 }
-      n
-    }
-    def writeCoef(bwr: BitWriter, v: Int, s: Int): Unit =
-      bwr.write(if (v < 0) v + (1 << s) - 1 else v, s)
-
     var my = 0
-    while (my < mcusY) {
+    while (my < bh) {
       var mx = 0
-      while (mx < mcusX) {
-        if (restartInterval > 0 && sinceRestart == restartInterval) {
-          bw.flush()
-          marker(0xd0 + (restartCount & 7))
-          restartCount += 1
-          sinceRestart = 0
-          java.util.Arrays.fill(dcPred, 0)
-        }
+      while (mx < bw) {
         var ci = 0
         while (ci < 3) {
           val q = if (ci == 0) qLum else qChr
-          val (dcT, acT) = if (ci == 0) (dcLum, acLum) else (dcChr, acChr)
-          // gather the component's 8x8 block (edge-replicated)
           var yy = 0
           while (yy < 8) {
             var xx = 0
@@ -829,6 +775,7 @@ object Jpeg {
             }
             u += 1
           }
+          val base = (my * bw + mx) * 64
           var v = 0
           while (v < 8) {
             var u2 = 0
@@ -836,43 +783,147 @@ object Jpeg {
               var s2 = 0.0
               var y0 = 0
               while (y0 < 8) { s2 += Cos(y0)(v) * tmp(y0 * 8 + u2); y0 += 1 }
-              freq(v * 8 + u2) = s2
+              planes(ci)(base + v * 8 + u2) =
+                math.round(s2 / q(v * 8 + u2)).toInt
               u2 += 1
             }
             v += 1
           }
-          // quantize + entropy code in zigzag order
-          val dc = math.round(freq(0) / q(0)).toInt
-          val diff = dc - dcPred(ci)
+          ci += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    planes
+  }
+
+  private def writeCoefBits(bw: BitWriter, v: Int, s: Int): Unit =
+    bw.write(if (v < 0) v + (1 << s) - 1 else v, s)
+
+  /** DC diff for one block (shared by the baseline block writer and the
+    * progressive DC scan). */
+  private def writeDc(bw: BitWriter, dcT: Array[(Int, Int)],
+      diff: Int): Unit = {
+    val s0 = magnitude(diff)
+    if (s0 > 11)
+      throw new IllegalArgumentException(
+        s"encodeJpeg: DC category $s0 > 11 (quantizer too fine)")
+    val (c0, l0) = dcT(s0)
+    bw.write(c0, l0)
+    writeCoefBits(bw, diff, s0)
+  }
+
+  /** The 63-coefficient AC band of one block, run/size coded with a
+    * per-block EOB — in a baseline scan that EOB is THE block
+    * terminator; in a progressive Ss=1..63 scan the same symbol reads as
+    * EOBRUN = 1, so one writer serves both organizations. */
+  private def writeAcBand(bw: BitWriter, acT: Array[(Int, Int)],
+      coef: Array[Int], base: Int): Unit = {
+    var run = 0
+    var k = 1
+    while (k < 64) {
+      val qc = coef(base + Zigzag(k))
+      if (qc == 0) run += 1
+      else {
+        while (run > 15) {
+          val (cz, lz) = acT(0xf0); bw.write(cz, lz); run -= 16
+        }
+        val s = magnitude(qc)
+        if (s > 10)
+          throw new IllegalArgumentException(
+            s"encodeJpeg: AC size $s > 10 (quantizer too fine)")
+        val (c1, l1) = acT((run << 4) | s)
+        bw.write(c1, l1)
+        writeCoefBits(bw, qc, s)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) { val (ce, le) = acT(0x00); bw.write(ce, le) } // EOB
+  }
+
+  /** Shared header prefix: SOI, JFIF APP0, both DQTs, SOF (the caller
+    * picks baseline 0xC0 or progressive 0xC2), all four DHTs. */
+  private def writeHeaders(out: java.io.ByteArrayOutputStream, w: Int,
+      h: Int, qLum: Array[Int], qChr: Array[Int], sofMarker: Int): Unit = {
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8)                                  // SOI
+    marker(0xe0); u16(16)                         // APP0 JFIF
+    Seq('J', 'F', 'I', 'F', 0).foreach(c => u8(c.toInt))
+    u16(0x0101); u8(0); u16(1); u16(1); u8(0); u8(0)
+    for ((tq, t) <- Seq((0, qLum), (1, qChr))) {  // DQT
+      marker(0xdb); u16(67); u8(tq)
+      for (i <- 0 until 64) u8(t(Zigzag(i)))
+    }
+    marker(sofMarker); u16(8 + 3 * 3); u8(8)      // SOF0 / SOF2
+    u16(h); u16(w); u8(3)
+    for ((id, tq) <- Seq((1, 0), (2, 1), (3, 1))) {
+      u8(id); u8(0x11); u8(tq)                    // 1x1 sampling (4:4:4)
+    }
+    for ((tc, th, bits, vals) <- Seq(
+        (0, 0, DcLumBits, DcLumVals), (1, 0, AcLumBits, AcLumVals),
+        (0, 1, DcChrBits, DcChrVals), (1, 1, AcChrBits, AcChrVals))) {
+      marker(0xc4); u16(2 + 17 + vals.length)     // DHT
+      u8((tc << 4) | th)
+      for (l <- 1 to 16) u8(bits(l))
+      vals.foreach(v => u8(v.toInt))
+    }
+  }
+
+  /** Encode `rgb` (top-down, interleaved) as a baseline 4:4:4 YCbCr JPEG.
+    * `restartInterval` > 0 emits DRI + RSTn markers (the decoder-side
+    * restart machinery's fixture hook). */
+  def encodeJpeg(w: Int, h: Int, rgb: Array[Byte], quality: Int = 90,
+      restartInterval: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0 && rgb.length == w * h * 3,
+      s"encodeJpeg: bad dims ${w}x$h for ${rgb.length} bytes")
+    val qLum = scaleQ(QLum, quality)
+    val qChr = scaleQ(QChr, quality)
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    writeHeaders(out, w, h, qLum, qChr, sofMarker = 0xc0)
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
+    marker(0xda); u16(6 + 2 * 3); u8(3)           // SOS
+    for ((id, td, ta) <- Seq((1, 0, 0), (2, 1, 1), (3, 1, 1))) {
+      u8(id); u8((td << 4) | ta)
+    }
+    u8(0); u8(63); u8(0)
+
+    val planes = quantPlanes(w, h, rgb, qLum, qChr)
+    val dcLum = encodeTable(DcLumBits, DcLumVals)
+    val acLum = encodeTable(AcLumBits, AcLumVals)
+    val dcChr = encodeTable(DcChrBits, DcChrVals)
+    val acChr = encodeTable(AcChrBits, AcChrVals)
+    val bw = new BitWriter(out)
+    val dcPred = new Array[Int](3)
+    val mcusX = (w + 7) / 8
+    val mcusY = (h + 7) / 8
+    var restartCount = 0
+    var sinceRestart = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && sinceRestart == restartInterval) {
+          bw.flush()
+          marker(0xd0 + (restartCount & 7))
+          restartCount += 1
+          sinceRestart = 0
+          java.util.Arrays.fill(dcPred, 0)
+        }
+        val base = (my * mcusX + mx) * 64
+        var ci = 0
+        while (ci < 3) {
+          val (dcT, acT) = if (ci == 0) (dcLum, acLum) else (dcChr, acChr)
+          val dc = planes(ci)(base)
+          writeDc(bw, dcT, dc - dcPred(ci))
           dcPred(ci) = dc
-          val s0 = magnitude(diff)
-          if (s0 > 11)
-            throw new IllegalArgumentException(
-              s"encodeJpeg: DC category $s0 > 11 (quantizer too fine)")
-          val (c0, l0) = dcT(s0)
-          bw.write(c0, l0)
-          writeCoef(bw, diff, s0)
-          var run = 0
-          var k = 1
-          while (k < 64) {
-            val nat = Zigzag(k)
-            val qc = math.round(freq(nat) / q(nat)).toInt
-            if (qc == 0) run += 1
-            else {
-              while (run > 15) { val (cz, lz) = acT(0xf0); bw.write(cz, lz)
-                run -= 16 }
-              val s = magnitude(qc)
-              if (s > 10)
-                throw new IllegalArgumentException(
-                  s"encodeJpeg: AC size $s > 10 (quantizer too fine)")
-              val (c1, l1) = acT((run << 4) | s)
-              bw.write(c1, l1)
-              writeCoef(bw, qc, s)
-              run = 0
-            }
-            k += 1
-          }
-          if (run > 0) { val (ce, le) = acT(0x00); bw.write(ce, le) } // EOB
+          writeAcBand(bw, acT, planes(ci), base)
           ci += 1
         }
         sinceRestart += 1
@@ -885,14 +936,89 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** Encode `rgb` as a PROGRESSIVE (SOF2) 4:4:4 YCbCr JPEG using a
+    * spectral-selection scan script — scan 1 delivers every block's DC
+    * (interleaved), scans 2–4 each deliver one component's full AC band.
+    * No successive approximation (Ah=Al=0 throughout), so the coefficient
+    * content is IDENTICAL to [[encodeJpeg]]'s at the same quality — the
+    * two encodings of one image must decode bit-identically (spec-pinned,
+    * both under this decoder and the JDK's). */
+  def encodeJpegProgressive(w: Int, h: Int, rgb: Array[Byte],
+      quality: Int = 90): Array[Byte] = {
+    require(w > 0 && h > 0 && rgb.length == w * h * 3,
+      s"encodeJpegProgressive: bad dims ${w}x$h for ${rgb.length} bytes")
+    val qLum = scaleQ(QLum, quality)
+    val qChr = scaleQ(QChr, quality)
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    writeHeaders(out, w, h, qLum, qChr, sofMarker = 0xc2)
+
+    val planes = quantPlanes(w, h, rgb, qLum, qChr)
+    val dcLum = encodeTable(DcLumBits, DcLumVals)
+    val acLum = encodeTable(AcLumBits, AcLumVals)
+    val dcChr = encodeTable(DcChrBits, DcChrVals)
+    val acChr = encodeTable(AcChrBits, AcChrVals)
+    val mcusX = (w + 7) / 8
+    val mcusY = (h + 7) / 8
+
+    // scan 1: interleaved DC, Ss=0 Se=0 Ah=0 Al=0
+    marker(0xda); u16(6 + 2 * 3); u8(3)
+    for ((id, td) <- Seq((1, 0), (2, 1), (3, 1))) {
+      u8(id); u8(td << 4)
+    }
+    u8(0); u8(0); u8(0)
+    val bwDc = new BitWriter(out)
+    val dcPred = new Array[Int](3)
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        val base = (my * mcusX + mx) * 64
+        var ci = 0
+        while (ci < 3) {
+          val dc = planes(ci)(base)
+          writeDc(bwDc, if (ci == 0) dcLum else dcChr, dc - dcPred(ci))
+          dcPred(ci) = dc
+          ci += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    bwDc.flush()
+
+    // scans 2-4: one component's AC band each, Ss=1 Se=63 Ah=0 Al=0
+    for ((ci, id) <- Seq((0, 1), (1, 2), (2, 3))) {
+      marker(0xda); u16(6 + 2); u8(1)
+      u8(id); u8(if (ci == 0) 0 else 1)           // ac table id (low nibble)
+      u8(1); u8(63); u8(0)
+      val bwAc = new BitWriter(out)
+      val acT = if (ci == 0) acLum else acChr
+      var b = 0
+      val nBlocks = mcusX * mcusY
+      while (b < nBlocks) {
+        writeAcBand(bwAc, acT, planes(ci), b * 64)
+        b += 1
+      }
+      bwAc.flush()
+    }
+    marker(0xd9)                                  // EOI
+    out.toByteArray
+  }
+
   /** Deterministic fixture: a smooth two-gradient-plus-plateau image
     * (JPEG compresses smooth content with small error, keeping the
     * round-trip tolerance tight), dims and phase derived from `d` like
-    * the other synthetic payloads; every 3rd fixture carries restart
-    * markers so the RSTn path is exercised in any batch. */
+    * the other synthetic payloads. Every 3rd fixture carries restart
+    * markers and every 5th-phase-1 fixture is PROGRESSIVE, so both the
+    * RSTn path and the SOF2 multi-scan path are exercised inside any
+    * corpus-sized batch (q165/q146). */
   def syntheticJpeg(d: Long): Array[Byte] = {
     val (w, h, rgb) = syntheticJpegRgb(d)
-    encodeJpeg(w, h, rgb, quality = 90,
+    if (d % 5 == 1) encodeJpegProgressive(w, h, rgb, quality = 90)
+    else encodeJpeg(w, h, rgb, quality = 90,
       restartInterval = if (d % 3 == 0) 2 else 0)
   }
 

@@ -62,9 +62,31 @@ class JpegSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("our PROGRESSIVE encoder: spectral-selection script carries the " +
+      "same coefficients as baseline (bit-identical decode, ours AND " +
+      "the JDK's)") {
+    val (w, h, rgb) = Jpeg.syntheticJpegRgb(23L)
+    val seq = Jpeg.encodeJpeg(w, h, rgb, quality = 90)
+    val prog = Jpeg.encodeJpegProgressive(w, h, rgb, quality = 90)
+    assert(isProgressive(prog) && !isProgressive(seq))
+    val (_, _, a) = Jpeg.decodeJpeg(seq)
+    val (_, _, b) = Jpeg.decodeJpeg(prog)
+    assert(java.util.Arrays.equals(a, b),
+      "our two encodings decode differently")
+    // the JDK agrees on both streams
+    val ja = rgbOf(ImageIO.read(new ByteArrayInputStream(seq)))
+    val jb = rgbOf(ImageIO.read(new ByteArrayInputStream(prog)))
+    assert(java.util.Arrays.equals(ja, jb),
+      "the JDK decodes our two encodings differently")
+    assert(maxAbsDiff(a, ja) <= 2)
+    // and the corpus fixture rule deals progressive payloads
+    assert(isProgressive(Jpeg.syntheticJpeg(1L)))
+    assert(isProgressive(Jpeg.syntheticJpeg(11L)))
+  }
+
   test("our encoder's streams decode under the JDK's INDEPENDENT codec " +
       "to the same pixels (±IDCT rounding)") {
-    for (d <- Seq(2L, 9L)) {
+    for (d <- Seq(2L, 6L, 9L)) { // 6 % 5 == 1: a progressive fixture
       val bytes = Jpeg.syntheticJpeg(d)
       val (w, h, mine) = Jpeg.decodeJpeg(bytes)
       val theirs = ImageIO.read(new ByteArrayInputStream(bytes))
@@ -219,7 +241,7 @@ class JpegSpec extends AnyFunSuite with SparkTestBase {
       val e = intercept[IllegalArgumentException](Jpeg.decodeJpeg(bytes))
       assert(e.getMessage.contains("decodeJpeg"), why)
     }
-    val ok = Jpeg.syntheticJpeg(1L)
+    val ok = Jpeg.syntheticJpeg(2L) // baseline fixture (2 % 5 != 1)
     bad(Array[Byte](1, 2, 3), "not a JPEG")
     bad(ok.take(2), "SOI only")
     bad(ok.dropRight(1), "missing EOI")
