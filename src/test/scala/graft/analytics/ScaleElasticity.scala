@@ -200,6 +200,11 @@ object ScaleElasticity {
       force(graft.ext.Multimodal.gifPixelStats(ids.map(d =>
         graft.ext.MediaFile(d, "image/gif",
           graft.ext.Gif.syntheticGif(d)))).toDF)
+      // JPEG: encode (FDCT+quant+Huffman; every 5th-phase-1 progressive)
+      // + full decode — the heaviest per-payload codec work
+      force(graft.ext.Multimodal.jpegPixelStats(ids.map(d =>
+        graft.ext.MediaFile(d, "image/jpeg",
+          graft.ext.Jpeg.syntheticJpeg(d)))).toDF)
     }
 
     val probes: Seq[(String, String => Unit)] = Seq(
