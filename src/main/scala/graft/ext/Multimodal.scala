@@ -33,8 +33,15 @@ case class MediaMeta(docId: Long, kind: String, byteLen: Int, width: Int,
   * ([[decodePng]]/[[encodePng]], built on the JDK's Inflater/CRC32) — so
   * the decode path is genuinely exercised end-to-end for images AND audio,
   * including real entropy-coded formats (q106/q115/q128/q140), plus
-  * baseline JPEG written from ITU-T T.81 ([[Jpeg]]); formats needing
-  * codecs the JDK lacks (MP3/H.264) keep the labeled stub.
+  * baseline+progressive JPEG written from ITU-T T.81 ([[Jpeg]]). MP3 and
+  * H.264 carry REAL metadata-grade parsers written from their public
+  * specs — [[Mp3]] walks the full MPEG-1 Layer III frame sequence
+  * (ID3 skip, VBR header census, exact frame sizing) and [[H264]] walks
+  * Annex-B NALs with emulation-prevention un-escaping and a full
+  * Exp-Golomb SPS parse (q168/q169, oracle-gated) — which is the half a
+  * curation pipeline filters on; only their SAMPLE-grade decode (Layer
+  * III PCM synthesis, CABAC/CAVLC macroblock decoding) remains behind
+  * this labeled stub.
   * The partitioning, schema, typed Dataset plumbing and the
   * per-partition decoder lifecycle are real and tested; swap `stubDecoder`
   * for a JNI/codec-backed factory in production.

@@ -2197,6 +2197,107 @@ object ExtQueries {
         graft.ext.Multimodal.jpegPixelStats(files).toDF()
           .orderBy(col("doc_id"))
       },
-      None)
+      None),
+
+    // MP3 manifest extraction (graft.ext.Mp3 — MPEG-1 Layer III frame
+    // walker from the public ISO 11172-3 frame grammar): the audio half
+    // of metadata-grade curation over compressed formats — duration,
+    // sample rate, channel count, VBR bitrate profile, ID3 tag census —
+    // without PCM synthesis. Every header field of the synthetic stream
+    // follows closed-form arithmetic in doc_id (Mp3Props proves ALL 840
+    // envelope residues), so the oracle replays the full per-frame VBR
+    // walk in SQL: a 12-row frame-index spine joined under i < n_frames,
+    // the bitrate table as a CASE, and the exact integer frame-length
+    // rule 144000·kbps/rate + padding.
+    Q("q168_mp3_manifest",
+      (s, dir) => {
+        import s.implicits._
+        Tables.sharded(s, dir, "documents", "doc_id")
+          .select(col("doc_id")).as[Long]
+          .map { d =>
+            val m = graft.ext.Mp3.decodeMp3Meta(graft.ext.Mp3.syntheticMp3(d))
+            (d, m.nFrames, m.sampleRate, m.channels, m.bitrateSumKbps,
+              m.durationMs, if (m.hasId3v2) 1 else 0,
+              if (m.hasId3v1) 1 else 0, m.byteLen)
+          }
+          .toDF("doc_id", "n_frames", "sample_rate", "channels",
+            "bitrate_sum_kbps", "duration_ms", "has_id3v2", "has_id3v1",
+            "byte_len")
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH f AS (SELECT d.doc_id, i.i FROM documents d
+          |  CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),
+          |    (10),(11)) AS i(i)
+          |  WHERE i.i < 8 + d.doc_id % 5),
+          |fr AS (SELECT doc_id, i,
+          |  CASE 1 + (doc_id + i) % 14
+          |    WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 WHEN 4 THEN 56
+          |    WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112
+          |    WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192
+          |    WHEN 12 THEN 224 WHEN 13 THEN 256 ELSE 320 END AS kbps,
+          |  CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+          |    ELSE 32000 END AS rate,
+          |  (doc_id + i) % 2 AS pad FROM f)
+          |SELECT doc_id,
+          |  CAST(8 + doc_id % 5 AS INT) AS n_frames,
+          |  CAST(max(rate) AS INT) AS sample_rate,
+          |  CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END AS INT)
+          |    AS channels,
+          |  CAST(sum(kbps) AS BIGINT) AS bitrate_sum_kbps,
+          |  CAST((8 + doc_id % 5) * 1152 * 1000 // max(rate) AS BIGINT)
+          |    AS duration_ms,
+          |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT)
+          |    AS has_id3v2,
+          |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+          |    AS has_id3v1,
+          |  CAST(CASE WHEN doc_id % 2 = 0 THEN 42 + doc_id % 64 ELSE 0 END
+          |    + sum(144000 * kbps // rate + pad)
+          |    + CASE WHEN doc_id % 3 = 0 THEN 128 ELSE 0 END AS INT)
+          |    AS byte_len
+          |FROM fr GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // H.264 manifest extraction (graft.ext.H264 — Annex-B NAL walker +
+    // Exp-Golomb SPS parser from the public ITU-T H.264 spec): the video
+    // half of metadata-grade curation — crop-adjusted resolution,
+    // profile/level, GOP shape (IDR density), slice/SEI census, and the
+    // emulation-prevention byte count (nonzero on every even doc, so the
+    // un-escaping path is provably load-bearing in the oracle gate, not
+    // dead code). H264Props proves all 840 envelope residues, so the
+    // oracle is pure closed-form arithmetic over doc_id.
+    Q("q169_h264_manifest",
+      (s, dir) => {
+        import s.implicits._
+        Tables.sharded(s, dir, "documents", "doc_id")
+          .select(col("doc_id")).as[Long]
+          .map { d =>
+            val m =
+              graft.ext.H264.decodeH264Meta(graft.ext.H264.syntheticH264(d))
+            (d, m.width, m.height, m.profileIdc, m.levelIdc, m.nNal,
+              m.nIdr, m.nSlices, m.nSei, m.nPps, m.nEpb)
+          }
+          .toDF("doc_id", "width", "height", "profile_idc", "level_idc",
+            "n_nal", "n_idr", "n_slices", "n_sei", "n_pps", "n_epb")
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """SELECT doc_id,
+          |  CAST(16 * (2 + doc_id % 6)
+          |    - CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END AS INT) AS width,
+          |  CAST(16 * (2 + doc_id % 4)
+          |    - CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END AS INT)
+          |    AS height,
+          |  CAST(66 + (doc_id % 2) * 11 AS INT) AS profile_idc,
+          |  CAST(30 + doc_id % 3 AS INT) AS level_idc,
+          |  CAST(2 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+          |    + (2 + doc_id % 3) * (2 + doc_id % 4) AS INT) AS n_nal,
+          |  CAST(2 + doc_id % 3 AS INT) AS n_idr,
+          |  CAST((2 + doc_id % 3) * (2 + doc_id % 4) AS INT) AS n_slices,
+          |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT)
+          |    AS n_sei,
+          |  CAST(1 AS INT) AS n_pps,
+          |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 3 ELSE 0 END
+          |    AS INT) AS n_epb
+          |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+/** Pure-JVM ScalaCheck properties for the MP3 frame walker: the synthetic
+  * stream's manifest must match the generator's closed-form arithmetic for
+  * EVERY doc-id residue (all envelope fields are mods with lcm 420, so
+  * d ∈ [0, 840) proves the oracle SQL for every possible doc_id), and any
+  * malformed byte region must fail loudly, never walk garbage. */
+object Mp3Props extends Properties("Mp3") {
+
+  private val docId: Gen[Long] = Gen.choose(0L, 839L)
+
+  /** The generator's own arithmetic, restated independently (this is what
+    * the DuckDB oracle replays in SQL). */
+  private def expected(d: Long): Mp3Meta = {
+    val nFrames = (8 + d % 5).toInt
+    val rate = Mp3.SampleRateHz((d % 3).toInt)
+    val channels = if (d % 4 == 3) 1 else 2
+    var bitrateSum = 0L
+    var frameBytes = 0
+    var i = 0
+    while (i < nFrames) {
+      val kbps = Mp3.BitrateKbps((1 + (d + i) % 14).toInt)
+      bitrateSum += kbps
+      frameBytes += 144000 * kbps / rate + ((d + i) % 2).toInt
+      i += 1
+    }
+    val id3v2 = if (d % 2 == 0) 10 + (32 + d % 64).toInt else 0
+    val id3v1 = if (d % 3 == 0) 128 else 0
+    Mp3Meta(nFrames, rate, channels, bitrateSum,
+      nFrames.toLong * 1152 * 1000 / rate, d % 2 == 0, d % 3 == 0,
+      id3v2 + frameBytes + id3v1)
+  }
+
+  property("manifest matches the closed-form envelope for every residue") =
+    forAll(docId) { d =>
+      Mp3.decodeMp3Meta(Mp3.syntheticMp3(d)) == expected(d)
+    }
+
+  property("every residue is covered exhaustively") = propBoolean {
+    (0L until 840L).forall(d =>
+      Mp3.decodeMp3Meta(Mp3.syntheticMp3(d)) == expected(d))
+  }
+
+  property("a corrupted sync byte fails loudly") = forAll(docId) { d =>
+    val bytes = Mp3.syntheticMp3(d)
+    // first frame header starts after any ID3v2 prefix
+    val off = if (d % 2 == 0) 10 + (32 + d % 64).toInt else 0
+    bytes(off) = 0x7f.toByte
+    scala.util.Try(Mp3.decodeMp3Meta(bytes)).isFailure
+  }
+
+  property("a truncated final frame fails loudly") = forAll(docId) { d =>
+    val bytes = Mp3.syntheticMp3(d)
+    val cut = java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 1)
+    scala.util.Try(Mp3.decodeMp3Meta(cut)).isFailure
+  }
+
+  property("a reserved bitrate index fails loudly") = forAll(docId) { d =>
+    val bytes = Mp3.syntheticMp3(d)
+    val off = if (d % 2 == 0) 10 + (32 + d % 64).toInt else 0
+    bytes(off + 2) = (0xf0 | (bytes(off + 2) & 0x0f)).toByte
+    scala.util.Try(Mp3.decodeMp3Meta(bytes)).isFailure
+  }
+
+  property("VBR profiles are non-degenerate (mean != any single frame)") =
+    forAll(docId) { d =>
+      val m = Mp3.decodeMp3Meta(Mp3.syntheticMp3(d))
+      // 8..12 consecutive bitrate-table entries can never all be equal
+      m.bitrateSumKbps != m.nFrames.toLong *
+        Mp3.BitrateKbps((1 + d % 14).toInt)
+    }
+}
