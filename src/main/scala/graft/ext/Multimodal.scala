@@ -796,7 +796,24 @@ object Multimodal {
     "image/gif" -> gifDecoder,
     "image/jpeg" -> Jpeg.jpegDecoder,
     "audio/wav" -> wavDecoder,
-    "video/y4m" -> y4mDecoder)
+    "audio/mp3" -> mp3Decoder,
+    "video/y4m" -> y4mDecoder,
+    "video/h264" -> h264Decoder)
+
+  /** REAL metadata-grade factory over [[Mp3.decodeMp3Meta]] — like the WAV
+    * row, (channels, sampleRate) stand in for (w, h) in the shared
+    * [[MediaMeta]] envelope; frames = MP3 frame count. */
+  val mp3Decoder: DecoderFactory = () => { bytes =>
+    val m = Mp3.decodeMp3Meta(bytes)
+    (m.channels, m.sampleRate, m.nFrames)
+  }
+
+  /** REAL metadata-grade factory over [[H264.decodeH264Meta]] — SPS
+    * crop-adjusted dimensions; frames = coded slice count. */
+  val h264Decoder: DecoderFactory = () => { bytes =>
+    val m = H264.decodeH264Meta(bytes)
+    (m.width, m.height, m.nSlices)
+  }
 
   /** REAL decoder factory over [[Gif.decodeGif]] — the second compressed
     * format, with the from-scratch LZW. */
@@ -861,18 +878,20 @@ object Multimodal {
     }
   }
 
-  /** Deterministic MIXED-format payload for doc `d` — doc_id % 7 picks the
-    * format, so a corpus built from this exercises every REAL codec —
-    * including both entropy-coded image formats (GIF LZW, JPEG) — inside
-    * one scan (q146). */
-  def syntheticMedia(d: Long): MediaFile = (d % 7) match {
+  /** Deterministic MIXED-format payload for doc `d` — doc_id % 9 picks the
+    * format, so a corpus built from this exercises every REAL parser —
+    * both entropy-coded image formats (GIF LZW, JPEG), plus the
+    * metadata-grade MP3 and H.264 walkers — inside one scan (q146). */
+  def syntheticMedia(d: Long): MediaFile = (d % 9) match {
     case 0 => MediaFile(d, "image/ppm", syntheticPpm(d))
     case 1 => MediaFile(d, "image/bmp", syntheticBmp(d))
     case 2 => MediaFile(d, "image/png", syntheticPng(d))
     case 3 => MediaFile(d, "audio/wav", syntheticWav(d))
     case 4 => MediaFile(d, "video/y4m", syntheticY4m(d))
     case 5 => MediaFile(d, "image/gif", Gif.syntheticGif(d))
-    case _ => MediaFile(d, "image/jpeg", Jpeg.syntheticJpeg(d))
+    case 6 => MediaFile(d, "image/jpeg", Jpeg.syntheticJpeg(d))
+    case 7 => MediaFile(d, "audio/mp3", Mp3.syntheticMp3(d))
+    case _ => MediaFile(d, "video/h264", H264.syntheticH264(d))
   }
 
   /** Adapter: the driver `documents` table as fake media payloads (text

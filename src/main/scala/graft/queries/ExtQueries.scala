@@ -1266,15 +1266,15 @@ object ExtQueries {
            |FROM a3 ORDER BY vec_id""".stripMargin
       }),
 
-    // The HETEROGENEOUS multimodal pipeline: one corpus, one scan, five
-    // real formats (PPM/BMP/PNG images, WAV audio, Y4M video) routed to
-    // their codecs per row by the `kind` column — each partition
-    // instantiates every decoder once (the per-format per-task codec
-    // lifecycle), and an unknown kind fails loudly. The oracle predicts
-    // each format's decoded envelope (dims / channels+rate / frame count)
-    // from the synthetic construction arithmetic, so a routing bug that
-    // sent a payload to the wrong codec would either throw (strict
-    // parsers) or break the hash.
+    // The HETEROGENEOUS multimodal pipeline: one corpus, one scan, NINE
+    // real formats (PPM/BMP/PNG/GIF/JPEG images, WAV + MP3 audio,
+    // Y4M + H.264 video) routed to their parsers per row by the `kind`
+    // column — each partition instantiates every decoder once (the
+    // per-format per-task codec lifecycle), and an unknown kind fails
+    // loudly. The oracle predicts each format's decoded envelope (dims /
+    // channels+rate / frame count) from the synthetic construction
+    // arithmetic, so a routing bug that sent a payload to the wrong codec
+    // would either throw (strict parsers) or break the hash.
     Q("q146_media_dispatch",
       (s, dir) => {
         import s.implicits._
@@ -1288,27 +1288,39 @@ object ExtQueries {
       },
       Some(
         """SELECT doc_id,
-          |  CASE doc_id % 7 WHEN 0 THEN 'image/ppm' WHEN 1 THEN 'image/bmp'
+          |  CASE doc_id % 9 WHEN 0 THEN 'image/ppm' WHEN 1 THEN 'image/bmp'
           |    WHEN 2 THEN 'image/png' WHEN 3 THEN 'audio/wav'
           |    WHEN 4 THEN 'video/y4m' WHEN 5 THEN 'image/gif'
-          |    ELSE 'image/jpeg' END AS kind,
-          |  CAST(CASE doc_id % 7
+          |    WHEN 6 THEN 'image/jpeg' WHEN 7 THEN 'audio/mp3'
+          |    ELSE 'video/h264' END AS kind,
+          |  CAST(CASE doc_id % 9
           |    WHEN 0 THEN 4 + doc_id % 5 WHEN 1 THEN 3 + doc_id % 5
           |    WHEN 2 THEN 3 + doc_id % 5
           |    WHEN 3 THEN 1 + doc_id % 2
           |    WHEN 4 THEN 3 + doc_id % 3
           |    WHEN 5 THEN 3 + doc_id % 5
-          |    ELSE 10 + doc_id % 23 END AS INT) AS width,
-          |  CAST(CASE doc_id % 7
+          |    WHEN 6 THEN 10 + doc_id % 23
+          |    WHEN 7 THEN CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END
+          |    ELSE 16 * (2 + doc_id % 6)
+          |      - CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END
+          |    END AS INT) AS width,
+          |  CAST(CASE doc_id % 9
           |    WHEN 0 THEN 3 + doc_id % 4 WHEN 1 THEN 2 + doc_id % 4
           |    WHEN 2 THEN 5 + doc_id % 4
           |    WHEN 3 THEN 8000 + (doc_id % 3) * 4000
           |    WHEN 4 THEN 2 + doc_id % 3
           |    WHEN 5 THEN 4 + doc_id % 4
-          |    ELSE 10 + doc_id % 17 END AS INT) AS height,
-          |  CAST(CASE doc_id % 7
+          |    WHEN 6 THEN 10 + doc_id % 17
+          |    WHEN 7 THEN CASE doc_id % 3 WHEN 0 THEN 44100
+          |      WHEN 1 THEN 48000 ELSE 32000 END
+          |    ELSE 16 * (2 + doc_id % 4)
+          |      - CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END
+          |    END AS INT) AS height,
+          |  CAST(CASE doc_id % 9
           |    WHEN 3 THEN 20 + doc_id % 7
           |    WHEN 4 THEN 3 + doc_id % 4
+          |    WHEN 7 THEN 8 + doc_id % 5
+          |    WHEN 8 THEN (2 + doc_id % 3) * (2 + doc_id % 4)
           |    ELSE 1 END AS INT) AS n_frames
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
@@ -1866,7 +1878,8 @@ object ExtQueries {
       (s, dir) => {
         import s.implicits._
         val files = Tables.sharded(s, dir, "documents", "doc_id")
-          .where(col("doc_id") % 7 =!= 3 && col("doc_id") % 7 =!= 4) // the five image kinds
+          // the five image kinds (3/4 = wav/y4m, 7/8 = mp3/h264)
+          .where(!col("doc_id").%(9).isin(3, 4, 7, 8))
           .select(col("doc_id")).as[Long]
           .map(graft.ext.Multimodal.syntheticMedia)
         graft.ext.Multimodal.decodeMetaByKind(files).toDF()
@@ -1880,19 +1893,19 @@ object ExtQueries {
       },
       Some(
         """WITH m AS (SELECT doc_id,
-          |  CASE doc_id % 7 WHEN 0 THEN 'image/ppm' WHEN 1 THEN 'image/bmp'
+          |  CASE doc_id % 9 WHEN 0 THEN 'image/ppm' WHEN 1 THEN 'image/bmp'
           |    WHEN 2 THEN 'image/png' WHEN 5 THEN 'image/gif'
           |    ELSE 'image/jpeg' END AS kind,
-          |  CAST(CASE doc_id % 7 WHEN 0 THEN 4 + doc_id % 5
+          |  CAST(CASE doc_id % 9 WHEN 0 THEN 4 + doc_id % 5
           |    WHEN 1 THEN 3 + doc_id % 5
           |    WHEN 2 THEN 3 + doc_id % 5 WHEN 5 THEN 3 + doc_id % 5
           |    ELSE 10 + doc_id % 23 END AS INT) AS width,
-          |  CAST(CASE doc_id % 7 WHEN 0 THEN 3 + doc_id % 4
+          |  CAST(CASE doc_id % 9 WHEN 0 THEN 3 + doc_id % 4
           |    WHEN 1 THEN 2 + doc_id % 4
           |    WHEN 2 THEN 5 + doc_id % 4
           |    WHEN 5 THEN 4 + doc_id % 4
           |    ELSE 10 + doc_id % 17 END AS INT) AS height
-          |  FROM documents WHERE doc_id % 7 NOT IN (3, 4))
+          |  FROM documents WHERE doc_id % 9 NOT IN (3, 4, 7, 8))
           |SELECT doc_id, kind, width, height,
           |  width * height >= 20 AS pass_pixels,
           |  least(width, height) * 3 >= greatest(width, height) * 2
@@ -1981,9 +1994,9 @@ object ExtQueries {
           |GROUP BY i.img_id ORDER BY i.img_id""".stripMargin)),
 
     // The multimodal DATASET CARD: per-kind manifest rollup over the
-    // five-format corpus — the summary every corpus release ships
+    // nine-format corpus — the summary every corpus release ships
     // (counts, dimension spread, total frames per modality). Decoded
-    // envelopes (real codecs, kind-routed) feed one keyed aggregate
+    // envelopes (real parsers, kind-routed) feed one keyed aggregate
     // with map-side partials; the kinds×stats result is scale-free.
     // Sums are over decoded dims/frames (closed-form), never payload
     // byte lengths (DEFLATE/LZW output sizes are codec-version
@@ -2005,27 +2018,39 @@ object ExtQueries {
       },
       Some(
         """WITH m AS (SELECT doc_id,
-          |  CASE doc_id % 7 WHEN 0 THEN 'image/ppm' WHEN 1 THEN 'image/bmp'
+          |  CASE doc_id % 9 WHEN 0 THEN 'image/ppm' WHEN 1 THEN 'image/bmp'
           |    WHEN 2 THEN 'image/png' WHEN 3 THEN 'audio/wav'
           |    WHEN 4 THEN 'video/y4m' WHEN 5 THEN 'image/gif'
-          |    ELSE 'image/jpeg' END AS kind,
-          |  CAST(CASE doc_id % 7
+          |    WHEN 6 THEN 'image/jpeg' WHEN 7 THEN 'audio/mp3'
+          |    ELSE 'video/h264' END AS kind,
+          |  CAST(CASE doc_id % 9
           |    WHEN 0 THEN 4 + doc_id % 5 WHEN 1 THEN 3 + doc_id % 5
           |    WHEN 2 THEN 3 + doc_id % 5
           |    WHEN 3 THEN 1 + doc_id % 2
           |    WHEN 4 THEN 3 + doc_id % 3
           |    WHEN 5 THEN 3 + doc_id % 5
-          |    ELSE 10 + doc_id % 23 END AS INT) AS width,
-          |  CAST(CASE doc_id % 7
+          |    WHEN 6 THEN 10 + doc_id % 23
+          |    WHEN 7 THEN CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END
+          |    ELSE 16 * (2 + doc_id % 6)
+          |      - CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END
+          |    END AS INT) AS width,
+          |  CAST(CASE doc_id % 9
           |    WHEN 0 THEN 3 + doc_id % 4 WHEN 1 THEN 2 + doc_id % 4
           |    WHEN 2 THEN 5 + doc_id % 4
           |    WHEN 3 THEN 8000 + (doc_id % 3) * 4000
           |    WHEN 4 THEN 2 + doc_id % 3
           |    WHEN 5 THEN 4 + doc_id % 4
-          |    ELSE 10 + doc_id % 17 END AS INT) AS height,
-          |  CAST(CASE doc_id % 7
+          |    WHEN 6 THEN 10 + doc_id % 17
+          |    WHEN 7 THEN CASE doc_id % 3 WHEN 0 THEN 44100
+          |      WHEN 1 THEN 48000 ELSE 32000 END
+          |    ELSE 16 * (2 + doc_id % 4)
+          |      - CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END
+          |    END AS INT) AS height,
+          |  CAST(CASE doc_id % 9
           |    WHEN 3 THEN 20 + doc_id % 7
           |    WHEN 4 THEN 3 + doc_id % 4
+          |    WHEN 7 THEN 8 + doc_id % 5
+          |    WHEN 8 THEN (2 + doc_id % 3) * (2 + doc_id % 4)
           |    ELSE 1 END AS INT) AS n_frames
           |  FROM documents)
           |SELECT kind, count(*) AS n,

@@ -438,14 +438,15 @@ object StreamingQueries {
           |FROM dk JOIN f USING (k) LEFT JOIN hist USING (k)
           |ORDER BY dk.doc_id""".stripMargin)),
 
-    // Streaming MULTIMODAL ingest under the gate: the five-format media
+    // Streaming MULTIMODAL ingest under the gate: the nine-format media
     // corpus of q146 decoded as a STREAM — per micro-batch, rows route
-    // to their real codecs (PPM/BMP/PNG/WAV/Y4M) through the same typed
-    // mapPartitions dispatch the batch path uses (stateless, so the
-    // result is split-invariant by construction), append sink. This is
-    // the crawl-side shape: media files land continuously and decode
-    // incrementally, with per-partition per-format codec lifecycle.
-    // Oracle = q146's envelope arithmetic verbatim.
+    // to their real parsers (PPM/BMP/PNG/GIF/JPEG/WAV/MP3/Y4M/H.264)
+    // through the same typed mapPartitions dispatch the batch path uses
+    // (stateless, so the result is split-invariant by construction),
+    // append sink. This is the crawl-side shape: media files land
+    // continuously and decode incrementally, with per-partition
+    // per-format codec lifecycle. Oracle = q146's envelope arithmetic
+    // verbatim.
     Q("q152_streaming_media_decode",
       (s, dir) => {
         import s.implicits._
@@ -459,27 +460,39 @@ object StreamingQueries {
       },
       Some(
         """SELECT doc_id,
-          |  CASE doc_id % 7 WHEN 0 THEN 'image/ppm' WHEN 1 THEN 'image/bmp'
+          |  CASE doc_id % 9 WHEN 0 THEN 'image/ppm' WHEN 1 THEN 'image/bmp'
           |    WHEN 2 THEN 'image/png' WHEN 3 THEN 'audio/wav'
           |    WHEN 4 THEN 'video/y4m' WHEN 5 THEN 'image/gif'
-          |    ELSE 'image/jpeg' END AS kind,
-          |  CAST(CASE doc_id % 7
+          |    WHEN 6 THEN 'image/jpeg' WHEN 7 THEN 'audio/mp3'
+          |    ELSE 'video/h264' END AS kind,
+          |  CAST(CASE doc_id % 9
           |    WHEN 0 THEN 4 + doc_id % 5 WHEN 1 THEN 3 + doc_id % 5
           |    WHEN 2 THEN 3 + doc_id % 5
           |    WHEN 3 THEN 1 + doc_id % 2
           |    WHEN 4 THEN 3 + doc_id % 3
           |    WHEN 5 THEN 3 + doc_id % 5
-          |    ELSE 10 + doc_id % 23 END AS INT) AS width,
-          |  CAST(CASE doc_id % 7
+          |    WHEN 6 THEN 10 + doc_id % 23
+          |    WHEN 7 THEN CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END
+          |    ELSE 16 * (2 + doc_id % 6)
+          |      - CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END
+          |    END AS INT) AS width,
+          |  CAST(CASE doc_id % 9
           |    WHEN 0 THEN 3 + doc_id % 4 WHEN 1 THEN 2 + doc_id % 4
           |    WHEN 2 THEN 5 + doc_id % 4
           |    WHEN 3 THEN 8000 + (doc_id % 3) * 4000
           |    WHEN 4 THEN 2 + doc_id % 3
           |    WHEN 5 THEN 4 + doc_id % 4
-          |    ELSE 10 + doc_id % 17 END AS INT) AS height,
-          |  CAST(CASE doc_id % 7
+          |    WHEN 6 THEN 10 + doc_id % 17
+          |    WHEN 7 THEN CASE doc_id % 3 WHEN 0 THEN 44100
+          |      WHEN 1 THEN 48000 ELSE 32000 END
+          |    ELSE 16 * (2 + doc_id % 4)
+          |      - CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END
+          |    END AS INT) AS height,
+          |  CAST(CASE doc_id % 9
           |    WHEN 3 THEN 20 + doc_id % 7
           |    WHEN 4 THEN 3 + doc_id % 4
+          |    WHEN 7 THEN 8 + doc_id % 5
+          |    WHEN 8 THEN (2 + doc_id % 3) * (2 + doc_id % 4)
           |    ELSE 1 END AS INT) AS n_frames
           |FROM documents ORDER BY doc_id""".stripMargin))
   )

@@ -354,10 +354,10 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(hd >= 1 && hd <= 8, s"edit moved $hd bits")
   }
 
-  test("decodeMetaByKind: seven formats route to their codecs in one " +
+  test("decodeMetaByKind: nine formats route to their codecs in one " +
       "pass; unknown kinds fail loudly (q146's contract)") {
     import spark.implicits._
-    val ds = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L).toDS()
+    val ds = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L).toDS()
       .map(graft.ext.Multimodal.syntheticMedia)
     val metas = Multimodal.decodeMetaByKind(ds).collect()
       .map(m => m.docId -> m).toMap
@@ -371,6 +371,13 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       metas(5L).height === 5)
     assert(metas(6L).kind === "image/jpeg" && metas(6L).width === 16 &&
       metas(6L).height === 16)
+    // d=7: mp3 — (channels, rate, frames) = (1 [mode 3=mono], 48000
+    // [7%3=1], 8+7%5=10)
+    assert(metas(7L).kind === "audio/mp3" && metas(7L).width === 1 &&
+      metas(7L).height === 48000 && metas(7L).nFrames === 10)
+    // d=8: h264 — 16·(2+8%6)-2 × 16·(2+8%4)-2, slices (2+8%3)·(2+8%4)
+    assert(metas(8L).kind === "video/h264" && metas(8L).width === 62 &&
+      metas(8L).height === 30 && metas(8L).nFrames === 8)
     val unknown = Seq(MediaFile(9L, "image/webp", Array[Byte](1, 2)))
       .toDS()
     val e = intercept[org.apache.spark.SparkException](
