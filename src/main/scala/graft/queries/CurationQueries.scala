@@ -614,6 +614,34 @@ object CurationQueries {
           |SELECT source, CAST(gs AS BIGINT) AS group_size,
           |  round(pw / z.z, 6) AS weight,
           |  CAST(round(round(pw / z.z, 6) * 1000000) AS BIGINT) AS alloc_ppm
-          |FROM p CROSS JOIN z ORDER BY source""".stripMargin))
+          |FROM p CROSS JOIN z ORDER BY source""".stripMargin)),
+
+    // Lexicon keyword tagging via Aho–Corasick (graft.text.AhoCorasick)
+    // — the taxonomy/blocklist operator: one automaton pass finds EVERY
+    // occurrence of EVERY lexicon word, overlapping included ("he"
+    // inside every "the", "art" inside every "part" — both lexicon
+    // pairs present here, so overlap semantics are inside the oracle
+    // gate, not just the spec). The automaton broadcasts once (bounded
+    // artifact, like the BPE merge table); tagging is shuffle-free.
+    // Every lexicon word is border-free (no proper prefix = suffix), so
+    // occurrences of one pattern cannot overlap EACH OTHER and DuckDB's
+    // greedy replace-count equals the true all-occurrence count —
+    // AhoCorasickSpec proves full overlap semantics (incl. self-
+    // overlapping patterns) against brute force where SQL can't.
+    Q("q170_keyword_tags",
+      (s, dir) =>
+        graft.text.AhoCorasick.tagCounts(
+            Tables.sharded(s, dir, "documents", "doc_id"),
+            Seq("a", "art", "data", "he", "row", "scan", "table", "the"))
+          .orderBy(col("doc_id"), col("keyword")),
+      Some(
+        """WITH kw(kw) AS (VALUES ('a'), ('art'), ('data'), ('he'),
+          |    ('row'), ('scan'), ('table'), ('the')),
+          |c AS (SELECT doc_id, kw,
+          |    (length(text) - length(replace(text, kw, '')))
+          |      // length(kw) AS n
+          |  FROM documents CROSS JOIN kw)
+          |SELECT doc_id, kw AS keyword, CAST(n AS BIGINT) AS n
+          |FROM c WHERE n > 0 ORDER BY doc_id, keyword""".stripMargin))
   )
 }
