@@ -37,7 +37,12 @@ object Bench {
     // no trace — failures are reported in a "failed" array and the process
     // exits non-zero
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    val results = Registry.all.filter(_.bench).flatMap { q =>
+    // Dev-only subset filter (comma-separated name prefixes): the driver
+    // never sets it, so the published artifact is always the full suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').toSeq.filter(_.nonEmpty))
+    val results = Registry.all.filter(_.bench)
+      .filter(q => only.forall(_.exists(q.name.startsWith))).flatMap { q =>
       var ok = true
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()

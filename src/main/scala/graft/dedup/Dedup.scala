@@ -147,6 +147,11 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("__ga"), col("__gb"))).as("common"),
         size(col("__ga")).as("na"), size(col("__gb")).as("nb"))
+      // common > 0 preserves the original explode-join semantics: a
+      // band-key collision between gram-DISJOINT docs must not surface a
+      // jaccard=0 row (the SQL oracles inner-join on shared grams, so such
+      // a row exists only on the engine side — a latent hash-mismatch).
+      .where(col("common") > 0)
       .select(col("id_a"), col("id_b"),
         (col("common") / (col("na") + col("nb") - col("common"))).as("jaccard"))
 

@@ -71,44 +71,54 @@ object Mp3 {
       pos = 10 + tagBody
       if (pos > end) fail(s"ID3v2 tag (10+$tagBody bytes) overruns payload")
     }
-    // ID3v1 trailer: fixed 128 bytes, magic "TAG"
-    val hasId3v1 = end - pos >= 128 && bytes(end - 128) == 'T' &&
-      bytes(end - 127) == 'A' && bytes(end - 126) == 'G'
-    if (hasId3v1) end -= 128
+    // ID3v1 trailer: fixed 128 bytes, magic "TAG" — detected AT A FRAME
+    // BOUNDARY during the walk, not by pre-sniffing bytes[end-128]. A
+    // frame header starts 0xff, never 'T', so "exactly 128 bytes remain
+    // and they start with TAG" is unambiguous; the pre-sniff form could
+    // mis-split when audio data coincidentally carried "TAG" at end-128
+    // (silently dropping 128 bytes of real frames if a frame boundary
+    // landed exactly there).
+    var hasId3v1 = false
     var nFrames = 0
     var sampleRate = -1
     var channels = -1
     var bitrateSum = 0L
     while (pos < end) {
-      if (pos + 4 > end) fail(s"truncated frame header at byte $pos")
-      val b1 = bytes(pos) & 0xff
-      val b2 = bytes(pos + 1) & 0xff
-      val b3 = bytes(pos + 2) & 0xff
-      val b4 = bytes(pos + 3) & 0xff
-      if (b1 != 0xff || (b2 & 0xe0) != 0xe0)
-        fail(f"lost sync at byte $pos (0x$b1%02x 0x$b2%02x)")
-      if ((b2 & 0x18) != 0x18) fail(s"not MPEG-1 at byte $pos")
-      if ((b2 & 0x06) != 0x02) fail(s"not Layer III at byte $pos")
-      val brIdx = b3 >> 4
-      val kbps = BitrateKbps(brIdx)
-      if (kbps < 0) fail(s"free/reserved bitrate index $brIdx at byte $pos")
-      val srIdx = (b3 >> 2) & 0x3
-      val rate = SampleRateHz(srIdx)
-      if (rate < 0) fail(s"reserved sample-rate index at byte $pos")
-      if (sampleRate < 0) sampleRate = rate
-      else if (rate != sampleRate)
-        fail(s"sample rate changed $sampleRate→$rate at byte $pos")
-      val pad = (b3 >> 1) & 0x1
-      val nCh = if ((b4 >> 6) == 3) 1 else 2
-      if (channels < 0) channels = nCh
-      else if (nCh != channels)
-        fail(s"channel count changed $channels→$nCh at byte $pos")
-      val frameLen = 144000 * kbps / rate + pad
-      if (pos + frameLen > end)
-        fail(s"frame of $frameLen bytes at $pos overruns payload end $end")
-      nFrames += 1
-      bitrateSum += kbps
-      pos += frameLen
+      if (end - pos == 128 && bytes(pos) == 'T' && bytes(pos + 1) == 'A' &&
+          bytes(pos + 2) == 'G') {
+        hasId3v1 = true
+        pos = end
+      } else {
+        if (pos + 4 > end) fail(s"truncated frame header at byte $pos")
+        val b1 = bytes(pos) & 0xff
+        val b2 = bytes(pos + 1) & 0xff
+        val b3 = bytes(pos + 2) & 0xff
+        val b4 = bytes(pos + 3) & 0xff
+        if (b1 != 0xff || (b2 & 0xe0) != 0xe0)
+          fail(f"lost sync at byte $pos (0x$b1%02x 0x$b2%02x)")
+        if ((b2 & 0x18) != 0x18) fail(s"not MPEG-1 at byte $pos")
+        if ((b2 & 0x06) != 0x02) fail(s"not Layer III at byte $pos")
+        val brIdx = b3 >> 4
+        val kbps = BitrateKbps(brIdx)
+        if (kbps < 0) fail(s"free/reserved bitrate index $brIdx at byte $pos")
+        val srIdx = (b3 >> 2) & 0x3
+        val rate = SampleRateHz(srIdx)
+        if (rate < 0) fail(s"reserved sample-rate index at byte $pos")
+        if (sampleRate < 0) sampleRate = rate
+        else if (rate != sampleRate)
+          fail(s"sample rate changed $sampleRate→$rate at byte $pos")
+        val pad = (b3 >> 1) & 0x1
+        val nCh = if ((b4 >> 6) == 3) 1 else 2
+        if (channels < 0) channels = nCh
+        else if (nCh != channels)
+          fail(s"channel count changed $channels→$nCh at byte $pos")
+        val frameLen = 144000 * kbps / rate + pad
+        if (pos + frameLen > end)
+          fail(s"frame of $frameLen bytes at $pos overruns payload end $end")
+        nFrames += 1
+        bitrateSum += kbps
+        pos += frameLen
+      }
     }
     if (nFrames == 0) fail("no MP3 frames")
     Mp3Meta(nFrames, sampleRate, channels, bitrateSum,

@@ -65,6 +65,36 @@ object Mp3Props extends Properties("Mp3") {
     scala.util.Try(Mp3.decodeMp3Meta(bytes)).isFailure
   }
 
+  // The trailer decision happens at a FRAME BOUNDARY during the walk, so
+  // audio data that coincidentally carries "TAG" exactly 128 bytes before
+  // the end must NOT split the stream (the old pre-sniff form did).
+  property("'TAG' inside frame data at end-128 is not a trailer") =
+    forAll(Gen.choose(0L, 839L).suchThat(d => d % 3 != 0)) { d =>
+      val bytes = Mp3.syntheticMp3(d) // no real ID3v1 trailer
+      // plant "TAG" at end-128: mid-frame for every residue here, since
+      // the final frame is > 128 bytes (min frame = 144000·32/48000 = 96?
+      // no — min kbps on the last frame varies, so only assert when the
+      // plant offset is NOT a frame boundary, i.e. decode still succeeds)
+      if (bytes.length > 131) {
+        bytes(bytes.length - 128) = 'T'; bytes(bytes.length - 127) = 'A'
+        bytes(bytes.length - 126) = 'G'
+        val r = scala.util.Try(Mp3.decodeMp3Meta(bytes))
+        // either the walk still spans the full payload (plant was
+        // mid-frame: no trailer reported) or the corrupted bytes break a
+        // header and it fails LOUDLY — silent frame-dropping is the one
+        // forbidden outcome, observable as hasId3v1 == true
+        r.isFailure || !r.get.hasId3v1
+      } else true
+    }
+
+  property("a non-TAG 128-byte tail at a frame boundary fails loudly") =
+    forAll(docId) { d =>
+      val bytes = Mp3.syntheticMp3(d)
+      val withTail = java.util.Arrays.copyOf(bytes, bytes.length + 128)
+      java.util.Arrays.fill(withTail, bytes.length, withTail.length, 1.toByte)
+      scala.util.Try(Mp3.decodeMp3Meta(withTail)).isFailure
+    }
+
   property("VBR profiles are non-degenerate (mean != any single frame)") =
     forAll(docId) { d =>
       val m = Mp3.decodeMp3Meta(Mp3.syntheticMp3(d))
