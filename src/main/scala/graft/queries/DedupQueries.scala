@@ -601,6 +601,35 @@ object DedupQueries {
         |FROM documents d LEFT JOIN reach r ON d.doc_id = r.s
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
 
+    // The SAME cluster map as q55, computed by alternating star
+    // contraction (large-star/small-star, Kiveris et al. 2014) instead of
+    // min-label propagation — the two engines for one contract, both
+    // oracle-gated against the identical recursive-CTE ground truth.
+    // Propagation's round count is the component DIAMETER; on a crawl
+    // where boilerplate chains near-dups into a deep path, it needs
+    // diameter-many shuffle rounds (GraphsSpec: a 256-node chain blows its
+    // 20-round budget). Star contraction rewires every node directly to
+    // its neighborhood minimum, so rounds stay ~log n regardless of
+    // shape — the variant to reach for when cluster topology is unknown,
+    // at the price of an exact set-equality convergence check (two
+    // distinct-counts per round) and edge-set (not label-set) state.
+    Q("q171_cc_alternating",
+      (s, dir) => graft.analytics.Graphs.connectedComponents(
+          Tables(s, dir, "documents").select(col("doc_id")),
+          clusterEdges(s, dir))
+        .orderBy(col("doc_id")),
+      Some(duckLshEdges.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+        |und AS (SELECT doc_a AS s, doc_b AS t FROM jp
+        |        UNION ALL SELECT doc_b, doc_a FROM jp),
+        |reach AS (SELECT s, t FROM und
+        |          UNION
+        |          SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s
+        |          WHERE u.t <> r.s)
+        |SELECT d.doc_id,
+        |  least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS cluster_id
+        |FROM documents d LEFT JOIN reach r ON d.doc_id = r.s
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
+
     // The end-to-end training-corpus preparation job — what all the
     // building blocks compose into: near-dup clustering picks one
     // canonical doc per cluster, quality & language gates drop the rest,

@@ -45,4 +45,59 @@ class GraphsSpec extends AnyFunSuite with SparkTestBase {
         ("c", "a", 1.0)), iters = 6)
     assert(r("b") > r("c"))
   }
+
+  // ---- connectedComponents (alternating star contraction) ----
+
+  private def ccLabels(ids: Seq[Long], pairs: Seq[(Long, Long)],
+      maxRounds: Int = 30): (Map[Long, Long], Int) = {
+    import spark.implicits._
+    val (labels, rounds) = Graphs.ccWithRounds(ids.toDF("doc_id"),
+      pairs.toDF("a", "b"), "doc_id", maxRounds)
+    (labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, rounds)
+  }
+
+  test("cc labels every component by its minimum id") {
+    val (m, _) = ccLabels(0L to 9L,
+      Seq((1L, 3L), (3L, 5L), (7L, 8L), (2L, 2L)))
+    assert(m == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 4L,
+      5L -> 1L, 6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
+  }
+
+  test("cc matches min-label propagation on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val n = 30 + trial * 10
+      val ids = (0L until n.toLong)
+      val pairs = Seq.fill(n)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val expected = graft.dedup.Dedup.clusters(ids.toDF("doc_id"),
+          pairs.toDF("a", "b"), maxRounds = 100)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val (got, _) = ccLabels(ids, pairs)
+      assert(got == expected, s"trial $trial diverged from propagation")
+    }
+  }
+
+  test("cc converges in O(log n) rounds on a diameter-n chain") {
+    // a 256-node path: min-label propagation walks the diameter (256
+    // rounds — its 20-round default throws); star contraction rewires to
+    // neighborhood minima and must land in a handful of rounds.
+    import spark.implicits._
+    val n = 256L
+    val ids = 0L until n
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    intercept[IllegalStateException] {
+      graft.dedup.Dedup.clusters(ids.toDF("doc_id"),
+        chain.toDF("a", "b")).collect()
+    }
+    val (labels, rounds) = ccLabels(ids, chain)
+    assert(labels.values.forall(_ == 0L), "one component rooted at 0")
+    assert(rounds <= 12, s"expected ~log₂(256)=8-ish rounds, got $rounds")
+  }
+
+  test("cc on an empty edge set is the identity labeling") {
+    val (m, rounds) = ccLabels(Seq(4L, 7L), Seq.empty)
+    assert(m == Map(4L -> 4L, 7L -> 7L) && rounds == 0)
+  }
 }
