@@ -435,6 +435,85 @@ object CorpusQueries {
            |      ORDER BY round(sc.s + prin.lnp, 6) DESC, sc.label) AS rk
            |  FROM sc JOIN prin ON prin.label = sc.label)
            |SELECT doc_id, label AS pred_source, score
-           |FROM fin WHERE rk = 1 ORDER BY doc_id""".stripMargin))
+           |FROM fin WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
+
+    // Hybrid retrieval — the RAG-serving shape: a lexical ranked list
+    // (q76's BM25, same query tokens) and a vector ranked list (exact
+    // cosine to a query embedding, q148's query-vector pattern) fused by
+    // reciprocal-rank fusion (graft.similarity.Hybrid.rrf; Cormack et al.
+    // 2009). Both lists are top-20 BOUNDED artifacts before fusion — the
+    // corpus-sized work lives in the two rankers, each already verified
+    // on its own (q76, q66); the fusion itself unions 40 rows and runs
+    // one keyed aggregate, so the composition adds no scale risk. The
+    // rank windows run over ALREADY-LIMITED 20-row frames (the q124
+    // map-side-rank pattern, not a corpus-wide global window). The
+    // oracle replays BM25, the cosine ranking, and the 1/(60+rank) sum.
+    Q("q172_hybrid_rrf",
+      (s, dir) => {
+        val bmTop = graft.text.TextStats
+          .bm25(Tables.sharded(s, dir, "documents", "doc_id"),
+            queryTokens = Seq("join", "vector", "dup"))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+        val bmRanked = bmTop.select(col("doc_id"), row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id")))
+          .as("rank"))
+        val emb = Tables(s, dir, "embeddings")
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("e"))
+        val v0 = emb.where(col("vec_id") === 0)
+          .select(col("e")).collect().head.getSeq[Double](0).toArray
+        val cosTop = emb.where(col("vec_id") > 0)
+          .select(col("vec_id").as("doc_id"),
+            round(graft.functions.CosineSimilarity(col("e"), typedLit(v0)),
+              6).as("c"))
+          .orderBy(col("c").desc, col("doc_id")).limit(20)
+        val cosRanked = cosTop.select(col("doc_id"), row_number()
+          .over(Window.orderBy(col("c").desc, col("doc_id"))).as("rank"))
+        graft.similarity.Hybrid.rrf(Seq(bmRanked, cosRanked))
+          .orderBy(col("rrf_score").desc, col("doc_id")).limit(10)
+      },
+      Some(
+        """WITH dl AS (SELECT doc_id,
+          |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+          |  FROM documents),
+          |c AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |tf AS (SELECT doc_id, tok, count(*) AS tf FROM (
+          |    SELECT doc_id, unnest(list_filter(
+          |      string_split_regex(lower(text), '[^a-z0-9]+'),
+          |      t -> len(t) > 0)) AS tok
+          |    FROM documents)
+          |  WHERE tok IN ('join', 'vector', 'dup') GROUP BY 1, 2),
+          |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+          |s AS (SELECT tf.doc_id,
+          |    ln(CAST(1.0 AS DOUBLE)
+          |       + (c.n - df.df + CAST(0.5 AS DOUBLE))
+          |         / (df.df + CAST(0.5 AS DOUBLE)))
+          |    * (tf.tf * CAST(2.5 AS DOUBLE))
+          |      / (tf.tf + CAST(1.5 AS DOUBLE)
+          |         * (CAST(0.25 AS DOUBLE)
+          |            + CAST(0.75 AS DOUBLE) * dl.dl / c.avgdl)) AS s
+          |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN c),
+          |bmtop AS (SELECT doc_id, round(sum(s), 6) AS score
+          |  FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
+          |bm AS (SELECT doc_id,
+          |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+          |  FROM bmtop),
+          |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+          |        FROM embeddings),
+          |qv AS (SELECT ev FROM emb WHERE vec_id = 0),
+          |costop AS (SELECT vec_id AS doc_id,
+          |    round(list_cosine_similarity(e.ev, qv.ev), 6) AS cs
+          |  FROM emb e CROSS JOIN qv WHERE e.vec_id > 0
+          |  ORDER BY cs DESC, doc_id LIMIT 20),
+          |ct AS (SELECT doc_id,
+          |    row_number() OVER (ORDER BY cs DESC, doc_id) AS rank
+          |  FROM costop),
+          |u AS (SELECT doc_id, rank FROM bm
+          |      UNION ALL SELECT doc_id, rank FROM ct)
+          |SELECT doc_id,
+          |  round(sum(CAST(1.0 AS DOUBLE) / (60 + rank)), 6) AS rrf_score,
+          |  count(*) AS n_lists
+          |FROM u GROUP BY doc_id
+          |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin))
   )
 }
