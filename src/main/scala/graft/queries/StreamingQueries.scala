@@ -494,6 +494,31 @@ object StreamingQueries {
           |    WHEN 7 THEN 8 + doc_id % 5
           |    WHEN 8 THEN (2 + doc_id % 3) * (2 + doc_id % 4)
           |    ELSE 1 END AS INT) AS n_frames
-          |FROM documents ORDER BY doc_id""".stripMargin))
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Streaming lexicon tagging — q170's Aho–Corasick operator on the
+    // document stream: the automaton broadcasts once (bounded driver
+    // artifact), tagging is a pure per-partition flatMap with NO shuffle
+    // and NO state store, so it streams in append mode as-is — the
+    // shape of a tag-on-ingest curation hop (blocklist screening before
+    // anything pays to store the doc). Oracle: q170's batch SQL
+    // VERBATIM — the streamed tag set must hash-match the batch pass.
+    Q("q173_streaming_keyword_tags",
+      (s, dir) => {
+        val tags = graft.text.AhoCorasick.tagCounts(
+          shardedDocStream(s, dir),
+          Seq("a", "art", "data", "he", "row", "scan", "table", "the"))
+        runToTable(tags, "stream_kw_tags")
+          .orderBy(col("doc_id"), col("keyword"))
+      },
+      Some(
+        """WITH kw(kw) AS (VALUES ('a'), ('art'), ('data'), ('he'),
+          |    ('row'), ('scan'), ('table'), ('the')),
+          |c AS (SELECT doc_id, kw,
+          |    (length(text) - length(replace(text, kw, '')))
+          |      // length(kw) AS n
+          |  FROM documents CROSS JOIN kw)
+          |SELECT doc_id, kw AS keyword, CAST(n AS BIGINT) AS n
+          |FROM c WHERE n > 0 ORDER BY doc_id, keyword""".stripMargin))
   )
 }
