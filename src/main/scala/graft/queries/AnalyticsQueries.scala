@@ -158,6 +158,32 @@ object AnalyticsQueries {
       Some("""SELECT doc_id, text, lang, source
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ORC corpus round-trip — the OTHER columnar interchange format a
+    // 100 TB lakehouse speaks (Hive/Trino default). Spark's native
+    // vectorized ORC reader/writer does the work; the library contract
+    // this row pins is the same as q107's: EXPLICIT schema on read (no
+    // inference job over a fleet of files) and losslessness for the
+    // exact long / hostile-string content the documents table carries.
+    // OrcSourceSpec additionally pins that doc_id predicates reach the
+    // scan as PushedFilters — the reason columnar interchange matters
+    // at scale at all.
+    Q("q174_orc_roundtrip",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select(
+          col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        val path =
+          tempDirCleanedOnExit("graft_orc_").resolve("corpus").toString
+        docs.write.mode("overwrite").orc(path)
+        s.read.schema(
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+              "n_chars BIGINT")
+          .orc(path)
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, text, lang, source, n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Snapshot reconciliation (graft.analytics.Snapshots.diff): which
     // documents are new, gone, or edited between two corpus snapshots —
     // the question every recrawl/re-export raises. Snapshot B is derived
