@@ -853,6 +853,42 @@ object AdvancedQueries {
            |${iter(3)}
            |SELECT node AS nation, round(r, 6) AS pr
            |FROM r3 ORDER BY nation""".stripMargin
-      })
+      }),
+
+    // Point-in-time join (graft.analytics.AsofJoin) — every view event
+    // attached to the user's latest purchase value at or before it: the
+    // feature-store / trades←quotes operator. The engine never plans a
+    // JOIN at all: both sides union, shuffle ONCE on user_id, and one
+    // per-key ordered window pass carries the purchase value forward
+    // (AsofJoinSpec pins the single-exchange single-window plan). The
+    // purchase side pre-aggregates to one row per (user, ts) — the
+    // uniqueness contract that keeps equal-ts winners deterministic.
+    // The oracle is DuckDB's native ASOF LEFT JOIN: two ENGINES, two
+    // genuinely different algorithms, one hash.
+    Q("q175_asof_join",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val views = ev.where(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("purchase_value"))
+        graft.analytics.AsofJoin.asof(views, purchases,
+            keyCols = Seq("user_id"), tsCol = "ts",
+            valueCols = Seq("purchase_value"))
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("asof_purchase_value"))
+          .orderBy(col("event_id"))
+      },
+      Some(
+        """WITH v AS (SELECT event_id, user_id, ts, value FROM events
+          |  WHERE event_type = 'view'),
+          |p AS (SELECT user_id, ts, max(value) AS pv FROM events
+          |  WHERE event_type = 'purchase' GROUP BY 1, 2)
+          |SELECT v.event_id, v.user_id, v.value,
+          |  p.pv AS asof_purchase_value
+          |FROM v ASOF LEFT JOIN p
+          |  ON v.user_id = p.user_id AND p.ts <= v.ts
+          |ORDER BY event_id""".stripMargin))
   )
 }
