@@ -889,6 +889,44 @@ object AdvancedQueries {
           |  p.pv AS asof_purchase_value
           |FROM v ASOF LEFT JOIN p
           |  ON v.user_id = p.user_id AND p.ts <= v.ts
-          |ORDER BY event_id""".stripMargin))
+          |ORDER BY event_id""".stripMargin)),
+
+    // Range (interval) join (graft.analytics.RangeJoin) — the attribution
+    // query: every view landing inside a purchase's 6-hour window for the
+    // same user, rolled up per purchase. A BETWEEN predicate would plan
+    // as a per-user nested loop; the engine instead buckets time at the
+    // window width (each interval explodes to exactly 2 bucket rows),
+    // equi-joins on (user, bucket), and re-verifies the exact bounds —
+    // candidate-driven, codegen'd, no cross product anywhere. The oracle
+    // replays the naive BETWEEN join (DuckDB's planner can afford it at
+    // oracle scale); matching hashes prove the bucketing loses and
+    // duplicates nothing.
+    Q("q176_range_join",
+      (s, dir) => {
+        val sixHoursNs = 6L * 3600L * 1000000000L
+        val ev = Tables(s, dir, "events")
+        val views = ev.where(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("value"))
+        val windows = ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("lo"), (col("ts") + lit(sixHoursNs - 1)).as("hi"))
+        graft.analytics.RangeJoin.pointInInterval(
+            views, windows, pointCol = "ts", loCol = "lo", hiCol = "hi",
+            bucket = sixHoursNs, keyCols = Seq("user_id"))
+          .groupBy(col("purchase_id"))
+          .agg(count(lit(1)).as("n_views"),
+            round(sum(col("value")), 6).as("sum_view_value"))
+          .orderBy(col("purchase_id"))
+      },
+      Some(
+        """WITH v AS (SELECT user_id, epoch_ns(ts) AS ts, value FROM events
+          |  WHERE event_type = 'view'),
+          |p AS (SELECT event_id AS purchase_id, user_id,
+          |    epoch_ns(ts) AS lo FROM events WHERE event_type = 'purchase')
+          |SELECT purchase_id, count(*) AS n_views,
+          |  round(sum(v.value), 6) AS sum_view_value
+          |FROM p JOIN v ON v.user_id = p.user_id
+          |  AND v.ts >= p.lo AND v.ts <= p.lo + (21600000000000 - 1)
+          |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin))
   )
 }
