@@ -207,6 +207,88 @@ object ScaleElasticity {
           graft.ext.Jpeg.syntheticJpeg(d)))).toDF)
     }
 
+    // round-11 additions ------------------------------------------------
+    // connected components: random sparse graph (near-dup-shaped shallow
+    // components) under BOTH engines, and a single deep chain under star
+    // contraction alone (propagation's rounds = the chain length — it has
+    // no measurable point there, which IS the point)
+    def ccGraph(tag: String): (DataFrame, DataFrame) = {
+      val nodes = 50000L * scaleOf(tag)
+      val ids = spark.range(nodes).select(col("id").as("doc_id"))
+      val edges = spark.range(30000L * scaleOf(tag)).select(
+        pmod(xxhash64(col("id")), lit(nodes)).as("a"),
+        pmod(xxhash64(col("id") * 7 + 3), lit(nodes)).as("b"))
+      (ids, edges)
+    }
+    def ccStar(tag: String): Unit = {
+      val (ids, edges) = ccGraph(tag)
+      val (labels, rounds) =
+        graft.analytics.Graphs.ccWithRounds(ids, edges, "doc_id", 60)
+      force(labels)
+      println(s"[elast]   cc_star_random $tag rounds=$rounds")
+    }
+    def ccProp(tag: String): Unit = {
+      val (ids, edges) = ccGraph(tag)
+      // 60 rounds is NOT enough here: even this subcritical random graph
+      // grows a >60-diameter component, so propagation needs a 400-round
+      // budget where star contraction used 7-8 — that asymmetry is the
+      // measurement
+      force(graft.dedup.Dedup.clusters(ids, edges, maxRounds = 400))
+    }
+    def ccStarChain(tag: String): Unit = {
+      val n = 100000L * scaleOf(tag)
+      val ids = spark.range(n).select(col("id").as("doc_id"))
+      val edges = spark.range(n - 1)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      val (labels, rounds) =
+        graft.analytics.Graphs.ccWithRounds(ids, edges, "doc_id", 60)
+      force(labels)
+      println(s"[elast]   cc_star_chain $tag rounds=$rounds " +
+        s"(propagation would need $n rounds)")
+    }
+    // events-shaped stream for the time joins: n events over 30 days of
+    // integer-ns timestamps, users ∝ corpus (constant per-user density)
+    def genEvents(tag: String): DataFrame = {
+      val users = 2000L * scaleOf(tag)
+      spark.range(200000L * scaleOf(tag)).select(
+        col("id").as("event_id"),
+        pmod(xxhash64(col("id")), lit(users)).as("user_id"),
+        pmod(xxhash64(col("id") * 3 + 1), lit(2592000000000000L)).as("ts"),
+        (pmod(xxhash64(col("id") * 5 + 2), lit(1000)).cast("double") / 10)
+          .as("value"),
+        pmod(col("id"), lit(2)).as("side"))
+    }
+    // as-of join: one shuffle + per-key sorted window — expect ~linear
+    def asofProbe(tag: String): Unit = {
+      val ev = genEvents(tag).persist()
+      try {
+        val views = ev.where(col("side") === 0)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val purch = ev.where(col("side") === 1)
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("pv"))
+        force(AsofJoin.asof(views, purch, Seq("user_id"), "ts", Seq("pv")))
+      } finally ev.unpersist()
+    }
+    // range join: window-width buckets (2 bucket rows per interval),
+    // (user, bucket) equi-join + exact verify — expect ~linear in
+    // inputs + matches
+    def rangeProbe(tag: String): Unit = {
+      val sixH = 6L * 3600L * 1000000000L
+      val ev = genEvents(tag).persist()
+      try {
+        val views = ev.where(col("side") === 0)
+          .select(col("user_id"), col("ts"), col("value"))
+        val windows = ev.where(col("side") === 1)
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("lo"), (col("ts") + lit(sixH - 1)).as("hi"))
+        force(RangeJoin.pointInInterval(views, windows, "ts", "lo", "hi",
+            bucket = sixH, keyCols = Seq("user_id"))
+          .groupBy(col("purchase_id"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("s")))
+      } finally ev.unpersist()
+    }
+
     val probes: Seq[(String, String => Unit)] = Seq(
       ("exact_dedup", exactDedup _),
       ("minhash_lsh", lsh _),
@@ -220,7 +302,12 @@ object ScaleElasticity {
       ("pagerank", pagerank _),
       ("kmeans_lloyd", kmeans _),
       ("delta_dedup", delta _),
-      ("codec_decode", codecs _))
+      ("codec_decode", codecs _),
+      ("cc_star_random", ccStar _),
+      ("cc_prop_random", ccProp _),
+      ("cc_star_chain", ccStarChain _),
+      ("asof_join", asofProbe _),
+      ("range_join", rangeProbe _))
     // optional name-prefix filter: rerun a subset without paying the rest
     val selected = args.headOption
       .map(p => probes.filter(_._1.startsWith(p))).getOrElse(probes)
