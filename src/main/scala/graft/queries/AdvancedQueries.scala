@@ -927,6 +927,42 @@ object AdvancedQueries {
           |  round(sum(v.value), 6) AS sum_view_value
           |FROM p JOIN v ON v.user_id = p.user_id
           |  AND v.ts >= p.lo AND v.ts <= p.lo + (21600000000000 - 1)
-          |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin))
+          |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin)),
+
+    // q175's as-of join under the SKEW-HARDENED two-pass engine
+    // (AsofJoin.asofBucketed, day-wide time buckets): the per-key serial
+    // sort becomes per-(key, bucket), and a per-key SPINE of bucket-final
+    // values (at most #buckets rows per key, never #rows) prefix-carries
+    // across buckets — the shape that survives a hot key owning 10⁹ rows
+    // where the plain window form is one straggler task. Same oracle as
+    // q175 VERBATIM: two engine shapes, one ground truth (the q55/q171
+    // convention); AsofJoinSpec proves equality across bucket widths and
+    // PLANS.md measures the hot-key behavior.
+    Q("q177_asof_bucketed",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val views = ev.where(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("purchase_value"))
+        graft.analytics.AsofJoin.asofBucketed(views, purchases,
+            keyCols = Seq("user_id"), tsCol = "ts",
+            valueCols = Seq("purchase_value"),
+            bucket = 24L * 3600L * 1000000000L)
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("asof_purchase_value"))
+          .orderBy(col("event_id"))
+      },
+      Some(
+        """WITH v AS (SELECT event_id, user_id, ts, value FROM events
+          |  WHERE event_type = 'view'),
+          |p AS (SELECT user_id, ts, max(value) AS pv FROM events
+          |  WHERE event_type = 'purchase' GROUP BY 1, 2)
+          |SELECT v.event_id, v.user_id, v.value,
+          |  p.pv AS asof_purchase_value
+          |FROM v ASOF LEFT JOIN p
+          |  ON v.user_id = p.user_id AND p.ts <= v.ts
+          |ORDER BY event_id""".stripMargin))
   )
 }

@@ -69,6 +69,41 @@ class AsofJoinSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("bucketed variant equals the plain form on random inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val left = Seq.tabulate(300)(i => (i.toLong,
+      rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong)).toDF("id", "user", "ts")
+    val right = Seq.tabulate(80)(i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i / 10.0))
+      .toDF("user", "ts", "v")
+      // enforce the unique-(key, ts) contract the operator documents
+      .groupBy("user", "ts").agg(max("v").as("v"))
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[Any]("asof_v"))).toMap
+    val plain = toMap(AsofJoin.asof(left, right, Seq("user"), "ts",
+      Seq("v")))
+    for (w <- Seq(1L, 7L, 64L, 100000L)) {
+      val bucketed = toMap(AsofJoin.asofBucketed(left, right, Seq("user"),
+        "ts", Seq("v"), bucket = w))
+      assert(bucketed == plain, s"bucket width $w diverged")
+    }
+  }
+
+  test("bucketed variant carries across empty buckets") {
+    import spark.implicits._
+    // right value at ts=1, left rows many buckets later with nothing in
+    // between: the spine carry must bridge the gap
+    val left = Seq((1L, 1000000L, 5L), (2L, 999L, 5L)).toDF("id", "ts", "user")
+    val right = Seq((5L, 1L, 42.0)).toDF("user", "ts", "v")
+    val got = AsofJoin.asofBucketed(left, right, Seq("user"), "ts",
+        Seq("v"), bucket = 10)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Double]("asof_v")).toMap
+    assert(got == Map(1L -> 42.0, 2L -> 42.0))
+  }
+
   test("plans as ONE exchange + one window pass (no join operator)") {
     import spark.implicits._
     val left = spark.range(100).select(col("id"),

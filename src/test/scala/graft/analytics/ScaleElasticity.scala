@@ -289,6 +289,36 @@ object ScaleElasticity {
       } finally ev.unpersist()
     }
 
+    // hot-key as-of: 90% of events on ONE user — the plain window form
+    // serializes that key into a single sort task; the bucketed form
+    // spreads it over (key, time-bucket) partitions with a spine carry
+    def genHotEvents(tag: String): DataFrame = {
+      val users = 2000L * scaleOf(tag)
+      spark.range(200000L * scaleOf(tag)).select(
+        col("id").as("event_id"),
+        when(pmod(xxhash64(col("id") * 11 + 4), lit(10)) < 9, lit(7L))
+          .otherwise(pmod(xxhash64(col("id")), lit(users))).as("user_id"),
+        pmod(xxhash64(col("id") * 3 + 1), lit(2592000000000000L)).as("ts"),
+        (pmod(xxhash64(col("id") * 5 + 2), lit(1000)).cast("double") / 10)
+          .as("value"),
+        pmod(col("id"), lit(2)).as("side"))
+    }
+    def asofHot(tag: String, bucketed: Boolean): Unit = {
+      val ev = genHotEvents(tag).persist()
+      try {
+        val views = ev.where(col("side") === 0)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val purch = ev.where(col("side") === 1)
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("pv"))
+        val joined =
+          if (bucketed) AsofJoin.asofBucketed(views, purch, Seq("user_id"),
+            "ts", Seq("pv"), bucket = 6L * 3600L * 1000000000L)
+          else AsofJoin.asof(views, purch, Seq("user_id"), "ts", Seq("pv"))
+        force(joined)
+      } finally ev.unpersist()
+    }
+
     val probes: Seq[(String, String => Unit)] = Seq(
       ("exact_dedup", exactDedup _),
       ("minhash_lsh", lsh _),
@@ -307,7 +337,9 @@ object ScaleElasticity {
       ("cc_prop_random", ccProp _),
       ("cc_star_chain", ccStarChain _),
       ("asof_join", asofProbe _),
-      ("range_join", rangeProbe _))
+      ("range_join", rangeProbe _),
+      ("asof_hot_plain", (t: String) => asofHot(t, bucketed = false)),
+      ("asof_hot_bucketed", (t: String) => asofHot(t, bucketed = true)))
     // optional name-prefix filter: rerun a subset without paying the rest
     val selected = args.headOption
       .map(p => probes.filter(_._1.startsWith(p))).getOrElse(probes)
