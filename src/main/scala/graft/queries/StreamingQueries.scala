@@ -519,6 +519,52 @@ object StreamingQueries {
           |      // length(kw) AS n
           |  FROM documents CROSS JOIN kw)
           |SELECT doc_id, kw AS keyword, CAST(n AS BIGINT) AS n
-          |FROM c WHERE n > 0 ORDER BY doc_id, keyword""".stripMargin))
+          |FROM c WHERE n > 0 ORDER BY doc_id, keyword""".stripMargin)),
+
+    // Stream-static as-of SERVING (graft.streaming.StreamingAsof): the
+    // view-event stream attaches each row's latest prior purchase value
+    // from a broadcast per-key ts-sorted index built off the static
+    // purchase history — q175's semantics in the online shape (feature
+    // lookup at event time). Pure per-partition binary-search map: no
+    // shuffle, no state store, append mode. The batch views stage
+    // through a temp parquet dir with ts already normalized to BIGINT
+    // nanos (the Tables contract — a raw streaming read of
+    // events.parquet would hit the TIMESTAMP(NANOS) encoding). Oracle:
+    // q175's DuckDB ASOF LEFT JOIN VERBATIM — batch engine, streamed
+    // engine, and DuckDB's native operator all hash-equal.
+    Q("q178_streaming_asof",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("purchase_value"))
+        val staged = AnalyticsQueries
+          .tempDirCleanedOnExit("graft_asof_stream_").toString
+        ev.where(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          .write.mode("overwrite").parquet(staged)
+        val stream = s.readStream
+          .schema("event_id BIGINT, user_id BIGINT, ts BIGINT, " +
+            "value DOUBLE")
+          .parquet(staged)
+          .repartition(s.sparkContext.defaultParallelism, col("user_id"))
+        val served = graft.streaming.StreamingAsof.attach(stream,
+          purchases, keyCol = "user_id", tsCol = "ts",
+          valueCol = "purchase_value", outCol = "asof_purchase_value")
+        runToTable(served, "stream_asof")
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("asof_purchase_value"))
+          .orderBy(col("event_id"))
+      },
+      Some(
+        """WITH v AS (SELECT event_id, user_id, ts, value FROM events
+          |  WHERE event_type = 'view'),
+          |p AS (SELECT user_id, ts, max(value) AS pv FROM events
+          |  WHERE event_type = 'purchase' GROUP BY 1, 2)
+          |SELECT v.event_id, v.user_id, v.value,
+          |  p.pv AS asof_purchase_value
+          |FROM v ASOF LEFT JOIN p
+          |  ON v.user_id = p.user_id AND p.ts <= v.ts
+          |ORDER BY event_id""".stripMargin))
   )
 }
