@@ -963,6 +963,72 @@ object AdvancedQueries {
           |  p.pv AS asof_purchase_value
           |FROM v ASOF LEFT JOIN p
           |  ON v.user_id = p.user_id AND p.ts <= v.ts
-          |ORDER BY event_id""".stripMargin))
+          |ORDER BY event_id""".stripMargin)),
+
+    // Funnel analysis BY COMPOSITION — no new operator: the classic
+    // view → click → purchase funnel is two chained as-of joins. Each
+    // purchase picks up the user's latest prior click (as-of #1), then
+    // the latest view prior to THAT CLICK (as-of #2, re-keyed on the
+    // click timestamp — NULL click timestamps sort before every right
+    // row, so click-less purchases correctly stay view-less); a
+    // completion is a full chain inside the 7-day span. Each as-of is
+    // the one-shuffle window form, so the whole funnel is two keyed
+    // window passes — never a per-user sequence scan collected anywhere.
+    // The oracle chains DuckDB's native ASOF JOINs the same way.
+    Q("q179_funnel",
+      (s, dir) => {
+        val sevenDaysNs = 7L * 24 * 3600 * 1000000000L
+        val ev = Tables(s, dir, "events")
+        def stamps(t: String, out: String) =
+          ev.where(col("event_type") === t)
+            .select(col("user_id"), col("ts"), col("ts").as(out)).distinct()
+        val purch = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val withClick = graft.analytics.AsofJoin.asof(
+          purch, stamps("click", "click_ts"),
+          keyCols = Seq("user_id"), tsCol = "ts",
+          valueCols = Seq("click_ts"))
+        val reKeyed = withClick
+          .withColumnRenamed("ts", "purchase_ts")
+          .withColumn("ts", col("asof_click_ts"))
+        val withView = graft.analytics.AsofJoin.asof(
+          reKeyed, stamps("view", "view_ts"),
+          keyCols = Seq("user_id"), tsCol = "ts",
+          valueCols = Seq("view_ts"))
+        withView
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(when(col("asof_view_ts").isNotNull &&
+              col("purchase_ts") - col("asof_view_ts") <= sevenDaysNs,
+              1L).otherwise(0L)).as("n_completed"))
+          .where(col("n_completed") > 0)
+          .orderBy(col("user_id"))
+      },
+      Some(
+        """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS pts
+          |  FROM events WHERE event_type = 'purchase'),
+          |c AS (SELECT DISTINCT user_id, epoch_ns(ts) AS cts FROM events
+          |  WHERE event_type = 'click'),
+          |v AS (SELECT DISTINCT user_id, epoch_ns(ts) AS vts FROM events
+          |  WHERE event_type = 'view'),
+          |pc AS (SELECT p.event_id, p.user_id, p.pts, c.cts
+          |  FROM p ASOF LEFT JOIN c
+          |    ON p.user_id = c.user_id AND c.cts <= p.pts),
+          |-- click-less purchases must stay view-less: DuckDB's ASOF
+          |-- sorts a NULL cts PAST every vts and would hand them the
+          |-- user's LATEST view, so they are split out, not ASOF-joined
+          |pcv1 AS (SELECT pc.event_id, pc.user_id, pc.pts, pc.cts, v.vts
+          |  FROM (SELECT * FROM pc WHERE cts IS NOT NULL) pc
+          |  ASOF LEFT JOIN v
+          |    ON pc.user_id = v.user_id AND v.vts <= pc.cts),
+          |pcv AS (SELECT * FROM pcv1 UNION ALL
+          |  SELECT event_id, user_id, pts, cts, NULL AS vts
+          |  FROM pc WHERE cts IS NULL)
+          |SELECT user_id, count(*) AS n_purchases,
+          |  CAST(sum(CASE WHEN vts IS NOT NULL
+          |    AND pts - vts <= 604800000000000 THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_completed
+          |FROM pcv GROUP BY user_id
+          |HAVING n_completed > 0 ORDER BY user_id""".stripMargin))
   )
 }
