@@ -161,4 +161,50 @@ object Graphs {
         coalesce(col("__root"), col(idCol)).as("cluster_id"))
     (labels, rounds)
   }
+
+  /** Exact per-node triangle counts by DEGREE-ORDERED wedge join (the
+    * standard scalable algorithm — Suri & Vassilvitskii 2011's
+    * MapReduce form, public): orient every edge from its lower
+    * (degree, id) endpoint to the higher, so each node's OUT-degree is
+    * O(√m) even for a hub whose raw degree is the whole graph; wedges
+    * (two out-edges of one node) then total O(m^1.5) instead of Σdeg²,
+    * and each triangle is found exactly once as wedge (b≺c under the
+    * same total order) + closing oriented edge b→c. In a near-dup graph
+    * triangle participation is the clique-density diagnostic: a doc in
+    * many triangles sits inside a duplication CROWD, not a chance pair.
+    *
+    * Three self-equi-joins on node keys, one keyed aggregate — no
+    * adjacency list ever materializes in a task. Returns (idCol,
+    * n_triangles) for nodes in ≥1 triangle. */
+  def triangleCounts(pairs: DataFrame, idCol: String = "doc_id")
+      : DataFrame = {
+    val e0 = pairs.toDF("a", "b").where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val deg = e0.select(col("a").as("n")).unionAll(e0.select(col("b")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val keyed = e0
+      .join(deg.select(col("n").as("a"), col("d").as("__da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("__db")), "b")
+    // total order (degree, id): struct comparison is lexicographic
+    val aFirst = struct(col("__da"), col("a")) < struct(col("__db"), col("b"))
+    val e = keyed.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("__db")).otherwise(col("__da")).as("__dd"))
+    val w1 = e.select(col("src"), col("dst").as("__x"),
+      col("__dd").as("__dx"))
+    val w2 = e.select(col("src"), col("dst").as("__y"),
+      col("__dd").as("__dy"))
+    val wedges = w1.join(w2, "src")
+      .where(struct(col("__dx"), col("__x")) <
+        struct(col("__dy"), col("__y")))
+    val tris = wedges.join(
+      e.select(col("src").as("__x"), col("dst").as("__y")),
+      Seq("__x", "__y"))
+    tris.select(explode(array(col("src"), col("__x"), col("__y")))
+        .as(idCol))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -630,6 +630,32 @@ object DedupQueries {
         |FROM documents d LEFT JOIN reach r ON d.doc_id = r.s
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
 
+    // Triangle participation in the near-dup graph
+    // (graft.analytics.Graphs.triangleCounts) — the clique-density
+    // diagnostic: a doc in many triangles sits inside a duplication
+    // CROWD (mutually-similar boilerplate family), not a chance pair —
+    // the standard signal for escalating from pairwise dedup to the
+    // collapse-before-banding treatment. Degree-ordered wedges keep a
+    // hub's wedge count at out-degree² = O(m) instead of degree²; the
+    // oracle enumerates triangles naively over the same verified LSH
+    // edges (affordable at oracle scale) and explodes corners.
+    Q("q180_triangle_counts",
+      (s, dir) => graft.analytics.Graphs
+        .triangleCounts(clusterEdges(s, dir))
+        .orderBy(col("doc_id")),
+      Some(duckLshEdges + """,
+        |ce AS (SELECT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+        |       FROM jp GROUP BY 1, 2),
+        |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |      FROM ce e1
+        |      JOIN ce e2 ON e2.a = e1.a AND e2.b > e1.b
+        |      JOIN ce e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |corners AS (SELECT x AS node FROM t
+        |            UNION ALL SELECT y FROM t
+        |            UNION ALL SELECT z FROM t)
+        |SELECT node AS doc_id, count(*) AS n_triangles
+        |FROM corners GROUP BY node ORDER BY node""".stripMargin)),
+
     // The end-to-end training-corpus preparation job — what all the
     // building blocks compose into: near-dup clustering picks one
     // canonical doc per cluster, quality & language gates drop the rest,

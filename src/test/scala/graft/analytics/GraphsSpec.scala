@@ -100,4 +100,47 @@ class GraphsSpec extends AnyFunSuite with SparkTestBase {
     val (m, rounds) = ccLabels(Seq(4L, 7L), Seq.empty)
     assert(m == Map(4L -> 4L, 7L -> 7L) && rounds == 0)
   }
+
+  // ---- triangleCounts (degree-ordered wedges) ----
+
+  private def tris(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Graphs.triangleCounts(pairs.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("counts each triangle once at each corner") {
+    // K4 on {1,2,3,4}: 4 triangles, each node in exactly 3; node 9
+    // hangs off node 1 and is in none
+    val k4 = for {
+      i <- 1L to 4L; j <- (i + 1) to 4L
+    } yield (i, j)
+    assert(tris(k4 :+ (1L -> 9L)) ==
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("duplicate/reversed/self-loop edges do not inflate counts") {
+    val noisy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L),
+      (1L, 2L))
+    assert(tris(noisy) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("matches brute force on random graphs") {
+    val rnd = new scala.util.Random(5)
+    for (trial <- 1 to 4) {
+      val n = 12
+      val pairs = Seq.fill(30)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val canon = pairs.filter(p => p._1 != p._2)
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+      val expected = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for {
+        a <- 0L until n; b <- (a + 1) until n; c <- (b + 1) until n
+        if canon((a, b)) && canon((a, c)) && canon((b, c))
+        x <- Seq(a, b, c)
+      } expected(x) += 1
+      assert(tris(pairs) == expected.toMap, s"trial $trial")
+    }
+  }
 }
