@@ -413,6 +413,28 @@ object Multimodal {
     * alternates 1/2 (interleaving exercised), and even docs carry a LIST
     * chunk between fmt and data (chunk WALKING exercised — a decoder
     * that assumes data at offset 36 breaks the hash). */
+  /** WAV corpus with PLANTED near-dup families for audio fingerprint
+    * dedup (q181): doc `d` shares a pseudo-random base signal with every
+    * sibling of its family `d % 63` (the square term in `k` breaks the
+    * linear-ramp degeneracy of [[syntheticWav]], whose consecutive
+    * samples differ by exactly 1 — a shape-based fingerprint collapses
+    * to one value on a ramp), plus a per-doc ±64 jitter. Sibling energy
+    * gaps are typically thousands, so the jitter flips a
+    * sign-of-derivative bit only when a gap lands within ±128 (~1.6% per
+    * bit → expected hamming ≪ 1 inside a family, ~16 across families):
+    * families are GENUINE near-dups, non-siblings genuinely far.
+    * Mono, 8 kHz, 33 frames → a 32-bit derivative fingerprint. */
+  def syntheticWavFamily(d: Long): Array[Byte] = {
+    val fam = d % 63
+    val samples = Array.tabulate(33) { k =>
+      val base = (fam * 2654435761L + k.toLong * k * 2246822519L +
+        k * 40503L) % 32768L - 16384L
+      val jit = (d * 13 + k * 7) % 129L - 64L
+      (base + jit).toShort
+    }
+    encodeWav(1, 8000, samples)
+  }
+
   def syntheticWav(d: Long): Array[Byte] = {
     val nCh = (1 + d % 2).toInt
     val rate = (8000 + (d % 3) * 4000).toInt
@@ -692,6 +714,45 @@ object Multimodal {
         WavStats(m.docId, nCh, rate, samples.length / nCh, s0, s1)
       }
     }
+  }
+
+  /** Coarse audio fingerprint over decoded WAV payloads: bit i is the
+    * SIGN OF THE FRAME-ENERGY DERIVATIVE (energy(i+1) > energy(i) over
+    * the first `frames` frames; energy = Σ_channels |sample| — the
+    * spectral-flux-shaped signature every constant-Q fingerprinter
+    * coarsens to, FFT-free so it stays integer-exact and
+    * oracle-replayable). Equal-width strings feed
+    * [[graft.dedup.Dedup.simhashPairs]]' banded near-dup search
+    * unchanged — audio joins text (MinHash), embeddings (cosine), and
+    * images (dHash) on the same candidate-pair machinery. Strict: a
+    * payload shorter than `frames` frames fails loudly. */
+  def wavFingerprints(ds: Dataset[MediaFile], frames: Int = 33)
+      : Dataset[WavFingerprint] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.map { m =>
+      val (nCh, _, samples) = decodeWav(m.payload)
+      val nFr = samples.length / nCh
+      require(nFr >= frames,
+        s"wavFingerprints: need >= $frames frames, got $nFr " +
+          s"for doc ${m.docId}")
+      val e = Array.tabulate(frames) { i =>
+        var s = 0L
+        var c = 0
+        while (c < nCh) {
+          s += math.abs(samples(i * nCh + c).toInt)
+          c += 1
+        }
+        s
+      }
+      val bits = new StringBuilder(frames - 1)
+      var i = 1
+      while (i < frames) {
+        bits.append(if (e(i) > e(i - 1)) '1' else '0')
+        i += 1
+      }
+      WavFingerprint(m.docId, bits.toString)
+    })
   }
 
   /** Audio FEATURE extraction over decoded WAV payloads — one row per
@@ -1334,6 +1395,10 @@ case class PpmStats(doc_id: Long, width: Int, height: Int,
   * the WAV (q128) decode path. Mono payloads report sum_ch1 = 0. */
 case class WavStats(doc_id: Long, n_channels: Int, sample_rate: Int,
     n_frames: Int, sum_ch0: Long, sum_ch1: Long)
+
+/** Frame-energy-derivative sign bits for one audio payload — the audio
+  * near-dup (q181) fingerprint path. */
+case class WavFingerprint(doc_id: Long, fingerprint: String)
 
 /** Decoded per-plane sums (integer-exact) for one SAMPLED video frame —
   * the Y4M (q142) decode path: one row per kept frame. */

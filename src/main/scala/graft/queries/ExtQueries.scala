@@ -949,6 +949,57 @@ object ExtQueries {
           |FROM s GROUP BY doc_id, n_channels, sample_rate, n_frames
           |ORDER BY doc_id""".stripMargin)),
 
+    // AUDIO near-dup detection — the modality matrix's last axis: text
+    // has MinHash (q28), embeddings cosine (q30), images dHash (q158);
+    // audio gets a frame-energy-derivative fingerprint
+    // (Multimodal.wavFingerprints) over a corpus with PLANTED near-dup
+    // families (syntheticWavFamily: siblings share a pseudo-random base
+    // signal, each doc adds ±64 jitter — sign bits flip only when a
+    // sibling energy gap lands within the jitter, so families are
+    // genuine near-dups and non-siblings genuinely far). Candidate
+    // generation is the SAME banded pigeonhole machinery as SimHash/
+    // dHash (simhashPairs, hamming ≤ 3 complete under 4 blocks); the
+    // oracle replays samples, energies, sign bits, and all-pairs
+    // hamming (affordable at oracle scale — the banding only changes
+    // the plan, never the result, RangeJoinSpec's bucket-invariance
+    // argument applied to blocks).
+    Q("q181_audio_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val files = Tables.sharded(s, dir, "documents", "doc_id")
+          .where(col("doc_id") % 9 === 3)
+          .select(col("doc_id")).as[Long]
+          .map(d => graft.ext.MediaFile(d, "audio/wav",
+            graft.ext.Multimodal.syntheticWavFamily(d)))
+        val fps = graft.ext.Multimodal.wavFingerprints(files).toDF()
+        graft.dedup.Dedup.simhashPairs(fps, fpCol = "fingerprint",
+            nBlocks = 4, maxHamming = 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(
+        """WITH d AS (SELECT doc_id, doc_id % 63 AS fam FROM documents
+          |  WHERE doc_id % 9 = 3),
+          |f AS (SELECT doc_id, fam,
+          |    unnest(generate_series(0, 32)) AS k FROM d),
+          |e AS (SELECT doc_id, k,
+          |    abs(((fam * 2654435761 + k * k * 2246822519
+          |          + k * 40503) % 32768 - 16384)
+          |        + ((doc_id * 13 + k * 7) % 129 - 64)) AS en
+          |  FROM f),
+          |fp AS (SELECT a.doc_id,
+          |    string_agg(CASE WHEN b.en > a.en THEN '1' ELSE '0' END, ''
+          |      ORDER BY a.k) AS fingerprint
+          |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.k = a.k + 1
+          |  GROUP BY a.doc_id),
+          |pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+          |    CAST(len(list_filter(range(1, 33), i ->
+          |      substr(x.fingerprint, CAST(i AS INT), 1)
+          |        <> substr(y.fingerprint, CAST(i AS INT), 1)))
+          |      AS INT) AS hamming
+          |  FROM fp x JOIN fp y ON x.doc_id < y.doc_id)
+          |SELECT id_a, id_b, hamming FROM pairs
+          |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin)),
+
     // Semi-structured property extraction: the events stream carries a
     // JSON `props` string; pull a typed field out (get_json_object — a
     // codegen'd path evaluation, no UDF, no full from_json materialize

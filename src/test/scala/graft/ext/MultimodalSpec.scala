@@ -298,6 +298,47 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       "corrupt FRAME marker")
   }
 
+  test("wavFingerprints: derivative sign bits, stereo energy, loud on " +
+      "short payloads (q181's contract)") {
+    import spark.implicits._
+    // mono energies |1|,|3|,|2|,|2| -> bits: 3>1='1', 2>3='0', 2>2='0'
+    val mono = Multimodal.encodeWav(1, 8000, Array[Short](1, -3, 2, -2))
+    // stereo frame energies |1|+|1|=2, |4|+|0|=4, |1|+|2|=3 -> "10"
+    val stereo = Multimodal.encodeWav(2, 8000,
+      Array[Short](1, -1, -4, 0, 1, 2))
+    val ds = Seq((1L, mono, 4), (2L, stereo, 3)).toDS()
+    val got = ds.map { case (d, p, _) => MediaFile(d, "audio/wav", p) }
+    assert(Multimodal.wavFingerprints(
+        got.filter(_.docId == 1L), frames = 4)
+      .collect().head.fingerprint == "100")
+    assert(Multimodal.wavFingerprints(
+        got.filter(_.docId == 2L), frames = 3)
+      .collect().head.fingerprint == "10")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.wavFingerprints(got, frames = 5).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("syntheticWavFamily plants near-dup families: siblings hamming<=3, " +
+      "non-siblings far") {
+    import spark.implicits._
+    def fp(d: Long): String = {
+      val (nCh, _, s) =
+        Multimodal.decodeWav(Multimodal.syntheticWavFamily(d))
+      assert(nCh == 1 && s.length == 33)
+      (1 until 33).map(i =>
+        if (math.abs(s(i).toInt) > math.abs(s(i - 1).toInt)) '1'
+        else '0').mkString
+    }
+    def ham(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
+    // siblings: 63 apart; non-siblings: everything else
+    for (d <- Seq(3L, 12L, 120L)) {
+      assert(ham(fp(d), fp(d + 63)) <= 3, s"siblings $d/${d + 63} far")
+      assert(ham(fp(d), fp(d + 9)) > 3, s"non-siblings $d/${d + 9} near")
+    }
+  }
+
   test("wavChannelFeatures: zero crossings and energy, per channel, " +
       "integer-exact (q150's contract)") {
     import spark.implicits._
