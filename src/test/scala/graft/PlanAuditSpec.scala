@@ -427,4 +427,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase
       !p.toString.contains("Exchange hashpartitioning"),
       s"MMR round should be a pure map under the argmax:\n$p")
   }
+
+  test("q175: the as-of query plans with NO join operator — the union+" +
+      "window form survives through the full registry query") {
+    val p = plan("q175_asof_join")
+    assert(collectWithSubqueries(p) {
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j
+      case j: BroadcastHashJoinExec => j
+      case j: BroadcastNestedLoopJoinExec => j
+    }.isEmpty, s"as-of must never plan a join:\n$p")
+    assert(p.toString.contains("Window"), s"expected the carry window:\n$p")
+  }
+
+  test("q176: the range join is an equi-join on (user, bucket) with the " +
+      "bounds as a post-join filter — never a nested loop") {
+    val p = plan("q176_range_join")
+    assert(collectWithSubqueries(p) {
+      case j: BroadcastNestedLoopJoinExec => j
+    }.isEmpty, s"range join must not plan a nested loop:\n$p")
+    assert(!p.toString.contains("CartesianProduct"), s"$p")
+  }
+
+  test("q172: RRF fusion runs over LIMITED inputs — both ranked lists " +
+      "are top-k before the union, never corpus-sized") {
+    val p = plan("q172_hybrid_rrf")
+    assert(collectWithSubqueries(p) {
+      case t: TakeOrderedAndProjectExec => t
+    }.size >= 2, s"expected both rankers to plan map-side top-k:\n$p")
+  }
 }
