@@ -817,6 +817,44 @@ object ExtQueries {
           |  round(sum(c * lp) / sum(c), 6) AS avg_logp
           |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Kneser–Ney–smoothed bigram scoring (TextStats.knBigramScore) —
+    // q87's add-one scorer upgraded to the smoothing real perplexity
+    // filters use: absolute discount D=0.75 plus a CONTINUATION-count
+    // backoff (how many distinct contexts a word completes, not how
+    // often it occurs — the "San Francisco" correction). Same one-
+    // tokenizer-stage scale shape as q87; the model adds two bigram-
+    // type-bounded aggregates and a broadcast 1-row type count. Every
+    // model quantity is an integer count, so the oracle replays p
+    // exactly, op-for-op.
+    Q("q182_kn_bigram_score",
+      (s, dir) =>
+        graft.text.TextStats
+          .knBigramScore(Tables.sharded(s, dir, "documents", "doc_id"))
+          .orderBy(col("doc_id")),
+      Some(
+        s"""WITH d AS (SELECT doc_id, $duckTokens AS toks FROM documents),
+          |bg AS (SELECT doc_id,
+          |    unnest(list_transform(generate_series(1, len(toks) - 1),
+          |      i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS b
+          |  FROM d WHERE len(toks) >= 2),
+          |bgc AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2, count(*) AS c
+          |  FROM bg GROUP BY 1, 2, 3),
+          |cb AS (SELECT w1, w2, sum(c) AS c2 FROM bgc GROUP BY 1, 2),
+          |ls AS (SELECT w1, sum(c2) AS cw1, count(*) AS n1f
+          |  FROM cb GROUP BY 1),
+          |rc AS (SELECT w2, count(*) AS n1b FROM cb GROUP BY 1),
+          |t AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM cb),
+          |sc AS (SELECT g.doc_id, g.c,
+          |    ln(greatest(cb.c2 - CAST(0.75 AS DOUBLE), CAST(0.0 AS DOUBLE))
+          |         / ls.cw1
+          |       + (CAST(0.75 AS DOUBLE) * ls.n1f / ls.cw1)
+          |         * (rc.n1b / t.t)) AS lp
+          |  FROM bgc g JOIN cb USING (w1, w2) JOIN ls USING (w1)
+          |  JOIN rc USING (w2) CROSS JOIN t)
+          |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+          |  round(sum(c * lp) / sum(c), 6) AS avg_logp
+          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- Multimodal metadata ------------------------------------------
     // Opaque-binary pipeline shape: payload as bytes + typed metadata; the
     // "decode" is a deterministic md5-derived stub (no media libs in this

@@ -216,6 +216,64 @@ object TextStats {
             sum(col("__c")), 6).as("avg_logp"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    * smoothing real perplexity filters use — CCNet-style pipelines score
+    * with KN-smoothed LMs, not add-one, because add-one crushes the
+    * probability of every frequent continuation):
+    *
+    *   p(w2|w1) = max(c(w1w2) − D, 0)/c(w1•)
+    *              + (D·N1+(w1•)/c(w1•)) · (N1+(•w2)/T)
+    *
+    * with fixed discount D = 0.75 (exactly double-representable),
+    * N1+(w1•)/N1+(•w2) the distinct right/left continuation counts, and
+    * T the total distinct-bigram-type count. Returns (id, n_bigrams,
+    * avg_logp) like [[bigramLmScore]] — the two scorers differ ONLY in
+    * the smoothing, so their disagreement ranks exactly the documents
+    * whose bigrams are frequent-but-predictable vs rare-but-novel.
+    *
+    * Scale shape identical to [[bigramLmScore]]: one tokenizer stage
+    * behind an exchange barrier, model tables fold from the doc-local
+    * counts (bigram-type-bounded, partial-aggregated), the only global
+    * state is the broadcast 1-row type count. Every model quantity is an
+    * integer count, so the oracle replays the arithmetic exactly. */
+  def knBigramScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs
+      .select(col(idCol), graft.dedup.Dedup.tokens(col(textCol)).as("toks"))
+      .repartition(col(idCol))
+    val docBi = base
+      .select(col(idCol),
+        explode(when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("w1"),
+              element_at(col("toks"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__c"))
+    val corpusBi = docBi.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("__c")).as("__c2"))
+    // left-context totals AND distinct right continuations in one pass
+    // (corpusBi rows are distinct (w1, w2), so count(*) = N1+(w1•))
+    val leftStats = corpusBi.groupBy(col("w1"))
+      .agg(sum(col("__c2")).as("__cw1"), count(lit(1)).as("__n1f"))
+    val rightCont = corpusBi.groupBy(col("w2"))
+      .agg(count(lit(1)).as("__n1b"))
+    val types = corpusBi.agg(count(lit(1)).as("__t"))
+    val d = lit(0.75)
+    val p = greatest(col("__c2") - d, lit(0.0)) / col("__cw1") +
+      (d * col("__n1f") / col("__cw1")) * (col("__n1b") / col("__t"))
+    docBi
+      .join(corpusBi, Seq("w1", "w2"))
+      .join(leftStats, "w1")
+      .join(rightCont, "w2")
+      .crossJoin(broadcast(types))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_bigrams"),
+        round(sum(col("__c") * log(p)) / sum(col("__c")), 6).as("avg_logp"))
+  }
+
   /** BM25 document ranking against a literal query-token set (Robertson/
     * Lucene form: `idf = ln(1 + (N − df + 0.5)/(df + 0.5))`, tf saturation
     * `tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))`). Returns
