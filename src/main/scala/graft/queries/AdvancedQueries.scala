@@ -1029,6 +1029,52 @@ object AdvancedQueries {
           |    AND pts - vts <= 604800000000000 THEN 1 ELSE 0 END)
           |    AS BIGINT) AS n_completed
           |FROM pcv GROUP BY user_id
-          |HAVING n_completed > 0 ORDER BY user_id""".stripMargin))
+          |HAVING n_completed > 0 ORDER BY user_id""".stripMargin)),
+
+    // ANALYZE-TABLE-shaped column statistics — what a cost-based
+    // optimizer (and a data-quality monitor) collects per column: row
+    // count, exact NDV, min/max, and an equi-depth 8-bucket histogram
+    // (exact interpolated octile boundaries; equal-COUNT buckets carry
+    // selectivity information a fixed-width histogram loses on skewed
+    // columns). Columns melt through one `stack` pass so the table scans
+    // ONCE for all three columns; per-column state is the value multiset
+    // only inside the exact-percentile buffer (q51's documented
+    // exact-vs-sketch tradeoff — q70 is the 100 TB path).
+    Q("q183_column_stats",
+      (s, dir) => {
+        val melted = Tables(s, dir, "lineitem").select(
+          expr("stack(3, 'l_quantity', l_quantity, " +
+            "'l_extendedprice', l_extendedprice, " +
+            "'l_discount', l_discount) AS (col_name, v)"))
+        melted.groupBy(col("col_name"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("v")).as("ndv"),
+            round(min(col("v")), 6).as("min_v"),
+            round(max(col("v")), 6).as("max_v"),
+            percentile(col("v"), array((1 to 7).map(i =>
+              lit(i / 8.0)): _*)).as("__ps"))
+          .select(col("col_name") +: col("n") +: col("ndv") +:
+            col("min_v") +: col("max_v") +:
+            (1 to 7).map(i =>
+              round(element_at(col("__ps"), i), 6).as(s"b$i")): _*)
+          .orderBy(col("col_name"))
+      },
+      Some(
+        """WITH m AS (
+          |  SELECT 'l_quantity' AS col_name, l_quantity AS v FROM lineitem
+          |  UNION ALL
+          |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+          |  UNION ALL
+          |  SELECT 'l_discount', l_discount FROM lineitem)
+          |SELECT col_name, count(*) AS n, count(DISTINCT v) AS ndv,
+          |  round(min(v), 6) AS min_v, round(max(v), 6) AS max_v,
+          |  round(quantile_cont(v, 0.125), 6) AS b1,
+          |  round(quantile_cont(v, 0.25), 6) AS b2,
+          |  round(quantile_cont(v, 0.375), 6) AS b3,
+          |  round(quantile_cont(v, 0.5), 6) AS b4,
+          |  round(quantile_cont(v, 0.625), 6) AS b5,
+          |  round(quantile_cont(v, 0.75), 6) AS b6,
+          |  round(quantile_cont(v, 0.875), 6) AS b7
+          |FROM m GROUP BY col_name ORDER BY col_name""".stripMargin))
   )
 }
