@@ -697,4 +697,77 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("dot") / (col("na") * col("nb"))).as("cos_sim"))
   }
+
+  /** EXACT-threshold Jaccard similarity self-join via prefix filtering
+    * (the PPJoin family: Chaudhuri et al. SSJoin / Xiao et al. PPJoin,
+    * both public literature) — the exact complement to the MinHash-LSH
+    * path: LSH is probabilistic (a qualifying pair can miss every band),
+    * this returns EVERY pair with J ≥ t and nothing else, with no
+    * all-pairs stage.
+    *
+    * The threshold is a RATIONAL num/den and every pruning decision is
+    * integer arithmetic (`den·x ≥ num·y`), so a pair sitting exactly AT
+    * the threshold can never be lost to float fuzz — and a DuckDB oracle
+    * replays the same comparisons bit-for-bit.
+    *
+    * Filter chain (each a theorem, not a heuristic — zero false
+    * negatives):
+    *  1. global rarity order: grams sort by (corpus df, gram). A doc's
+    *     PREFIX is its first |g| − ⌈t·|g|⌉ + 1 grams in that order — the
+    *     rarest ones, so prefix-gram fan-out stays small.
+    *  2. length filter: J(A,B) ≥ t ⇒ t·max(|A|,|B|) ≤ min(|A|,|B|).
+    *  3. prefix filter: with the length filter in force,
+    *     |A∩B| ≥ t/(1+t)·(|A|+|B|) ≥ ⌈t·|A|⌉, so two qualifying docs
+    *     MUST share a gram inside both prefixes (pigeonhole).
+    *  4. exact verify: candidate-driven `array_intersect` on the full
+    *     gram arrays (the [[jaccardVerify]] shape), integer compare.
+    *
+    * Scale shape: the df aggregate is vocabulary-bounded; positions come
+    * from a per-DOCUMENT window (doc-sized partitions, no global sort);
+    * the candidate stage is an equi-join on prefix grams only — rare by
+    * construction — and verify touches candidates, never the corpus
+    * square. Takes the (id, grams) frame [[shingles]] emits.
+    * Returns (id_a, id_b, common, jaccard) with id_a < id_b. */
+  def ppjoinExact(grams: DataFrame, num: Int, den: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"threshold must be a rational in (0, 1]: got $num/$den")
+    import org.apache.spark.sql.expressions.Window
+    val rows = grams.where(size(col("grams")) > 0)
+      .select(col(idCol).as("id"), size(col("grams")).as("n"),
+        explode(col("grams")).as("gram"))
+    val dfs = rows.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("id"))
+      .orderBy(col("df"), col("gram"))
+    // ceil(num·n/den): the dividend is an exact small integer, the
+    // double quotient rounds correctly, truncation = floor for
+    // positives — integer-exact for any corpus-plausible n
+    def ceilDiv(x: Column): Column =
+      ((x * num + (den - 1)) / den).cast("long")
+    val pref = rows.join(dfs, "gram")
+      .withColumn("__pos", row_number().over(byDoc))
+      .where(col("__pos") <= col("n") - ceilDiv(col("n")) + 1)
+      .select(col("id"), col("gram"), col("n"))
+    val cands = pref.select(col("id").as("id_a"), col("gram"),
+        col("n").as("na"))
+      .join(pref.select(col("id").as("id_b"), col("gram"),
+        col("n").as("nb")), "gram")
+      .where(col("id_a") < col("id_b") &&
+        least(col("na"), col("nb")) * den >=
+          greatest(col("na"), col("nb")) * num)
+      .select(col("id_a"), col("id_b")).distinct()
+    cands
+      .join(grams.select(col(idCol).as("id_a"), col("grams").as("__ga")),
+        "id_a")
+      .join(grams.select(col(idCol).as("id_b"), col("grams").as("__gb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__ga"), col("__gb"))).as("common"),
+        size(col("__ga")).as("na"), size(col("__gb")).as("nb"))
+      .where(col("common") * den >=
+        (col("na") + col("nb") - col("common")) * num)
+      .select(col("id_a"), col("id_b"), col("common"),
+        (col("common") / (col("na") + col("nb") - col("common")))
+          .as("jaccard"))
+  }
 }

@@ -1075,6 +1075,188 @@ object AdvancedQueries {
           |  round(quantile_cont(v, 0.625), 6) AS b5,
           |  round(quantile_cont(v, 0.75), 6) AS b6,
           |  round(quantile_cont(v, 0.875), 6) AS b7
-          |FROM m GROUP BY col_name ORDER BY col_name""".stripMargin))
+          |FROM m GROUP BY col_name ORDER BY col_name""".stripMargin)),
+
+    // Storage-bucketed co-located join (graft.analytics.Bucketing) —
+    // the join SHUFFLE eliminated, not optimized: both fact tables are
+    // written hash-bucketed on the join key (8 buckets, repartitioned
+    // before write so files stay O(buckets), bucket-sorted), and the
+    // join between them runs with NO Exchange on either side
+    // (BucketingSpec pins the zero-Exchange sort-merge plan at runtime;
+    // here the correctness gate pins that the layout is lossless — the
+    // bucketed aggregate hashes equal to the oracle's plain-parquet
+    // join). At 100 TB this is the standard answer to the fact⋈fact
+    // join paid on every query: one layout cost at ingest, zero
+    // shuffles forever after.
+    Q("q185_bucketed_join",
+      (s, dir) => {
+        val base = AnalyticsQueries.tempDirCleanedOnExit("graft_bucket_")
+        graft.analytics.Bucketing.writeBucketed(
+          Tables(s, dir, "orders").select(col("o_orderkey"),
+            col("o_orderstatus"), col("o_orderpriority")),
+          "g185_orders", base.resolve("orders").toString,
+          "o_orderkey", 8)
+        graft.analytics.Bucketing.writeBucketed(
+          Tables(s, dir, "lineitem").select(col("l_orderkey"),
+            col("l_extendedprice"), col("l_discount")),
+          "g185_lineitem", base.resolve("lineitem").toString,
+          "l_orderkey", 8)
+        graft.analytics.Bucketing.bucketedJoin(s,
+            "g185_orders", "g185_lineitem", "o_orderkey", "l_orderkey")
+          .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("revenue"))
+          .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+      },
+      Some(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n_items,
+          |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |GROUP BY o_orderstatus, o_orderpriority
+          |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
+
+    // Cohort retention — the product-analytics matrix every event
+    // warehouse serves: users bucketed by FIRST-seen week (integer
+    // floor-div on the nanos epoch — ts exceeds 2⁵³, so double division
+    // would mis-bucket boundary events; `div` stays exact), crossed
+    // with their active week offsets. Two keyed aggregates on user_id
+    // (cohort assignment reuses the activity shuffle's partitioning)
+    // plus one cohort-sized rollup; per-key state is a pair of longs —
+    // the shape survives any user count.
+    Q("q186_cohort_retention",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .select(col("user_id"),
+            expr("ts div 604800000000000").as("wk"))
+        val cohort = e.groupBy(col("user_id"))
+          .agg(min(col("wk")).as("cohort_wk"))
+        e.join(cohort, "user_id")
+          .groupBy(col("cohort_wk"),
+            (col("wk") - col("cohort_wk")).as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort_wk"), col("week_offset"))
+      },
+      Some(
+        """WITH e AS (SELECT user_id,
+          |    epoch_ns(ts) // 604800000000000 AS wk FROM events),
+          |c AS (SELECT user_id, min(wk) AS cohort_wk FROM e
+          |      GROUP BY user_id),
+          |a AS (SELECT e.user_id, c.cohort_wk,
+          |    e.wk - c.cohort_wk AS week_offset
+          |  FROM e JOIN c ON e.user_id = c.user_id)
+          |SELECT cohort_wk, week_offset,
+          |  count(DISTINCT user_id) AS n_users
+          |FROM a GROUP BY cohort_wk, week_offset
+          |ORDER BY cohort_wk, week_offset""".stripMargin)),
+
+    // SCD Type-2 history build — consecutive runs of equal attribute
+    // values per entity collapsed into validity intervals
+    // [valid_from, valid_to), open-ended for the current version: the
+    // lakehouse change-compaction shape (dimension history from an
+    // event/CDC stream). Two window passes over the SAME user_id
+    // partitioning (run starts via lag, interval ends + version numbers
+    // via lead/row_number on the filtered runs — the second pass reuses
+    // the first's exchange); ties order by (ts, event_id) so the run
+    // segmentation is deterministic in both engines. Output is
+    // run-count-sized — the churn, not the stream.
+    Q("q187_scd2_intervals",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val runs = Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"))
+          .withColumn("__prev", lag(col("event_type"), 1).over(w))
+          .where(col("__prev").isNull ||
+            col("__prev") =!= col("event_type"))
+        runs
+          .withColumn("valid_to", lead(col("ts"), 1).over(w))
+          .withColumn("version", row_number().over(w))
+          .select(col("user_id"), col("event_type").as("attr"),
+            col("ts").as("valid_from"), col("valid_to"), col("version"))
+          .orderBy(col("user_id"), col("version"))
+      },
+      Some(
+        """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts,
+          |    event_type FROM events),
+          |r AS (SELECT *, lag(event_type) OVER
+          |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          |  FROM e),
+          |f AS (SELECT user_id, event_id, ts, event_type FROM r
+          |  WHERE prev IS NULL OR prev <> event_type)
+          |SELECT user_id, event_type AS attr, ts AS valid_from,
+          |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |    AS valid_to,
+          |  CAST(row_number() OVER
+          |    (PARTITION BY user_id ORDER BY ts, event_id) AS INT)
+          |    AS version
+          |FROM f ORDER BY user_id, version""".stripMargin)),
+
+    // Event-type transition matrix — the first-order Markov model of
+    // user behavior (the sequence analog of q87's text bigram LM):
+    // per-user ordered successor pairs via ONE keyed window pass, then
+    // a type×type-bounded aggregate; row-normalized probabilities come
+    // from a partition-sized window over the tiny count matrix. No
+    // per-user sequence ever materializes as an array; state crossing
+    // the exchange is (cur, next, count).
+    Q("q188_event_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val pairs = Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type").as("cur"))
+          .withColumn("nxt", lead(col("cur"), 1).over(w))
+          .where(col("nxt").isNotNull)
+        val counts = pairs.groupBy(col("cur"), col("nxt"))
+          .agg(count(lit(1)).as("n"))
+        counts
+          .withColumn("p", round(col("n") /
+            sum(col("n")).over(Window.partitionBy(col("cur"))), 6))
+          .orderBy(col("cur"), col("nxt"))
+      },
+      Some(
+        """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts,
+          |    event_type FROM events),
+          |p AS (SELECT event_type AS cur, lead(event_type) OVER
+          |    (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+          |  FROM e),
+          |c AS (SELECT cur, nxt, count(*) AS n FROM p
+          |  WHERE nxt IS NOT NULL GROUP BY cur, nxt)
+          |SELECT cur, nxt, n,
+          |  round(n * 1.0 / sum(n) OVER (PARTITION BY cur), 6) AS p
+          |FROM c ORDER BY cur, nxt""".stripMargin)),
+
+    // OHLC downsampling — the time-series compaction every metrics /
+    // market pipeline runs: per (series, day) open/high/low/close +
+    // count + mean, one keyed aggregate, open/close picked by min_by/
+    // max_by on the event timestamp (deterministic here: ts is unique
+    // per series-day in the testdata — see the spec — and a real feed
+    // would tie-break on a sequence id exactly as the windows above
+    // do). State per group is six scalars; days × series output.
+    Q("q189_ohlc_downsample",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .select(col("event_type"),
+            expr("ts div 86400000000000").as("day"),
+            col("ts"), col("value"))
+        e.groupBy(col("event_type"), col("day"))
+          .agg(min_by(col("value"), col("ts")).as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max_by(col("value"), col("ts")).as("close"),
+            count(lit(1)).as("n"),
+            round(avg(col("value")), 6).as("mean_v"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some(
+        """SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+          |  arg_min(value, epoch_ns(ts)) AS open,
+          |  max(value) AS high, min(value) AS low,
+          |  arg_max(value, epoch_ns(ts)) AS close,
+          |  count(*) AS n, round(avg(value), 6) AS mean_v
+          |FROM events GROUP BY event_type, day
+          |ORDER BY event_type, day""".stripMargin))
   )
 }

@@ -1495,6 +1495,39 @@ object DedupQueries {
            |  CAST(coalesce(b.n_bounds, 0) + 1 AS BIGINT) AS n_chunks,
            |  coalesce(b.bd, md5('')) AS bounds_digest
            |FROM hs LEFT JOIN b USING (doc_id) ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // EXACT-threshold similarity self-join (Dedup.ppjoinExact, the
+    // SSJoin/PPJoin prefix-filter family) — the exact complement to the
+    // probabilistic MinHash-LSH path: every pair with J ≥ 1/2 and
+    // nothing else, guaranteed, with no all-pairs stage. The threshold
+    // is the rational 1/2 and every pruning comparison is integer
+    // (2·common ≥ na+nb−common), so threshold-exact pairs can't be lost
+    // to float fuzz. The oracle is the EXHAUSTIVE ground truth — a
+    // shared-gram join over all co-gram pairs with the same integer
+    // predicate — so a single false negative from the length/prefix
+    // filters (or a false positive surviving verify) breaks the hash.
+    // Candidate work is bounded by prefix-gram df (prefixes hold each
+    // doc's RAREST grams by global-df order); the oracle's quadratic
+    // co-pair join is affordable only at oracle scale, which is exactly
+    // the point of the filters.
+    Q("q184_ppjoin_exact",
+      (s, dir) =>
+        graft.dedup.Dedup.ppjoinExact(grams(s, dir), num = 1, den = 2)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+            col("common"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some(duckGrams + """,
+        |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS common
+        |  FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(common AS INT) AS common,
+        |  round(common * 1.0 / (sa.n + sb.n - common), 6) AS jaccard
+        |FROM co
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE 2 * common >= sa.n + sb.n - common
+        |ORDER BY doc_a, doc_b""".stripMargin))
   )
 }
