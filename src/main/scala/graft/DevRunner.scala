@@ -13,6 +13,7 @@ object DevRunner {
     val prefix = if (args.length > 1) args(1) else ""
     val spark = SparkSession.builder()
       .master("local[8]")
+      .withExtensions(new graft.functions.GraftExtensions)
       .appName("graft-dev")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

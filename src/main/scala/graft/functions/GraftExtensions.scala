@@ -66,5 +66,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_winnow_fingerprints", classOf[WinnowFingerprints],
       buildWinnow)
     inject("graft_gram_hashes", classOf[GramHashes], buildGramHashes)
+    // Statistics-driven broadcast planning (graft.plans.StatsBroadcastRule):
+    // a strict no-op until TableStats carries collected statistics, then
+    // adds BROADCAST hints to joins whose filtered side the stats estimate
+    // under the threshold — see the rule's scaladoc.
+    e.injectOptimizerRule(sp => graft.plans.StatsBroadcastRule(sp))
   }
 }

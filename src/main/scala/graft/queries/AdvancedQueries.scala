@@ -1257,6 +1257,48 @@ object AdvancedQueries {
           |  arg_max(value, epoch_ns(ts)) AS close,
           |  count(*) AS n, round(avg(value), 6) AS mean_v
           |FROM events GROUP BY event_type, day
-          |ORDER BY event_type, day""".stripMargin))
+          |ORDER BY event_type, day""".stripMargin)),
+
+    // Statistics-driven broadcast planning end-to-end: ANALYZE lineitem
+    // (TableStats.analyze — one aggregate pass: count, NDV, octile
+    // histograms), then run a self-join whose build side is a selective
+    // quantity filter. Without statistics Spark prices the Filter at the
+    // FULL table (CBO off ⇒ filters don't shrink estimates) and
+    // sort-merges both sides; StatsBroadcastRule — the engine's
+    // Rule[LogicalPlan], injected via GraftExtensions — estimates the
+    // filtered side from the collected octiles (~3% of rows) and hints
+    // it broadcast, removing the join shuffle. StatsBroadcastSpec pins
+    // the A/B plan flip (SMJ→BHJ) at runtime; this gate pins that the
+    // rewritten plan is LOSSLESS — identical rows to the oracle's plain
+    // join. Stats stay registered for the session afterwards: every
+    // estimate derives from measured statistics, so any later join the
+    // rule touches flips only when the math justifies a broadcast.
+    Q("q190_stats_broadcast_join",
+      (s, dir) => {
+        graft.plans.TableStats.analyze(
+          Tables(s, dir, "lineitem"), s"$dir/lineitem.parquet",
+          Seq("l_orderkey", "l_quantity"))
+        val hot = Tables(s, dir, "lineitem")
+          .where(col("l_quantity") >= 49.0)
+          .select(col("l_orderkey").as("hot_key"),
+            col("l_quantity").as("hot_qty"))
+        Tables(s, dir, "lineitem")
+          .join(hot, col("l_orderkey") === col("hot_key"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(sum(col("l_extendedprice") *
+              (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+            round(avg(col("hot_qty")), 6).as("avg_hot_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(
+        """SELECT l.l_returnflag, count(*) AS n_pairs,
+          |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2)
+          |    AS revenue,
+          |  round(avg(h.l_quantity), 6) AS avg_hot_qty
+          |FROM lineitem l
+          |JOIN lineitem h ON l.l_orderkey = h.l_orderkey
+          |WHERE h.l_quantity >= 49.0
+          |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin))
   )
 }
