@@ -1299,6 +1299,227 @@ object AdvancedQueries {
           |FROM lineitem l
           |JOIN lineitem h ON l.l_orderkey = h.l_orderkey
           |WHERE h.l_quantity >= 49.0
-          |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin))
+          |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin)),
+
+    // Fuzzy record linkage (the dirty-registry match every entity
+    // pipeline runs): document titles (first 8 words) are the clean
+    // registry; a deterministically corrupted copy (3rd word dropped)
+    // must be linked back by best edit distance WITHOUT an all-pairs
+    // scan. Blocking is one-sided rare-key probing: each dirty record
+    // probes a clean bigram inverted index with its RAREST surviving
+    // bigram (rarest by corpus df — the PPJoin prefix idea applied to
+    // linkage), so candidate fan-out is bounded by the df of the rarest
+    // key, then candidates alone pay levenshtein and a (dist, key)
+    // argmin picks the match. Corrupting mid-title keeps flanking
+    // bigrams intact, so recall is exact here; the oracle replays
+    // blocking, scoring, and tie-breaks op-for-op.
+    Q("q191_fuzzy_linkage",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w0"))
+          .where(size(col("w0")) >= 8)
+          .select(col("doc_id"), slice(col("w0"), 1, 8).as("tw"))
+        val clean = docs.select(col("doc_id").as("ck"),
+          array_join(col("tw"), " ").as("cn"), col("tw"))
+        val cleanBg = clean.select(col("ck"), explode(expr(
+          "transform(sequence(1, 7), i -> concat(element_at(tw, i), ' ', element_at(tw, i + 1)))"))
+          .as("bg"))
+        val dfreq = cleanBg.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+        val dirty = docs.select(col("doc_id").as("dk"),
+            concat(slice(col("tw"), 1, 2), slice(col("tw"), 4, 5)).as("dw"))
+          .select(col("dk"), array_join(col("dw"), " ").as("dn"), col("dw"))
+        val dirtyBg = dirty.select(col("dk"), col("dn"), explode(expr(
+          "transform(sequence(1, 6), i -> concat(element_at(dw, i), ' ', element_at(dw, i + 1)))"))
+          .as("bg"))
+        val wRare = Window.partitionBy(col("dk"))
+          .orderBy(col("df"), col("bg"))
+        val rare = dirtyBg.join(dfreq, "bg")
+          .withColumn("rn", row_number().over(wRare))
+          .where(col("rn") === 1)
+          .select(col("dk"), col("dn"), col("bg"))
+        val candIdx = cleanBg.select(col("ck"), col("bg")).distinct()
+        val cands = rare.join(candIdx, "bg")
+          .select(col("dk"), col("dn"), col("ck")).distinct()
+        val scored = cands
+          .join(clean.select(col("ck"), col("cn")), "ck")
+          .withColumn("dist", levenshtein(col("dn"), col("cn")))
+        val wBest = Window.partitionBy(col("dk"))
+          .orderBy(col("dist"), col("ck"))
+        scored.withColumn("rn", row_number().over(wBest))
+          .where(col("rn") === 1)
+          .select(col("dk").as("src_key"), col("ck").as("matched_key"),
+            col("dist"),
+            (col("ck") === col("dk")).cast("int").as("matched_self"))
+          .orderBy(col("src_key"))
+      },
+      Some(
+        """WITH d0 AS (SELECT doc_id, string_split(text, ' ')[1:8] AS tw
+          |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+          |cl AS (SELECT doc_id AS ck, array_to_string(tw, ' ') AS cn, tw
+          |  FROM d0),
+          |cb AS (SELECT ck, unnest(list_transform(range(1, 8),
+          |    i -> tw[i] || ' ' || tw[i + 1])) AS bg FROM cl),
+          |bdf AS (SELECT bg, count(*) AS df FROM cb GROUP BY bg),
+          |d1 AS (SELECT doc_id AS dk,
+          |    array_to_string(tw[1:2] || tw[4:8], ' ') AS dn,
+          |    tw[1:2] || tw[4:8] AS dw FROM d0),
+          |dbg AS (SELECT dk, dn, unnest(list_transform(range(1, 7),
+          |    i -> dw[i] || ' ' || dw[i + 1])) AS bg FROM d1),
+          |rare AS (SELECT dk, dn, bg FROM (
+          |    SELECT dbg.dk, dbg.dn, dbg.bg, row_number() OVER
+          |      (PARTITION BY dbg.dk ORDER BY bdf.df, dbg.bg) AS rn
+          |    FROM dbg JOIN bdf USING (bg)) t WHERE rn = 1),
+          |ci AS (SELECT DISTINCT ck, bg FROM cb),
+          |cand AS (SELECT DISTINCT rare.dk, rare.dn, ci.ck
+          |  FROM rare JOIN ci USING (bg)),
+          |scored AS (SELECT cand.dk, cand.ck,
+          |    levenshtein(cand.dn, cl.cn) AS dist
+          |  FROM cand JOIN cl ON cand.ck = cl.ck)
+          |SELECT dk AS src_key, ck AS matched_key, CAST(dist AS INT) AS dist,
+          |  CAST(ck = dk AS INT) AS matched_self
+          |FROM (SELECT *, row_number() OVER
+          |    (PARTITION BY dk ORDER BY dist, ck) AS rn FROM scored) t
+          |WHERE rn = 1 ORDER BY src_key""".stripMargin)),
+
+    // Incremental materialized-aggregate maintenance — the 100 TB answer
+    // to "don't rescan history when a day of data lands": keep the
+    // aggregate as ALGEBRAIC PARTIALS (count, sums, min/max — each
+    // mergeable), aggregate only the delta, and MERGE the two partial
+    // states; averages finalize as sum/count at read time. The gate pins
+    // the contract that makes this safe: merged-from-partials must hash
+    // EQUAL to the oracle's full-table recompute. History/delta split is
+    // a deterministic orderkey residue standing in for "yesterday's
+    // state + today's partition".
+    Q("q192_incremental_agg",
+      (s, dir) => {
+        def partials(df: DataFrame): DataFrame = df
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sq"),
+            sum(col("l_extendedprice")).as("sp"),
+            min(col("l_shipdate")).as("mn"), max(col("l_shipdate")).as("mx"))
+        val li = Tables(s, dir, "lineitem")
+        val hist = partials(li.where(pmod(col("l_orderkey"), lit(10)) =!= 7))
+        val delta = partials(li.where(pmod(col("l_orderkey"), lit(10)) === 7))
+        hist.unionByName(delta)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("cnt")).as("n"),
+            round(sum(col("sq")), 2).as("sum_qty"),
+            round(sum(col("sp")) / sum(col("cnt")), 6).as("avg_price"),
+            date_format(min(col("mn")), "yyyy-MM-dd").as("first_ship"),
+            date_format(max(col("mx")), "yyyy-MM-dd").as("last_ship"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  round(sum(l_quantity), 2) AS sum_qty,
+          |  round(sum(l_extendedprice) / count(*), 6) AS avg_price,
+          |  strftime(min(l_shipdate), '%Y-%m-%d') AS first_ship,
+          |  strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Time-series gap filling with forward fill — the monitoring-grid
+    // shape: the per-minute error series has empty minutes, and the
+    // consumer wants a DENSE grid carrying the last known value
+    // forward. The grid comes from sequence+explode over the series
+    // span (span-bounded, never corpus-bounded). The fill is TWO-LEVEL
+    // so no corpus-sized global window exists (the q177 carry
+    // decomposition): within each DAY a keyed running-count window
+    // assigns fill-groups (one observation + its trailing gaps) and a
+    // per-group max broadcasts the value; day-boundary gaps take the
+    // previous day's closing value from a DAY SPINE — a 30-row artifact
+    // whose global window is the documented scalar-bounded class. The
+    // composition equals a straight last-non-null-at-or-before fill,
+    // and the oracle PINS that equivalence by replaying the naive
+    // single-window form (affordable at oracle scale) — same trick as
+    // the bucketed as-of gate. No IGNORE NULLS anywhere: fill-groups
+    // come from running counts both engines implement identically.
+    Q("q193_gap_fill",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .where(col("event_type") === "error")
+          .select(expr("ts div 60000000000").as("minute"), col("value"))
+        val perMin = e.groupBy(col("minute"))
+          .agg(count(lit(1)).as("n_obs"), avg(col("value")).as("mv"))
+        val span = perMin.agg(min(col("minute")).as("mn"),
+          max(col("minute")).as("mx"))
+        val grid = span.select(
+          explode(sequence(col("mn"), col("mx"))).as("minute"))
+        val g = grid.join(perMin, Seq("minute"), "left_outer")
+          .withColumn("day", expr("minute div 1440"))
+        val wIn = Window.partitionBy(col("day")).orderBy(col("minute"))
+        val marked = g.withColumn("grpd", count(col("mv")).over(wIn))
+        val wFill = Window.partitionBy(col("day"), col("grpd"))
+        val inDay = marked.withColumn("in_fill",
+          when(col("grpd") > 0, max(col("mv")).over(wFill)))
+        // day spine: closing observation per day, carried across days
+        val spine = marked.where(col("mv").isNotNull)
+          .groupBy(col("day")).agg(max_by(col("mv"), col("minute")).as("lv"))
+        val allDays = g.select(col("day")).distinct()
+          .join(spine, Seq("day"), "left_outer")
+        val wSpine = Window.orderBy(col("day"))
+        val prior = allDays
+          .withColumn("g2", count(col("lv")).over(wSpine))
+          .withColumn("cv", max(col("lv"))
+            .over(Window.partitionBy(col("g2"))))
+          .withColumn("prior_close", lag(col("cv"), 1).over(wSpine))
+          .select(col("day"), col("prior_close"))
+        inDay.join(prior, "day")
+          .select(col("minute"), coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+            round(coalesce(col("in_fill"), col("prior_close")), 6)
+              .as("v_filled"),
+            col("n_obs").isNull.cast("int").as("gap"))
+          .orderBy(col("minute"))
+      },
+      Some(
+        """WITH e AS (SELECT epoch_ns(ts) // 60000000000 AS minute, value
+          |  FROM events WHERE event_type = 'error'),
+          |pm AS (SELECT minute, count(*) AS n_obs, avg(value) AS mv
+          |  FROM e GROUP BY minute),
+          |span AS (SELECT min(minute) AS mn, max(minute) AS mx FROM pm),
+          |grid AS (SELECT unnest(range(mn, mx + 1)) AS minute FROM span),
+          |g AS (SELECT grid.minute, pm.n_obs, pm.mv
+          |  FROM grid LEFT JOIN pm USING (minute)),
+          |m AS (SELECT *, count(mv) OVER (ORDER BY minute) AS grp FROM g)
+          |SELECT minute, coalesce(n_obs, 0) AS n_obs,
+          |  round(max(mv) OVER (PARTITION BY grp), 6) AS v_filled,
+          |  CAST(n_obs IS NULL AS INT) AS gap
+          |FROM m ORDER BY minute""".stripMargin)),
+
+    // k-anonymity audit — the privacy gate a dataset passes before
+    // release: group by the quasi-identifier tuple (nation, segment,
+    // account-balance band) and report the dataset's k (the smallest
+    // group), how many groups and rows sit under k=5, and the at-risk
+    // row fraction. One keyed aggregate plus a group-count-sized
+    // rollup; the QI cube is bounded by the attribute domains, never
+    // by the row count.
+    Q("q194_k_anonymity",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+          .select(col("c_nationkey"), col("c_mktsegment"),
+            (floor(col("c_acctbal") / 100) * 100).cast("long").as("bal_band"))
+        c.groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+          .agg(count(lit(1)).as("gn"))
+          .agg(count(lit(1)).as("n_groups"),
+            min(col("gn")).as("k_anonymity"),
+            sum(when(col("gn") < 5, 1L).otherwise(0L)).as("groups_lt_5"),
+            sum(when(col("gn") < 5, col("gn")).otherwise(0L))
+              .as("rows_at_risk"),
+            round(sum(when(col("gn") < 5, col("gn")).otherwise(0L)) /
+              sum(col("gn")), 6).as("risk_frac"))
+      },
+      Some(
+        """WITH g AS (SELECT c_nationkey, c_mktsegment,
+          |    CAST(floor(c_acctbal / 100) * 100 AS BIGINT) AS bal_band,
+          |    count(*) AS gn
+          |  FROM customer GROUP BY 1, 2, 3)
+          |SELECT count(*) AS n_groups, min(gn) AS k_anonymity,
+          |  CAST(sum(CASE WHEN gn < 5 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS groups_lt_5,
+          |  CAST(sum(CASE WHEN gn < 5 THEN gn ELSE 0 END) AS BIGINT)
+          |    AS rows_at_risk,
+          |  round(sum(CASE WHEN gn < 5 THEN gn ELSE 0 END) * 1.0
+          |    / sum(gn), 6) AS risk_frac
+          |FROM g""".stripMargin))
   )
 }
