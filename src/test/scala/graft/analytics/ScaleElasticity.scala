@@ -319,6 +319,76 @@ object ScaleElasticity {
       } finally ev.unpersist()
     }
 
+    // round-14 additions ------------------------------------------------
+    // exact-threshold PPJoin self-join (q184): df-ordered prefixes →
+    // prefix-gram equi-join → candidate verify; the claim is the prefix
+    // filter keeps candidates near-linear while the result stays exact
+    def ppjoin(tag: String): Unit =
+      force(Dedup.ppjoinExact(Dedup.shingles(docs(tag)), num = 1, den = 2))
+    // fuzzy best-match linkage (q191): rare-bigram blocked levenshtein —
+    // candidate fan-out bounded by the probed key's df
+    def fuzzy(tag: String): Unit = {
+      import org.apache.spark.sql.expressions.Window
+      val d0 = docs(tag).select(col("doc_id"), split(col("text"), " ").as("w0"))
+        .where(size(col("w0")) >= 8)
+        .select(col("doc_id"), slice(col("w0"), 1, 8).as("tw"))
+      val clean = d0.select(col("doc_id").as("ck"),
+        array_join(col("tw"), " ").as("cn"), col("tw"))
+      val cb = clean.select(col("ck"), explode(expr(
+        "transform(sequence(1, 7), i -> concat(element_at(tw, i), ' ', element_at(tw, i + 1)))"))
+        .as("bg"))
+      val dfq = cb.groupBy("bg").agg(count(lit(1)).as("df"))
+      val dirty = d0.select(col("doc_id").as("dk"),
+          concat(slice(col("tw"), 1, 2), slice(col("tw"), 4, 5)).as("dw"))
+        .select(col("dk"), array_join(col("dw"), " ").as("dn"), col("dw"))
+      val dbg = dirty.select(col("dk"), col("dn"), explode(expr(
+        "transform(sequence(1, 6), i -> concat(element_at(dw, i), ' ', element_at(dw, i + 1)))"))
+        .as("bg"))
+      val wr = Window.partitionBy(col("dk")).orderBy(col("df"), col("bg"))
+      val rare = dbg.join(dfq, "bg")
+        .withColumn("rn", row_number().over(wr)).where(col("rn") === 1)
+        .select(col("dk"), col("dn"), col("bg"))
+      val cands = rare.join(cb.distinct(), "bg")
+        .select(col("dk"), col("dn"), col("ck")).distinct()
+      val wb = Window.partitionBy(col("dk")).orderBy(col("dist"), col("ck"))
+      force(cands.join(clean.select(col("ck"), col("cn")), "ck")
+        .withColumn("dist", levenshtein(col("dn"), col("cn")))
+        .withColumn("rn", row_number().over(wb)).where(col("rn") === 1))
+    }
+    // dense-grid gap fill (q193): grid size is SPAN-bounded (constant
+    // 30-day window), so 10× more events should cost ~the per-minute
+    // aggregate alone — the sublinear claim
+    def gapfill(tag: String): Unit = {
+      import org.apache.spark.sql.expressions.Window
+      val e = genEvents(tag).where(col("side") === 0)
+        .select(expr("ts div 60000000000").as("minute"), col("value"))
+      val perMin = e.groupBy(col("minute"))
+        .agg(count(lit(1)).as("n_obs"), avg(col("value")).as("mv"))
+      val span = perMin.agg(min(col("minute")).as("mn"),
+        max(col("minute")).as("mx"))
+      val grid = span.select(
+        explode(sequence(col("mn"), col("mx"))).as("minute"))
+      val g = grid.join(perMin, Seq("minute"), "left_outer")
+        .withColumn("day", expr("minute div 1440"))
+      val wIn = Window.partitionBy(col("day")).orderBy(col("minute"))
+      val marked = g.withColumn("grpd", count(col("mv")).over(wIn))
+      val inDay = marked.withColumn("in_fill", when(col("grpd") > 0,
+        max(col("mv")).over(Window.partitionBy(col("day"), col("grpd")))))
+      val spine = marked.where(col("mv").isNotNull)
+        .groupBy(col("day")).agg(max_by(col("mv"), col("minute")).as("lv"))
+      val wSpine = Window.orderBy(col("day"))
+      val prior = g.select(col("day")).distinct()
+        .join(spine, Seq("day"), "left_outer")
+        .withColumn("g2", count(col("lv")).over(wSpine))
+        .withColumn("cv", max(col("lv")).over(Window.partitionBy(col("g2"))))
+        .withColumn("prior_close", lag(col("cv"), 1).over(wSpine))
+        .select(col("day"), col("prior_close"))
+      force(inDay.join(prior, "day")
+        .select(col("minute"), coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+          round(coalesce(col("in_fill"), col("prior_close")), 6)
+            .as("v_filled")))
+    }
+
     val probes: Seq[(String, String => Unit)] = Seq(
       ("exact_dedup", exactDedup _),
       ("minhash_lsh", lsh _),
@@ -339,7 +409,10 @@ object ScaleElasticity {
       ("asof_join", asofProbe _),
       ("range_join", rangeProbe _),
       ("asof_hot_plain", (t: String) => asofHot(t, bucketed = false)),
-      ("asof_hot_bucketed", (t: String) => asofHot(t, bucketed = true)))
+      ("asof_hot_bucketed", (t: String) => asofHot(t, bucketed = true)),
+      ("ppjoin_exact", ppjoin _),
+      ("fuzzy_linkage", fuzzy _),
+      ("gapfill_dense", gapfill _))
     // optional name-prefix filter: rerun a subset without paying the rest
     val selected = args.headOption
       .map(p => probes.filter(_._1.startsWith(p))).getOrElse(probes)
