@@ -58,6 +58,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity(exprs, 2, "graft_hamming_distance")
         HammingDistance(exprs(0), exprs(1))
       })
+    inject("graft_jaro_winkler", classOf[JaroWinkler],
+      exprs => {
+        arity(exprs, 2, "graft_jaro_winkler")
+        JaroWinkler(exprs(0), exprs(1))
+      })
     inject("graft_dot_product", classOf[DotProduct],
       exprs => {
         arity(exprs, 2, "graft_dot_product")

@@ -1520,6 +1520,154 @@ object AdvancedQueries {
           |    AS rows_at_risk,
           |  round(sum(CASE WHEN gn < 5 THEN gn ELSE 0 END) * 1.0
           |    / sum(gn), 6) AS risk_frac
+          |FROM g""".stripMargin)),
+
+    // Jaro–Winkler record linkage — q191's rare-bigram blocking with the
+    // scorer linkage pipelines actually prefer for short name/title
+    // fields: graft's NATIVE codegen'd JaroWinkler expression
+    // (functions/JaroWinkler.scala), argmax instead of levenshtein
+    // argmin. The oracle scores with DuckDB's own jaro_winkler_similarity
+    // — two independent implementations of the same published definition
+    // (verified bit-exact: byte-based, boost threshold 0.7, prefix ≤ 4 ×
+    // 0.1), so the gate pins the kernel against a foreign engine, not a
+    // replay of our arithmetic. Candidate fan-out is bounded by the
+    // rarest-bigram df exactly as in q191; only candidates pay the
+    // scorer.
+    Q("q195_jw_linkage",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w0"))
+          .where(size(col("w0")) >= 8)
+          .select(col("doc_id"), slice(col("w0"), 1, 8).as("tw"))
+        val clean = docs.select(col("doc_id").as("ck"),
+          array_join(col("tw"), " ").as("cn"), col("tw"))
+        val cleanBg = clean.select(col("ck"), explode(expr(
+          "transform(sequence(1, 7), i -> concat(element_at(tw, i), ' ', element_at(tw, i + 1)))"))
+          .as("bg"))
+        val dfreq = cleanBg.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+        val dirty = docs.select(col("doc_id").as("dk"),
+            concat(slice(col("tw"), 1, 2), slice(col("tw"), 4, 5)).as("dw"))
+          .select(col("dk"), array_join(col("dw"), " ").as("dn"), col("dw"))
+        val dirtyBg = dirty.select(col("dk"), col("dn"), explode(expr(
+          "transform(sequence(1, 6), i -> concat(element_at(dw, i), ' ', element_at(dw, i + 1)))"))
+          .as("bg"))
+        val wRare = Window.partitionBy(col("dk"))
+          .orderBy(col("df"), col("bg"))
+        val rare = dirtyBg.join(dfreq, "bg")
+          .withColumn("rn", row_number().over(wRare))
+          .where(col("rn") === 1)
+          .select(col("dk"), col("dn"), col("bg"))
+        val candIdx = cleanBg.select(col("ck"), col("bg")).distinct()
+        val cands = rare.join(candIdx, "bg")
+          .select(col("dk"), col("dn"), col("ck")).distinct()
+        val scored = cands
+          .join(clean.select(col("ck"), col("cn")), "ck")
+          .withColumn("jw",
+            graft.functions.JaroWinkler(col("dn"), col("cn")))
+        val wBest = Window.partitionBy(col("dk"))
+          .orderBy(col("jw").desc, col("ck"))
+        scored.withColumn("rn", row_number().over(wBest))
+          .where(col("rn") === 1)
+          .select(col("dk").as("src_key"), col("ck").as("matched_key"),
+            round(col("jw"), 6).as("jw"),
+            (col("ck") === col("dk")).cast("int").as("matched_self"))
+          .orderBy(col("src_key"))
+      },
+      Some(
+        """WITH d0 AS (SELECT doc_id, string_split(text, ' ')[1:8] AS tw
+          |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+          |cl AS (SELECT doc_id AS ck, array_to_string(tw, ' ') AS cn, tw
+          |  FROM d0),
+          |cb AS (SELECT ck, unnest(list_transform(range(1, 8),
+          |    i -> tw[i] || ' ' || tw[i + 1])) AS bg FROM cl),
+          |bdf AS (SELECT bg, count(*) AS df FROM cb GROUP BY bg),
+          |d1 AS (SELECT doc_id AS dk,
+          |    array_to_string(tw[1:2] || tw[4:8], ' ') AS dn,
+          |    tw[1:2] || tw[4:8] AS dw FROM d0),
+          |dbg AS (SELECT dk, dn, unnest(list_transform(range(1, 7),
+          |    i -> dw[i] || ' ' || dw[i + 1])) AS bg FROM d1),
+          |rare AS (SELECT dk, dn, bg FROM (
+          |    SELECT dbg.dk, dbg.dn, dbg.bg, row_number() OVER
+          |      (PARTITION BY dbg.dk ORDER BY bdf.df, dbg.bg) AS rn
+          |    FROM dbg JOIN bdf USING (bg)) t WHERE rn = 1),
+          |ci AS (SELECT DISTINCT ck, bg FROM cb),
+          |cand AS (SELECT DISTINCT rare.dk, rare.dn, ci.ck
+          |  FROM rare JOIN ci USING (bg)),
+          |scored AS (SELECT cand.dk, cand.ck,
+          |    jaro_winkler_similarity(cand.dn, cl.cn) AS jw
+          |  FROM cand JOIN cl ON cand.ck = cl.ck)
+          |SELECT dk AS src_key, ck AS matched_key, round(jw, 6) AS jw,
+          |  CAST(ck = dk AS INT) AS matched_self
+          |FROM (SELECT *, row_number() OVER
+          |    (PARTITION BY dk ORDER BY jw DESC, ck) AS rn FROM scored) t
+          |WHERE rn = 1 ORDER BY src_key""".stripMargin)),
+
+    // EWMA — the exponential-decay feature every monitoring / feature
+    // pipeline keeps per entity, computed by graft's segmented
+    // linear-recurrence scan (analytics/Recurrence.scala): block-local
+    // closed form + per-key block-spine carry, exact, bounded floating
+    // range, no per-row sequential UDF and no collect-the-series-per-key.
+    // The gate reports each user's FINAL ewma — a value that depends on
+    // the user's entire ordered history, so any mis-carry anywhere in
+    // the chain flips the hash. Oracle: DuckDB folds the recurrence
+    // sequentially with list_reduce — a different evaluation order
+    // entirely, agreeing to ~1e-12 (rounded to 6).
+    Q("q196_ewma",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        graft.analytics.Recurrence
+          .ewma(e, Seq("user_id"), Seq(col("ts").asc, col("event_id").asc),
+            "value", alpha = 0.2)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            round(max_by(col("ewma"), struct(col("ts"), col("event_id"))), 6)
+              .as("ewma_last"))
+          .orderBy(col("user_id"))
+      },
+      Some(
+        """SELECT user_id, count(*) AS n_events,
+          |  round(list_reduce(list(value ORDER BY ts, event_id),
+          |    (acc, x) -> CAST(0.2 AS DOUBLE) * x
+          |      + CAST(0.8 AS DOUBLE) * acc), 6) AS ewma_last
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // l-diversity audit — k-anonymity's (q194) stronger sibling: a QI
+    // group that is large (k-safe) but UNIFORM in its sensitive value
+    // still leaks it. Per quasi-identifier group (nation, balance band),
+    // count DISTINCT sensitive values (market segment); report the
+    // dataset's l (the least-diverse group), the groups and rows under
+    // l=3, and the at-risk fraction. Same scale shape as q194: one keyed
+    // aggregate, then a group-count-sized rollup.
+    Q("q197_l_diversity",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+          .select(col("c_nationkey"),
+            (floor(col("c_acctbal") / 100) * 100).cast("long").as("bal_band"),
+            col("c_mktsegment"))
+        c.groupBy(col("c_nationkey"), col("bal_band"))
+          .agg(count(lit(1)).as("gn"),
+            countDistinct(col("c_mktsegment")).as("l"))
+          .agg(count(lit(1)).as("n_groups"),
+            min(col("l")).as("l_diversity"),
+            sum(when(col("l") < 3, 1L).otherwise(0L)).as("groups_lt_3"),
+            sum(when(col("l") < 3, col("gn")).otherwise(0L))
+              .as("rows_at_risk"),
+            round(sum(when(col("l") < 3, col("gn")).otherwise(0L)) /
+              sum(col("gn")), 6).as("risk_frac"))
+      },
+      Some(
+        """WITH g AS (SELECT c_nationkey,
+          |    CAST(floor(c_acctbal / 100) * 100 AS BIGINT) AS bal_band,
+          |    count(*) AS gn,
+          |    count(DISTINCT c_mktsegment) AS l
+          |  FROM customer GROUP BY 1, 2)
+          |SELECT count(*) AS n_groups, min(l) AS l_diversity,
+          |  CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS groups_lt_3,
+          |  CAST(sum(CASE WHEN l < 3 THEN gn ELSE 0 END) AS BIGINT)
+          |    AS rows_at_risk,
+          |  round(sum(CASE WHEN l < 3 THEN gn ELSE 0 END) * 1.0
+          |    / sum(gn), 6) AS risk_frac
           |FROM g""".stripMargin))
   )
 }

@@ -566,5 +566,45 @@ object StreamingQueries {
           |FROM v ASOF LEFT JOIN p
           |  ON v.user_id = p.user_id AND p.ts <= v.ts
           |ORDER BY event_id""".stripMargin))
+    ,
+
+    // Streaming EWMA under the gate — q196's recurrence as an ONLINE
+    // FEATURE: per-event decayed averages emitted in the arrival
+    // micro-batch, state exactly one double per user
+    // (streaming/StreamingEwma.scala; the feature-store "latest decayed
+    // value per entity" shape). Events are staged through Tables (the
+    // ts-nanos contract) and replayed as a single AvailableNow batch, so
+    // the operator's intra-batch (ts, id) sort makes the streamed fold
+    // equal the batch global order — the oracle is q196's batch SQL
+    // VERBATIM (DuckDB list_reduce). The gate aggregates each user's
+    // FINAL ewma, the value the whole carried chain feeds;
+    // StreamingEwmaSpec additionally pins per-event equality across a
+    // forced multi-batch split and the idleTtl re-seed contract.
+    Q("q198_streaming_ewma",
+      (s, dir) => {
+        val staged = AnalyticsQueries
+          .tempDirCleanedOnExit("graft_ewma_stream_").toString
+        Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .write.mode("overwrite").parquet(staged)
+        val stream = s.readStream
+          .schema("user_id BIGINT, ts BIGINT, event_id BIGINT, " +
+            "value DOUBLE")
+          .parquet(staged)
+        val rows = graft.streaming.StreamingEwma.eventRows(stream)
+        val out = graft.streaming.StreamingEwma.attach(rows, alpha = 0.2)
+        runToTable(out.toDF(), "stream_ewma")
+          .groupBy(col("key").as("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            round(max_by(col("ewma"), struct(col("ts"), col("id"))), 6)
+              .as("ewma_last"))
+          .orderBy(col("user_id"))
+      },
+      Some(
+        """SELECT user_id, count(*) AS n_events,
+          |  round(list_reduce(list(value ORDER BY ts, event_id),
+          |    (acc, x) -> CAST(0.2 AS DOUBLE) * x
+          |      + CAST(0.8 AS DOUBLE) * acc), 6) AS ewma_last
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }
