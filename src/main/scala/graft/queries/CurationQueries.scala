@@ -642,6 +642,82 @@ object CurationQueries {
           |      // length(kw) AS n
           |  FROM documents CROSS JOIN kw)
           |SELECT doc_id, kw AS keyword, CAST(n AS BIGINT) AS n
-          |FROM c WHERE n > 0 ORDER BY doc_id, keyword""".stripMargin))
+          |FROM c WHERE n > 0 ORDER BY doc_id, keyword""".stripMargin)),
+
+    // Boilerplate removal / main-content extraction
+    // (graft.text.Boilerplate) — the step between a raw crawl page and
+    // every text-quality gate above: navigation, footers, and ad strips
+    // are LINK-DENSE, body prose is not, so a line survives iff its
+    // anchor-text length is ≤ half its tag-stripped text length. The
+    // decision is content-based, not tag-name-based: the planted ad
+    // strip is a <p> and still drops; a body line carrying one inline
+    // link keeps or drops on its own measured density (both engines
+    // compute it, so the gate checks DECISIONS, not plumbing). Pages are
+    // synthesized deterministically from each document's words — nav +
+    // three body lines + an every-3rd-doc ad strip + footer, every 2nd
+    // doc's middle body line carrying an inline link — and the oracle
+    // rebuilds the page and replays strip/measure/filter with the same
+    // ANSI regexes, line order preserved through list ops.
+    Q("q199_boilerplate",
+      (s, dir) => {
+        val d0 = Tables(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= 12)
+        val body = (lo: Int, hi: Int) =>
+          array_join(slice(col("w"), lo, hi - lo + 1), " ")
+        val pages = d0.select(col("doc_id"), concat(
+          lit("<html>\n"),
+          lit("<nav><a href=\"/\">Home</a> | " +
+            "<a href=\"/about\">About</a></nav>\n"),
+          lit("<p>"), body(1, 4), lit("</p>\n"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("<p><a href=\"/ref\">"), element_at(col("w"), 5),
+              lit("</a> "), body(6, 8), lit("</p>\n")))
+            .otherwise(concat(lit("<p>"), body(5, 8), lit("</p>\n"))),
+          when(col("doc_id") % 3 === 0,
+            lit("<p><a href=\"/buy\">Buy</a> <a href=\"/now\">now</a></p>\n"))
+            .otherwise(lit("")),
+          lit("<p>"), body(9, 12), lit("</p>\n"),
+          lit("<footer><a href=\"/p\">Privacy</a> " +
+            "<a href=\"/t\">Terms</a></footer>\n"),
+          lit("</html>")).as("page"))
+        graft.text.Boilerplate.extractMain(pages)
+          .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+            col("main_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS w
+          |  FROM documents WHERE len(string_split(text, ' ')) >= 12),
+          |pg AS (SELECT doc_id,
+          |  '<html>' || chr(10) ||
+          |  '<nav><a href="/">Home</a> | <a href="/about">About</a></nav>'
+          |    || chr(10) ||
+          |  '<p>' || array_to_string(w[1:4], ' ') || '</p>' || chr(10) ||
+          |  CASE WHEN doc_id % 2 = 0
+          |    THEN '<p><a href="/ref">' || w[5] || '</a> '
+          |      || array_to_string(w[6:8], ' ') || '</p>'
+          |    ELSE '<p>' || array_to_string(w[5:8], ' ') || '</p>'
+          |  END || chr(10) ||
+          |  CASE WHEN doc_id % 3 = 0
+          |    THEN '<p><a href="/buy">Buy</a> <a href="/now">now</a></p>'
+          |      || chr(10) ELSE '' END ||
+          |  '<p>' || array_to_string(w[9:12], ' ') || '</p>' || chr(10) ||
+          |  '<footer><a href="/p">Privacy</a> <a href="/t">Terms</a>'
+          |    || '</footer>' || chr(10) ||
+          |  '</html>' AS page FROM d0),
+          |ln AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM pg),
+          |kp AS (SELECT doc_id, ls, list_filter(ls, l ->
+          |    len(regexp_replace(l, '<[^>]*>', '', 'g')) > 0
+          |    AND len(coalesce(array_to_string(
+          |          regexp_extract_all(l, '<a[^>]*>([^<]*)</a>', 1), ''), ''))
+          |        <= 0.5 * len(regexp_replace(l, '<[^>]*>', '', 'g')))
+          |  AS kept FROM ln)
+          |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept,
+          |  CAST(len(ls) - len(kept) AS BIGINT) AS n_dropped,
+          |  array_to_string(list_transform(kept,
+          |    l -> regexp_replace(l, '<[^>]*>', '', 'g')), chr(10))
+          |    AS main_text
+          |FROM kp ORDER BY doc_id""".stripMargin))
   )
 }

@@ -389,6 +389,48 @@ object ScaleElasticity {
             .as("v_filled")))
     }
 
+    // EWMA segmented scan (q196): one shuffle + two window passes + a
+    // spine fold per key — expect ~linear in events (200k × scale here,
+    // 100 events/key average)
+    def ewmaProbe(tag: String): Unit = {
+      val ev = genEvents(tag)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      force(Recurrence.ewma(ev, Seq("user_id"),
+        Seq(col("ts").asc, col("event_id").asc), "value", alpha = 0.2))
+    }
+    // Jaro–Winkler linkage (q195): the fuzzy-linkage blocking with the
+    // native codegen'd scorer — candidate count identical to
+    // fuzzy_linkage, so the delta between the two rows is pure
+    // scorer cost (JW kernel vs levenshtein)
+    def jwLinkage(tag: String): Unit = {
+      import org.apache.spark.sql.expressions.Window
+      val d0 = docs(tag).select(col("doc_id"), split(col("text"), " ").as("w0"))
+        .where(size(col("w0")) >= 8)
+        .select(col("doc_id"), slice(col("w0"), 1, 8).as("tw"))
+      val clean = d0.select(col("doc_id").as("ck"),
+        array_join(col("tw"), " ").as("cn"), col("tw"))
+      val cb = clean.select(col("ck"), explode(expr(
+        "transform(sequence(1, 7), i -> concat(element_at(tw, i), ' ', element_at(tw, i + 1)))"))
+        .as("bg"))
+      val dfq = cb.groupBy("bg").agg(count(lit(1)).as("df"))
+      val dirty = d0.select(col("doc_id").as("dk"),
+          concat(slice(col("tw"), 1, 2), slice(col("tw"), 4, 5)).as("dw"))
+        .select(col("dk"), array_join(col("dw"), " ").as("dn"), col("dw"))
+      val dbg = dirty.select(col("dk"), col("dn"), explode(expr(
+        "transform(sequence(1, 6), i -> concat(element_at(dw, i), ' ', element_at(dw, i + 1)))"))
+        .as("bg"))
+      val wr = Window.partitionBy(col("dk")).orderBy(col("df"), col("bg"))
+      val rare = dbg.join(dfq, "bg")
+        .withColumn("rn", row_number().over(wr)).where(col("rn") === 1)
+        .select(col("dk"), col("dn"), col("bg"))
+      val cands = rare.join(cb.distinct(), "bg")
+        .select(col("dk"), col("dn"), col("ck")).distinct()
+      val wb = Window.partitionBy(col("dk")).orderBy(col("jw").desc, col("ck"))
+      force(cands.join(clean.select(col("ck"), col("cn")), "ck")
+        .withColumn("jw", graft.functions.JaroWinkler(col("dn"), col("cn")))
+        .withColumn("rn", row_number().over(wb)).where(col("rn") === 1))
+    }
+
     val probes: Seq[(String, String => Unit)] = Seq(
       ("exact_dedup", exactDedup _),
       ("minhash_lsh", lsh _),
@@ -412,7 +454,9 @@ object ScaleElasticity {
       ("asof_hot_bucketed", (t: String) => asofHot(t, bucketed = true)),
       ("ppjoin_exact", ppjoin _),
       ("fuzzy_linkage", fuzzy _),
-      ("gapfill_dense", gapfill _))
+      ("gapfill_dense", gapfill _),
+      ("jw_linkage", jwLinkage _),
+      ("ewma_scan", ewmaProbe _))
     // optional name-prefix filter: rerun a subset without paying the rest
     val selected = args.headOption
       .map(p => probes.filter(_._1.startsWith(p))).getOrElse(probes)
