@@ -605,6 +605,55 @@ object StreamingQueries {
           |  round(list_reduce(list(value ORDER BY ts, event_id),
           |    (acc, x) -> CAST(0.2 AS DOUBLE) * x
           |      + CAST(0.8 AS DOUBLE) * acc), 6) AS ewma_last
-          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Streaming tumbling-window OHLC under the gate — the one Structured
+    // Streaming primitive the family didn't yet gate: a built-in
+    // event-time `window()` aggregation behind a watermark (q110/q131
+    // gate CUSTOM stateful ops and session windows; this is the stock
+    // windowed-aggregate path every monitoring pipeline starts from).
+    // Nanos `ts` becomes an event-time timestamp (micros precision —
+    // lossless here, event timestamps are micro-aligned), 1-day epoch-
+    // aligned tumbling windows in the session's UTC zone reproduce
+    // q189's `ts div day` bucketing exactly, and complete mode makes the
+    // sunk table the final aggregation state however the source splits.
+    // Oracle = q189's batch SQL VERBATIM: the streamed windowed state
+    // must reproduce the batch keyed aggregate, open/close included.
+    Q("q200_streaming_ohlc",
+      (s, dir) => {
+        val staged = AnalyticsQueries
+          .tempDirCleanedOnExit("graft_ohlc_stream_").toString
+        Tables(s, dir, "events")
+          .select(col("event_type"), col("ts"), col("value"))
+          .write.mode("overwrite").parquet(staged)
+        val stream = s.readStream
+          .schema("event_type STRING, ts BIGINT, value DOUBLE")
+          .parquet(staged)
+          .withColumn("event_time",
+            timestamp_micros(expr("ts div 1000")))
+          .withWatermark("event_time", "0 seconds")
+        val win = stream
+          .groupBy(col("event_type"), window(col("event_time"), "1 day"))
+          .agg(min_by(col("value"), col("ts")).as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max_by(col("value"), col("ts")).as("close"),
+            count(lit(1)).as("n"),
+            avg(col("value")).as("__avg"))
+        runToTable(win, "stream_ohlc", mode = "complete")
+          .select(col("event_type"),
+            expr("unix_micros(window.start) div 86400000000").as("day"),
+            col("open"), col("high"), col("low"), col("close"), col("n"),
+            round(col("__avg"), 6).as("mean_v"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some(
+        """SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+          |  arg_min(value, epoch_ns(ts)) AS open,
+          |  max(value) AS high, min(value) AS low,
+          |  arg_max(value, epoch_ns(ts)) AS close,
+          |  count(*) AS n, round(avg(value), 6) AS mean_v
+          |FROM events GROUP BY event_type, day
+          |ORDER BY event_type, day""".stripMargin))
   )
 }
