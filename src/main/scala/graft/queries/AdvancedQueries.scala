@@ -1668,6 +1668,36 @@ object AdvancedQueries {
           |    AS rows_at_risk,
           |  round(sum(CASE WHEN l < 3 THEN gn ELSE 0 END) * 1.0
           |    / sum(gn), 6) AS risk_frac
-          |FROM g""".stripMargin))
+          |FROM g""".stripMargin)),
+
+    // Skew-hardened EWMA (Recurrence.ewmaBucketed) — q196's recurrence
+    // partitioned by (key, 6-hour time bucket) instead of key alone, so
+    // a hot entity's ordered scan spreads over its buckets rather than
+    // one straggler window task (the q177 asofBucketed trick applied to
+    // a recurrence; hot-key measurement in PLANS.md Round-14). The
+    // linearity of the recurrence makes the composition exact: within-
+    // bucket folds as if the bucket opened the series, a per-key bucket
+    // spine carries E_b = L_b + m^sz_b·E_{b−1}, each row adds
+    // m^rn·E_prev. Oracle = q196's list_reduce fold VERBATIM — two
+    // engine shapes, one ground truth, like q175/q177.
+    Q("q201_ewma_bucketed",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        graft.analytics.Recurrence
+          .ewmaBucketed(e, Seq("user_id"), "ts",
+            Seq(col("ts").asc, col("event_id").asc), "value", alpha = 0.2,
+            bucket = 6L * 3600L * 1000000000L)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            round(max_by(col("ewma"), struct(col("ts"), col("event_id"))), 6)
+              .as("ewma_last"))
+          .orderBy(col("user_id"))
+      },
+      Some(
+        """SELECT user_id, count(*) AS n_events,
+          |  round(list_reduce(list(value ORDER BY ts, event_id),
+          |    (acc, x) -> CAST(0.2 AS DOUBLE) * x
+          |      + CAST(0.8 AS DOUBLE) * acc), 6) AS ewma_last
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }

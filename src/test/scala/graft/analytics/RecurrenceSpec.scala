@@ -61,6 +61,34 @@ class RecurrenceSpec extends AnyFunSuite with SparkTestBase {
     assert(got((2L, 0)) === -3.5)
   }
 
+  test("ewmaBucketed equals plain ewma for any bucket width, gaps included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    // sparse, gappy timestamps: plenty of empty buckets at small widths
+    val rows = (0L until 6L).flatMap { k =>
+      (0 until 80).map { i =>
+        (k, i * 37L + (k * 13) % 29, i, rnd.nextDouble() * 10 - 5)
+      }
+    }
+    val df = rows.toDF("k", "ts", "i", "x").repartition(5)
+    val plain = Recurrence
+      .ewma(df, Seq("k"), Seq(col("ts").asc, col("i").asc), "x", 0.25)
+      .select(col("k"), col("i"), col("ewma")).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(2))).toMap
+    Seq(1L, 17L, 256L, 1000000L).foreach { w =>
+      val bucketed = Recurrence
+        .ewmaBucketed(df, Seq("k"), "ts",
+          Seq(col("ts").asc, col("i").asc), "x", 0.25, bucket = w)
+        .select(col("k"), col("i"), col("ewma")).collect()
+        .map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(2))).toMap
+      assert(bucketed.size === plain.size)
+      plain.foreach { case (kk, v) =>
+        assert(math.abs(bucketed(kk) - v) < 1e-9,
+          s"row $kk at bucket width $w")
+      }
+    }
+  }
+
   test("precision guard rejects a block too deep for the decay rate") {
     import spark.implicits._
     val df = Seq((1L, 0, 1.0)).toDF("k", "i", "x")

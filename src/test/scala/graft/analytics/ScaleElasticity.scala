@@ -431,6 +431,22 @@ object ScaleElasticity {
         .withColumn("rn", row_number().over(wb)).where(col("rn") === 1))
     }
 
+    // hot-key EWMA: 90% of all events on one user — the plain form's
+    // per-key window is one straggler sorted run; the (key, time-bucket)
+    // form spreads it over ~120 6-hour buckets (the asofBucketed trick
+    // applied to the recurrence)
+    def ewmaHot(tag: String, bucketed: Boolean): Unit = {
+      val ev = genHotEvents(tag)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val out =
+        if (bucketed) Recurrence.ewmaBucketed(ev, Seq("user_id"), "ts",
+          Seq(col("ts").asc, col("event_id").asc), "value", 0.2,
+          bucket = 6L * 3600L * 1000000000L)
+        else Recurrence.ewma(ev, Seq("user_id"),
+          Seq(col("ts").asc, col("event_id").asc), "value", 0.2)
+      force(out)
+    }
+
     val probes: Seq[(String, String => Unit)] = Seq(
       ("exact_dedup", exactDedup _),
       ("minhash_lsh", lsh _),
@@ -456,7 +472,9 @@ object ScaleElasticity {
       ("fuzzy_linkage", fuzzy _),
       ("gapfill_dense", gapfill _),
       ("jw_linkage", jwLinkage _),
-      ("ewma_scan", ewmaProbe _))
+      ("ewma_scan", ewmaProbe _),
+      ("ewma_hot_plain", (t: String) => ewmaHot(t, bucketed = false)),
+      ("ewma_hot_bucketed", (t: String) => ewmaHot(t, bucketed = true)))
     // optional name-prefix filter: rerun a subset without paying the rest
     val selected = args.headOption
       .map(p => probes.filter(_._1.startsWith(p))).getOrElse(probes)
