@@ -456,4 +456,46 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase
       case t: TakeOrderedAndProjectExec => t
     }.size >= 2, s"expected both rankers to plan map-side top-k:\n$p")
   }
+
+  test("q196: the EWMA scan stays keyed on user_id end-to-end — every " +
+      "hash exchange carries the key, nothing collapses to one partition") {
+    // The segmented scan's contract: ONE key-hash shuffle feeds the rn/
+    // block windows, the spine aggregation+window, and the co-partitioned
+    // join back (hash(user_id) satisfies every (user_id, __blk) clustering
+    // requirement — subset rule). The final orderBy adds the output range
+    // exchange; nothing else may repartition, and no stage may funnel
+    // through a single partition.
+    val p = plan("q196_ewma")
+    assert(!p.toString.contains("SinglePartition"),
+      s"single-partition exchange in the EWMA chain:\n$p")
+    val hashEx = collectWithSubqueries(p) {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+        => e
+    }
+    assert(hashEx.nonEmpty, s"no keyed exchange found:\n$p")
+    hashEx.foreach { e =>
+      val keys = e.outputPartitioning
+        .asInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+        .expressions.map(_.toString.toLowerCase)
+      assert(keys.exists(_.contains("user_id")),
+        s"hash exchange not keyed on user_id ($keys):\n$p")
+    }
+  }
+
+  test("q199: boilerplate extraction is one doc-keyed aggregation over " +
+      "the exploded lines — no joins, no single-partition funnel") {
+    val p = plan("q199_boilerplate")
+    assert(!p.toString.contains("SinglePartition"),
+      s"single-partition exchange in the line chain:\n$p")
+    val joins = collectWithSubqueries(p) {
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j
+      case j: BroadcastHashJoinExec => j
+      case j: BroadcastNestedLoopJoinExec => j
+    }
+    assert(joins.isEmpty, s"unexpected join in a pure map+agg chain:\n$p")
+  }
 }
