@@ -27,6 +27,9 @@ object Caches {
   private val pqBooks =
     TrieMap.empty[(SparkSession, String, String), Array[(Int, Int, Array[Double])]]
 
+  private val memos =
+    TrieMap.empty[(SparkSession, String, String), Any]
+
   /** The cached frame for `tag` over (session, dir), building (and
     * persisting) it on first use. `eager = true` materializes the
     * cache immediately (one `count()`), so downstream consumers pay only
@@ -61,6 +64,15 @@ object Caches {
       : Array[(Int, Int, Array[Double])] =
     pqBooks.getOrElseUpdate((s, dir, config), build)
 
+  /** Arbitrary memoized value for `tag` over (session, dir) — the
+    * lifecycle home for one-time side effects whose product is a small
+    * HANDLE rather than a frame (the q185 bucketed-layout table names):
+    * the side effect runs once per (session, dir), every later query in
+    * the session reuses the handle, and [[evict]] drops the entry with
+    * the rest of the session's state. */
+  def memo[T](s: SparkSession, dir: String, tag: String)(build: => T): T =
+    memos.getOrElseUpdate((s, dir, tag), build).asInstanceOf[T]
+
   /** Unpersist and drop every cache entry owned by `session`.
     *
     * Spark's CacheManager is PLAN-keyed and shared by every session of one
@@ -83,10 +95,11 @@ object Caches {
     }
     centroids.keys.filter(_._1 eq session).foreach(centroids.remove)
     pqBooks.keys.filter(_._1 eq session).foreach(pqBooks.remove)
+    memos.keys.filter(_._1 eq session).foreach(memos.remove)
   }
 
   /** Visible for tests: number of live entries for `session`. */
   private[graft] def liveEntries(session: SparkSession): Int =
     frames.keys.count(_._1 eq session) + centroids.keys.count(_._1 eq session) +
-      pqBooks.keys.count(_._1 eq session)
+      pqBooks.keys.count(_._1 eq session) + memos.keys.count(_._1 eq session)
 }
