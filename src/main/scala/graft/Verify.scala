@@ -7,8 +7,11 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
-    // dev-only: optional query-name prefix filter (driver passes 2 args)
-    val prefix = if (args.length > 2) args(2) else ""
+    // dev-only: optional comma-separated query-name prefix filter (the
+    // driver passes 2 args, so it always gets the full registry)
+    val prefixes =
+      (if (args.length > 2) args(2) else "").split(',').toSeq
+    def selected(name: String): Boolean = prefixes.exists(name.startsWith)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,7 +32,7 @@ object Verify {
     // 2.74M pair rows) but far below corpus-bulk scale
     val maxDumpRows = 10000000L
     SparkEntry.queries
-      .filter { case (name, _) => name.startsWith(prefix) }
+      .filter { case (name, _) => selected(name) }
       .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -55,7 +58,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => k.startsWith(prefix) }
+      .filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

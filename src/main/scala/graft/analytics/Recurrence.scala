@@ -48,13 +48,16 @@ object Recurrence {
     * (`e_1 = x_1`, `e_i = α·x_i + (1−α)·e_{i−1}`).
     *
     * `block` bounds the in-block exponent: the largest rescale factor is
-    * `(1−α)^−(block−1)`, guarded below to keep the running sum well
-    * inside double range (precision loss is ~1e−16 × the factor; the
-    * default 32-row block with α ≥ 0.05 keeps absolute error under
-    * ~1e−10 — callers gating on rounded values are safe by orders of
-    * magnitude). A slow decay (small α) with a small block widens the
-    * spine lag horizon instead — both guards point the same way: grow
-    * `block` when α is small. */
+    * `(1−α)^−(block−1)`, and rescale-induced error is ~1e−16 × that
+    * factor (relative to the value scale). The guard below caps the
+    * factor at 1e6, so the ENFORCED absolute error bound is ~1e−10 ×
+    * the value scale — callers gating on rounded values are safe by
+    * orders of magnitude. A fast decay (large α) overflows the guard at
+    * the default block (α ≥ ~0.36 at block = 32): SHRINK `block` (e.g.
+    * α = 0.5 needs block ≤ 20; block = 16 is spec-pinned to < 1e−10).
+    * A slow decay (small α) with a small block widens the spine lag
+    * horizon instead — that guard points the other way: grow `block`
+    * when α is small. */
   def ewma(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
       valueCol: String, alpha: Double, block: Int = 32): DataFrame = {
     require(alpha > 0.0 && alpha < 1.0,
@@ -62,9 +65,11 @@ object Recurrence {
     require(block >= 1, s"Recurrence.ewma: block must be >= 1, got $block")
     val m = 1.0 - alpha
     val maxScale = math.pow(m, -(block - 1).toDouble)
-    require(maxScale < 1e12,
+    // 1e6 keeps the documented ~1e-10 absolute bound true: error is
+    // ~1e-16 × maxScale (a 1e12 guard would silently admit ~1e-4).
+    require(maxScale < 1e6,
       s"Recurrence.ewma: (1-alpha)^-(block-1) = $maxScale exceeds the " +
-        "precision guard (1e12); shrink block for this alpha")
+        "precision guard (1e6); shrink block for this alpha")
     val horizon = lagHorizon(m, block)
     require(horizon <= 256,
       s"Recurrence.ewma: spine lag horizon $horizon exceeds 256; grow " +

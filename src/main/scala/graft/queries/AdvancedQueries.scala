@@ -16,38 +16,56 @@ import org.apache.spark.sql.expressions.Window
   */
 object AdvancedQueries {
 
-  /** Monotone tag for q185's catalog table names: the layout is memoized
-    * per (session, dir), but the CATALOG is per-session and the bench
-    * may run two invocations concurrently — a fixed name would race the
-    * `DROP TABLE`/`saveAsTable` pair (the streaming harness's unique-
-    * sink-name pattern, applied to the catalog). */
+  /** Monotone tag for q185's catalog table names. `saveAsTable` registers
+    * PERSISTENT tables in the SharedState catalog, which is CONTEXT-global
+    * (shared by every session of one SparkContext; only temp views are
+    * per-session) — so unique names are load-bearing twice over: two
+    * sessions memoizing independently, or two concurrent bench
+    * invocations, would otherwise race a fixed name's `DROP TABLE`/
+    * `saveAsTable` pair in the one shared catalog. The session-keyed memo
+    * over that context-global catalog does mean two sessions on the same
+    * dir each build their own layout copy — deliberate: session isolation
+    * (each session's evict cleans exactly its own tables/files) over
+    * cross-session sharing, which a long-lived multi-session embedding
+    * would instead get by running q185's layout once at ingest. */
   private val bucketSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** q185's bucketed layout — both fact projections written hash-
     * bucketed (8 buckets, bucket-sorted) on their join keys, ONCE per
-    * (session, dir) via [[Caches.memo]]. Returns the registered table
-    * names. Keeping the write out of the query closure means (a) the
-    * benched query times the zero-Exchange join alone — the layout is
-    * ingest cost, paid once, exactly as the module doc frames it at
-    * 100 TB — and (b) the query closure is stateless against the
-    * session catalog. */
+    * (session, dir) via [[Caches.memo]] (single-flight: racing first
+    * calls share one build). Returns the registered table names. The
+    * registered cleanup makes [[Caches.evict]] drop the catalog entries
+    * and delete the on-disk layout copies — repeated evict/rebuild
+    * cycles in a long-lived embedding release, not accumulate, the
+    * fact-table copies. Keeping the write out of the query closure means
+    * (a) the benched query times the zero-Exchange join alone — the
+    * layout is ingest cost, paid once, exactly as the module doc frames
+    * it at 100 TB — and (b) the query closure is stateless against the
+    * catalog. */
   private def bucketedLayout185(s: SparkSession, dir: String)
-      : (String, String) =
-    Caches.memo(s, dir, "bucket185") {
-      val seq = bucketSeq.incrementAndGet()
-      val base = AnalyticsQueries.tempDirCleanedOnExit("graft_bucket_")
-      val ordersT = s"g185_orders_$seq"
-      val lineitemT = s"g185_lineitem_$seq"
-      graft.analytics.Bucketing.writeBucketed(
-        Tables(s, dir, "orders").select(col("o_orderkey"),
-          col("o_orderstatus"), col("o_orderpriority")),
-        ordersT, base.resolve("orders").toString, "o_orderkey", 8)
-      graft.analytics.Bucketing.writeBucketed(
-        Tables(s, dir, "lineitem").select(col("l_orderkey"),
-          col("l_extendedprice"), col("l_discount")),
-        lineitemT, base.resolve("lineitem").toString, "l_orderkey", 8)
-      (ordersT, lineitemT)
-    }
+      : (String, String) = {
+    val (ordersT, lineitemT, _) =
+      Caches.memo[(String, String, java.nio.file.Path)](s, dir, "bucket185",
+        cleanup = { case (ot, lt, base) =>
+          Seq(ot, lt).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+          AnalyticsQueries.deleteRecursively(base)
+        }) {
+        val seq = bucketSeq.incrementAndGet()
+        val base = AnalyticsQueries.tempDirCleanedOnExit("graft_bucket_")
+        val ordersT = s"g185_orders_$seq"
+        val lineitemT = s"g185_lineitem_$seq"
+        graft.analytics.Bucketing.writeBucketed(
+          Tables(s, dir, "orders").select(col("o_orderkey"),
+            col("o_orderstatus"), col("o_orderpriority")),
+          ordersT, base.resolve("orders").toString, "o_orderkey", 8)
+        graft.analytics.Bucketing.writeBucketed(
+          Tables(s, dir, "lineitem").select(col("l_orderkey"),
+            col("l_extendedprice"), col("l_discount")),
+          lineitemT, base.resolve("lineitem").toString, "l_orderkey", 8)
+        (ordersT, lineitemT, base)
+      }
+    (ordersT, lineitemT)
+  }
 
   /** Shared oracle prefix for q63/q64: normalized text → polynomial
     * k=8-gram hashes (the BIGINT-arithmetic replica of
@@ -164,12 +182,14 @@ object AdvancedQueries {
         Tables(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
           .pivot("l_linestatus", Seq("F", "O"))
-          .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          // single UNALIASED agg → pivot names the columns "F"/"O" directly;
+          // round(…, 2) both sides: FP-order determinism (FpAudit)
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2))
           .orderBy(col("l_returnflag")),
       Some(
         """SELECT l_returnflag,
-          |  sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice * (1 - l_discount) END) AS "F",
-          |  sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice * (1 - l_discount) END) AS "O"
+          |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice * (1 - l_discount) END), 2) AS "F",
+          |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice * (1 - l_discount) END), 2) AS "O"
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // Unpivot (melt) via stack: rows × metrics → (metric, value) — the
@@ -184,7 +204,7 @@ object AdvancedQueries {
             'discount', l_discount) AS (metric, v)""")
           .groupBy(col("metric"))
           .agg(count(lit(1)).as("n"), min(col("v")).as("v_min"),
-            max(col("v")).as("v_max"), sum(col("v")).as("v_sum"))
+            max(col("v")).as("v_max"), round(sum(col("v")), 2).as("v_sum"))
           .orderBy(col("metric")),
       Some(
         """WITH m AS (
@@ -192,7 +212,7 @@ object AdvancedQueries {
           |  UNION ALL SELECT 'price', l_extendedprice FROM lineitem
           |  UNION ALL SELECT 'discount', l_discount FROM lineitem)
           |SELECT metric, count(*) AS n, min(v) AS v_min, max(v) AS v_max,
-          |  sum(v) AS v_sum
+          |  round(sum(v), 2) AS v_sum
           |FROM m GROUP BY metric ORDER BY metric""".stripMargin)),
 
     // Cube: all four grouping sets in one pass, disambiguated by
@@ -202,13 +222,14 @@ object AdvancedQueries {
       (s, dir) =>
         Tables(s, dir, "lineitem")
           .cube(col("l_returnflag"), col("l_linestatus"))
-          .agg(grouping_id().as("gid"), sum(col("l_quantity")).as("sum_qty"),
+          .agg(grouping_id().as("gid"),
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
             count(lit(1)).as("n"))
           .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus")),
       Some(
         """SELECT l_returnflag, l_linestatus,
           |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-          |  sum(l_quantity) AS sum_qty, count(*) AS n
+          |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
           |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
           |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)),
 
@@ -225,12 +246,13 @@ object AdvancedQueries {
           .join(broadcast(bands),
             col("value") >= col("lo") && col("value") < col("hi"))
           .groupBy(col("band_id"), col("lo"), col("hi"))
-          .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 6).as("sum_value"))
           .orderBy(col("band_id"))
       },
       Some(
         """SELECT band_id, CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi,
-          |  count(*) AS n_events, sum(e.value) AS sum_value
+          |  count(*) AS n_events, round(sum(e.value), 6) AS sum_value
           |FROM events e
           |JOIN (VALUES (1, 0.0, 10.0), (2, 10.0, 50.0), (3, 50.0, 150.0),
           |             (4, 150.0, 500.0)) b(band_id, lo, hi)
@@ -570,11 +592,11 @@ object AdvancedQueries {
               timestamp_micros((col("ts") / 1000).cast("long"))).as("hour"),
             col("value"))
           .groupBy(col("event_type"), col("hour"))
-          .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
           .orderBy(col("event_type"), col("hour")),
       Some(
         """SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
-          |  count(*) AS n, sum(value) AS sum_value
+          |  count(*) AS n, round(sum(value), 6) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY event_type, hour""".stripMargin)),
 
     // The reference's MAD risk measure (SM1/O10) generalized from ONE
@@ -1128,8 +1150,14 @@ object AdvancedQueries {
     // `revenue` is rounded to cents on BOTH sides: the bucketed SMJ
     // accumulates the sum in bucket order while the oracle's plain join
     // accumulates in its own order, and FP addition is not associative —
-    // r11's driver run caught exactly this (hash-only mismatch). The
-    // inputs are cent-exact, so round(…, 2) is the true value.
+    // r11's driver run caught exactly this (hash-only mismatch).
+    // round(…, 2) is a QUANTIZATION, not an exactness claim: each
+    // l_extendedprice·(1−l_discount) term carries 4 decimal digits plus
+    // binary representation error, so the rounded sum still flips iff
+    // the accumulated reorder error (~1e-12 relative) straddles a
+    // half-cent boundary — the margin makes that astronomically
+    // unlikely, and plan-INdependent, which is what the gate needs
+    // (see FpAudit's scaladoc for the class-wide treatment).
     Q("q185_bucketed_join",
       (s, dir) => {
         val (ordersT, lineitemT) = bucketedLayout185(s, dir)
@@ -1641,9 +1669,15 @@ object AdvancedQueries {
     // range, no per-row sequential UDF and no collect-the-series-per-key.
     // The gate reports each user's FINAL ewma — a value that depends on
     // the user's entire ordered history, so any mis-carry anywhere in
-    // the chain flips the hash. Oracle: DuckDB folds the recurrence
-    // sequentially with list_reduce — a different evaluation order
-    // entirely, agreeing to ~1e-12 (rounded to 6).
+    // the chain flips the hash (a real bug shifts values at O(value)
+    // scale; 4-decimal quantization loses none of that sensitivity).
+    // Oracle: DuckDB folds the recurrence sequentially with list_reduce
+    // — a different evaluation order entirely, agreeing to ~1e-12.
+    // Residual flake margin of round-then-hash: the hash flips iff a
+    // true value lands within that ~1e-12 of a half-step (.5e-4)
+    // boundary — P ≈ 2e-8 per emitted value (a 100× wider margin than
+    // the earlier 6-decimal gate; the driver's hash compare is exact,
+    // so the risk is quantized away, not tolerance-compared away).
     Q("q196_ewma",
       (s, dir) => {
         val e = Tables(s, dir, "events")
@@ -1652,7 +1686,7 @@ object AdvancedQueries {
             "value", alpha = 0.2)
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_events"),
-            round(max_by(col("ewma"), struct(col("ts"), col("event_id"))), 6)
+            round(max_by(col("ewma"), struct(col("ts"), col("event_id"))), 4)
               .as("ewma_last"))
           .orderBy(col("user_id"))
       },
@@ -1660,7 +1694,7 @@ object AdvancedQueries {
         """SELECT user_id, count(*) AS n_events,
           |  round(list_reduce(list(value ORDER BY ts, event_id),
           |    (acc, x) -> CAST(0.2 AS DOUBLE) * x
-          |      + CAST(0.8 AS DOUBLE) * acc), 6) AS ewma_last
+          |      + CAST(0.8 AS DOUBLE) * acc), 4) AS ewma_last
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // l-diversity audit — k-anonymity's (q194) stronger sibling: a QI
@@ -1721,7 +1755,7 @@ object AdvancedQueries {
             bucket = 6L * 3600L * 1000000000L)
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_events"),
-            round(max_by(col("ewma"), struct(col("ts"), col("event_id"))), 6)
+            round(max_by(col("ewma"), struct(col("ts"), col("event_id"))), 4)
               .as("ewma_last"))
           .orderBy(col("user_id"))
       },
@@ -1729,7 +1763,7 @@ object AdvancedQueries {
         """SELECT user_id, count(*) AS n_events,
           |  round(list_reduce(list(value ORDER BY ts, event_id),
           |    (acc, x) -> CAST(0.2 AS DOUBLE) * x
-          |      + CAST(0.8 AS DOUBLE) * acc), 6) AS ewma_last
+          |      + CAST(0.8 AS DOUBLE) * acc), 4) AS ewma_last
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }

@@ -16,18 +16,21 @@ object AnalyticsQueries {
     * the round-trip queries return LAZY frames that read back from the
     * dir, so deletion can't happen inline — but without the hook every
     * verify/bench run leaked a full table copy into java.io.tmpdir. */
+  private[queries] def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    if (Files.exists(dir)) {
+      val walk = Files.walk(dir)
+      try walk.sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   private[queries] def tempDirCleanedOnExit(prefix: String): java.nio.file.Path = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.nio.file.{Files, Path}
-      import java.util.Comparator
-      if (Files.exists(dir)) {
-        val walk = Files.walk(dir)
-        try walk.sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
-        finally walk.close()
-      }
-    }))
+    Runtime.getRuntime
+      .addShutdownHook(new Thread(() => deleteRecursively(dir)))
     dir
   }
 

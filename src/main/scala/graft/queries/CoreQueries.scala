@@ -26,22 +26,22 @@ object CoreQueries {
         val li = Tables(s, dir, "lineitem")
         li.where(col("l_shipdate") < expr("timestamp'2000-01-01'"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
-          .agg(
-            sum(col("l_quantity")).as("sum_qty"),
-            sum(col("l_extendedprice")).as("sum_base_price"),
-            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .agg( // round(…, k) on BOTH sides: FP-order determinism (FpAudit)
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
               .as("sum_disc_price"),
-            avg(col("l_quantity")).as("avg_qty"),
-            avg(col("l_discount")).as("avg_disc"),
+            round(avg(col("l_quantity")), 6).as("avg_qty"),
+            round(avg(col("l_discount")), 6).as("avg_disc"),
             count(lit(1)).as("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             |  sum(l_quantity) AS sum_qty,
-             |  sum(l_extendedprice) AS sum_base_price,
-             |  sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
-             |  avg(l_quantity) AS avg_qty,
-             |  avg(l_discount) AS avg_disc,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base_price,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+             |  round(avg(l_quantity), 6) AS avg_qty,
+             |  round(avg(l_discount), 6) AS avg_disc,
              |  count(*) AS count_order
              |FROM lineitem
              |WHERE l_shipdate < TIMESTAMP '2000-01-01'
@@ -78,11 +78,11 @@ object CoreQueries {
         val c = Tables(s, dir, "customer")
         o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_mktsegment"))
-          .agg(sum(col("o_totalprice")).as("total_revenue"),
+          .agg(round(sum(col("o_totalprice")), 2).as("total_revenue"),
             count(lit(1)).as("n_orders"))
           .orderBy(col("c_mktsegment"))
       },
-      Some("""SELECT c_mktsegment, sum(o_totalprice) AS total_revenue,
+      Some("""SELECT c_mktsegment, round(sum(o_totalprice), 2) AS total_revenue,
              |  count(*) AS n_orders
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
@@ -125,12 +125,12 @@ object CoreQueries {
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("n_name"))
-          .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
             .as("revenue"))
           .orderBy(col("n_name"))
       },
       Some("""SELECT n_name,
-             |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
              |FROM region
              |JOIN nation ON n_regionkey = r_regionkey
              |JOIN customer ON c_nationkey = n_nationkey
@@ -143,9 +143,9 @@ object CoreQueries {
     Q("q14_event_type_count",
       (s, dir) =>
         Tables(s, dir, "events").groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+          .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
           .orderBy(col("event_type")),
-      Some("""SELECT event_type, count(*) AS n, avg(value) AS avg_value
+      Some("""SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // P4: 10 equal-width histogram bins (identical float arithmetic both
@@ -194,10 +194,11 @@ object CoreQueries {
       (s, dir) =>
         Tables(s, dir, "lineitem")
           .rollup(col("l_returnflag"), col("l_linestatus"))
-          .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+          .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+            count(lit(1)).as("n"))
           .orderBy(col("l_returnflag"), col("l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus,
-             |  sum(l_quantity) AS sum_qty, count(*) AS n
+             |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY 1, 2""".stripMargin)),
 
@@ -343,13 +344,13 @@ object CoreQueries {
         val ts = timestamp_seconds(lit(1700000000L) + col("event_id") * 60)
         Tables(s, dir, "events")
           .groupBy(window(ts, "1 hour").as("w"), col("event_type"))
-          .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+          .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
           .select(col("w.start").cast("long").as("window_start"),
             col("event_type"), col("n"), col("avg_value"))
           .orderBy(col("window_start"), col("event_type"))
       },
       Some("""SELECT (1700000000 + event_id * 60) // 3600 * 3600 AS window_start,
-             |  event_type, count(*) AS n, avg(value) AS avg_value
+             |  event_type, count(*) AS n, round(avg(value), 6) AS avg_value
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // HLL sketch distinct counts (no DuckDB oracle — sketches differ across

@@ -709,8 +709,9 @@ object CurationQueries {
           |ln AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM pg),
           |kp AS (SELECT doc_id, ls, list_filter(ls, l ->
           |    len(regexp_replace(l, '<[^>]*>', '', 'g')) > 0
-          |    AND len(coalesce(array_to_string(
-          |          regexp_extract_all(l, '<a[^>]*>([^<]*)</a>', 1), ''), ''))
+          |    AND len(regexp_replace(coalesce(array_to_string(
+          |          regexp_extract_all(l, '<a[^>]*>(.*?)</a>', 1), ''), ''),
+          |          '<[^>]*>', '', 'g'))
           |        <= 0.5 * len(regexp_replace(l, '<[^>]*>', '', 'g')))
           |  AS kept FROM ln)
           |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept,

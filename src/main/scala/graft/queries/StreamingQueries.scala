@@ -596,7 +596,7 @@ object StreamingQueries {
         runToTable(out.toDF(), "stream_ewma")
           .groupBy(col("key").as("user_id"))
           .agg(count(lit(1)).as("n_events"),
-            round(max_by(col("ewma"), struct(col("ts"), col("id"))), 6)
+            round(max_by(col("ewma"), struct(col("ts"), col("id"))), 4)
               .as("ewma_last"))
           .orderBy(col("user_id"))
       },
@@ -604,7 +604,7 @@ object StreamingQueries {
         """SELECT user_id, count(*) AS n_events,
           |  round(list_reduce(list(value ORDER BY ts, event_id),
           |    (acc, x) -> CAST(0.2 AS DOUBLE) * x
-          |      + CAST(0.8 AS DOUBLE) * acc), 6) AS ewma_last
+          |      + CAST(0.8 AS DOUBLE) * acc), 4) AS ewma_last
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // Streaming tumbling-window OHLC under the gate — the one Structured

@@ -32,10 +32,21 @@ object Boilerplate {
   def stripTags(line: Column): Column =
     regexp_replace(line, "<[^>]*>", "")
 
-  /** Concatenated anchor text of a markup line. */
+  /** Concatenated tag-stripped anchor text of a markup line. The span
+    * match is NON-GREEDY across nested markup (`<a><b>Buy</b></a>`
+    * counts "Buy", not zero chars — real-crawl anchors wrap images,
+    * bolds, spans), then tags inside the captured span are stripped so
+    * only rendered characters enter the density ratio. Java regex and
+    * DuckDB's RE2 agree on `(.*?)` laziness, so the oracle replays it
+    * verbatim. Known residual: a nested `<a>` inside an `<a>` ends the
+    * span at the FIRST `</a>` — invalid HTML that no linear regex pairs
+    * correctly; the unmatched tail still strips out of `text`, so the
+    * density only under-counts, never over-counts, on such soup. */
   def anchorText(line: Column): Column =
-    array_join(
-      regexp_extract_all(line, lit("<a[^>]*>([^<]*)</a>"), lit(1)), "")
+    regexp_replace(
+      array_join(
+        regexp_extract_all(line, lit("<a[^>]*>(.*?)</a>"), lit(1)), ""),
+      "<[^>]*>", "")
 
   /** (doc_id, main_text, n_kept, n_dropped) from (docCol, pageCol) pages:
     * lines split on `\n`, kept iff nonempty text with link density ≤

@@ -66,9 +66,11 @@ class AdvancedQueriesSpec extends AnyFunSuite with SparkTestBase {
       .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
       .collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // q48's cells are round(…, 2) (FP-determinism convention), the
+    // reference aggregate here is raw — allow the half-cent quantum
     piv.foreach { case (flag, (f, o)) =>
-      assert(math.abs(f - flat((flag, "F"))) < 1e-6)
-      assert(math.abs(o - flat((flag, "O"))) < 1e-6)
+      assert(math.abs(f - flat((flag, "F"))) <= 0.005)
+      assert(math.abs(o - flat((flag, "O"))) <= 0.005)
     }
   }
 }

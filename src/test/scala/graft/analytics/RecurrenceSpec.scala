@@ -43,9 +43,10 @@ class RecurrenceSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("block size is an implementation detail: 1, 7, 32, 64 agree") {
+  test("block size is an implementation detail: 1, 7, 16, 32 agree") {
+    // α=0.3: block ≤ 39 passes the 1e6 rescale guard (0.7^-38 ≈ 7.7e5)
     val data = randomKeyed(seed = 2, nKeys = 8, maxLen = 120)
-    val runs = Seq(1, 7, 32, 64).map(b => runEwma(data, 0.3, b))
+    val runs = Seq(1, 7, 16, 32).map(b => runEwma(data, 0.3, b))
     val base = runs.head
     runs.tail.foreach { r =>
       base.foreach { case (kk, v) =>
@@ -56,7 +57,7 @@ class RecurrenceSpec extends AnyFunSuite with SparkTestBase {
 
   test("single-row keys: ewma is the value itself") {
     val data = Map(1L -> Seq(42.0), 2L -> Seq(-3.5))
-    val got = runEwma(data, 0.5, 32)
+    val got = runEwma(data, 0.5, 16)
     assert(got((1L, 0)) === 42.0)
     assert(got((2L, 0)) === -3.5)
   }
@@ -97,6 +98,30 @@ class RecurrenceSpec extends AnyFunSuite with SparkTestBase {
         alpha = 0.9, block = 32)
     }
     assert(err.getMessage.contains("precision guard"))
+  }
+
+  test("guard enforces the documented bound: α=0.5/block=32 rejected " +
+      "(rescale 2^31 would admit ~1e-4 error), α=0.5/block=16 accurate") {
+    import spark.implicits._
+    val df = Seq((1L, 0, 1.0)).toDF("k", "i", "x")
+    val err = intercept[IllegalArgumentException] {
+      Recurrence.ewma(df, Seq("k"), Seq(col("i").asc), "x",
+        alpha = 0.5, block = 32)
+    }
+    assert(err.getMessage.contains("precision guard"))
+
+    // block=16: rescale 2^15 ≈ 3.3e4 passes the 1e6 guard, and the
+    // result must meet the scaladoc's ~1e-10-of-value-scale bound
+    // (values here are |x| ≤ 50, so 1e-10 absolute is the claim tested).
+    val data = randomKeyed(seed = 5, nKeys = 10, maxLen = 150)
+    val got = runEwma(data, alpha = 0.5, block = 16)
+    data.foreach { case (k, xs) =>
+      val want = foldEwma(xs, 0.5)
+      xs.indices.foreach { i =>
+        assert(math.abs(got((k, i)) - want(i)) < 1e-10,
+          s"key $k row $i: got ${got((k, i))}, want ${want(i)}")
+      }
+    }
   }
 
   test("plan: no cartesian product; spine join keyed on (key, block)") {

@@ -61,4 +61,49 @@ class CachesSpec extends AnyFunSuite with SparkTestBase {
     assert(Caches.liveEntries(s2) === base2)
     assert(shared2.storageLevel === StorageLevel.NONE)
   }
+
+  test("memo is single-flight (racing first calls share one build) and " +
+      "evict runs the registered cleanup exactly once, on built entries " +
+      "only") {
+    val s = spark.newSession()
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val cleans = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+
+    def call(): Int =
+      Caches.memo[Int](s, dir, "spec-memo", cleanup = _ => cleans.incrementAndGet()) {
+        gate.await() // hold the winner's build until both callers arrived
+        Thread.sleep(50) // widen the race window for the loser
+        builds.incrementAndGet()
+      }
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f1 = Future(call())
+    val f2 = Future(call())
+    Thread.sleep(100) // both futures reach the memo before the gate opens
+    gate.countDown()
+    val (v1, v2) = (Await.result(f1, 30.seconds), Await.result(f2, 30.seconds))
+    assert(v1 === 1 && v2 === 1, "loser must block on the winner's build")
+    assert(builds.get() === 1, "exactly one build despite the race")
+
+    Caches.evict(s)
+    assert(cleans.get() === 1, "evict must run the cleanup on the handle")
+    Caches.evict(s)
+    assert(cleans.get() === 1, "second evict: entry already gone")
+
+    // a never-built memo (builder threw) must NOT be cleaned up
+    intercept[RuntimeException] {
+      Caches.memo[Int](s, dir, "spec-throw",
+        cleanup = _ => cleans.incrementAndGet())(
+        throw new RuntimeException("boom"))
+    }
+    // a throwing build leaves the entry retryable: next call rebuilds
+    val ok = Caches.memo[Int](s, dir, "spec-throw",
+      cleanup = _ => cleans.incrementAndGet())(42)
+    assert(ok === 42)
+    Caches.evict(s)
+    assert(cleans.get() === 2, "retry-built entry cleaned; thrown one not")
+  }
 }

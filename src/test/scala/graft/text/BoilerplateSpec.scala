@@ -45,6 +45,17 @@ class BoilerplateSpec extends AnyFunSuite with SparkTestBase {
     assert(got._2 === 1L && got._3 === 1L)
   }
 
+  test("nested markup inside an anchor counts as anchor text") {
+    // real-crawl soup: the ad strip's anchors wrap <b>/<span> — the old
+    // flat regex ([^<]*) measured 0 anchor chars and KEPT the strip
+    val ad = "<p><a href=\"/buy\"><b>Buy</b></a> <a><span>now</span></a></p>"
+    // prose line whose one link wraps a <b>: anchor 4 of 24, kept
+    val prose = "<p>see the <a href=\"/x\"><b>docs</b></a> for details</p>"
+    val got = extract(Seq((1L, Seq(ad, prose).mkString("\n"))))(1L)
+    assert(got._1 === "see the docs for details")
+    assert(got._2 === 1L && got._3 === 1L)
+  }
+
   test("a page of pure chrome extracts to empty text, counts honest") {
     val page = Seq(
       "<nav><a href=\"/\">x</a></nav>",
