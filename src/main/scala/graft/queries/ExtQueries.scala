@@ -2371,6 +2371,72 @@ object ExtQueries {
           |    AS byte_len
           |FROM fr GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // MP3 SIDE-INFORMATION extraction (graft.ext.Mp3.decodeSideInfos —
+    // the ISO 11172-3 §2.4.1.7 bit-packed control block behind each
+    // frame header): the layer between q168's frame manifest and full
+    // PCM synthesis, and the one that yields real audio-curation
+    // signals with no psychoacoustic tables — bit-reservoir usage
+    // (main_data_begin), per-granule audio bit budget (part2_3_length),
+    // SHORT-BLOCK density (transient content), gain profile. Payloads
+    // come from Mp3.syntheticMp3SideInfo, whose every side-info field
+    // is closed-form in (doc_id, frame, granule, channel) — the oracle
+    // replays the formulas over a doc × frame × granule × channel
+    // spine, so a single-bit parser offset error anywhere in the
+    // 136/256-bit layout scrambles the aggregates and breaks the hash.
+    // (Full PCM synthesis is formally out of scope — no independent
+    // in-container codec exists to pin it against; see Mp3's scaladoc.)
+    Q("q202_mp3_sideinfo",
+      (s, dir) => {
+        import s.implicits._
+        Tables.sharded(s, dir, "documents", "doc_id")
+          .select(col("doc_id")).as[Long]
+          .map { d =>
+            val sis = graft.ext.Mp3.decodeSideInfos(
+              graft.ext.Mp3.syntheticMp3SideInfo(d))
+            val grs = sis.flatMap(_.granules)
+            (d, sis.length, grs.length,
+              grs.map(_.part23Length.toLong).sum,
+              grs.map(_.bigValues.toLong).sum,
+              grs.map(_.globalGain.toLong).sum,
+              grs.count(_.windowSwitching).toLong,
+              grs.count(gc => gc.windowSwitching && gc.blockType == 2).toLong,
+              sis.count(si => si.frame > 0 && si.mainDataBegin > 0).toLong,
+              sis.map(_.scfsi.map(_.toLong).sum).sum)
+          }
+          .toDF("doc_id", "n_frames", "n_grch", "sum_part23",
+            "sum_big_values", "sum_global_gain", "n_switching", "n_short",
+            "n_reservoir", "sum_scfsi")
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH s AS (
+          |  SELECT d.doc_id AS d, f.f, g.g, c.c,
+          |    d.doc_id * 131 + f.f * 17 + g.g * 7 + c.c * 3 AS k
+          |  FROM documents d
+          |  CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),
+          |    (10),(11)) AS f(f)
+          |  CROSS JOIN (VALUES (0),(1)) AS g(g)
+          |  CROSS JOIN (VALUES (0),(1)) AS c(c)
+          |  WHERE f.f < 8 + d.doc_id % 5
+          |    AND c.c < CASE WHEN d.doc_id % 4 = 3 THEN 1 ELSE 2 END)
+          |SELECT d AS doc_id,
+          |  CAST(8 + d % 5 AS INT) AS n_frames,
+          |  CAST(count(*) AS INT) AS n_grch,
+          |  CAST(sum((k * 5 + 11) % 3000) AS BIGINT) AS sum_part23,
+          |  CAST(sum((k * 3 + 1) % 289) AS BIGINT) AS sum_big_values,
+          |  CAST(sum((k + 7) % 256) AS BIGINT) AS sum_global_gain,
+          |  CAST(sum(CASE WHEN (d + f + g + c) % 3 = 0 THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_switching,
+          |  CAST(sum(CASE WHEN (d + f + g + c) % 3 = 0
+          |    AND 1 + (d + f) % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_short,
+          |  CAST(sum(CASE WHEN g = 0 AND c = 0 AND f > 0
+          |    AND (d * 7 + f) % 512 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_reservoir,
+          |  CAST(sum(CASE WHEN g = 0 THEN (d + c) % 16 ELSE 0 END)
+          |    AS BIGINT) AS sum_scfsi
+          |FROM s GROUP BY d ORDER BY doc_id""".stripMargin)),
+
     // H.264 manifest extraction (graft.ext.H264 — Annex-B NAL walker +
     // Exp-Golomb SPS parser from the public ITU-T H.264 spec): the video
     // half of metadata-grade curation — crop-adjusted resolution,
