@@ -624,9 +624,13 @@ object ScaleElasticity {
       ("stats_join_ruled", hotJoin _),
       ("bucket_layout_write", bucketLayoutProbe _),
       ("bucket_zeroex_join", bucketJoinProbe _))
-    // optional name-prefix filter: rerun a subset without paying the rest
+    // optional name-prefix filter (comma-separated alternatives): rerun
+    // a subset without paying the rest
     val selected = args.headOption
-      .map(p => probes.filter(_._1.startsWith(p))).getOrElse(probes)
+      .map { p =>
+        val ps = p.split(',').toSeq
+        probes.filter(pr => ps.exists(pr._1.startsWith))
+      }.getOrElse(probes)
     selected.foreach { case (name, f) =>
       run(name, tags.map(t => time(name, t)(f(t))))
     }
