@@ -2437,6 +2437,100 @@ object ExtQueries {
           |    AS BIGINT) AS sum_scfsi
           |FROM s GROUP BY d ORDER BY doc_id""".stripMargin)),
 
+    // Incremental IVF index maintenance (Clustering.lloydCentroids +
+    // Clustering.assign): the ANN twin of q143/q145's delta-vs-history
+    // dedup and q192's mergeable partials — a 10% DELTA batch
+    // (vec_id % 10 = 7) lands in an index TRAINED ONLY ON HISTORY by
+    // pure assignment (one codegen'd map stage against the frozen k×d
+    // centroid literal; no training pass re-reads history), exactly how
+    // a production IVF serves inserts between retrains. Output is the
+    // maintenance dashboard: per-cell history/delta occupancy, summed
+    // quantized assignment error for each population, and the RETRAIN
+    // trigger — delta mean dist2 > 2× history mean dist2, evaluated by
+    // integer cross-multiplication in DECIMAL/HUGEINT so both engines
+    // decide every cell exactly (a cell no delta reaches stays false;
+    // so does the degenerate all-delta cell — by convention drift is
+    // measured against in-cell history). Everything downstream of the
+    // integer-exact Lloyd arithmetic, so the oracle replays training on
+    // the filtered history, frozen assignment of the full corpus, and
+    // the trigger bit-for-bit.
+    Q("q203_ivf_delta_assign",
+      (s, dir) => {
+        val emb = Tables.sharded(s, dir, "embeddings", "vec_id")
+        val hist = emb.where(pmod(col("vec_id"), lit(10)) =!= 7)
+        val delta = emb.where(pmod(col("vec_id"), lit(10)) === 7)
+        val cents = graft.similarity.Clustering
+          .lloydCentroids(hist, k = 4, updates = 2)
+        val gH = graft.similarity.Clustering.assign(hist, cents)
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_hist"),
+            sum(col("dist2")).as("dist2_hist"))
+        val gD = graft.similarity.Clustering.assign(delta, cents)
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_delta"),
+            sum(col("dist2")).as("dist2_delta"))
+        gH.join(gD, Seq("cluster"), "full_outer")
+          .select(col("cluster"),
+            coalesce(col("n_hist"), lit(0L)).as("n_hist"),
+            coalesce(col("dist2_hist"), lit(0L)).as("dist2_hist"),
+            coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+            coalesce(col("dist2_delta"), lit(0L)).as("dist2_delta"))
+          .withColumn("retrain",
+            col("dist2_delta").cast("decimal(38,0)") * col("n_hist") >
+              col("dist2_hist").cast("decimal(38,0)") *
+                col("n_delta") * lit(2))
+          .orderBy(col("cluster"))
+      },
+      Some {
+        def iter(n: Int): String = {
+          val p = n - 1
+          s"""d$n AS (SELECT h.vec_id AS vec_id, c.cid AS cid,
+             |    sum((h.v - c.v) * (h.v - c.v)) AS dist
+             |  FROM h JOIN c$p c ON h.d = c.d GROUP BY 1, 2),
+             |a$n AS (SELECT vec_id, min(dist * 1048576 + cid) AS comb
+             |  FROM d$n GROUP BY 1),
+             |m$n AS (SELECT vec_id, comb % 1048576 AS cid FROM a$n),
+             |c$n AS (SELECT m.cid AS cid, h.d AS d,
+             |    CAST(floor(CAST(sum(h.v) AS DOUBLE) / count(*)) AS BIGINT)
+             |      AS v
+             |  FROM h JOIN m$n m USING (vec_id) GROUP BY 1, 2)""".stripMargin
+        }
+        s"""WITH q AS (SELECT vec_id,
+           |    unnest(list_transform(embedding, (x, i) -> {'d': i,
+           |      'v': CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)})) AS e
+           |  FROM embeddings),
+           |qd AS (SELECT vec_id, e.d AS d, e.v AS v FROM q),
+           |h AS (SELECT * FROM qd WHERE vec_id % 10 != 7),
+           |seeds AS (SELECT vec_id FROM embeddings WHERE vec_id % 10 != 7
+           |  ORDER BY vec_id LIMIT 4),
+           |c0 AS (SELECT h.vec_id AS cid, d, v
+           |  FROM h JOIN seeds USING (vec_id)),
+           |${iter(1)},
+           |${iter(2)},
+           |df AS (SELECT qd.vec_id AS vec_id, c.cid AS cid,
+           |    sum((qd.v - c.v) * (qd.v - c.v)) AS dist
+           |  FROM qd JOIN c2 c ON qd.d = c.d GROUP BY 1, 2),
+           |af AS (SELECT vec_id, min(dist * 1048576 + cid) AS comb
+           |  FROM df GROUP BY 1),
+           |fa AS (SELECT vec_id, comb % 1048576 AS cluster,
+           |    comb // 1048576 AS dist2, vec_id % 10 = 7 AS is_delta
+           |  FROM af)
+           |SELECT CAST(cluster AS BIGINT) AS cluster,
+           |  CAST(sum(CASE WHEN is_delta THEN 0 ELSE 1 END) AS BIGINT)
+           |    AS n_hist,
+           |  CAST(sum(CASE WHEN is_delta THEN 0 ELSE dist2 END) AS BIGINT)
+           |    AS dist2_hist,
+           |  CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_delta,
+           |  CAST(sum(CASE WHEN is_delta THEN dist2 ELSE 0 END) AS BIGINT)
+           |    AS dist2_delta,
+           |  (sum(CASE WHEN is_delta THEN dist2 ELSE 0 END)
+           |     * sum(CASE WHEN is_delta THEN 0 ELSE 1 END)
+           |   > 2 * sum(CASE WHEN is_delta THEN 0 ELSE dist2 END)
+           |     * sum(CASE WHEN is_delta THEN 1 ELSE 0 END)) AS retrain
+           |FROM fa GROUP BY cluster ORDER BY cluster""".stripMargin
+      }),
+
     // H.264 manifest extraction (graft.ext.H264 — Annex-B NAL walker +
     // Exp-Golomb SPS parser from the public ITU-T H.264 spec): the video
     // half of metadata-grade curation — crop-adjusted resolution,

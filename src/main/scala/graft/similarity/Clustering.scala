@@ -164,6 +164,30 @@ object Clustering {
     cents
   }
 
+  /** Single-cell assignment against a FROZEN centroid set — [[lloyd]]'s
+    * final stage exposed for index MAINTENANCE: a delta batch lands in an
+    * already-trained index by pure assignment (one codegen'd map stage,
+    * no training pass touches the history), the same way a production
+    * IVF serves inserts between retrains. Returns (idCol, cluster,
+    * dist2); `assign(vecs, lloydCentroids(vecs, updates = r − 1))` is
+    * bit-identical to `lloyd(vecs, rounds = r)` (spec-pinned), so the
+    * quantized dist2 doubles as the drift signal: a delta population
+    * whose per-cell mean dist2 outruns the history's is the integer-exact
+    * retrain trigger (q203). */
+  def assign(vecs: DataFrame, cents: Seq[(Long, Array[Long])],
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scale: Int = 1000): DataFrame = {
+    require(cents.nonEmpty, "assign needs at least one centroid")
+    val q = vecs.select(col(idCol), quantized(col(vecCol), scale).as("__q"))
+    val argmin = cents.map { case (cid, cq) =>
+      encode(graft.functions.SqDistLong(col("__q"), typedLit(cq)), cid)
+    }.reduce(least(_, _))
+    q.withColumn("__comb", argmin)
+      .select(col(idCol),
+        pmod(col("__comb"), lit(CidCap)).as("cluster"),
+        shiftright(col("__comb"), CidBits).as("dist2"))
+  }
+
   /** Multi-probe assignment: each vector's `m` NEAREST clusters (rank
     * 1..m by the same encoded integer argmin as [[lloyd]] — sorting the
     * per-centroid encoded longs makes rank order deterministic including

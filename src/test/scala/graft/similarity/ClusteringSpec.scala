@@ -100,6 +100,48 @@ class ClusteringSpec extends AnyFunSuite with SparkTestBase {
     assert((0L to 2L).forall(i => lloyd1(i) === a2((i, 1))))
   }
 
+  test("assign against lloydCentroids(updates = r-1) is bit-identical " +
+      "to lloyd(rounds = r) — the frozen-index maintenance contract") {
+    import spark.implicits._
+    // 2 planted clusters + a straggler so the round-2 update moves a
+    // centroid (assign must see the TRAINED centroids, not the seeds)
+    val vecs = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(10f, 10f)), (2L, Seq(0.4f, 0f)),
+      (3L, Seq(9.5f, 10.2f)), (4L, Seq(6f, 6f)))
+      .toDF("vec_id", "embedding")
+    for (r <- Seq(1, 2, 3)) {
+      val viaLloyd = Clustering.lloyd(vecs, k = 2, rounds = r)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+        .sortBy(_._1).toSeq
+      val viaAssign = Clustering
+        .assign(vecs, Clustering.lloydCentroids(vecs, k = 2, updates = r - 1))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(viaLloyd === viaAssign, s"rounds = $r")
+    }
+  }
+
+  test("assign lands a DELTA batch in history-trained cells without " +
+      "touching the training set; drift shows in dist2") {
+    import spark.implicits._
+    val hist = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(10f, 10f)),
+      (2L, Seq(0.2f, 0f)), (3L, Seq(9.8f, 10f)))
+      .toDF("vec_id", "embedding")
+    val cents = Clustering.lloydCentroids(hist, k = 2, updates = 1)
+    // in-distribution delta row + a drifted one, both nearest cell 0
+    val delta = Seq((10L, Seq(0.1f, 0.1f)), (11L, Seq(3f, 3f)))
+      .toDF("vec_id", "embedding")
+    val a = Clustering.assign(delta, cents)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(a(10L)._1 === 0L && a(11L)._1 === 0L)
+    // trained centroid 0 = floor-mean of {(0,0),(200,0)} = (100, 0)
+    assert(a(10L)._2 === 0L + (100 - 100) * (100 - 100) + 100 * 100)
+    assert(a(11L)._2 === (3000 - 100) * (3000 - 100) + 3000L * 3000L)
+    assert(a(11L)._2 > 25 * a(10L)._2) // the retrain-trigger magnitude gap
+  }
+
   test("dist2 past 2^33 stays bit-exact (shiftright extraction — the " +
       "double-division form lost low bits here)") {
     // 1-dim, diff 150000 after scale: dist2 = 150000^2 = 22_500_000_000
