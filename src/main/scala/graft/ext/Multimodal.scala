@@ -1294,6 +1294,78 @@ object Multimodal {
       Array.tabulate(3 * w * h)(j => ((d * 23 + f * 5 + j) % 256).toByte)))
   }
 
+  /** Y4M corpus with PLANTED near-dup families for video fingerprint
+    * dedup (q204) — the video twin of [[syntheticWavFamily]]: doc `d`
+    * shares a pseudo-random per-frame luma pattern with every sibling of
+    * its family `d % 63` (the f² term breaks ramp degeneracy exactly as
+    * the WAV k² term does), plus a per-doc jitter of 0–4 added to pixel
+    * 0 of each frame's Y plane. Pixel 0's base is taken mod 250 so the
+    * jitter can NEVER wrap the byte (a wrap would swing the frame sum by
+    * −250 and turn a near-dup into a far pair); other pixels use the
+    * full mod 256. Consecutive frame-luma-sum gaps are spread over
+    * ~±1500, so the ≤4 jitter flips a sign-of-derivative bit only when
+    * a family gap lands within ±8 (≲0.3% per bit → expected hamming ≪ 1
+    * inside a family, ~16 across families). 4×3, 33 frames → a 32-bit
+    * derivative fingerprint; chroma planes carry per-doc arithmetic
+    * irrelevant to the fingerprint (decode still walks them). */
+  def syntheticY4mFamily(d: Long): Array[Byte] = {
+    val w = 4
+    val h = 3
+    val fam = d % 63
+    val frames = (0 until 33).map { f =>
+      Array.tabulate(3 * w * h) { j =>
+        if (j < w * h) { // Y plane
+          val base = fam * 2654435761L + f.toLong * f * 2246822519L +
+            f * 40503L + j * 97L
+          if (j == 0) (base % 250 + (d * 13 + f * 7) % 5).toByte
+          else (base % 256).toByte
+        } else ((d * 23 + f * 5 + j) % 256).toByte // U/V planes
+      }
+    }
+    encodeY4m(w, h, frames)
+  }
+
+  /** Coarse video fingerprint over decoded Y4M payloads: bit i is the
+    * SIGN OF THE FRAME-LUMA-SUM DERIVATIVE (sumY(i+1) > sumY(i) over the
+    * first `frames` frames) — [[y4mSceneCuts]]' luma-delta signal
+    * coarsened to a fixed-width signature, integer-exact end to end.
+    * Equal-width strings feed [[graft.dedup.Dedup.simhashPairs]]' banded
+    * near-dup search unchanged — video joins text (MinHash), embeddings
+    * (cosine), images (dHash), and audio (WAV energy derivative) on the
+    * same candidate-pair machinery, completing the modality matrix.
+    * Frames stream through the offset iterator (one plane live at a
+    * time). Strict: fewer than `frames` frames fails loudly. */
+  def y4mFingerprints(ds: Dataset[MediaFile], frames: Int = 33)
+      : Dataset[Y4mFingerprint] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.map { m =>
+      val hd = parseY4mHeader(m.payload)
+      val planeLen = hd.w * hd.h
+      val sums = y4mFrameIterator(m.payload, hd)
+        .take(frames)
+        .map { case (_, off) =>
+          var sy = 0L
+          var j = 0
+          while (j < planeLen) {
+            sy += m.payload(off + j) & 0xff
+            j += 1
+          }
+          sy
+        }.toArray
+      require(sums.length >= frames,
+        s"y4mFingerprints: need >= $frames frames, got ${sums.length} " +
+          s"for doc ${m.docId}")
+      val bits = new StringBuilder(frames - 1)
+      var i = 1
+      while (i < frames) {
+        bits.append(if (sums(i) > sums(i - 1)) '1' else '0')
+        i += 1
+      }
+      Y4mFingerprint(m.docId, bits.toString)
+    })
+  }
+
   /** REAL decoder factory over [[decodeY4m]] — (w, h, frameCount) fills
     * the shared envelope, so the generic [[sampleFrames]] fan-out runs on
     * genuine video geometry. */
@@ -1414,6 +1486,10 @@ case class WavStats(doc_id: Long, n_channels: Int, sample_rate: Int,
 /** Frame-energy-derivative sign bits for one audio payload — the audio
   * near-dup (q181) fingerprint path. */
 case class WavFingerprint(doc_id: Long, fingerprint: String)
+
+/** Frame-luma-sum-derivative sign bits for one video payload — the video
+  * near-dup (q204) fingerprint path. */
+case class Y4mFingerprint(doc_id: Long, fingerprint: String)
 
 /** Decoded per-plane sums (integer-exact) for one SAMPLED video frame —
   * the Y4M (q142) decode path: one row per kept frame. */

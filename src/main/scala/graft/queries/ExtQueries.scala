@@ -1038,6 +1038,58 @@ object ExtQueries {
           |SELECT id_a, id_b, hamming FROM pairs
           |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin)),
 
+    // VIDEO near-dup fingerprinting (Multimodal.y4mFingerprints): the
+    // last modality joins the shared near-dup machinery — frame-luma-sum
+    // derivative sign bits (y4mSceneCuts' temporal-delta signal
+    // coarsened to a fixed 32-bit signature, integer-exact → oracle-
+    // replayable), paired through the SAME banded pigeonhole
+    // (simhashPairs) as SimHash text, dHash images, and WAV-energy
+    // audio. syntheticY4mFamily plants genuine near-dup families
+    // (shared per-frame luma pattern per d%63 + a 0–4 single-pixel
+    // jitter that cannot wrap the byte); the oracle replays pixel
+    // arithmetic, frame sums, sign bits, and all-pairs hamming.
+    Q("q204_video_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val files = Tables.sharded(s, dir, "documents", "doc_id")
+          .where(col("doc_id") % 9 === 4)
+          .select(col("doc_id")).as[Long]
+          .map(d => graft.ext.MediaFile(d, "video/y4m",
+            graft.ext.Multimodal.syntheticY4mFamily(d)))
+        val fps = graft.ext.Multimodal.y4mFingerprints(files).toDF()
+        graft.dedup.Dedup.simhashPairs(fps, fpCol = "fingerprint",
+            nBlocks = 4, maxHamming = 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(
+        """WITH d AS (SELECT doc_id, doc_id % 63 AS fam FROM documents
+          |  WHERE doc_id % 9 = 4),
+          |f AS (SELECT doc_id, fam,
+          |    unnest(generate_series(0, 32)) AS f FROM d),
+          |p AS (SELECT doc_id, fam, f,
+          |    unnest(generate_series(0, 11)) AS j FROM f),
+          |v AS (SELECT doc_id, f,
+          |    CASE WHEN j = 0 THEN
+          |      (fam * 2654435761 + f * f * 2246822519 + f * 40503) % 250
+          |        + (doc_id * 13 + f * 7) % 5
+          |    ELSE (fam * 2654435761 + f * f * 2246822519 + f * 40503
+          |        + j * 97) % 256 END AS val
+          |  FROM p),
+          |s AS (SELECT doc_id, f, sum(val) AS sy FROM v GROUP BY 1, 2),
+          |fp AS (SELECT a.doc_id,
+          |    string_agg(CASE WHEN b.sy > a.sy THEN '1' ELSE '0' END, ''
+          |      ORDER BY a.f) AS fingerprint
+          |  FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+          |  GROUP BY a.doc_id),
+          |pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+          |    CAST(len(list_filter(range(1, 33), i ->
+          |      substr(x.fingerprint, CAST(i AS INT), 1)
+          |        <> substr(y.fingerprint, CAST(i AS INT), 1)))
+          |      AS INT) AS hamming
+          |  FROM fp x JOIN fp y ON x.doc_id < y.doc_id)
+          |SELECT id_a, id_b, hamming FROM pairs
+          |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin)),
+
     // Semi-structured property extraction: the events stream carries a
     // JSON `props` string; pull a typed field out (get_json_object — a
     // codegen'd path evaluation, no UDF, no full from_json materialize

@@ -339,6 +339,51 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("y4mFingerprints: luma-sum derivative sign bits, loud on short " +
+      "payloads (q204's contract)") {
+    import spark.implicits._
+    // 1×1 frames with Y values 5, 9, 2, 2 -> bits: 9>5='1', 2>9='0',
+    // 2>2='0' (chroma bytes present but irrelevant to the fingerprint)
+    val y4m = Multimodal.encodeY4m(1, 1, Seq(
+      Array[Byte](5, 10, 20), Array[Byte](9, 11, 21),
+      Array[Byte](2, 12, 22), Array[Byte](2, 13, 23)))
+    val ds = Seq(MediaFile(1L, "video/y4m", y4m)).toDS()
+    assert(Multimodal.y4mFingerprints(ds, frames = 4)
+      .collect().head.fingerprint == "100")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.y4mFingerprints(ds, frames = 5).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("syntheticY4mFamily plants near-dup families: siblings " +
+      "hamming<=3, non-siblings far; the jitter never wraps pixel 0") {
+    import spark.implicits._
+    def sums(d: Long): Seq[Long] = {
+      val p = Multimodal.syntheticY4mFamily(d)
+      val ds = Seq(MediaFile(d, "video/y4m", p)).toDS()
+      // re-derive via the stats path (independent of y4mFingerprints)
+      Multimodal.y4mFrameStats(ds, every = 1).collect()
+        .sortBy(_.frame_idx).map(_.sum_y).toSeq
+    }
+    def fp(d: Long): String = {
+      val s = sums(d)
+      assert(s.length == 33)
+      (1 until 33).map(i => if (s(i) > s(i - 1)) '1' else '0').mkString
+    }
+    def ham(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
+    for (d <- Seq(4L, 13L, 121L)) {
+      assert(ham(fp(d), fp(d + 63)) <= 3, s"siblings $d/${d + 63} far")
+      assert(ham(fp(d), fp(d + 9)) > 3, s"non-siblings $d/${d + 9} near")
+    }
+    // pixel-0 wrap guard: base mod 250 + jitter <= 254 stays a valid
+    // byte for every (fam, f, jit) — sample the residue space
+    for (d <- 0L until 130L) {
+      val (_, _, n) = Multimodal.decodeY4m(Multimodal.syntheticY4mFamily(d))
+      assert(n == 33)
+    }
+  }
+
   test("wavChannelFeatures: zero crossings and energy, per channel, " +
       "integer-exact (q150's contract)") {
     import spark.implicits._
