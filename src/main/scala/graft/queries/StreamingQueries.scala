@@ -654,6 +654,74 @@ object StreamingQueries {
           |  arg_max(value, epoch_ns(ts)) AS close,
           |  count(*) AS n, round(avg(value), 6) AS mean_v
           |FROM events GROUP BY event_type, day
-          |ORDER BY event_type, day""".stripMargin))
+          |ORDER BY event_type, day""".stripMargin)),
+
+    // Streaming incremental IVF maintenance — q203's delta assignment
+    // served ONLINE, the production shape exactly: centroids are a
+    // DEPLOYED artifact (trained offline on the batch history slice,
+    // baked into the stream's codegen'd assignment expression — no
+    // training state, no shuffle on the stream side), new vectors
+    // assign as they arrive, and a complete-mode keyed aggregate
+    // maintains the per-cell drift dashboard (delta occupancy + summed
+    // quantized assignment error) that q203's retrain trigger reads.
+    // Counts and integer dist2 sums are arrival-order-free, so the
+    // sunk aggregate is batch-split-invariant; the oracle is q203's
+    // history-trained replay projected to the delta population.
+    Q("q205_streaming_ivf_delta",
+      (s, dir) => {
+        val hist = Tables.sharded(s, dir, "embeddings", "vec_id")
+          .where(pmod(col("vec_id"), lit(10)) =!= 7)
+        val cents = graft.similarity.Clustering
+          .lloydCentroids(hist, k = 4, updates = 2)
+        val deltaStream = s.readStream
+          .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+          .parquet(stagedTableDir(dir, "embeddings"))
+          .where(pmod(col("vec_id"), lit(10)) === 7)
+        val agg = graft.similarity.Clustering.assign(deltaStream, cents)
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_delta"),
+            sum(col("dist2")).as("dist2_delta"))
+        runToTable(agg, "ivf_delta", mode = "complete")
+          .orderBy(col("cluster"))
+      },
+      Some {
+        def iter(n: Int): String = {
+          val p = n - 1
+          s"""d$n AS (SELECT h.vec_id AS vec_id, c.cid AS cid,
+             |    sum((h.v - c.v) * (h.v - c.v)) AS dist
+             |  FROM h JOIN c$p c ON h.d = c.d GROUP BY 1, 2),
+             |a$n AS (SELECT vec_id, min(dist * 1048576 + cid) AS comb
+             |  FROM d$n GROUP BY 1),
+             |m$n AS (SELECT vec_id, comb % 1048576 AS cid FROM a$n),
+             |c$n AS (SELECT m.cid AS cid, h.d AS d,
+             |    CAST(floor(CAST(sum(h.v) AS DOUBLE) / count(*)) AS BIGINT)
+             |      AS v
+             |  FROM h JOIN m$n m USING (vec_id) GROUP BY 1, 2)""".stripMargin
+        }
+        s"""WITH q AS (SELECT vec_id,
+           |    unnest(list_transform(embedding, (x, i) -> {'d': i,
+           |      'v': CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)})) AS e
+           |  FROM embeddings),
+           |qd AS (SELECT vec_id, e.d AS d, e.v AS v FROM q),
+           |h AS (SELECT * FROM qd WHERE vec_id % 10 != 7),
+           |seeds AS (SELECT vec_id FROM embeddings WHERE vec_id % 10 != 7
+           |  ORDER BY vec_id LIMIT 4),
+           |c0 AS (SELECT h.vec_id AS cid, d, v
+           |  FROM h JOIN seeds USING (vec_id)),
+           |${iter(1)},
+           |${iter(2)},
+           |df AS (SELECT qd.vec_id AS vec_id, c.cid AS cid,
+           |    sum((qd.v - c.v) * (qd.v - c.v)) AS dist
+           |  FROM qd JOIN c2 c ON qd.d = c.d
+           |  WHERE qd.vec_id % 10 = 7 GROUP BY 1, 2),
+           |af AS (SELECT vec_id, min(dist * 1048576 + cid) AS comb
+           |  FROM df GROUP BY 1),
+           |fa AS (SELECT vec_id, comb % 1048576 AS cluster,
+           |    comb // 1048576 AS dist2 FROM af)
+           |SELECT CAST(cluster AS BIGINT) AS cluster,
+           |  CAST(count(*) AS BIGINT) AS n_delta,
+           |  CAST(sum(dist2) AS BIGINT) AS dist2_delta
+           |FROM fa GROUP BY cluster ORDER BY cluster""".stripMargin
+      })
   )
 }
