@@ -579,6 +579,34 @@ object ScaleElasticity {
         .groupBy(pmod(col("user_id"), lit(100)).as("g"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("s")))
 
+    // q203/q205: frozen-index delta assignment — centroids are a
+    // DEPLOYED artifact (trained once on a CONSTANT-size history slice;
+    // training cost is not what scales), the probe times assignment of
+    // the full tag corpus + the per-cell drift aggregate. Assignment is
+    // a pure map against the k×d literal; the aggregate exchanges k
+    // rows — expect ~linear in corpus size at fixed k.
+    def ivfDeltaProbe(tag: String): Unit = {
+      val e = emb(tag)
+      val cents = graft.similarity.Clustering.lloydCentroids(
+        e.where(col("vec_id") < 2000), vecCol = "e", k = 8, updates = 1)
+      force(graft.similarity.Clustering.assign(e, cents, vecCol = "e")
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"), sum(col("dist2")).as("s")))
+    }
+    // q204: video fingerprint EXTRACTION (encode + real Y4M decode +
+    // luma-sum sign bits per doc — the per-doc codec work; linear).
+    // The pair stage is excluded by design: the synthetic family shape
+    // grows family SIZE with the corpus, so its pair count is
+    // quadratic-by-construction (output-bound, not machinery-bound);
+    // the banded-join machinery's scaling is the measured LSH rows.
+    def videoFpProbe(tag: String): Unit = {
+      import spark.implicits._
+      force(graft.ext.Multimodal.y4mFingerprints(
+        docs(tag).select(col("doc_id")).as[Long]
+          .map(d => graft.ext.MediaFile(d, "video/y4m",
+            graft.ext.Multimodal.syntheticY4mFamily(d)))).toDF())
+    }
+
     // the stats/bucket probes read a PERSISTED events table (the stats
     // rule keys on the scanned parquet path; the layout probe re-reads
     // it) — written once per tag here, outside any timed probe
@@ -623,7 +651,9 @@ object ScaleElasticity {
       ("stats_analyze_pass", analyzePassProbe _),
       ("stats_join_ruled", hotJoin _),
       ("bucket_layout_write", bucketLayoutProbe _),
-      ("bucket_zeroex_join", bucketJoinProbe _))
+      ("bucket_zeroex_join", bucketJoinProbe _),
+      ("ivf_delta_assign", ivfDeltaProbe _),
+      ("video_fingerprint", videoFpProbe _))
     // optional name-prefix filter (comma-separated alternatives): rerun
     // a subset without paying the rest
     val selected = args.headOption
