@@ -107,9 +107,14 @@ object Mp3 {
     * channel-count change mid-stream, a frame overrunning the payload, or
     * trailing bytes that are neither a full frame nor an ID3v1 trailer all
     * throw. */
-  def decodeMp3Meta(bytes: Array[Byte]): Mp3Meta = walkFrames(bytes)._1
+  def decodeMp3Meta(bytes: Array[Byte]): Mp3Meta =
+    walkFrames(bytes, collectRefs = false)._1
 
-  private def walkFrames(bytes: Array[Byte]): (Mp3Meta, Vector[FrameRef]) = {
+  /** `collectRefs = false` keeps the manifest path (q168) allocation-free
+    * per frame — only the side-info path (q202) pays for the FrameRef
+    * vector it actually consumes. */
+  private def walkFrames(bytes: Array[Byte], collectRefs: Boolean)
+      : (Mp3Meta, Vector[FrameRef]) = {
     def fail(msg: String) =
       throw new IllegalArgumentException(s"decodeMp3Meta: $msg")
     val refs = Vector.newBuilder[FrameRef]
@@ -171,7 +176,8 @@ object Mp3 {
         val frameLen = 144000 * kbps / rate + pad
         if (pos + frameLen > end)
           fail(s"frame of $frameLen bytes at $pos overruns payload end $end")
-        refs += FrameRef(pos, frameLen, nCh, hasCrc = (b2 & 0x01) == 0)
+        if (collectRefs)
+          refs += FrameRef(pos, frameLen, nCh, hasCrc = (b2 & 0x01) == 0)
         nFrames += 1
         bitrateSum += kbps
         pos += frameLen
@@ -209,7 +215,7 @@ object Mp3 {
   def decodeSideInfos(bytes: Array[Byte]): Seq[Mp3FrameSideInfo] = {
     def fail(msg: String) =
       throw new IllegalArgumentException(s"decodeSideInfos: $msg")
-    val (_, refs) = walkFrames(bytes)
+    val (_, refs) = walkFrames(bytes, collectRefs = true)
     refs.zipWithIndex.map { case (ref, fi) =>
       val nCh = ref.channels
       val headerBytes = 4 + (if (ref.hasCrc) 2 else 0)

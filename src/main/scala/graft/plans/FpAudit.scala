@@ -69,8 +69,18 @@ object FpAudit {
       case _: RoundBase => false // round/bround above the agg: guarded
       case c: Cast if c.dataType.isInstanceOf[DecimalType] => false // quantized
       case w: WindowExpression if w.windowSpec.orderSpec.nonEmpty =>
-        // sorted-frame sequential fold: order fixed by the sort, not the plan
-        w.windowSpec.partitionSpec.exists(unsafe(_, seen)) ||
+        // sorted-frame sequential fold: the FOLD's order is fixed by the
+        // sort, not the plan — but its INPUTS may still be plan-order-
+        // dependent doubles (an unrounded upstream aggregate feeding a
+        // cumulative window), so descend into the window function's
+        // children while exempting only the fold itself
+        val inputUnsafe = w.windowFunction match {
+          case ae: AggregateExpression =>
+            ae.aggregateFunction.children.exists(unsafe(_, seen))
+          case f => f.children.exists(unsafe(_, seen))
+        }
+        inputUnsafe ||
+          w.windowSpec.partitionSpec.exists(unsafe(_, seen)) ||
           w.windowSpec.orderSpec.exists(o => unsafe(o.child, seen))
       case ae: AggregateExpression =>
         orderSensitive(ae.aggregateFunction) ||

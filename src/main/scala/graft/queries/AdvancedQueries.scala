@@ -45,13 +45,14 @@ object AdvancedQueries {
   private def bucketedLayout185(s: SparkSession, dir: String)
       : (String, String) = {
     val (ordersT, lineitemT, _) =
-      Caches.memo[(String, String, java.nio.file.Path)](s, dir, "bucket185",
-        cleanup = { case (ot, lt, base) =>
+      Caches.memo[(String, String, () => Unit)](s, dir, "bucket185",
+        cleanup = { case (ot, lt, release) =>
           Seq(ot, lt).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
-          AnalyticsQueries.deleteRecursively(base)
+          release() // deletes the layout dir AND deregisters its exit hook
         }) {
         val seq = bucketSeq.incrementAndGet()
-        val base = AnalyticsQueries.tempDirCleanedOnExit("graft_bucket_")
+        val (base, release) =
+          AnalyticsQueries.tempDirWithRemovableExitHook("graft_bucket_")
         val ordersT = s"g185_orders_$seq"
         val lineitemT = s"g185_lineitem_$seq"
         graft.analytics.Bucketing.writeBucketed(
@@ -62,7 +63,7 @@ object AdvancedQueries {
           Tables(s, dir, "lineitem").select(col("l_orderkey"),
             col("l_extendedprice"), col("l_discount")),
           lineitemT, base.resolve("lineitem").toString, "l_orderkey", 8)
-        (ordersT, lineitemT, base)
+        (ordersT, lineitemT, release)
       }
     (ordersT, lineitemT)
   }

@@ -34,6 +34,25 @@ object AnalyticsQueries {
     dir
   }
 
+  /** [[tempDirCleanedOnExit]] for callers whose OWN lifecycle may delete
+    * the dir first (a [[Caches.memo]] cleanup): `release()` deletes the
+    * dir now AND deregisters the exit hook, so repeated build/evict
+    * cycles in a long-lived embedding don't accumulate one live hook
+    * Thread per cycle. Without a release call the hook still fires at
+    * JVM exit (the bench/verify processes never evict). */
+  private[queries] def tempDirWithRemovableExitHook(prefix: String)
+      : (java.nio.file.Path, () => Unit) = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    val hook = new Thread(() => deleteRecursively(dir))
+    Runtime.getRuntime.addShutdownHook(hook)
+    val release = () => {
+      try Runtime.getRuntime.removeShutdownHook(hook)
+      catch { case _: IllegalStateException => () } // exit already underway
+      deleteRecursively(dir)
+    }
+    (dir, release)
+  }
+
   /** The alert table is the shared input of q10/q19/q32 — computed once per
     * (session, sf dir) and cached (eagerly: downstream analytics then pay
     * only their own aggregation, never the build), exactly as a production

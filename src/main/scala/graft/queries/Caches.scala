@@ -18,13 +18,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * work is done). Entries key on the session by IDENTITY, so two sessions
   * over the same dir never share (or evict) each other's state.
   *
-  * Every entry is SINGLE-FLIGHT: the builder is wrapped in a per-key lazy
+  * Every entry is SINGLE-FLIGHT: the builder is wrapped in a per-key
   * holder inserted with `putIfAbsent`, so two racing first calls agree on
-  * one holder and the loser blocks on the winner's `lazy val` instead of
-  * running a duplicate build (the q185 layout build writes two bucketed
-  * fact copies — a duplicate run would orphan both). A builder that THROWS
-  * propagates to every caller waiting on it and removes the holder, so
-  * the next call retries with a fresh build.
+  * one holder and the loser blocks on the winner's build (never running a
+  * duplicate — the q185 layout build writes two bucketed fact copies; a
+  * duplicate run would orphan both). The build's outcome is memoized as a
+  * `Try` inside the holder, so a builder that THROWS propagates the SAME
+  * exception to every caller racing that holder — deliberately not a
+  * `lazy val`, whose failure semantics would silently RE-RUN the
+  * initializer in waiting threads, building into a holder the failing
+  * caller already removed from the map (a product evict could never
+  * clean). The failed holder is then removed, so the NEXT call installs a
+  * fresh build and retries.
   *
   * [[evict]] is a quiesced-session operation: an evict racing a first
   * build observes the holder unbuilt and skips its cleanup (the build then
@@ -32,15 +37,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the JVM-exit hooks, exactly as before cleanups existed). */
 object Caches {
 
-  /** Per-key single-flight holder: `value` forces the build exactly once
-    * (Scala lazy-val semantics: concurrent forcers block, a throw leaves
-    * it retryable); `cleanIfBuilt` runs the registered cleanup only if
-    * the build actually completed. */
+  /** Per-key single-flight holder: [[force]] runs the build exactly once
+    * and memoizes its outcome (success OR failure) under the holder's
+    * monitor, so concurrent forcers block and then all observe the one
+    * outcome — a failure is never silently re-run inside this holder
+    * (see the class doc for why a lazy val would do exactly that).
+    * `cleanIfBuilt` runs the registered cleanup only if the build
+    * actually succeeded. */
   private final class Entry[T](build: () => T, cleanup: T => Unit) {
-    @volatile private var built = false
-    lazy val value: T = { val v = build(); built = true; v }
-    def cleanIfBuilt(): Unit = if (built) cleanup(value)
-    def isBuilt: Boolean = built
+    private var state: Option[scala.util.Try[T]] = None // guarded by this
+    def force(): T = synchronized {
+      state.getOrElse {
+        val r = scala.util.Try(build())
+        state = Some(r)
+        r
+      }
+    }.get
+    def cleanIfBuilt(): Unit =
+      synchronized(state.flatMap(_.toOption)).foreach(cleanup)
+    def isBuilt: Boolean = synchronized(state.exists(_.isSuccess))
   }
 
   private type Key = (SparkSession, String, String)
@@ -50,10 +65,11 @@ object Caches {
     val fresh = new Entry[T](() => build, cleanup)
     val entry = map.putIfAbsent(key, fresh).getOrElse(fresh)
       .asInstanceOf[Entry[T]]
-    try entry.value
+    try entry.force()
     catch { case t: Throwable =>
       // drop the failed holder (conditionally: don't clobber a newer
-      // retry's entry) so the NEXT call installs a fresh build closure
+      // retry's entry) so the NEXT call installs a fresh build closure;
+      // racers on THIS holder see the memoized failure, never a re-run
       map.remove(key, entry)
       throw t
     }
@@ -132,7 +148,7 @@ object Caches {
             (s2 ne session) && d2 == dir && t2 == tag
           }
         if (!sharedElsewhere && e.isBuilt)
-          try e.asInstanceOf[Entry[DataFrame]].value.unpersist()
+          try e.asInstanceOf[Entry[DataFrame]].force().unpersist()
           catch { case scala.util.control.NonFatal(_) => () }
       }
     }

@@ -607,12 +607,6 @@ object ScaleElasticity {
             graft.ext.Multimodal.syntheticY4mFamily(d)))).toDF())
     }
 
-    // the stats/bucket probes read a PERSISTED events table (the stats
-    // rule keys on the scanned parquet path; the layout probe re-reads
-    // it) — written once per tag here, outside any timed probe
-    for (tag <- tags)
-      genEvents(tag).write.mode("overwrite").parquet(s"$base/ev_$tag")
-
     val probes: Seq[(String, String => Unit)] = Seq(
       ("exact_dedup", exactDedup _),
       ("minhash_lsh", lsh _),
@@ -661,6 +655,15 @@ object ScaleElasticity {
         val ps = p.split(',').toSeq
         probes.filter(pr => ps.exists(pr._1.startsWith))
       }.getOrElse(probes)
+    // the stats/bucket probes read a PERSISTED events table (the stats
+    // rule keys on the scanned parquet path; the layout probe re-reads
+    // it) — written once per tag, outside any timed probe, and ONLY when
+    // a selected probe needs it (a filtered rerun of unrelated probes
+    // must not pay a full events-corpus write per tag)
+    if (selected.exists { case (n, _) =>
+        n.startsWith("stats") || n.startsWith("bucket") })
+      for (tag <- tags)
+        genEvents(tag).write.mode("overwrite").parquet(s"$base/ev_$tag")
     selected.foreach { case (name, f) =>
       run(name, tags.map(t => time(name, t)(f(t))))
     }

@@ -106,4 +106,42 @@ class CachesSpec extends AnyFunSuite with SparkTestBase {
     Caches.evict(s)
     assert(cleans.get() === 2, "retry-built entry cleaned; thrown one not")
   }
+
+  test("a build failure propagates to EVERY caller racing the holder — " +
+      "never a silent re-run in the waiting thread (the lazy-val trap)") {
+    val s = spark.newSession()
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val cleans = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+
+    def call(): Int =
+      Caches.memo[Int](s, dir, "spec-fail-race",
+          cleanup = _ => cleans.incrementAndGet()) {
+        gate.await()
+        Thread.sleep(50)
+        attempts.incrementAndGet()
+        throw new RuntimeException("boom")
+      }
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f1 = Future(scala.util.Try(call()))
+    val f2 = Future(scala.util.Try(call()))
+    Thread.sleep(100)
+    gate.countDown()
+    val r1 = Await.result(f1, 30.seconds)
+    val r2 = Await.result(f2, 30.seconds)
+    assert(r1.isFailure && r2.isFailure,
+      "both racers must see the memoized failure")
+    assert(attempts.get() === 1,
+      "the waiting racer must NOT silently re-run the failed build")
+    // the failed holder was removed: a fresh call rebuilds and is
+    // evict-cleanable (no orphaned-outside-the-map product possible)
+    val ok = Caches.memo[Int](s, dir, "spec-fail-race",
+      cleanup = _ => cleans.incrementAndGet())(7)
+    assert(ok === 7)
+    Caches.evict(s)
+    assert(cleans.get() === 1, "only the successful rebuild is cleaned")
+  }
 }
