@@ -8,10 +8,14 @@ object Verify {
     val sfDir = args(0)
     val outDir = args(1)
     // dev-only: optional comma-separated query-name prefix filter (the
-    // driver passes 2 args, so it always gets the full registry)
+    // driver passes 2 args, so it always gets the full registry). Empty
+    // elements (a shell-quoting slip like ",q202" or "q202,,q204") are
+    // dropped — a "" prefix matches every name, which would silently turn
+    // a filtered dev run into a full-registry run.
     val prefixes =
-      (if (args.length > 2) args(2) else "").split(',').toSeq
-    def selected(name: String): Boolean = prefixes.exists(name.startsWith)
+      (if (args.length > 2) args(2) else "").split(',').toSeq.filter(_.nonEmpty)
+    def selected(name: String): Boolean =
+      prefixes.isEmpty || prefixes.exists(name.startsWith)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

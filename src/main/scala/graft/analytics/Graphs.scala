@@ -100,11 +100,14 @@ object Graphs {
     *     min + one equi-join back on x;
     *   small-star: on the (u > v)-oriented result, link every smaller
     *     neighbor and u itself to m = min(N⁻(u) ∪ {u}) — same shape.
-    * The convergence test is EXACT set equality (|next| == |prev| ==
-    * |next ∪ prev|, all three distinct counts), not a hash heuristic: a
-    * premature stop would silently mislabel components. Edges are
-    * localCheckpoint'ed per round — the loop's frames re-derive from the
-    * round's edge set up to three times, the Spectral/pageRank lesson. */
+    * The convergence test is EXACT set equality (|next| == |prev| and
+    * next ∖ prev = ∅ — equivalent for distinct sets), not a hash
+    * heuristic: a premature stop would silently mislabel components.
+    * Edges are lazily localCheckpoint'ed per round and materialized by
+    * the count — ONE driver-synchronized job per round (plus the
+    * difference scan only on rounds whose counts already match), the
+    * Spectral/pageRank re-derivation lesson without r13's three-barrier
+    * contention cost. */
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", maxRounds: Int = 30): DataFrame =
     ccWithRounds(ids, pairs, idCol, maxRounds)._1
@@ -114,10 +117,14 @@ object Graphs {
     * O(log n)-vs-diameter claim with a measured number. */
   private[graft] def ccWithRounds(ids: DataFrame, pairs: DataFrame,
       idCol: String, maxRounds: Int): (DataFrame, Int) = {
+    // lazy checkpoint + count: ONE job materializes the round's edge set
+    // AND returns its size (eager localCheckpoint would run a separate
+    // materialization job first — at 10¹⁰ edges the extra per-round
+    // driver barrier is pure contention, the r13 q171 lesson)
     var edges = pairs.toDF("a", "b").where(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     var prevCount = edges.count()
     var rounds = 0
     var converged = prevCount == 0L
@@ -138,10 +145,14 @@ object Graphs {
         .where(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionAll(minsS.select(col("u"), col("m").as("v")))
-        .distinct().localCheckpoint()
-      val nextCount = next.count()
-      converged = nextCount == prevCount &&
-        next.unionAll(edges).distinct().count() == prevCount
+        .distinct().localCheckpoint(false)
+      val nextCount = next.count() // materializes the lazy checkpoint too
+      // set equality: both sides are distinct, so equal counts plus an
+      // empty one-sided difference suffice — one scan of each
+      // checkpointed set, vs the old unionAll.distinct().count() that
+      // re-shuffled BOTH sets and recounted. The expensive leg only runs
+      // when the cheap count test already matches (&& is lazy).
+      converged = nextCount == prevCount && next.exceptAll(edges).isEmpty
       edges = next
       prevCount = nextCount
       rounds += 1

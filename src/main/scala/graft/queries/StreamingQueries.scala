@@ -48,6 +48,10 @@ object StreamingQueries {
   private def runToTable(stream: DataFrame, tag: String,
       mode: String = "append"): DataFrame = {
     val spark = stream.sparkSession
+    // every stateful operator in the registry runs on the RocksDB state
+    // store — heap-resident default state is the 100 TB scale ceiling
+    // (see StateBackend); stateless queries ignore the setting
+    graft.streaming.StateBackend.useRocksDb(spark)
     val name = s"graft_${tag}_${runSeq.incrementAndGet()}"
     val ckpt =
       AnalyticsQueries.tempDirCleanedOnExit(s"graft_${tag}_ckpt_").toString

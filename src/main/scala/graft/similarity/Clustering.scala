@@ -48,6 +48,18 @@ object Clustering {
     * the building block for the clusterPrune product guards. */
   private val LongRoot = 3037000498L
 
+  /** Every centroid label must fit the low CidBits of the (dist, cid)
+    * encoding — a label >= 2²⁰ or negative would silently corrupt every
+    * downstream argmin instead of failing loudly. [[lloyd]] checks its own
+    * seeds; caller-supplied sets ([[assign]], [[assignTopM]]) and
+    * [[lloydCentroids]] seeds go through here. */
+  private def requireEncodableCids(cents: Seq[(Long, Array[Long])]): Unit =
+    cents.foreach { case (cid, _) =>
+      require(cid >= 0 && cid < CidCap,
+        s"cluster label $cid outside [0, $CidCap) — the (dist, cid) " +
+          "encoding needs small non-negative cluster ids")
+    }
+
   /** Encode (dist2, cid) into one long, failing LOUDLY per row if dist2
     * exceeds the 2⁴³-ish encodable ceiling (reachable only when
     * scale²·dims·magnitude² outgrows the testdata envelope — a silent
@@ -86,10 +98,7 @@ object Clustering {
     var cents: Seq[(Long, Array[Long])] = q.orderBy(col(idCol)).limit(k)
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toSeq
-    cents.foreach { case (cid, _) =>
-      require(cid >= 0 && cid < CidCap,
-        s"cluster label $cid outside [0, $CidCap) — the (dist, cid) " +
-          "encoding needs small non-negative seed ids") }
+    requireEncodableCids(cents)
 
     // native codegen'd kernel (graft.functions.SqDistLong): the HOF
     // aggregate(zip_with(...)) form pays an interpreted lambda frame per
@@ -141,6 +150,7 @@ object Clustering {
     var cents: Seq[(Long, Array[Long])] = q.orderBy(col(idCol)).limit(k)
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toSeq
+    requireEncodableCids(cents) // update rounds preserve labels, so this holds throughout
     var r = 0
     while (r < updates) {
       val argmin = cents.map { case (cid, cq) =>
@@ -178,6 +188,7 @@ object Clustering {
       idCol: String = "vec_id", vecCol: String = "embedding",
       scale: Int = 1000): DataFrame = {
     require(cents.nonEmpty, "assign needs at least one centroid")
+    requireEncodableCids(cents)
     val q = vecs.select(col(idCol), quantized(col(vecCol), scale).as("__q"))
     val argmin = cents.map { case (cid, cq) =>
       encode(graft.functions.SqDistLong(col("__q"), typedLit(cq)), cid)
@@ -200,6 +211,7 @@ object Clustering {
       scale: Int = 1000): DataFrame = {
     require(m >= 1 && m <= cents.length,
       s"m must be in [1, ${cents.length}], got $m")
+    requireEncodableCids(cents)
     val q = vecs.select(col(idCol), quantized(col(vecCol), scale).as("__q"))
     val encs = array(cents.map { case (cid, cq) =>
       encode(graft.functions.SqDistLong(col("__q"), typedLit(cq)), cid)

@@ -121,6 +121,20 @@ class ClusteringSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("assign/assignTopM reject centroid labels outside the (dist, cid) " +
+      "encoding range instead of silently corrupting the argmin") {
+    import spark.implicits._
+    val vecs = Seq((0L, Seq(0f, 0f))).toDF("vec_id", "embedding")
+    for (badCid <- Seq(1L << 20, -1L)) {
+      val cents = Seq(badCid -> Array(0L, 0L), 1L -> Array(10L, 10L))
+      val e = intercept[IllegalArgumentException](Clustering.assign(vecs, cents))
+      assert(e.getMessage.contains("cluster label"))
+      val e2 = intercept[IllegalArgumentException](
+        Clustering.assignTopM(vecs, cents, m = 1))
+      assert(e2.getMessage.contains("cluster label"))
+    }
+  }
+
   test("assign lands a DELTA batch in history-trained cells without " +
       "touching the training set; drift shows in dist2") {
     import spark.implicits._

@@ -6,10 +6,14 @@ import graft.SparkTestBase
 
 /** SURVEY §5.2 streaming-specific: restart-from-checkpoint resumes
   * identically — no lost and no duplicated alerts across a stop/restart,
-  * with the count-window state recovered from the state store. */
+  * with the count-window state recovered from the state store. Runs once
+  * per state-store backend (default HDFS-backed + RocksDB — see
+  * [[StateBackend]]); the provider is recorded in the checkpoint at first
+  * start, so each scenario owns its checkpoint dir. */
 class CheckpointRestartSpec extends AnyFunSuite with SparkTestBase {
 
-  test("stop mid-stream, restart from checkpoint: exact same alert set") {
+  for (backend <- Seq("default", "rocksdb"))
+    test(s"[$backend] stop mid-stream, restart from checkpoint: exact same alert set") {
     import spark.implicits._
     val rnd = new scala.util.Random(21)
     val rows = (0 until 60).map(i =>
@@ -32,17 +36,21 @@ class CheckpointRestartSpec extends AnyFunSuite with SparkTestBase {
     def readOut() = spark.read.parquet(s"$dir/out").as[MeasureRow]
 
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
-    write("in/a.json", rows.take(44)) // 22 seqs/key: windows already firing
-    val q1 = startQuery()
-    q1.processAllAvailable()
-    val afterFirst = readOut().count()
-    q1.stop() // hard stop — state must live in the checkpoint, not the JVM
+    if (backend == "rocksdb") StateBackend.useRocksDb(spark)
+    val (afterFirst, all) = try {
+      write("in/a.json", rows.take(44)) // 22 seqs/key: windows already firing
+      val q1 = startQuery()
+      q1.processAllAvailable()
+      val n1 = readOut().count()
+      q1.stop() // hard stop — state must live in the checkpoint, not the JVM
 
-    write("in/b.json", rows.drop(44))
-    val q2 = startQuery()
-    q2.processAllAvailable()
-    q2.stop()
-    val all = readOut().collect()
+      write("in/b.json", rows.drop(44))
+      val q2 = startQuery()
+      q2.processAllAvailable()
+      q2.stop()
+      (n1, readOut().collect())
+    } finally if (backend == "rocksdb")
+      spark.conf.unset(StateBackend.ProviderConfKey)
 
     // batch truth over the full input
     val byKey = (0 until 60).map(i => (i % 2, i / 2, rows(i))).groupBy(_._1)
