@@ -173,6 +173,70 @@ object Graphs {
     (labels, rounds)
   }
 
+  /** INCREMENTAL connected components: fold a DELTA edge batch into the
+    * label table of an already-solved history graph, touching the delta
+    * and the labels — never the history's edge set. The incremental-CC
+    * member of the delta family (delta-dedup `Dedup.dedupDelta`,
+    * delta-IVF `Clustering.assign`): a crawl's near-dup graph at 100 TB
+    * has |E| ≫ |V| edges accumulated over months; re-running full CC per
+    * ingest batch re-shuffles all of them, when connectivity-wise the
+    * standing labels ARE the history (each component contracted to its
+    * root — contraction preserves connectivity, so CC(labels-as-star-
+    * edges ∪ delta) = CC(history ∪ delta)).
+    *
+    * Algorithm (cost ∝ |delta| + one labels pass, never |E_history|):
+    *   1. resolve each delta endpoint to its history root via one
+    *      key-partitioned join against `labels` (an id absent from
+    *      labels is a NEW node and roots to itself);
+    *   2. contract: the delta induces a ROOT graph of ≤ 2·|delta| nodes;
+    *      run star-contraction CC on that tiny graph alone — its labels
+    *      are a root→newRoot remap, and only roots the delta touches
+    *      appear in it;
+    *   3. relabel: broadcast the remap and map every id's old root
+    *      through it (absent = untouched component, label unchanged).
+    *      New nodes enter with their own id as the old root.
+    *
+    * Labels stay CANONICAL (cluster_id = min member id): history roots
+    * are the min of their component, a new node's root is itself, and
+    * the contracted CC labels each merged group by its min root — so
+    * `ccDelta(cc(histIds, histEdges), deltaEdges, allIds)` is row-equal
+    * to `connectedComponents(allIds, histEdges ∪ deltaEdges)`
+    * (GraphsSpec pins it; q206 gates it against the recursive-CTE
+    * oracle). `ids` must cover every node of history ∪ delta.
+    *
+    * Returns (idCol, cluster_id). */
+  def ccDelta(labels: DataFrame, deltaPairs: DataFrame, ids: DataFrame,
+      idCol: String = "doc_id", maxRounds: Int = 30): DataFrame = {
+    val lbl = labels.select(col(idCol).as("__n"), col("cluster_id").as("__r"))
+    // 1. endpoint -> history root (new node -> itself)
+    val e = deltaPairs.toDF("__a", "__b")
+    val rooted = e
+      .join(lbl.select(col("__n").as("__a"), col("__r").as("__ra")),
+        Seq("__a"), "left")
+      .join(lbl.select(col("__n").as("__b"), col("__r").as("__rb")),
+        Seq("__b"), "left")
+      .select(coalesce(col("__ra"), col("__a")).as("ra"),
+        coalesce(col("__rb"), col("__b")).as("rb"))
+    // 2. CC over the contracted root graph (≤ 2·|delta| nodes).
+    // "__cn" (contracted node), not "__root" — ccWithRounds aliases its
+    // own internal min as __root and the names must not collide
+    val rootIds = rooted.select(col("ra").as("__cn"))
+      .unionAll(rooted.select(col("rb").as("__cn"))).distinct()
+    val remap = ccWithRounds(rootIds,
+        rooted.select(col("ra"), col("rb")), "__cn", maxRounds)._1
+      .select(col("__cn"), col("cluster_id").as("__new"))
+      // identity rows are dead weight in the broadcast: absent = unchanged
+      .where(col("__cn") =!= col("__new"))
+    // 3. relabel through the broadcast remap; coalesce order encodes the
+    // precedence: remapped touched root > old root > own id (new node)
+    ids.select(col(idCol))
+      .join(lbl, col(idCol) === col("__n"), "left")
+      .join(broadcast(remap),
+        coalesce(col("__r"), col(idCol)) === col("__cn"), "left")
+      .select(col(idCol),
+        coalesce(col("__new"), col("__r"), col(idCol)).as("cluster_id"))
+  }
+
   /** Exact per-node triangle counts by DEGREE-ORDERED wedge join (the
     * standard scalable algorithm — Suri & Vassilvitskii 2011's
     * MapReduce form, public): orient every edge from its lower

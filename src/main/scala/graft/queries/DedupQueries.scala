@@ -630,6 +630,43 @@ object DedupQueries {
         |FROM documents d LEFT JOIN reach r ON d.doc_id = r.s
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
 
+    // INCREMENTAL connected components (Graphs.ccDelta) — the near-dup
+    // cluster map maintained across an ingest batch without re-touching
+    // history edges, completing the delta family (q143/q145 delta dedup,
+    // q203/q205 delta IVF): the 90% of docs with doc_id % 10 != 0 are the
+    // already-clustered HISTORY (their labels the standing artifact);
+    // every LSH pair touching a % 10 == 0 doc is the DELTA batch. The
+    // engine resolves delta endpoints to history roots (one keyed join),
+    // runs star-contraction CC on the contracted root graph alone
+    // (≤ 2·|delta| nodes), and relabels through the broadcast remap —
+    // cost ∝ delta + one labels pass, never |E_history|. The oracle is
+    // q171's full-graph recursive-CTE CC VERBATIM: the incremental
+    // contract IS row-equality with the full recompute.
+    Q("q206_cc_delta",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select(col("doc_id"))
+        val edges = clusterEdges(s, dir)
+        val isHist = (c: org.apache.spark.sql.Column) => c % 10 =!= 0
+        val histLabels = graft.analytics.Graphs.connectedComponents(
+          docs.where(isHist(col("doc_id"))),
+          edges.where(isHist(col("doc_a")) && isHist(col("doc_b"))))
+        val deltaEdges = edges
+          .where(!isHist(col("doc_a")) || !isHist(col("doc_b")))
+        graft.analytics.Graphs.ccDelta(histLabels, deltaEdges, docs)
+          .orderBy(col("doc_id"))
+      },
+      Some(duckLshEdges.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+        |und AS (SELECT doc_a AS s, doc_b AS t FROM jp
+        |        UNION ALL SELECT doc_b, doc_a FROM jp),
+        |reach AS (SELECT s, t FROM und
+        |          UNION
+        |          SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s
+        |          WHERE u.t <> r.s)
+        |SELECT d.doc_id,
+        |  least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS cluster_id
+        |FROM documents d LEFT JOIN reach r ON d.doc_id = r.s
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
+
     // Triangle participation in the near-dup graph
     // (graft.analytics.Graphs.triangleCounts) — the clique-density
     // diagnostic: a doc in many triangles sits inside a duplication

@@ -109,6 +109,52 @@ class GraphsSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("ccDelta equals full recompute: bridges, chains of bridges, new " +
+      "nodes, new components, untouched components") {
+    import spark.implicits._
+    // history: components {0,1,2} (root 0), {10,11} (root 10), {20,21}
+    // (root 20), isolated 30, 40
+    val histEdges = Seq((0L, 1L), (1L, 2L), (10L, 11L), (20L, 21L))
+    val histIds = (Seq(0L, 1L, 2L, 10L, 11L, 20L, 21L, 30L, 40L)).toDF("doc_id")
+    val labels = Graphs.connectedComponents(histIds,
+      histEdges.toDF("a", "b"))
+    // delta: bridge {0..2}–{10,11} via members (2,11); chain that merged
+    // group onward to isolated 30 via 30–1; NEW node 50 bridges into
+    // {20,21}; NEW nodes 60,61 form their own component; 40 untouched
+    val deltaEdges = Seq((2L, 11L), (30L, 1L), (50L, 21L), (60L, 61L))
+    val allIds = (Seq(0L, 1L, 2L, 10L, 11L, 20L, 21L, 30L, 40L, 50L, 60L,
+      61L)).toDF("doc_id")
+    val inc = Graphs.ccDelta(labels, deltaEdges.toDF("a", "b"), allIds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Graphs.connectedComponents(allIds,
+        (histEdges ++ deltaEdges).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === full)
+    // and the expected canonical shape, explicitly
+    assert(inc === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 0L, 11L -> 0L,
+      30L -> 0L, 20L -> 20L, 21L -> 20L, 50L -> 20L, 40L -> 40L,
+      60L -> 60L, 61L -> 60L))
+  }
+
+  test("ccDelta on random graphs: any history/delta split of the edge " +
+      "set yields the full-graph labels") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val n = 40L
+      val all = Seq.fill(35)(
+        (rnd.nextLong(n), rnd.nextLong(n))).filter(p => p._1 != p._2)
+      val (hist, delta) = all.partition(_ => rnd.nextBoolean())
+      val ids = (0L until n).toDF("doc_id")
+      val labels = Graphs.connectedComponents(ids, hist.toDF("a", "b"))
+      val inc = Graphs.ccDelta(labels, delta.toDF("a", "b"), ids)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = Graphs.connectedComponents(ids, all.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(inc === full, s"trial $trial")
+    }
+  }
+
   test("counts each triangle once at each corner") {
     // K4 on {1,2,3,4}: 4 triangles, each node in exactly 3; node 9
     // hangs off node 1 and is in none

@@ -239,6 +239,29 @@ object ScaleElasticity {
       // measurement
       force(graft.dedup.Dedup.clusters(ids, edges, maxRounds = 400))
     }
+    // incremental CC: same random graph as ccStar, 90/10 history/delta
+    // edge split, history labels PRE-computed outside the timing (they
+    // are the standing artifact) — the timed path is resolve-to-roots +
+    // contracted-CC + broadcast relabel, the per-ingest-batch cost; the
+    // comparison row is cc_star_random (the full recompute per batch)
+    def ccDeltaProbe(tag: String): Unit = {
+      val (ids, edges) = ccGraph(tag)
+      val e = edges.withColumn("__d", pmod(xxhash64(col("a"), col("b")),
+        lit(10)) === 0).persist()
+      try {
+        val labels = graft.analytics.Graphs
+          .connectedComponents(ids, e.where(!col("__d"))
+            .select(col("a"), col("b")))
+          .persist()
+        labels.count() // materialize OUTSIDE the timed region
+        val t0 = System.nanoTime()
+        force(graft.analytics.Graphs.ccDelta(labels,
+          e.where(col("__d")).select(col("a"), col("b")), ids))
+        println(f"[elast]   cc_delta_inc $tag inner " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s (delta-only path)")
+        labels.unpersist()
+      } finally e.unpersist()
+    }
     def ccStarChain(tag: String): Unit = {
       val n = 100000L * scaleOf(tag)
       val ids = spark.range(n).select(col("id").as("doc_id"))
@@ -624,6 +647,7 @@ object ScaleElasticity {
       ("cc_star_random", ccStar _),
       ("cc_prop_random", ccProp _),
       ("cc_star_chain", ccStarChain _),
+      ("cc_delta_inc", ccDeltaProbe _),
       ("asof_join", asofProbe _),
       ("range_join", rangeProbe _),
       ("asof_hot_plain", (t: String) => asofHot(t, bucketed = false)),
