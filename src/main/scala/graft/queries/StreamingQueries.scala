@@ -726,6 +726,51 @@ object StreamingQueries {
            |  CAST(count(*) AS BIGINT) AS n_delta,
            |  CAST(sum(dist2) AS BIGINT) AS dist2_delta
            |FROM fa GROUP BY cluster ORDER BY cluster""".stripMargin
-      })
+      }),
+
+    // Streaming cluster-map maintenance (StreamingCcDelta) — q206's
+    // incremental CC served as the production ingest LOOP: the delta
+    // edge set (every LSH pair touching a doc_id % 10 == 0 doc) streams
+    // in as 4 micro-batches (4-way repartitioned staging parquet under
+    // maxFilesPerTrigger=1), and foreachBatch folds each into the
+    // standing history labels via Graphs.ccDelta — per-batch cost ∝
+    // batch + one labels pass, never the history edge set. The fold
+    // invariant (labels = CC over edges seen so far) makes the final map
+    // batch-split-invariant; StreamingCcDeltaSpec pins the adversarial
+    // split where each bridge of a 4-component merge chain arrives in a
+    // DIFFERENT batch. Oracle = q171/q206's full-graph recursive-CTE CC
+    // VERBATIM: batch engine, incremental engine, streamed incremental
+    // engine, and DuckDB — one ground truth, four routes.
+    Q("q207_streaming_cc_maintenance",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select(col("doc_id"))
+        val edges = DedupQueries.clusterEdges(s, dir)
+        val isHist = (c: org.apache.spark.sql.Column) => c % 10 =!= 0
+        val histLabels = graft.analytics.Graphs.connectedComponents(
+          docs.where(isHist(col("doc_id"))),
+          edges.where(isHist(col("doc_a")) && isHist(col("doc_b"))))
+        val staging =
+          AnalyticsQueries.tempDirCleanedOnExit("graft_sccd_").toString
+        edges.where(!isHist(col("doc_a")) || !isHist(col("doc_b")))
+          .repartition(4)
+          .write.mode("overwrite").parquet(s"$staging/delta")
+        val stream = s.readStream.schema("doc_a BIGINT, doc_b BIGINT")
+          .option("maxFilesPerTrigger", "1").parquet(s"$staging/delta")
+        graft.streaming.StreamingCcDelta
+          .maintain(stream, histLabels, docs, s"$staging/_ckpt")
+          .orderBy(col("doc_id"))
+      },
+      Some(DedupQueries.duckLshEdges
+          .replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+        |und AS (SELECT doc_a AS s, doc_b AS t FROM jp
+        |        UNION ALL SELECT doc_b, doc_a FROM jp),
+        |reach AS (SELECT s, t FROM und
+        |          UNION
+        |          SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s
+        |          WHERE u.t <> r.s)
+        |SELECT d.doc_id,
+        |  least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS cluster_id
+        |FROM documents d LEFT JOIN reach r ON d.doc_id = r.s
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
   )
 }
