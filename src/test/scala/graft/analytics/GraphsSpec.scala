@@ -136,6 +136,20 @@ class GraphsSpec extends AnyFunSuite with SparkTestBase {
       60L -> 60L, 61L -> 60L))
   }
 
+  test("ccDelta's relabel is a broadcast join: the corpus-sized labels " +
+      "pass never shuffles on the remap key") {
+    import spark.implicits._
+    val ids = (0L until 100L).toDF("doc_id")
+    val labels = Graphs.connectedComponents(ids,
+      Seq((1L, 2L), (3L, 4L)).toDF("a", "b"))
+    val out = Graphs.ccDelta(labels, Seq((2L, 3L)).toDF("a", "b"), ids)
+    out.collect() // force planning through AQE
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"relabel should broadcast the remap:\n$plan")
+  }
+
   test("ccDelta on random graphs: any history/delta split of the edge " +
       "set yields the full-graph labels") {
     import spark.implicits._
