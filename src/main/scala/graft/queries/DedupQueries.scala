@@ -192,6 +192,29 @@ object DedupQueries {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
   }
 
+  /** q206/q207's history membership rule: the 90% of docs with
+    * doc_id % 10 != 0 are the already-clustered HISTORY; pairs touching
+    * the rest are the delta batch. */
+  private[queries] def isHistDoc(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = c % 10 =!= 0
+
+  /** The standing cluster-map artifact the incremental-CC family folds
+    * into: CC over the history slice of [[clusterEdges]], cached per
+    * (session, dir) — exactly the thing a production pipeline persists
+    * between ingest batches, and the frame q206 (batch fold) and q207
+    * (streamed fold) share instead of each re-solving history
+    * (eager: the CC loop's driver-side rounds must not run lazily
+    * inside two consumers at once). */
+  private[queries] def histLabelsFrame(s: SparkSession,
+      dir: String): DataFrame =
+    Caches.frame(s, dir, "histcc", eager = true) {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      graft.analytics.Graphs.connectedComponents(
+        docs.where(isHistDoc(col("doc_id"))),
+        clusterEdges(s, dir)
+          .where(isHistDoc(col("doc_a")) && isHistDoc(col("doc_b"))))
+    }
+
   /** Oracle fragment mirroring [[clusterEdges]]: band-key collision
     * candidates (from [[duckMinhash]] — all md5, engine-portable) verified
     * with exact Jaccard at ≥0.5, as CTE `jp`. */
@@ -631,6 +654,8 @@ object DedupQueries {
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
 
     // INCREMENTAL connected components (Graphs.ccDelta) — the near-dup
+    // (history split + shared labels frame: isHistDoc/histLabelsFrame
+    // below the registry; q207 streams the same standing artifact)
     // cluster map maintained across an ingest batch without re-touching
     // history edges, completing the delta family (q143/q145 delta dedup,
     // q203/q205 delta IVF): the 90% of docs with doc_id % 10 != 0 are the
@@ -645,14 +670,10 @@ object DedupQueries {
     Q("q206_cc_delta",
       (s, dir) => {
         val docs = Tables(s, dir, "documents").select(col("doc_id"))
-        val edges = clusterEdges(s, dir)
-        val isHist = (c: org.apache.spark.sql.Column) => c % 10 =!= 0
-        val histLabels = graft.analytics.Graphs.connectedComponents(
-          docs.where(isHist(col("doc_id"))),
-          edges.where(isHist(col("doc_a")) && isHist(col("doc_b"))))
-        val deltaEdges = edges
-          .where(!isHist(col("doc_a")) || !isHist(col("doc_b")))
-        graft.analytics.Graphs.ccDelta(histLabels, deltaEdges, docs)
+        val deltaEdges = clusterEdges(s, dir)
+          .where(!isHistDoc(col("doc_a")) || !isHistDoc(col("doc_b")))
+        graft.analytics.Graphs
+          .ccDelta(histLabelsFrame(s, dir), deltaEdges, docs)
           .orderBy(col("doc_id"))
       },
       Some(duckLshEdges.replaceFirst("WITH ", "WITH RECURSIVE ") + """,

@@ -744,14 +744,12 @@ object StreamingQueries {
     Q("q207_streaming_cc_maintenance",
       (s, dir) => {
         val docs = Tables(s, dir, "documents").select(col("doc_id"))
-        val edges = DedupQueries.clusterEdges(s, dir)
-        val isHist = (c: org.apache.spark.sql.Column) => c % 10 =!= 0
-        val histLabels = graft.analytics.Graphs.connectedComponents(
-          docs.where(isHist(col("doc_id"))),
-          edges.where(isHist(col("doc_a")) && isHist(col("doc_b"))))
+        val histLabels = DedupQueries.histLabelsFrame(s, dir)
         val staging =
           AnalyticsQueries.tempDirCleanedOnExit("graft_sccd_").toString
-        edges.where(!isHist(col("doc_a")) || !isHist(col("doc_b")))
+        DedupQueries.clusterEdges(s, dir)
+          .where(!DedupQueries.isHistDoc(col("doc_a")) ||
+            !DedupQueries.isHistDoc(col("doc_b")))
           .repartition(4)
           .write.mode("overwrite").parquet(s"$staging/delta")
         val stream = s.readStream.schema("doc_a BIGINT, doc_b BIGINT")
