@@ -728,6 +728,65 @@ object Dedup {
     * construction — and verify touches candidates, never the corpus
     * square. Takes the (id, grams) frame [[shingles]] emits.
     * Returns (id_a, id_b, common, jaccard) with id_a < id_b. */
+  /** EXACT containment join — [[ppjoinExact]]'s ASYMMETRIC sibling: every
+    * ORDERED pair (a, b), a ≠ b, with C(a→b) = |A∩B| / |A| ≥ num/den and
+    * nothing else. Containment is the quote/subset detector resemblance
+    * misses: a paragraph lifted into a 100× longer page has Jaccard
+    * ~|A|/|B| ≈ 0 but containment ~1 — the decontamination and
+    * quote-attribution signal (Broder 1997 distinguishes exactly these
+    * two as resemblance vs containment).
+    *
+    * Exactness: order each doc's grams by global (df, gram) and take A's
+    * prefix of length |A| − ⌈num·|A|/den⌉ + 1. If C(a→b) ≥ t then A
+    * misses at most |A| − ⌈t·|A|⌉ grams of B, so at least one PREFIX gram
+    * is common (pigeonhole) — candidates are A-prefix ⋈ B's full gram
+    * rows, so no qualifying pair can be lost; an integer size filter
+    * (den·|B| ≥ num·|A|, since C ≤ |B|/|A|) prunes before the verify.
+    * All pruning arithmetic is integer; the exact |A∩B| verify decides.
+    * The asymmetry is why only the CONTAINED side carries a prefix: no
+    * lower bound exists on the container's share, so its full (but
+    * df-rare-prefix-joined) posting rows are the candidate source — cost
+    * is Σ_prefix-gram df(g), kept near-linear by df-ordering exactly as
+    * in ppjoinExact.
+    *
+    * Returns (id_a, id_b, common, containment) — a CONTAINED in b. */
+  def containmentJoin(grams: DataFrame, num: Int, den: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"threshold must be a rational in (0, 1]: got $num/$den")
+    import org.apache.spark.sql.expressions.Window
+    val rows = grams.where(size(col("grams")) > 0)
+      .select(col(idCol).as("id"), size(col("grams")).as("n"),
+        explode(col("grams")).as("gram"))
+    val dfs = rows.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("id"))
+      .orderBy(col("df"), col("gram"))
+    def ceilDiv(x: Column): Column =
+      ((x * num + (den - 1)) / den).cast("long")
+    val pref = rows.join(dfs, "gram")
+      .withColumn("__pos", row_number().over(byDoc))
+      .where(col("__pos") <= col("n") - ceilDiv(col("n")) + 1)
+      .select(col("id"), col("gram"), col("n"))
+    val cands = pref.select(col("id").as("id_a"), col("gram"),
+        col("n").as("na"))
+      .join(rows.select(col("id").as("id_b"), col("gram"),
+        col("n").as("nb")), "gram")
+      .where(col("id_a") =!= col("id_b") &&
+        col("nb") * den >= col("na") * num)
+      .select(col("id_a"), col("id_b")).distinct()
+    cands
+      .join(grams.select(col(idCol).as("id_a"), col("grams").as("__ga")),
+        "id_a")
+      .join(grams.select(col(idCol).as("id_b"), col("grams").as("__gb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__ga"), col("__gb"))).as("common"),
+        size(col("__ga")).as("na"))
+      .where(col("common") * den >= col("na") * num)
+      .select(col("id_a"), col("id_b"), col("common"),
+        (col("common") / col("na")).as("containment"))
+  }
+
   def ppjoinExact(grams: DataFrame, num: Int, den: Int,
       idCol: String = "doc_id"): DataFrame = {
     require(num > 0 && den > 0 && num <= den,

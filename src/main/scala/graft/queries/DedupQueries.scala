@@ -1586,6 +1586,34 @@ object DedupQueries {
         |JOIN sizes sa ON doc_a = sa.doc_id
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE 2 * common >= sa.n + sb.n - common
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // EXACT containment join (Dedup.containmentJoin) — q184's ASYMMETRIC
+    // sibling and the quote/subset detector resemblance misses: a doc
+    // lifted into a much longer page has Jaccard ~0 but containment ~1
+    // (Broder 1997's resemblance-vs-containment distinction). Ordered
+    // pairs with |A∩B| ≥ 4/5·|A|, found via the contained side's
+    // df-ordered prefix (pigeonhole: a qualifying A must share a PREFIX
+    // gram with B) + an integer size filter — no all-pairs stage, every
+    // prune integer, the exact intersect verify decides. Oracle is the
+    // exhaustive ordered co-gram ground truth: one false negative from
+    // the prefix filter breaks the hash.
+    Q("q208_containment_join",
+      (s, dir) =>
+        graft.dedup.Dedup.containmentJoin(grams(s, dir), num = 4, den = 5)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+            col("common"), round(col("containment"), 6).as("containment"))
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some(duckGrams + """,
+        |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS common
+        |  FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(common AS INT) AS common,
+        |  round(common * 1.0 / sa.n, 6) AS containment
+        |FROM co
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |WHERE 5 * common >= 4 * sa.n
         |ORDER BY doc_a, doc_b""".stripMargin))
   )
 }

@@ -352,6 +352,11 @@ object ScaleElasticity {
     // filter keeps candidates near-linear while the result stays exact
     def ppjoin(tag: String): Unit =
       force(Dedup.ppjoinExact(Dedup.shingles(docs(tag)), num = 1, den = 2))
+    // exact containment join (q208): contained-side prefix only — same
+    // df-ordered machinery as ppjoin, asymmetric candidate source
+    def containment(tag: String): Unit =
+      force(Dedup.containmentJoin(Dedup.shingles(docs(tag)),
+        num = 4, den = 5))
     // fuzzy best-match linkage (q191): rare-bigram blocked levenshtein —
     // candidate fan-out bounded by the probed key's df
     def fuzzy(tag: String): Unit = {
@@ -653,6 +658,7 @@ object ScaleElasticity {
       ("asof_hot_plain", (t: String) => asofHot(t, bucketed = false)),
       ("asof_hot_bucketed", (t: String) => asofHot(t, bucketed = true)),
       ("ppjoin_exact", ppjoin _),
+      ("containment_exact", containment _),
       ("fuzzy_linkage", fuzzy _),
       ("gapfill_dense", gapfill _),
       ("jw_linkage", jwLinkage _),
