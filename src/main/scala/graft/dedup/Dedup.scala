@@ -787,6 +787,55 @@ object Dedup {
         (col("common") / col("na")).as("containment"))
   }
 
+  /** [[containmentJoin]] ACROSS two corpora — the decontamination shape:
+    * every (probe, corpus) pair with |P∩C| / |P| ≥ num/den, exact. The
+    * probe side (benchmark passages, a delta batch, suspected quotes)
+    * carries the prefix; the corpus side contributes full posting rows.
+    * Prefix order is by CORPUS df (left-join + coalesce 0: a gram the
+    * corpus has never seen sorts FIRST — it prunes hardest, exactly the
+    * rare-quote signal), and the pigeonhole argument is order-agnostic,
+    * so corpus-df ordering is a pure candidate-count optimization.
+    * Returns (probeIdCol, corpusIdCol, common, containment). Unlike the
+    * self-join, probe↔probe and corpus↔corpus pairs never form. */
+  def containmentAcross(probe: DataFrame, corpus: DataFrame,
+      num: Int, den: Int, probeIdCol: String = "probe_id",
+      corpusIdCol: String = "doc_id"): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"threshold must be a rational in (0, 1]: got $num/$den")
+    import org.apache.spark.sql.expressions.Window
+    val pRows = probe.where(size(col("grams")) > 0)
+      .select(col(probeIdCol).as("__pid"), size(col("grams")).as("np"),
+        explode(col("grams")).as("gram"))
+    val cRows = corpus.where(size(col("grams")) > 0)
+      .select(col(corpusIdCol).as("__cid"), size(col("grams")).as("nc"),
+        explode(col("grams")).as("gram"))
+    val dfs = cRows.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val byProbe = Window.partitionBy(col("__pid"))
+      .orderBy(col("df"), col("gram"))
+    def ceilDiv(x: Column): Column =
+      ((x * num + (den - 1)) / den).cast("long")
+    val pref = pRows.join(dfs, Seq("gram"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("__pos", row_number().over(byProbe))
+      .where(col("__pos") <= col("np") - ceilDiv(col("np")) + 1)
+      .select(col("__pid"), col("gram"), col("np"))
+    val cands = pref
+      .join(cRows, "gram")
+      .where(col("nc") * den >= col("np") * num)
+      .select(col("__pid"), col("__cid")).distinct()
+    cands
+      .join(probe.select(col(probeIdCol).as("__pid"),
+        col("grams").as("__gp")), "__pid")
+      .join(corpus.select(col(corpusIdCol).as("__cid"),
+        col("grams").as("__gc")), "__cid")
+      .select(col("__pid"), col("__cid"),
+        size(array_intersect(col("__gp"), col("__gc"))).as("common"),
+        size(col("__gp")).as("np"))
+      .where(col("common") * den >= col("np") * num)
+      .select(col("__pid").as(probeIdCol), col("__cid").as(corpusIdCol),
+        col("common"), (col("common") / col("np")).as("containment"))
+  }
+
   def ppjoinExact(grams: DataFrame, num: Int, den: Int,
       idCol: String = "doc_id"): DataFrame = {
     require(num > 0 && den > 0 && num <= den,

@@ -1614,6 +1614,40 @@ object DedupQueries {
         |FROM co
         |JOIN sizes sa ON doc_a = sa.doc_id
         |WHERE 5 * common >= 4 * sa.n
-        |ORDER BY doc_a, doc_b""".stripMargin))
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Cross-corpus containment decontamination (Dedup.containmentAcross)
+    // — the production shape of q208: the PROBE side (here the delta
+    // ingest slice, doc_id % 10 == 0; in deployment the benchmark/eval
+    // passages) is screened for ≥ 4/5 gram containment inside the
+    // HISTORY corpus. Only the probe carries a prefix (ordered by
+    // CORPUS df — a gram history never saw prunes hardest), only
+    // cross-side pairs ever form, and the exact intersect verify
+    // decides. Complements q71/q77's exact/Bloom decontamination with
+    // the near-verbatim-quote class those digest equality checks miss.
+    Q("q209_containment_decontam",
+      (s, dir) => {
+        val g = grams(s, dir)
+        val probe = g.where(!isHistDoc(col("doc_id")))
+          .select(col("doc_id").as("probe_id"), col("grams"))
+        val hist = g.where(isHistDoc(col("doc_id")))
+        graft.dedup.Dedup.containmentAcross(probe, hist, num = 4, den = 5)
+          .select(col("probe_id"), col("doc_id"), col("common"),
+            round(col("containment"), 6).as("containment"))
+          .orderBy(col("probe_id"), col("doc_id"))
+      },
+      Some(duckGrams + """,
+        |co AS (SELECT a.doc_id AS probe_id, b.doc_id AS doc_id,
+        |    count(*) AS common
+        |  FROM e a JOIN e b ON a.gram = b.gram
+        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        |  GROUP BY 1, 2)
+        |SELECT probe_id, co.doc_id AS doc_id,
+        |  CAST(common AS INT) AS common,
+        |  round(common * 1.0 / sa.n, 6) AS containment
+        |FROM co
+        |JOIN sizes sa ON probe_id = sa.doc_id
+        |WHERE 5 * common >= 4 * sa.n
+        |ORDER BY probe_id, co.doc_id""".stripMargin))
   )
 }

@@ -75,6 +75,37 @@ class ContainmentSpec extends AnyFunSuite with SparkTestBase {
     assert(!engine(docs, 4, 5).contains((1L, 2L, 3))) // 3 < 4/5·4 = 3.2
   }
 
+  test("containmentAcross matches the exhaustive cross join and never " +
+      "forms within-side pairs; grams unseen by the corpus still prune") {
+    val rnd = new scala.util.Random(44)
+    val pool = (0 until 40).map(i => s"g$i")
+    val probeDocs = (100L until 116L).map { id =>
+      // half the probes carry grams the corpus never has (pX tokens)
+      val extra = if (id % 2 == 0) Seq(s"p$id") else Nil
+      id -> (Seq.fill(3 + rnd.nextInt(6))(
+        pool(rnd.nextInt(pool.size))) ++ extra)
+    }
+    val corpusDocs = (0L until 24L).map { id =>
+      id -> Seq.fill(6 + rnd.nextInt(10))(pool(rnd.nextInt(pool.size)))
+    }
+    for ((num, den) <- Seq((1, 2), (4, 5), (1, 1))) {
+      val pSets = probeDocs.map { case (i, g) => i -> g.toSet }
+      val cSets = corpusDocs.map { case (i, g) => i -> g.toSet }
+      val expected = (for {
+        (ip, sp) <- pSets; (ic, sc) <- cSets
+        common = (sp & sc).size
+        if common * den >= sp.size * num
+      } yield (ip, ic, common)).toSet
+      val got = Dedup.containmentAcross(
+          gramsDf(probeDocs).withColumnRenamed("doc_id", "probe_id"),
+          gramsDf(corpusDocs), num, den)
+        .collect().map(r => (r.getAs[Long]("probe_id"),
+          r.getAs[Long]("doc_id"), r.getAs[Int]("common"))).toSet
+      assert(got == expected, s"threshold $num/$den")
+      assert(got.forall { case (p, c, _) => p >= 100L && c < 100L })
+    }
+  }
+
   test("identical docs contain each other; empty docs never appear") {
     val docs = Seq((1L, Seq("a", "b")), (2L, Seq("a", "b")),
       (3L, Seq.empty[String]))
