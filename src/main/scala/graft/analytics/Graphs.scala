@@ -153,7 +153,8 @@ object Graphs {
       // re-shuffled BOTH sets and recounted. The expensive leg only runs
       // when the cheap count test already matches (&& is lazy).
       converged = nextCount == prevCount && next.exceptAll(edges).isEmpty
-      edges = next
+      freeLocalCheckpoint(edges) // superseded round's blocks; final set
+      edges = next               // stays alive for the labels frame below
       prevCount = nextCount
       rounds += 1
     }
@@ -172,6 +173,19 @@ object Graphs {
         coalesce(col("__root"), col(idCol)).as("cluster_id"))
     (labels, rounds)
   }
+
+  /** Free the block-manager storage behind a localCheckpoint'd frame.
+    * `Dataset.unpersist` only clears CacheManager entries, but
+    * localCheckpoint persists the UNDERLYING RDD directly — without this,
+    * a superseded round's blocks linger until the ContextCleaner's
+    * weak-reference GC happens to fire (unbounded in a long-lived
+    * session). Walks the analyzed plan's LogicalRDD leaves; no-op on
+    * frames without them. Never call it on a frame still consumed
+    * downstream. */
+  private[graft] def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   /** INCREMENTAL connected components: fold a DELTA edge batch into the
     * label table of an already-solved history graph, touching the delta

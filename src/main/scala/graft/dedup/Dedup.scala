@@ -751,41 +751,19 @@ object Dedup {
     *
     * Returns (id_a, id_b, common, containment) — a CONTAINED in b. */
   def containmentJoin(grams: DataFrame, num: Int, den: Int,
-      idCol: String = "doc_id"): DataFrame = {
-    require(num > 0 && den > 0 && num <= den,
-      s"threshold must be a rational in (0, 1]: got $num/$den")
-    import org.apache.spark.sql.expressions.Window
-    val rows = grams.where(size(col("grams")) > 0)
-      .select(col(idCol).as("id"), size(col("grams")).as("n"),
-        explode(col("grams")).as("gram"))
-    val dfs = rows.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    val byDoc = Window.partitionBy(col("id"))
-      .orderBy(col("df"), col("gram"))
-    def ceilDiv(x: Column): Column =
-      ((x * num + (den - 1)) / den).cast("long")
-    val pref = rows.join(dfs, "gram")
-      .withColumn("__pos", row_number().over(byDoc))
-      .where(col("__pos") <= col("n") - ceilDiv(col("n")) + 1)
-      .select(col("id"), col("gram"), col("n"))
-    val cands = pref.select(col("id").as("id_a"), col("gram"),
-        col("n").as("na"))
-      .join(rows.select(col("id").as("id_b"), col("gram"),
-        col("n").as("nb")), "gram")
-      .where(col("id_a") =!= col("id_b") &&
-        col("nb") * den >= col("na") * num)
-      .select(col("id_a"), col("id_b")).distinct()
-    cands
-      .join(grams.select(col(idCol).as("id_a"), col("grams").as("__ga")),
-        "id_a")
-      .join(grams.select(col(idCol).as("id_b"), col("grams").as("__gb")),
-        "id_b")
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("__ga"), col("__gb"))).as("common"),
-        size(col("__ga")).as("na"))
-      .where(col("common") * den >= col("na") * num)
-      .select(col("id_a"), col("id_b"), col("common"),
-        (col("common") / col("na")).as("containment"))
-  }
+      idCol: String = "doc_id"): DataFrame =
+    // the self-join is the cross-corpus machinery applied to one corpus
+    // (probe = corpus = grams; within one corpus every gram has df >= 1,
+    // so the coalesce-0 ordering degenerates to the plain df order) with
+    // the trivial self-pairs dropped — ONE implementation of the prefix/
+    // size/verify arithmetic, so a future fix cannot drift between the
+    // symmetric and cross-corpus paths
+    containmentAcross(
+        grams.select(col(idCol).as("__sj_id"), col("grams")), grams,
+        num, den, probeIdCol = "__sj_id", corpusIdCol = idCol)
+      .where(col("__sj_id") =!= col(idCol))
+      .select(col("__sj_id").as("id_a"), col(idCol).as("id_b"),
+        col("common"), col("containment"))
 
   /** [[containmentJoin]] ACROSS two corpora — the decontamination shape:
     * every (probe, corpus) pair with |P∩C| / |P| ≥ num/den, exact. The

@@ -43,10 +43,14 @@ object StreamingCcDelta {
       var labels: DataFrame = initialLabels.localCheckpoint()
       def fold(batch: DataFrame): Unit = synchronized {
         val next = Graphs.ccDelta(labels, batch, ids, idCol)
-          .localCheckpoint() // eager: materialized before prev unpersists
+          .localCheckpoint() // eager: materialized before prev is freed
         val prev = labels
         labels = next
-        prev.unpersist()
+        // Dataset.unpersist would be a NO-OP here: localCheckpoint
+        // persists the underlying RDD, not a CacheManager entry — free
+        // the superseded label table's blocks explicitly, or a long run
+        // accumulates one corpus-sized copy per batch until weak-ref GC
+        Graphs.freeLocalCheckpoint(prev)
       }
     }
     val q = edgeStream.writeStream

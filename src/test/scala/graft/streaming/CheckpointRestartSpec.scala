@@ -36,7 +36,11 @@ class CheckpointRestartSpec extends AnyFunSuite with SparkTestBase {
     def readOut() = spark.read.parquet(s"$dir/out").as[MeasureRow]
 
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    // explicit per-branch: a registry streaming query earlier in this
+    // shared session leaves the RocksDB provider SET (runToTable never
+    // restores it), so "default" must unset, not merely not-set
     if (backend == "rocksdb") StateBackend.useRocksDb(spark)
+    else spark.conf.unset(StateBackend.ProviderConfKey)
     val (afterFirst, all) = try {
       write("in/a.json", rows.take(44)) // 22 seqs/key: windows already firing
       val q1 = startQuery()

@@ -47,7 +47,11 @@ class DeltaDedupRestartSpec extends AnyFunSuite with SparkTestBase {
           .outputMode("append").start()
       }
 
+      // explicit per-branch: a registry streaming query earlier in this
+      // shared session leaves the RocksDB provider SET (runToTable never
+      // restores it), so "default" must unset, not merely not-set
       if (backend == "rocksdb") StateBackend.useRocksDb(spark)
+      else spark.conf.unset(StateBackend.ProviderConfKey)
       try {
         // phase 1: a novel doc (kept) + a history dup
         feed("b1", Seq((10L, "novel alpha"), (11L, "curated")))

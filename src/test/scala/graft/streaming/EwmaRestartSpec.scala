@@ -41,7 +41,11 @@ class EwmaRestartSpec extends AnyFunSuite with SparkTestBase {
           .outputMode("append").start()
       }
 
+      // explicit per-branch: a registry streaming query earlier in this
+      // shared session leaves the RocksDB provider SET (runToTable never
+      // restores it), so "default" must unset, not merely not-set
       if (backend == "rocksdb") StateBackend.useRocksDb(spark)
+      else spark.conf.unset(StateBackend.ProviderConfKey)
       try {
         // phase 1: key 1 folds 8 -> 6 (= 0.5*4 + 0.5*8); key 2 seeds at 3
         feed("b1", Seq((1L, 0L, 0L, 8.0), (1L, 1L, 1L, 4.0), (2L, 0L, 2L, 3.0)))
