@@ -59,6 +59,7 @@ object Graphs {
     var ranks = nodes.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("n")).as("r"))
     for (_ <- 1 to iters) {
+      val prevRanks = ranks
       val dang = ranks.alias("rk")
         .join(srcs.alias("sr"), col("rk.node") === col("sr.src"),
           "left_anti")
@@ -75,7 +76,10 @@ object Graphs {
           (lit(1.0 - damping) / col("n") + lit(damping) *
             (coalesce(col("s"), lit(0.0)) + col("dang") / col("n")))
             .as("r"))
-        .localCheckpoint(true)
+        .localCheckpoint(true) // eager: materialized before prev is freed
+      // the superseded |V|-row rank frame's checkpoint blocks — freed
+      // explicitly, Dataset.unpersist is a no-op for them
+      freeLocalCheckpoint(prevRanks)
     }
     ranks
   }

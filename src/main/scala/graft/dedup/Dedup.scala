@@ -233,14 +233,19 @@ object Dedup {
     while (changed > 0 && rounds < maxRounds) {
       val nbrMin = und.join(labels, col("dst") === col(idCol))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
+      // lazy checkpoint + the convergence count as its materializing
+      // action: ONE job per round (the ccWithRounds lesson); the
+      // superseded round's checkpoint blocks are freed explicitly —
+      // Dataset.unpersist is a no-op for them (see freeLocalCheckpoint)
       val next = labels.join(nbrMin, col(idCol) === col("src"), "left")
         .select(col(idCol),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.as("n")
         .join(labels.select(col(idCol), col("cluster_id").as("old")), idCol)
         .where(col("cluster_id") =!= col("old")).count()
+      graft.analytics.Graphs.freeLocalCheckpoint(labels)
       labels = next
       rounds += 1
     }
