@@ -719,6 +719,47 @@ object CurationQueries {
           |  array_to_string(list_transform(kept,
           |    l -> regexp_replace(l, '<[^>]*>', '', 'g')), chr(10))
           |    AS main_text
-          |FROM kp ORDER BY doc_id""".stripMargin))
+          |FROM kp ORDER BY doc_id""".stripMargin)),
+
+    // Distribution-drift gate (analytics/Drift.psi) — the between-
+    // snapshots data-quality check a training pipeline runs before
+    // ingesting a batch: PSI = Σ(p−q)·ln(p/q) between the curated
+    // REFERENCE (doc_id % 10 != 0, the round's standing-history split)
+    // and the CURRENT delta slice, over fixed-width doc-length bins
+    // (width 60 chars, 10 bins, top bin open). Laplace-smoothed over
+    // the fixed domain so drifted-in/out bins contribute finite terms;
+    // per-bin decomposition so the drift LOCATES, not just scores.
+    // Scale: each population reduces to ≤ 10 (bin, count) rows via one
+    // integer aggregate; everything after runs on bins-sized frames.
+    Q("q210_psi_drift",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            least(lit(9L), expr("n_chars div 60")).as("bin"))
+        graft.analytics.Drift.psi(
+            d.where(col("doc_id") % 10 =!= 0),
+            d.where(col("doc_id") % 10 === 0), "bin", bins = 10)
+          .select(col("bin"), col("n_ref"), col("n_cur"),
+            round(col("psi_term"), 6).as("psi_term"))
+          .orderBy(col("bin"))
+      },
+      Some(
+        """WITH b AS (SELECT unnest(generate_series(0, 9)) AS bin),
+          |rc AS (SELECT least(9, n_chars // 60) AS bin, count(*) AS n
+          |       FROM documents WHERE doc_id % 10 <> 0 GROUP BY 1),
+          |cc AS (SELECT least(9, n_chars // 60) AS bin, count(*) AS n
+          |       FROM documents WHERE doc_id % 10 = 0 GROUP BY 1),
+          |rd AS (SELECT b.bin AS bin, coalesce(rc.n, 0) AS n_ref
+          |       FROM b LEFT JOIN rc USING (bin)),
+          |cd AS (SELECT b.bin AS bin, coalesce(cc.n, 0) AS n_cur
+          |       FROM b LEFT JOIN cc USING (bin)),
+          |rp AS (SELECT bin, n_ref, (n_ref + 1) * 1.0 /
+          |         ((SELECT sum(n_ref) FROM rd) + 10) AS p FROM rd),
+          |cp AS (SELECT bin, n_cur, (n_cur + 1) * 1.0 /
+          |         ((SELECT sum(n_cur) FROM cd) + 10) AS q FROM cd)
+          |SELECT rp.bin AS bin, CAST(n_ref AS BIGINT) AS n_ref,
+          |  CAST(n_cur AS BIGINT) AS n_cur,
+          |  round((p - q) * ln(p / q), 6) AS psi_term
+          |FROM rp JOIN cp ON rp.bin = cp.bin ORDER BY bin""".stripMargin))
   )
 }

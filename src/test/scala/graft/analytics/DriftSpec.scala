@@ -1,0 +1,49 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Drift.psi against hand-computed shares: Laplace smoothing over the
+  * fixed domain, empty-bin handling on either side, identity = 0, and
+  * the loud out-of-range contract. */
+class DriftSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def terms(ref: Seq[Int], cur: Seq[Int], bins: Int)
+      : Map[Long, (Long, Long, Double)] =
+    Drift.psi(ref.toDF("bin"), cur.toDF("bin"), "bin", bins)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+
+  test("matches the hand-computed smoothed PSI, including a bin empty " +
+      "on one side and a bin empty on both") {
+    // bins 0..3; ref: {0:2, 1:1}, cur: {0:1, 2:2}; bin 3 empty both
+    val got = terms(Seq(0, 0, 1), Seq(0, 2, 2), bins = 4)
+    val n = 3.0 + 4 // both sides have 3 rows; +bins smoothing mass
+    def p(c: Int) = (c + 1) / n
+    for ((b, (nr, nc)) <- Map(0L -> ((2L, 1L)), 1L -> ((1L, 0L)),
+        2L -> ((0L, 2L)), 3L -> ((0L, 0L)))) {
+      val (gr, gc, term) = got(b)
+      assert((gr, gc) === ((nr, nc)), s"counts at bin $b")
+      val expect = (p(nr.toInt) - p(nc.toInt)) *
+        math.log(p(nr.toInt) / p(nc.toInt))
+      assert(math.abs(term - expect) < 1e-15, s"term at bin $b")
+    }
+    // empty-both bin contributes exactly 0 (p == q after smoothing)
+    assert(got(3L)._3 === 0.0)
+  }
+
+  test("identical populations give PSI exactly 0 in every bin") {
+    val pop = Seq(0, 0, 1, 2, 2, 2)
+    assert(terms(pop, pop, bins = 3).values.forall(_._3 === 0.0))
+  }
+
+  test("an out-of-range bin fails loudly, not silently") {
+    val e = intercept[Exception](terms(Seq(0, 5), Seq(0), bins = 4))
+    assert(e.getMessage != null)
+  }
+}
