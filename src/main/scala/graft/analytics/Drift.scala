@@ -42,12 +42,18 @@ object Drift {
     require(bins >= 2, s"need at least 2 bins, got $bins")
     val spine = ref.sparkSession.range(bins).select(col("id").as(binCol))
     def shares(df: DataFrame, nCol: String, pCol: String): DataFrame = {
+      // the loud-contract guard covers all three silent-distortion paths:
+      // out-of-range, NULL (three-valued logic would otherwise park the
+      // row under the NULL group and the spine join would drop it from
+      // BOTH the bin counts and the denominator), and fractional values
+      // (cast-to-long would silently truncate 3.7 into bin 3)
+      val b = col(binCol)
       val guarded = df.select(
-        when(col(binCol) < 0 || col(binCol) >= bins,
+        when(b.isNull || b < 0 || b >= bins || b.cast("long") =!= b,
           raise_error(concat(
-            lit(s"Drift.psi: $binCol outside [0, $bins): "),
-            col(binCol).cast("string"))))
-          .otherwise(col(binCol).cast("long")).as(binCol))
+            lit(s"Drift.psi: $binCol must be an integer in [0, $bins), got "),
+            coalesce(b.cast("string"), lit("NULL")))))
+          .otherwise(b.cast("long")).as(binCol))
       val w = Window.partitionBy() // bins rows by construction
       spine
         .join(guarded.groupBy(col(binCol)).agg(count(lit(1)).as("__n")),

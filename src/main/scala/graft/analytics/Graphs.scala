@@ -56,8 +56,9 @@ object Graphs {
 
     // every frame below descends from `e`, so joins between them are
     // self-joins — explicit aliases keep attribute resolution unambiguous
-    var ranks = nodes.crossJoin(broadcast(nn))
+    val initRanks = nodes.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("n")).as("r"))
+    var ranks = initRanks
     for (_ <- 1 to iters) {
       val prevRanks = ranks
       val dang = ranks.alias("rk")
@@ -78,8 +79,12 @@ object Graphs {
             .as("r"))
         .localCheckpoint(true) // eager: materialized before prev is freed
       // the superseded |V|-row rank frame's checkpoint blocks — freed
-      // explicitly, Dataset.unpersist is a no-op for them
-      freeLocalCheckpoint(prevRanks)
+      // explicitly, Dataset.unpersist is a no-op for them. ONLY frames
+      // this loop checkpointed: their plan is a single LogicalRDD leaf
+      // (ours). The INITIAL ranks frame is exempt — its un-truncated
+      // plan reaches the caller's inputs, and a caller-checkpointed
+      // edges frame would have ITS blocks destroyed mid-iteration.
+      if (prevRanks ne initRanks) freeLocalCheckpoint(prevRanks)
     }
     ranks
   }

@@ -42,8 +42,20 @@ class DriftSpec extends AnyFunSuite with SparkTestBase {
     assert(terms(pop, pop, bins = 3).values.forall(_._3 === 0.0))
   }
 
-  test("an out-of-range bin fails loudly, not silently") {
-    val e = intercept[Exception](terms(Seq(0, 5), Seq(0), bins = 4))
-    assert(e.getMessage != null)
+  test("out-of-range, NULL, and fractional bins all fail loudly, " +
+      "not silently") {
+    intercept[Exception](terms(Seq(0, 5), Seq(0), bins = 4))
+    // NULL bin: three-valued logic must not park the row under the NULL
+    // group where the spine join would silently drop it
+    val withNull = Seq(Some(0), None).toDF("bin")
+    intercept[Exception](
+      Drift.psi(withNull, Seq(0).toDF("bin"), "bin", 4).collect())
+    // fractional bin: 3.7 must not silently truncate into bin 3
+    val frac = Seq(0.0, 3.7).toDF("bin")
+    intercept[Exception](
+      Drift.psi(frac, Seq(0.0).toDF("bin"), "bin", 4).collect())
+    // integral-valued doubles are fine
+    assert(Drift.psi(Seq(0.0, 3.0).toDF("bin"), Seq(0.0).toDF("bin"),
+      "bin", 4).collect().length === 4)
   }
 }
