@@ -229,35 +229,124 @@ object Graphs {
     *
     * Returns (idCol, cluster_id). */
   def ccDelta(labels: DataFrame, deltaPairs: DataFrame, ids: DataFrame,
-      idCol: String = "doc_id", maxRounds: Int = 30): DataFrame = {
-    val lbl = labels.select(col(idCol).as("__n"), col("cluster_id").as("__r"))
-    // 1. endpoint -> history root (new node -> itself)
+      idCol: String = "doc_id", maxRounds: Int = 30): DataFrame =
+    composeLabels(labels,
+      Some(ccDeltaRemap(labels, None, deltaPairs, idCol, maxRounds)),
+      ids, idCol)
+
+  /** Steps 1–2 of [[ccDelta]], factored so the streaming maintainer can
+    * MERGE-ON-READ instead of rewriting the corpus per batch: compute the
+    * touched-roots-only remap (`__cn` old current root → `__new` new
+    * canonical root, identity rows dropped) for one delta batch against a
+    * TWO-LAYER label view — the persisted `base` label table plus the
+    * small accumulated `remap` from batches folded since base was last
+    * compacted. Endpoint resolution: base root (own id for a node absent
+    * from base), then the accumulated remap re-points roots that earlier
+    * deltas already merged. The contracted CC runs on ≤ 2·|delta| nodes
+    * regardless of corpus size; `base` is only SCANNED (broadcast-join
+    * lookup of the batch's endpoints — no shuffle or rewrite of base). */
+  def ccDeltaRemap(base: DataFrame, remap: Option[DataFrame],
+      deltaPairs: DataFrame, idCol: String = "doc_id",
+      maxRounds: Int = 30): DataFrame = {
+    val lbl = base.select(col(idCol).as("__n"), col("cluster_id").as("__r"))
+    // 1. endpoint -> base root (new node -> itself) -> accumulated remap
     val e = deltaPairs.toDF("__a", "__b")
-    val rooted = e
+    val rooted0 = e
       .join(lbl.select(col("__n").as("__a"), col("__r").as("__ra")),
         Seq("__a"), "left")
       .join(lbl.select(col("__n").as("__b"), col("__r").as("__rb")),
         Seq("__b"), "left")
-      .select(coalesce(col("__ra"), col("__a")).as("ra"),
-        coalesce(col("__rb"), col("__b")).as("rb"))
+      .select(coalesce(col("__ra"), col("__a")).as("ra0"),
+        coalesce(col("__rb"), col("__b")).as("rb0"))
+    val rooted = remap match {
+      case None => rooted0.select(col("ra0").as("ra"), col("rb0").as("rb"))
+      case Some(r) => rooted0
+        .join(broadcast(r.select(col("__cn").as("ra0"),
+          col("__new").as("__na"))), Seq("ra0"), "left")
+        .join(broadcast(r.select(col("__cn").as("rb0"),
+          col("__new").as("__nb"))), Seq("rb0"), "left")
+        .select(coalesce(col("__na"), col("ra0")).as("ra"),
+          coalesce(col("__nb"), col("rb0")).as("rb"))
+    }
     // 2. CC over the contracted root graph (≤ 2·|delta| nodes).
     // "__cn" (contracted node), not "__root" — ccWithRounds aliases its
     // own internal min as __root and the names must not collide
     val rootIds = rooted.select(col("ra").as("__cn"))
       .unionAll(rooted.select(col("rb").as("__cn"))).distinct()
-    val remap = ccWithRounds(rootIds,
+    ccWithRounds(rootIds,
         rooted.select(col("ra"), col("rb")), "__cn", maxRounds)._1
       .select(col("__cn"), col("cluster_id").as("__new"))
       // identity rows are dead weight in the broadcast: absent = unchanged
       .where(col("__cn") =!= col("__new"))
-    // 3. relabel through the broadcast remap; coalesce order encodes the
-    // precedence: remapped touched root > old root > own id (new node)
-    ids.select(col(idCol))
+  }
+
+  /** DECREMENTAL connected components — the deletion/takedown path the
+    * add-only [[ccDelta]] cannot answer (r14 verdict gap #1): remove a
+    * node set from the near-dup graph and repair the standing label
+    * table by recomputing ONLY the components the removal touches.
+    * Deleting a node can split its component (it may be a cut vertex)
+    * and can retire its canonical min-id, so unlike the additive fold
+    * there is no contraction shortcut — but the blast radius is exactly
+    * the affected components, never the graph:
+    *
+    *   1. affected = the removed nodes' cluster_ids (≤ |removals| values,
+    *      broadcast);
+    *   2. the affected components' RETAINED members re-solve CC over the
+    *      edges with both endpoints retained-and-affected (edges never
+    *      cross components, so one endpoint membership test per side is
+    *      also a component test; the edge scan is read-only and pruned
+    *      by the broadcast — at scale an endpoint-partitioned edge table
+    *      makes it a point lookup);
+    *   3. every other component's labels pass through UNREAD, and
+    *      removed ids simply vanish from the map.
+    *
+    * Labels stay canonical (min RETAINED member id), so the result is
+    * row-equal to `connectedComponents(ids ∖ removed, edges ∖ touching
+    * removed)` — GraphsSpec pins split/handoff/vanish shapes, q213 gates
+    * it against exactly that full-recompute oracle. `labels` must cover
+    * every node; returns (idCol, cluster_id) over the retained nodes. */
+  def ccRetract(labels: DataFrame, pairs: DataFrame, removed: DataFrame,
+      idCol: String = "doc_id", maxRounds: Int = 30): DataFrame = {
+    val rem = broadcast(removed.select(col(idCol)).distinct())
+    val affected = broadcast(
+      labels.join(rem, idCol).select(col("cluster_id")).distinct())
+    // retained members of affected components
+    val keep = labels.join(affected, "cluster_id")
+      .join(rem, Seq(idCol), "left_anti")
+      .select(col(idCol))
+    val e = pairs.toDF("__a", "__b")
+      .join(keep.select(col(idCol).as("__a")), "__a")
+      .join(keep.select(col(idCol).as("__b")), "__b")
+    val resolved = connectedComponents(keep,
+      e.select(col("__a"), col("__b")), idCol, maxRounds)
+    labels.join(affected, Seq("cluster_id"), "left_anti")
+      .select(col(idCol), col("cluster_id"))
+      .unionAll(resolved)
+  }
+
+  /** Step 3 of [[ccDelta]] as the MERGE-ON-READ label view: every id's
+    * label through (base, remap) — base root first (own id for new
+    * nodes), then the broadcast remap re-points roots that deltas merged
+    * since base was compacted; absent from both = untouched singleton /
+    * component. One map-side pass over `ids`; this is the only place the
+    * corpus-sized frame is rewritten, so a maintainer that reads through
+    * this view pays the rewrite only at COMPACTION time, not per batch. */
+  def composeLabels(base: DataFrame, remap: Option[DataFrame],
+      ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val lbl = base.select(col(idCol).as("__n"), col("cluster_id").as("__r"))
+    val withBase = ids.select(col(idCol))
       .join(lbl, col(idCol) === col("__n"), "left")
-      .join(broadcast(remap),
-        coalesce(col("__r"), col(idCol)) === col("__cn"), "left")
-      .select(col(idCol),
-        coalesce(col("__new"), col("__r"), col(idCol)).as("cluster_id"))
+    remap match {
+      case None => withBase.select(col(idCol),
+        coalesce(col("__r"), col(idCol)).as("cluster_id"))
+      case Some(r) => withBase
+        // coalesce order encodes the precedence:
+        // remapped touched root > base root > own id (new node)
+        .join(broadcast(r),
+          coalesce(col("__r"), col(idCol)) === col("__cn"), "left")
+        .select(col(idCol),
+          coalesce(col("__new"), col("__r"), col(idCol)).as("cluster_id"))
+    }
   }
 
   /** Exact per-node triangle counts by DEGREE-ORDERED wedge join (the

@@ -658,6 +658,44 @@ object Dedup {
       .drop("__k", "__first", "__in_hist")
   }
 
+  /** DELETION for the standing exact-dedup index — the takedown/GDPR
+    * path the add-only delta family couldn't answer (r14 verdict gap
+    * #1): remove a document set and have the digest index reflect it,
+    * WITHOUT recomputing the index over the corpus. `index` is the
+    * standing (text_hash, canonical_id, n_copies) artifact (q20's
+    * shape); `corpus` the (idCol, textCol) table it was built from;
+    * `removals` the ids to take down.
+    *
+    * Only digests the removal set TOUCHES are recomputed: their member
+    * sets are gathered by a broadcast digest semi-join (a pruned
+    * corpus scan — at scale, a digest-partitioned table makes this a
+    * point lookup), keepers re-elected as min retained id (a removed
+    * canonical hands off to the next-smallest copy), and digests whose
+    * every copy is removed disappear. Untouched index rows pass through
+    * unread. Cost ∝ |removals| + the touched digests' member sets +
+    * one read-only scan each of index and corpus; row-equal to
+    * rebuilding the index over `corpus ∖ removals` (DedupRetractSpec;
+    * q212 gates it against exactly that full-recompute oracle). */
+  def dedupRetract(index: DataFrame, corpus: DataFrame,
+      removals: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val rem = broadcast(removals.select(col(idCol)).distinct())
+    val dg = md5(col(textCol))
+    // digests the removal set touches (tiny: ≤ |removals|)
+    val affected = broadcast(
+      corpus.join(rem, idCol).select(dg.as("text_hash")).distinct())
+    val reelected = corpus
+      .select(col(idCol), dg.as("text_hash"))
+      .join(affected, "text_hash")
+      .join(rem, Seq(idCol), "left_anti")
+      .groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+    index.join(affected, Seq("text_hash"), "left_anti")
+      .select(col("text_hash"), col("canonical_id"), col("n_copies"))
+      .unionAll(reelected)
+  }
+
   /** Vector-space near-dup: cosine similarity over DF-capped tf-idf
     * vectors — the bag-of-words complement of the shingle family
     * (catches reordered/paraphrase-ish duplicates whose word MULTISET
@@ -782,17 +820,47 @@ object Dedup {
     * self-join, probe↔probe and corpus↔corpus pairs never form. */
   def containmentAcross(probe: DataFrame, corpus: DataFrame,
       num: Int, den: Int, probeIdCol: String = "probe_id",
-      corpusIdCol: String = "doc_id"): DataFrame = {
-    require(num > 0 && den > 0 && num <= den,
-      s"threshold must be a rational in (0, 1]: got $num/$den")
-    import org.apache.spark.sql.expressions.Window
-    val pRows = probe.where(size(col("grams")) > 0)
-      .select(col(probeIdCol).as("__pid"), size(col("grams")).as("np"),
-        explode(col("grams")).as("gram"))
+      corpusIdCol: String = "doc_id"): DataFrame =
+    containmentProbe(probe, containmentIndex(corpus, corpusIdCol),
+      num, den, probeIdCol)
+
+  /** The STATIC half of [[containmentAcross]], prepared once: exploded
+    * corpus posting rows and the corpus document-frequency table — the
+    * "prefix index" a long-lived decontamination service materializes
+    * (cache/localCheckpoint the two frames) and probes repeatedly, e.g.
+    * per streaming micro-batch ([[graft.streaming.StreamingContainment]]).
+    * `corpus` keeps its (id, grams) shape for the verify gather. */
+  final case class ContainmentIndex(cRows: DataFrame, dfs: DataFrame,
+      corpus: DataFrame, corpusIdCol: String)
+
+  def containmentIndex(corpus: DataFrame,
+      corpusIdCol: String = "doc_id"): ContainmentIndex = {
     val cRows = corpus.where(size(col("grams")) > 0)
       .select(col(corpusIdCol).as("__cid"), size(col("grams")).as("nc"),
         explode(col("grams")).as("gram"))
-    val dfs = cRows.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    ContainmentIndex(cRows,
+      cRows.groupBy(col("gram")).agg(count(lit(1)).as("df")),
+      corpus, corpusIdCol)
+  }
+
+  /** The PROBE half of [[containmentAcross]]: screen `probe` against a
+    * prepared [[ContainmentIndex]]. Each probe's prefix, candidates, and
+    * verify depend only on its own grams and the static index — no
+    * probe↔probe interaction — so a probe set split into arbitrary
+    * batches yields the union of the per-batch results (the streaming
+    * batch-split invariance StreamingContainmentSpec pins). */
+  def containmentProbe(probe: DataFrame, index: ContainmentIndex,
+      num: Int, den: Int, probeIdCol: String = "probe_id"): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"threshold must be a rational in (0, 1]: got $num/$den")
+    import org.apache.spark.sql.expressions.Window
+    val corpus = index.corpus
+    val corpusIdCol = index.corpusIdCol
+    val cRows = index.cRows
+    val dfs = index.dfs
+    val pRows = probe.where(size(col("grams")) > 0)
+      .select(col(probeIdCol).as("__pid"), size(col("grams")).as("np"),
+        explode(col("grams")).as("gram"))
     val byProbe = Window.partitionBy(col("__pid"))
       .orderBy(col("df"), col("gram"))
     def ceilDiv(x: Column): Column =

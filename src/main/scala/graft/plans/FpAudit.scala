@@ -31,10 +31,12 @@ import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, FloatType}
   * A guard only counts when it actually quantizes away the reorder error:
   * `round(e, k)` (or a cast to `DECIMAL(p, k)`) guards iff `k <= MaxGuardScale`
   * (6 — the repo convention; the reorder error of a plan-order double sum is
-  * ~1e-9 relative, so 6 fractional digits leaves >= 100x margin for values up
-  * to ~1e5 while `round(e, 12)` leaves none and would be guarded in name
-  * only). A round with a non-literal or finer scale is transparent: the audit
-  * descends through it as if it were not there.
+  * ~1e-9 relative, so round(e, 6)'s 1e-6 quantum absorbs it with >= 100x
+  * margin for values up to ~10 and >= 1x up to ~1e3 — the magnitude envelope
+  * of the registry's guarded aggregates, which are rates/ratios/scores —
+  * while `round(e, 12)` leaves no margin at any magnitude and would be
+  * guarded in name only). A round with a non-literal or finer scale is
+  * transparent: the audit descends through it as if it were not there.
   *
   * Sums over integral or decimal inputs are exact and order-independent, so
   * they never flag. A `round` BELOW the aggregate (`sum(round(x, 2))`) does

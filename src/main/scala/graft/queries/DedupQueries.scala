@@ -71,7 +71,7 @@ object DedupQueries {
     * (including the explode's size filter), re-evaluating it several times
     * per row. At cluster scale this intermediate is exactly what you would
     * persist/checkpoint before the pair phase. */
-  private def grams(s: SparkSession, dir: String): DataFrame =
+  private[queries] def grams(s: SparkSession, dir: String): DataFrame =
     Caches.frame(s, dir, "grams") {
       graft.dedup.Dedup.shingles(Tables.sharded(s, dir, "documents", "doc_id"))
     }

@@ -48,20 +48,24 @@ object StreamingQueries {
   private def runToTable(stream: DataFrame, tag: String,
       mode: String = "append"): DataFrame = {
     val spark = stream.sparkSession
-    // every stateful operator in the registry runs on the RocksDB state
-    // store — heap-resident default state is the 100 TB scale ceiling
-    // (see StateBackend); stateless queries ignore the setting
-    graft.streaming.StateBackend.useRocksDb(spark)
     val name = s"graft_${tag}_${runSeq.incrementAndGet()}"
     val ckpt =
       AnalyticsQueries.tempDirCleanedOnExit(s"graft_${tag}_ckpt_").toString
-    val q = stream.writeStream
-      .format("memory").queryName(name)
-      .option("checkpointLocation", ckpt)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // every stateful operator in the registry runs on the RocksDB state
+    // store — heap-resident default state is the 100 TB scale ceiling
+    // (see StateBackend); stateless queries ignore the setting. The
+    // provider is captured at start(), so the save/restore wrapper keeps
+    // RocksDB for this stream's life without leaving the session conf
+    // flipped for streams a host application starts later.
+    graft.streaming.StateBackend.withRocksDb(spark) {
+      val q = stream.writeStream
+        .format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 
@@ -732,13 +736,18 @@ object StreamingQueries {
     // incremental CC served as the production ingest LOOP: the delta
     // edge set (every LSH pair touching a doc_id % 10 == 0 doc) streams
     // in as 4 micro-batches (4-way repartitioned staging parquet under
-    // maxFilesPerTrigger=1), and foreachBatch folds each into the
-    // standing history labels via Graphs.ccDelta — per-batch cost ∝
-    // batch + one labels pass, never the history edge set. The fold
-    // invariant (labels = CC over edges seen so far) makes the final map
-    // batch-split-invariant; StreamingCcDeltaSpec pins the adversarial
-    // split where each bridge of a 4-component merge chain arrives in a
-    // DIFFERENT batch. Oracle = q171/q206's full-graph recursive-CTE CC
+    // maxFilesPerTrigger=1), and foreachBatch folds each MERGE-ON-READ:
+    // the persisted base label table is only scanned (endpoint-root
+    // lookup), the fold accumulates a touched-roots-only broadcast remap,
+    // and the corpus-sized rewrite happens solely at compaction — so
+    // per-batch cost ∝ batch, never the corpus or the history edge set
+    // (the r14 verdict's scale fix; the final map reads through
+    // base ⟕ remap). The fold invariant (labels = CC over edges seen so
+    // far) makes the final map batch-split-invariant; StreamingCcDeltaSpec
+    // pins the adversarial split where each bridge of a 4-component merge
+    // chain arrives in a DIFFERENT batch plus the forced-compaction
+    // regime, CcPersistRestartSpec pins driver-crash recovery from the
+    // persisted state. Oracle = q171/q206's full-graph recursive-CTE CC
     // VERBATIM: batch engine, incremental engine, streamed incremental
     // engine, and DuckDB — one ground truth, four routes.
     Q("q207_streaming_cc_maintenance",

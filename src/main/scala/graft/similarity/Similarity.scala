@@ -200,6 +200,60 @@ object Similarity {
     * AnnQualitySpec/PLANS.md: recall@3 0.352 @p=1 → ≥0.6 @p=3 on the
     * test corpus, vs 0.088 for the planted label; p=4 with
     * assignProbes=2 clears 0.85 at sf0.1). */
+  /** DELETION (takedown/GDPR) for the IVF index WITHOUT retraining or
+    * rebuilding — the r14 verdict's gap in the add-only ANN maintenance
+    * (q203/q205 only ever assign NEW vectors): the standing posting
+    * table keeps every vector; a broadcast TOMBSTONE anti-join drops
+    * deleted vectors from the candidate side at serving time, and
+    * deleted ids are not served as queries. The quantizer is frozen
+    * (deletion must not shift cells under live queries) and cell
+    * assignment is per-vector, so tombstone-filtering the postings
+    * commutes with assignment: results are row-equal to an index REBUILT
+    * over the retained corpus under the same centroids —
+    * IvfRetractSpec pins that equivalence (tombstone serving ==
+    * compacted postings == retained rebuild), q214 gates it against the
+    * full retrain-and-filter DuckDB oracle. Compaction (physically
+    * dropping tombstoned posting rows, [[compactPostings]]) is the
+    * amortized cleanup, exactly like the CC maintainer's base rewrite.
+    *
+    * `postings` is [[assignCells]]' output over the FULL corpus (the
+    * standing index; pass `probeCells(emb, cents, a)` output for an
+    * assignProbes-widened index — extra columns ride along unread);
+    * `tombstones` the removed ids. Tombstone sets are tiny relative to
+    * the corpus, so both anti-joins broadcast — no shuffle is added to
+    * the serve path. */
+  def ivfTombstoneTopK(postings: DataFrame,
+      cents: Array[(Int, Array[Double])], tombstones: DataFrame, k: Int,
+      probes: Int, idCol: String = "vec_id", vecCol: String = "e")
+      : DataFrame = {
+    val tomb = broadcast(tombstones.select(col(idCol)).distinct())
+    val cand = compactPostings(postings, tomb, idCol)
+      .select(col(idCol).as("neighbor_id"), col("cell"),
+        col(vecCol).as("__ne"))
+    val queries = postings.select(col(idCol), col(vecCol))
+      .join(tomb, Seq(idCol), "left_anti")
+    val probed = probeCells(queries, cents, probes, idCol, vecCol)
+      .select(col(idCol), col("cell"), col(vecCol))
+    val cos = CosineSimilarity(col(vecCol), col("__ne"))
+    probed.join(cand, "cell")
+      .where(col(idCol) =!= col("neighbor_id"))
+      .select(col(idCol), round(cos, 6).as("cos_sim"), col("neighbor_id"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .where(col("rk") <= k)
+      .drop("rk")
+  }
+
+  /** Physically drop tombstoned rows from the posting table — the
+    * amortized compaction behind [[ivfTombstoneTopK]]'s serve-time
+    * filter (run it when the tombstone set grows past a bound; serving
+    * through the filter and serving the compacted table are the same
+    * rows by construction — the filter IS this anti-join). */
+  def compactPostings(postings: DataFrame, tombstones: DataFrame,
+      idCol: String = "vec_id"): DataFrame =
+    postings.join(broadcast(tombstones.select(col(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+
   def ivfMultiProbeTopK(emb: DataFrame, cents: Array[(Int, Array[Double])],
       k: Int, probes: Int, idCol: String = "vec_id", vecCol: String = "e",
       assignProbes: Int = 1): DataFrame = {

@@ -20,12 +20,14 @@ import org.apache.spark.sql.SparkSession
   * same value from every caller — safe under concurrent sessions). The
   * provider class is captured per-query at `start()` and recorded in the
   * checkpoint, so restarts keep the backend they started with;
-  * `RocksDbRestartSpec`/`DeltaDedupRestartSpec`/`EwmaRestartSpec` pin
+  * `CheckpointRestartSpec`/`DeltaDedupRestartSpec`/`EwmaRestartSpec` pin
   * restart-across-the-provider behavior, and `StateScale` measures state
   * growth staying off-heap through 100× novel-key volume.
   */
 object StateBackend {
   val ProviderConfKey = "spark.sql.streaming.stateStore.providerClass"
+  val ChangelogConfKey =
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
   val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
@@ -35,8 +37,24 @@ object StateBackend {
     * is identical (the restart specs run against exactly this config). */
   def useRocksDb(spark: SparkSession): Unit = {
     spark.conf.set(ProviderConfKey, RocksDbProvider)
-    spark.conf.set(
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-      "true")
+    spark.conf.set(ChangelogConfKey, "true")
+  }
+
+  /** Run `body` with the RocksDB provider active, then RESTORE the
+    * session's previous backend confs. The provider class is captured
+    * per-query at `start()`, so a stream started inside `body` keeps
+    * RocksDB for its whole life; restoring afterwards just stops the
+    * session-wide conf from leaking into later stateful streams an
+    * embedding session starts on its own (the r14 ADVICE finding — the
+    * restart specs previously had to unset the keys by hand). */
+  def withRocksDb[T](spark: SparkSession)(body: => T): T = {
+    val prior = Seq(ProviderConfKey, ChangelogConfKey)
+      .map(k => k -> spark.conf.getOption(k))
+    useRocksDb(spark)
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 }

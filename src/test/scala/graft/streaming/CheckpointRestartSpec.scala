@@ -36,9 +36,9 @@ class CheckpointRestartSpec extends AnyFunSuite with SparkTestBase {
     def readOut() = spark.read.parquet(s"$dir/out").as[MeasureRow]
 
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
-    // explicit per-branch: a registry streaming query earlier in this
-    // shared session leaves the RocksDB provider SET (runToTable never
-    // restores it), so "default" must unset, not merely not-set
+    // explicit per-branch: defensive against any earlier
+    // session-conf writer (runToTable now save/restores via
+    // StateBackend.withRocksDb), so "default" unsets, not merely not-sets
     if (backend == "rocksdb") StateBackend.useRocksDb(spark)
     else spark.conf.unset(StateBackend.ProviderConfKey)
     val (afterFirst, all) = try {

@@ -47,9 +47,9 @@ class DeltaDedupRestartSpec extends AnyFunSuite with SparkTestBase {
           .outputMode("append").start()
       }
 
-      // explicit per-branch: a registry streaming query earlier in this
-      // shared session leaves the RocksDB provider SET (runToTable never
-      // restores it), so "default" must unset, not merely not-set
+      // explicit per-branch: defensive against any earlier
+      // session-conf writer (runToTable now save/restores via
+      // StateBackend.withRocksDb), so "default" unsets, not merely not-sets
       if (backend == "rocksdb") StateBackend.useRocksDb(spark)
       else spark.conf.unset(StateBackend.ProviderConfKey)
       try {

@@ -36,13 +36,20 @@ class StreamingCcDeltaSpec extends AnyFunSuite with SparkTestBase {
     assert(expected === Map(0L -> 0L, 1L -> 0L, 10L -> 0L, 11L -> 0L,
       20L -> 0L, 21L -> 0L, 30L -> 0L, 40L -> 40L, 41L -> 40L))
 
-    for ((tag, maxFiles) <- Seq(("multi", Some("1")), ("single", None))) {
+    // "compact" forces the merge-on-read COMPACTION path every batch
+    // (bound 0: any accumulated remap folds into base immediately), so
+    // both state shapes — remap-resident and base-resident — are pinned
+    // to the same batch-CC ground truth
+    for ((tag, maxFiles, bound) <- Seq(
+        ("multi", Some("1"), StreamingCcDelta.DefaultCompactBound),
+        ("compact", Some("1"), 0),
+        ("single", None, StreamingCcDelta.DefaultCompactBound))) {
       val hist = Graphs.connectedComponents(histIds,
         histEdges.toDF("a", "b"))
       val src = spark.readStream.schema("doc_a BIGINT, doc_b BIGINT")
       maxFiles.foreach(m => src.option("maxFilesPerTrigger", m))
       val got = StreamingCcDelta.maintain(src.parquet(s"$dir/delta"),
-          hist, allIds, s"$dir/_ckpt_$tag")
+          hist, allIds, s"$dir/_ckpt_$tag", compactBound = bound)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got === expected, s"$tag-batch fold drifted from batch CC")
     }

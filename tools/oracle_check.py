@@ -162,6 +162,20 @@ def main(sf_dir, out_dir):
         eperm = [exp.columns.index(p[1]) for p in pairs]
         g = sorted([norm(r[i]) for i in gperm] for r in got_rows)
         e = sorted([norm(r[i]) for i in eperm] for r in exp_rows)
+        if straddle_cols:
+            # straddle-last sorting assumes the NON-straddle columns are a
+            # unique row key: if two rows tied on them, a one-grid-step
+            # straddle could swap their order on one side only and turn a
+            # benign straddle into a misaligned hard FAIL. Enforce the
+            # assumption loudly instead of relying on it.
+            n_key = len(cmp_cols) - len(straddle_cols)
+            keys = [tuple(r[:n_key]) for r in g]
+            if len(set(keys)) != len(keys):
+                print(f"FAIL {name}: non-straddle key columns "
+                      f"{cmp_cols[:n_key]} are not unique — straddle-last "
+                      f"row sorting is unsound for this query")
+                n_fail += 1
+                continue
         bad = None
         straddles = 0
         for i, (gr, er) in enumerate(zip(g, e)):
