@@ -658,43 +658,62 @@ object Dedup {
       .drop("__k", "__first", "__in_hist")
   }
 
-  /** DELETION for the standing exact-dedup index — the takedown/GDPR
-    * path the add-only delta family couldn't answer (r14 verdict gap
-    * #1): remove a document set and have the digest index reflect it,
-    * WITHOUT recomputing the index over the corpus. `index` is the
-    * standing (text_hash, canonical_id, n_copies) artifact (q20's
-    * shape); `corpus` the (idCol, textCol) table it was built from;
-    * `removals` the ids to take down.
+  /** DELETION for a standing keep-first digest index at ANY grain — the
+    * takedown/GDPR path the add-only delta family couldn't answer (r14
+    * verdict gap #1): remove a document set and have the index reflect
+    * it WITHOUT recomputing the index over the corpus.
+    *
+    *  - `index`: the standing artifact — one row per digest:
+    *    (keyCol, orderCols…, n_occ), keeper = min (orderCols…) member;
+    *  - `members`: the (keyCol, docCol, orderCols…) rows it summarizes
+    *    (doc grain: one row per doc, orderCols = Seq(docCol); passage
+    *    grain: one row per unit, orderCols = Seq(doc, chunk));
+    *  - `removals`: the docCol values to take down.
     *
     * Only digests the removal set TOUCHES are recomputed: their member
-    * sets are gathered by a broadcast digest semi-join (a pruned
-    * corpus scan — at scale, a digest-partitioned table makes this a
-    * point lookup), keepers re-elected as min retained id (a removed
-    * canonical hands off to the next-smallest copy), and digests whose
-    * every copy is removed disappear. Untouched index rows pass through
-    * unread. Cost ∝ |removals| + the touched digests' member sets +
-    * one read-only scan each of index and corpus; row-equal to
-    * rebuilding the index over `corpus ∖ removals` (DedupRetractSpec;
-    * q212 gates it against exactly that full-recompute oracle). */
-  def dedupRetract(index: DataFrame, corpus: DataFrame,
-      removals: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val rem = broadcast(removals.select(col(idCol)).distinct())
-    val dg = md5(col(textCol))
-    // digests the removal set touches (tiny: ≤ |removals|)
+    * sets are gathered by a broadcast digest semi-join (a pruned member
+    * scan — at scale, a digest-partitioned table makes this a point
+    * lookup), keepers re-elected as the min retained (orderCols…) tuple
+    * (a removed keeper hands off to the next occurrence), and digests
+    * whose every member is removed VANISH. Untouched index rows pass
+    * through unread. Cost ∝ |removals| + the touched digests' member
+    * sets + one read-only scan each of index and members; row-equal to
+    * rebuilding the index over `members ∖ removals` (DedupRetractSpec
+    * pins handoff/vanish/untouched at both grains; q212 gates the
+    * passage grain against exactly that full-recompute oracle). */
+  def retractIndex(index: DataFrame, members: DataFrame,
+      removals: DataFrame, keyCol: String, docCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    val rem = broadcast(removals.select(col(docCol)).distinct())
+    // digests the removal set touches (tiny: ≤ removed member rows)
     val affected = broadcast(
-      corpus.join(rem, idCol).select(dg.as("text_hash")).distinct())
-    val reelected = corpus
-      .select(col(idCol), dg.as("text_hash"))
-      .join(affected, "text_hash")
-      .join(rem, Seq(idCol), "left_anti")
-      .groupBy(col("text_hash"))
-      .agg(min(col(idCol)).as("canonical_id"),
-        count(lit(1)).as("n_copies"))
-    index.join(affected, Seq("text_hash"), "left_anti")
-      .select(col("text_hash"), col("canonical_id"), col("n_copies"))
+      members.join(rem, docCol).select(col(keyCol)).distinct())
+    val reelected = members
+      .join(affected, keyCol)
+      .join(rem, Seq(docCol), "left_anti")
+      .groupBy(col(keyCol))
+      .agg(min(struct(orderCols.map(col): _*)).as("__kp"),
+        count(lit(1)).as("n_occ"))
+      .select(col(keyCol) +:
+        orderCols.map(c => col("__kp").getField(c).as(c)) :+
+        col("n_occ"): _*)
+    index.join(affected, Seq(keyCol), "left_anti")
+      .select(col(keyCol) +: orderCols.map(col) :+ col("n_occ"): _*)
       .unionAll(reelected)
   }
+
+  /** [[retractIndex]] at the whole-document grain over q20's exact-dedup
+    * index shape (text_hash, canonical_id, n_copies). */
+  def dedupRetract(index: DataFrame, corpus: DataFrame,
+      removals: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    retractIndex(
+        index.select(col("text_hash"), col("canonical_id").as(idCol),
+          col("n_copies").as("n_occ")),
+        corpus.select(md5(col(textCol)).as("text_hash"), col(idCol)),
+        removals, "text_hash", idCol, Seq(idCol))
+      .select(col("text_hash"), col(idCol).as("canonical_id"),
+        col("n_occ").as("n_copies"))
 
   /** Vector-space near-dup: cosine similarity over DF-capped tf-idf
     * vectors — the bag-of-words complement of the shingle family

@@ -446,6 +446,68 @@ object CurationQueries {
           |  rn = 1 AS keep
           |FROM w ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // Passage-index DELETION (Dedup.retractIndex) — the takedown/GDPR
+    // path for q108's standing keep-first digest index (r14 verdict gap
+    // #1, dedup leg): the doc_id % 7 == 2 slice is taken down, and the
+    // index repairs itself by re-electing keepers ONLY for digests the
+    // removal touches — a removed keeper hands off to the next
+    // (doc, chunk) occurrence, digests whose every copy is removed
+    // vanish, untouched index rows pass through unread (broadcast
+    // digest semi-join prunes the member scan). Passage grain because
+    // this corpus's exact duplication lives there (doc-grain md5s are
+    // all unique; DedupRetractSpec covers that grain synthetically).
+    // Oracle = the full index rebuild over the retained corpus: the
+    // retraction contract IS row-equality with it.
+    Q("q212_passage_index_retract",
+      (s, dir) => {
+        val members = Caches.frame(s, dir, "unitMembers") {
+          val units = graft.text.TextStats
+            .chunk(Tables.sharded(s, dir, "documents", "doc_id"),
+              size = 32, stride = 32)
+            .select(col("doc_id"), col("chunk_id"),
+              concat_ws(" ", col("ctoks")).as("unit"))
+          units.select(
+            md5(regexp_replace(trim(lower(col("unit"))), "\\s+", " "))
+              .as("unit_hash"),
+            col("doc_id"), col("chunk_id"))
+        }
+        val index = members.groupBy(col("unit_hash"))
+          .agg(min(struct(col("doc_id"), col("chunk_id"))).as("__kp"),
+            count(lit(1)).as("n_occ"))
+          .select(col("unit_hash"), col("__kp.doc_id").as("doc_id"),
+            col("__kp.chunk_id").as("chunk_id"), col("n_occ"))
+        val removals = Tables(s, dir, "documents")
+          .where(col("doc_id") % 7 === 2).select(col("doc_id"))
+        graft.dedup.Dedup
+          .retractIndex(index, members, removals,
+            keyCol = "unit_hash", docCol = "doc_id",
+            orderCols = Seq("doc_id", "chunk_id"))
+          .select(col("unit_hash"), col("doc_id").as("keeper_doc"),
+            col("chunk_id").as("keeper_chunk"), col("n_occ"))
+          .orderBy(col("unit_hash"))
+      },
+      Some(
+        s"""WITH d AS (SELECT doc_id, ${ExtQueries.duckTokens} AS toks
+          |  FROM documents),
+          |c AS (SELECT doc_id,
+          |    unnest(list_transform(generate_series(0, (len(toks) - 1) // 32),
+          |      i -> {'chunk_id': i,
+          |            'ctoks': toks[i * 32 + 1 : least(i * 32 + 32,
+          |                                             len(toks))]})) AS ch
+          |  FROM d WHERE len(toks) >= 1),
+          |u AS (SELECT doc_id, ch.chunk_id AS chunk_id,
+          |    lower(trim(regexp_replace(array_to_string(ch.ctoks, ' '),
+          |      '\\s+', ' ', 'g'))) AS norm
+          |  FROM c WHERE doc_id % 7 <> 2),
+          |w AS (SELECT doc_id, chunk_id, norm,
+          |    count(*) OVER (PARTITION BY norm) AS n_occ,
+          |    row_number() OVER (PARTITION BY norm
+          |      ORDER BY doc_id, chunk_id) AS rn
+          |  FROM u)
+          |SELECT md5(norm) AS unit_hash, doc_id AS keeper_doc,
+          |  chunk_id AS keeper_chunk, CAST(n_occ AS BIGINT) AS n_occ
+          |FROM w WHERE rn = 1 ORDER BY unit_hash""".stripMargin)),
+
     // The COMPOSED curation pipeline — what a reference user actually runs
     // end-to-end, chained as ONE query so stage handoffs (and their plan
     // shapes) are themselves regression-pinned: Gopher gates → PII

@@ -91,7 +91,7 @@ object DedupQueries {
     }.select(col("doc_id"), explode(col("grams")).as("gram"))
 
   /** Shared oracle prefix: tokenize → distinct 3-gram shingles → exploded. */
-  private val duckGrams: String =
+  private[queries] val duckGrams: String =
     """WITH d AS (SELECT doc_id,
       |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS toks
       |  FROM documents),
@@ -1648,6 +1648,41 @@ object DedupQueries {
         |FROM co
         |JOIN sizes sa ON probe_id = sa.doc_id
         |WHERE 5 * common >= 4 * sa.n
-        |ORDER BY probe_id, co.doc_id""".stripMargin))
+        |ORDER BY probe_id, co.doc_id""".stripMargin)),
+
+    // DECREMENTAL connected components (Graphs.ccRetract) — the
+    // takedown/GDPR path completing q206's add-only fold (r14 verdict
+    // gap #1): the doc_id % 10 == 3 slice is taken down, and the
+    // standing cluster map (q55's shared clustersFrame) is REPAIRED by
+    // re-solving CC only inside the components the removal touches —
+    // removal can split a component (cut vertex) and retire its
+    // canonical min-id, so the affected members re-solve over their
+    // retained edges while every other component's labels pass through
+    // unread; removed ids vanish from the map. The oracle is the full
+    // recompute over the retained graph (the recursive-CTE CC with both
+    // edge endpoints and the doc set retained): the decremental contract
+    // IS row-equality with it.
+    Q("q213_cc_retract",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select(col("doc_id"))
+        graft.analytics.Graphs.ccRetract(clustersFrame(s, dir),
+            clusterEdges(s, dir),
+            docs.where(col("doc_id") % 10 === 3))
+          .orderBy(col("doc_id"))
+      },
+      Some(duckLshEdges.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+        |jpr AS (SELECT doc_a, doc_b FROM jp
+        |        WHERE doc_a % 10 <> 3 AND doc_b % 10 <> 3),
+        |und AS (SELECT doc_a AS s, doc_b AS t FROM jpr
+        |        UNION ALL SELECT doc_b, doc_a FROM jpr),
+        |reach AS (SELECT s, t FROM und
+        |          UNION
+        |          SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s
+        |          WHERE u.t <> r.s)
+        |SELECT d.doc_id,
+        |  least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS cluster_id
+        |FROM documents d LEFT JOIN reach r ON d.doc_id = r.s
+        |WHERE d.doc_id % 10 <> 3
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
   )
 }

@@ -452,6 +452,44 @@ object ExtQueries {
           |  FROM aprobe q JOIN afin b ON q.cell = b.cell AND q.vec_id <> b.vec_id
           |) t WHERE rk <= 3 ORDER BY vec_id, neighbor_id""".stripMargin)),
 
+    // ANN index DELETION (Similarity.ivfTombstoneTopK) — the
+    // takedown/GDPR path for the trained-IVF family (r14 verdict gap #1,
+    // ANN leg; q203/q205's maintenance only ever ADDS vectors): the
+    // vec_id % 10 == 3 slice is taken down with the quantizer FROZEN and
+    // the standing posting table unrebuilt — a broadcast tombstone
+    // anti-join drops deleted candidates at serve time and deleted ids
+    // are not served as queries. Cell assignment is per-vector, so the
+    // filter commutes with assignment: results are row-equal to an index
+    // rebuilt over the retained corpus under the same centroids, which
+    // is exactly what the oracle computes (full-corpus Lloyd training
+    // CTEs — training is NOT redone on deletion — then both join sides
+    // filtered to retained). IvfRetractSpec pins tombstone-serving ==
+    // compacted-postings == retained-rebuild.
+    Q("q214_ann_retract",
+      (s, dir) => {
+        val emb = embFrame(s, dir)
+        val postings = graft.similarity.Similarity
+          .assignCells(emb, trainedCells(s, dir))
+          .select(col("vec_id"), col("cell"), col("e"))
+        val tomb = emb.where(col("vec_id") % 10 === 3).select(col("vec_id"))
+        graft.similarity.Similarity
+          .ivfTombstoneTopK(postings, trainedCells(s, dir), tomb,
+            k = 3, probes = 2)
+          .select(col("vec_id"), col("neighbor_id"), col("cos_sim"))
+          .orderBy(col("vec_id"), col("neighbor_id"))
+      },
+      Some(ivfTrainCtes(k = 8, iters = 2, dim = 64, probes = Some(2)) +
+        """
+          |SELECT vec_id, neighbor_id, cos_sim FROM (
+          |  SELECT q.vec_id AS vec_id, b.vec_id AS neighbor_id,
+          |    round(list_cosine_similarity(q.e, b.e), 6) AS cos_sim,
+          |    row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY round(list_cosine_similarity(q.e, b.e), 6) DESC,
+          |        b.vec_id) AS rk
+          |  FROM aprobe q JOIN afin b ON q.cell = b.cell AND q.vec_id <> b.vec_id
+          |  WHERE q.vec_id % 10 <> 3 AND b.vec_id % 10 <> 3
+          |) t WHERE rk <= 3 ORDER BY vec_id, neighbor_id""".stripMargin)),
+
     // The full recommended ANN configuration (round-6): query side probes
     // its p=4 nearest trained cells, the candidate INDEX holds each vector
     // under its a=2 nearest cells (recall@3 0.76 → 0.94 at sf0.1 for a 2×

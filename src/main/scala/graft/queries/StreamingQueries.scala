@@ -778,6 +778,59 @@ object StreamingQueries {
         |SELECT d.doc_id,
         |  least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS cluster_id
         |FROM documents d LEFT JOIN reach r ON d.doc_id = r.s
-        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
+
+    // Streaming containment DECONTAMINATION (StreamingContainment) —
+    // q209's cross-corpus exact containment served as its natural
+    // production shape (the r14 verdict's missing streaming twin): the
+    // suspect slice (doc_id % 10 == 0) streams in as 4 micro-batches and
+    // each batch is probed against the STATIC history prefix index
+    // (Dedup.containmentIndex over the hist grams, prepared once and
+    // cached per session×dir — posting rows + corpus dfs). Every probe's
+    // prefix/candidates/verify depend only on its own grams and the
+    // static index, so the streamed union is batch-split-invariant
+    // (StreamingContainmentSpec pins it); the per-probe window the probe
+    // stage needs runs inside foreachBatch (the rich-stateless recipe),
+    // landing exactly-once via idempotent per-batchId overwrite dirs.
+    // Oracle = q209's batch oracle VERBATIM: one ground truth, batch and
+    // streamed route.
+    Q("q211_streaming_containment_decontam",
+      (s, dir) => {
+        val g = DedupQueries.grams(s, dir)
+        val idx0 = graft.dedup.Dedup.containmentIndex(
+          g.where(DedupQueries.isHistDoc(col("doc_id"))))
+        val idx = idx0.copy(
+          cRows = Caches.frame(s, dir, "contIdxRows")(idx0.cRows),
+          dfs = Caches.frame(s, dir, "contIdxDfs")(idx0.dfs))
+        val staging =
+          AnalyticsQueries.tempDirCleanedOnExit("graft_scont_").toString
+        Tables(s, dir, "documents")
+          .where(!DedupQueries.isHistDoc(col("doc_id")))
+          .select(col("doc_id"), col("text"))
+          .repartition(4)
+          .write.mode("overwrite").parquet(s"$staging/probe")
+        val stream = s.readStream.schema("doc_id BIGINT, text STRING")
+          .option("maxFilesPerTrigger", "1").parquet(s"$staging/probe")
+        graft.streaming.StreamingContainment
+          .run(stream, idx, num = 4, den = 5, s"$staging/work",
+            b => graft.dedup.Dedup.shingles(b)
+              .select(col("doc_id").as("probe_id"), col("grams")))
+          .select(col("probe_id"), col("doc_id"), col("common"),
+            round(col("containment"), 6).as("containment"))
+          .orderBy(col("probe_id"), col("doc_id"))
+      },
+      Some(DedupQueries.duckGrams + """,
+        |co AS (SELECT a.doc_id AS probe_id, b.doc_id AS doc_id,
+        |    count(*) AS common
+        |  FROM e a JOIN e b ON a.gram = b.gram
+        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        |  GROUP BY 1, 2)
+        |SELECT probe_id, co.doc_id AS doc_id,
+        |  CAST(common AS INT) AS common,
+        |  round(common * 1.0 / sa.n, 6) AS containment
+        |FROM co
+        |JOIN sizes sa ON probe_id = sa.doc_id
+        |WHERE 5 * common >= 4 * sa.n
+        |ORDER BY probe_id, co.doc_id""".stripMargin))
   )
 }

@@ -169,6 +169,55 @@ class GraphsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ccRetract equals full recompute on the retained graph: split, " +
+      "canonical handoff, vanish, untouched components") {
+    import spark.implicits._
+    // {0,1,2,3} chain 0-1-2-3 (removing cut vertex 1 SPLITS it into {0}
+    // and {2,3}); {10,11,12} triangle (removing canonical min 10 hands
+    // off to 11); {20,21} fully removed (VANISHES); {30,31} untouched;
+    // isolated 40 untouched
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L), (30L, 31L))
+    val ids = Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L, 20L, 21L, 30L, 31L, 40L)
+      .toDF("doc_id")
+    val labels = Graphs.connectedComponents(ids, edges.toDF("a", "b"))
+    val removed = Seq(1L, 10L, 20L, 21L).toDF("doc_id")
+    val got = Graphs.ccRetract(labels, edges.toDF("a", "b"), removed)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keep = Set(0L, 2L, 3L, 11L, 12L, 30L, 31L, 40L)
+    val full = Graphs.connectedComponents(
+        ids.where(col("doc_id").isin(keep.toSeq: _*)),
+        edges.filter(e => keep(e._1) && keep(e._2)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === full)
+    assert(got === Map(0L -> 0L, 2L -> 2L, 3L -> 2L, 11L -> 11L,
+      12L -> 11L, 30L -> 30L, 31L -> 30L, 40L -> 40L))
+  }
+
+  test("ccRetract on random graphs: any removal set yields the " +
+      "retained-graph labels") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    for (trial <- 1 to 3) {
+      val n = 40L
+      val all = Seq.fill(35)(
+        (rnd.nextLong(n), rnd.nextLong(n))).filter(p => p._1 != p._2)
+      val ids = (0L until n).toDF("doc_id")
+      val removedSet = (0L until n).filter(_ => rnd.nextInt(5) == 0).toSet
+      val labels = Graphs.connectedComponents(ids, all.toDF("a", "b"))
+      val got = Graphs.ccRetract(labels, all.toDF("a", "b"),
+          removedSet.toSeq.toDF("doc_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val keepEdges = all.filter(e =>
+        !removedSet(e._1) && !removedSet(e._2))
+      val full = Graphs.connectedComponents(
+          ids.where(!col("doc_id").isin(removedSet.toSeq: _*)),
+          keepEdges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === full, s"trial $trial")
+    }
+  }
+
   test("counts each triangle once at each corner") {
     // K4 on {1,2,3,4}: 4 triangles, each node in exactly 3; node 9
     // hangs off node 1 and is in none

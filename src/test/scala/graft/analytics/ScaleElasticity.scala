@@ -262,6 +262,73 @@ object ScaleElasticity {
         labels.unpersist()
       } finally e.unpersist()
     }
+    // DECREMENTAL CC (round 17): same random graph, standing labels
+    // pre-computed outside the inner timing; take down a hash-derived
+    // ~1% node slice — the timed path is the affected-components repair
+    // (broadcast affected set + retained-member re-solve); the
+    // comparison row is cc_star_random, the full recompute a takedown
+    // would otherwise pay
+    def ccRetractProbe(tag: String): Unit = {
+      val (ids, edges) = ccGraph(tag)
+      val e = edges.persist()
+      try {
+        val labels = graft.analytics.Graphs
+          .connectedComponents(ids, e.select(col("a"), col("b")))
+          .persist()
+        labels.count() // materialize OUTSIDE the timed region
+        val removed = ids
+          .where(pmod(xxhash64(col("doc_id")), lit(100)) === 0)
+        val t0 = System.nanoTime()
+        force(graft.analytics.Graphs.ccRetract(labels,
+          e.select(col("a"), col("b")), removed))
+        println(f"[elast]   cc_retract $tag inner " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s (repair-only path)")
+        labels.unpersist()
+      } finally e.unpersist()
+    }
+    // index DELETION (round 17): standing exact-dedup index pre-built
+    // outside the inner timing; take down ~1% of docs — the timed path
+    // is touched-digest re-election + untouched pass-through; the
+    // comparison row is exact_dedup (the index rebuild)
+    def dedupRetractProbe(tag: String): Unit = {
+      val d = docs(tag).persist()
+      try {
+        val index = d
+          .groupBy(md5(col("text")).as("text_hash"))
+          .agg(min(col("doc_id")).as("canonical_id"),
+            count(lit(1)).as("n_copies"))
+          .persist()
+        index.count() // materialize OUTSIDE the timed region
+        val t0 = System.nanoTime()
+        force(Dedup.dedupRetract(index, d,
+          d.where(col("doc_id") % 100 === 0).select(col("doc_id"))))
+        println(f"[elast]   dedup_retract $tag inner " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s (repair-only path)")
+        index.unpersist()
+      } finally d.unpersist()
+    }
+    // ANN tombstone serving (round 17): quantizer + postings pre-built
+    // outside the inner timing (FROZEN on deletion — that is the
+    // contract); the timed path is tombstone-filtered serving, whose
+    // cost should track ivf_multiprobe's SERVE portion with no rebuild
+    // or retrain paid at all
+    def ivfTombstoneProbe(tag: String, cells: Int): Unit = {
+      val e = emb(tag).persist()
+      try {
+        val cc = Similarity.trainCells(e, k = cells, iters = 2)
+        val postings = Similarity.assignCells(e, cc)
+          .select(col("vec_id"), col("cell"), col("e")).persist()
+        postings.count() // materialize OUTSIDE the timed region
+        val tomb = e.where(pmod(xxhash64(col("vec_id")), lit(100)) === 0)
+          .select(col("vec_id"))
+        val t0 = System.nanoTime()
+        force(Similarity.ivfTombstoneTopK(postings, cc, tomb,
+          k = 3, probes = 4))
+        println(f"[elast]   ivf_tombstone $tag inner " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s (serve-only path)")
+        postings.unpersist()
+      } finally e.unpersist()
+    }
     def ccStarChain(tag: String): Unit = {
       val n = 100000L * scaleOf(tag)
       val ids = spark.range(n).select(col("id").as("doc_id"))
@@ -653,6 +720,9 @@ object ScaleElasticity {
       ("cc_prop_random", ccProp _),
       ("cc_star_chain", ccStarChain _),
       ("cc_delta_inc", ccDeltaProbe _),
+      ("cc_retract", ccRetractProbe _),
+      ("dedup_retract", dedupRetractProbe _),
+      ("ivf_tombstone", (t: String) => ivfTombstoneProbe(t, 8 * scaleOf(t))),
       ("asof_join", asofProbe _),
       ("range_join", rangeProbe _),
       ("asof_hot_plain", (t: String) => asofHot(t, bucketed = false)),
