@@ -307,6 +307,24 @@ object Graphs {
     * every node; returns (idCol, cluster_id) over the retained nodes. */
   def ccRetract(labels: DataFrame, pairs: DataFrame, removed: DataFrame,
       idCol: String = "doc_id", maxRounds: Int = 30): DataFrame = {
+    val (resolved, affected) =
+      ccRetractParts(labels, pairs, removed, idCol, maxRounds)
+    labels.join(affected, Seq("cluster_id"), "left_anti")
+      .select(col(idCol), col("cluster_id"))
+      .unionAll(resolved)
+  }
+
+  /** The repair half of [[ccRetract]], factored so a streaming takedown
+    * maintainer ([[graft.streaming.StreamingCcTakedown]]) can accumulate
+    * ONLY the repaired labels as a bounded override table instead of
+    * rewriting the corpus per batch: returns (resolved labels for the
+    * affected components' RETAINED members — the only rows whose labels
+    * can change, bounded by the removal's blast radius — and the
+    * broadcast affected cluster_id set for the caller's pass-through
+    * anti-join). */
+  def ccRetractParts(labels: DataFrame, pairs: DataFrame,
+      removed: DataFrame, idCol: String = "doc_id", maxRounds: Int = 30)
+      : (DataFrame, DataFrame) = {
     val rem = broadcast(removed.select(col(idCol)).distinct())
     val affected = broadcast(
       labels.join(rem, idCol).select(col("cluster_id")).distinct())
@@ -317,11 +335,8 @@ object Graphs {
     val e = pairs.toDF("__a", "__b")
       .join(keep.select(col(idCol).as("__a")), "__a")
       .join(keep.select(col(idCol).as("__b")), "__b")
-    val resolved = connectedComponents(keep,
-      e.select(col("__a"), col("__b")), idCol, maxRounds)
-    labels.join(affected, Seq("cluster_id"), "left_anti")
-      .select(col(idCol), col("cluster_id"))
-      .unionAll(resolved)
+    (connectedComponents(keep, e.select(col("__a"), col("__b")),
+      idCol, maxRounds), affected)
   }
 
   /** Step 3 of [[ccDelta]] as the MERGE-ON-READ label view: every id's

@@ -831,6 +831,51 @@ object StreamingQueries {
         |FROM co
         |JOIN sizes sa ON probe_id = sa.doc_id
         |WHERE 5 * common >= 4 * sa.n
-        |ORDER BY probe_id, co.doc_id""".stripMargin))
+        |ORDER BY probe_id, co.doc_id""".stripMargin)),
+
+    // Streaming cluster-map TAKEDOWN (StreamingCcTakedown) — q213's
+    // decremental CC served as the production deletion LOOP, the
+    // remove-stream twin of q207's add-stream: the doc_id % 10 == 3
+    // takedown set streams in as 4 micro-batches and each batch repairs
+    // ONLY the components it touches against the standing labels (q55's
+    // shared clustersFrame), merge-on-read — base scanned not rewritten,
+    // repaired labels accumulate as a bounded override table (per-MEMBER,
+    // because removal can split a component — no root remap exists),
+    // tombstones broadcast at read, corpus rewrite only at compaction.
+    // Later batches resolve against the already-repaired view, so the
+    // final map is split-invariant (StreamingCcTakedownSpec pins the
+    // same-component-touched-twice split + forced compaction). Oracle =
+    // q213's retained-graph recursive-CTE oracle VERBATIM: batch
+    // retraction, streamed retraction, and DuckDB — one ground truth.
+    Q("q215_streaming_cc_takedown",
+      (s, dir) => {
+        val staging =
+          AnalyticsQueries.tempDirCleanedOnExit("graft_sctd_").toString
+        Tables(s, dir, "documents").select(col("doc_id"))
+          .where(col("doc_id") % 10 === 3)
+          .repartition(4)
+          .write.mode("overwrite").parquet(s"$staging/removals")
+        val stream = s.readStream.schema("doc_id BIGINT")
+          .option("maxFilesPerTrigger", "1").parquet(s"$staging/removals")
+        graft.streaming.StreamingCcTakedown
+          .maintain(stream, DedupQueries.clustersFrame(s, dir),
+            DedupQueries.clusterEdges(s, dir), s"$staging/_ckpt")
+          .orderBy(col("doc_id"))
+      },
+      Some(DedupQueries.duckLshEdges
+          .replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+        |jpr AS (SELECT doc_a, doc_b FROM jp
+        |        WHERE doc_a % 10 <> 3 AND doc_b % 10 <> 3),
+        |und AS (SELECT doc_a AS s, doc_b AS t FROM jpr
+        |        UNION ALL SELECT doc_b, doc_a FROM jpr),
+        |reach AS (SELECT s, t FROM und
+        |          UNION
+        |          SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s
+        |          WHERE u.t <> r.s)
+        |SELECT d.doc_id,
+        |  least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS cluster_id
+        |FROM documents d LEFT JOIN reach r ON d.doc_id = r.s
+        |WHERE d.doc_id % 10 <> 3
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
   )
 }
