@@ -47,15 +47,39 @@ object StreamingCcTakedown {
   /** Run `removalStream` (one id column named `idCol`) to completion
     * under AvailableNow, repairing `initialLabels` per batch against the
     * static `pairs` edge set; returns the final retained
-    * (idCol, cluster_id) map. */
+    * (idCol, cluster_id) map.
+    *
+    * `persistDir` (optional) makes the state survive a driver crash,
+    * [[StreamingCcDelta]]'s scheme transposed: `base/<epoch>/` parquet
+    * (epoch −1 = initial labels, epoch N = the compaction done while
+    * folding batch N) and `state/<batchId>/` parquet — ONE frame per
+    * snapshot holding the full override AND tombstone sets as tagged
+    * rows (both are bounded: override by `compactBound`, tombstones by
+    * the takedown volume since last compaction), so a snapshot is one
+    * atomic-enough overwrite. Replayed batches are idempotent (removing
+    * an already-tombstoned id resolves to an empty repair and rewrites
+    * an identical snapshot); recovery takes the newest snapshot M and
+    * the newest base epoch ≤ M — a crash between compaction write and
+    * snapshot write leaves an orphan base that is ignored and redone.
+    * If `persistDir` already holds a recoverable state, it is resumed
+    * and `initialLabels` is IGNORED (pair with the same `checkpoint`).
+    * TakedownPersistRestartSpec pins the crash-and-recover path. */
   def maintain(removalStream: DataFrame, initialLabels: DataFrame,
       pairs: DataFrame, checkpoint: String, idCol: String = "doc_id",
-      compactBound: Int = 100000): DataFrame = {
-    val state = new TakedownState(removalStream.sparkSession,
-      initialLabels, pairs, idCol, compactBound)
+      compactBound: Int = 100000,
+      persistDir: Option[String] = None): DataFrame = {
+    val spark = removalStream.sparkSession
+    val recovered = persistDir.flatMap(d => loadPersisted(spark, d))
+    val state = new TakedownState(spark,
+      recovered.map(_._1).getOrElse(initialLabels), pairs, idCol,
+      compactBound, persistDir,
+      recovered.map(_._2).getOrElse(Seq.empty),
+      recovered.map(_._3).getOrElse(Seq.empty))
+    if (recovered.isEmpty)
+      persistDir.foreach(d => state.persistBase(d, -1L))
     val q = removalStream.writeStream
-      .foreachBatch((batch: Dataset[Row], _: Long) =>
-        state.fold(batch.toDF()))
+      .foreachBatch((batch: Dataset[Row], id: Long) =>
+        state.fold(batch.toDF(), id))
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
@@ -63,15 +87,49 @@ object StreamingCcTakedown {
     state.read
   }
 
+  /** Recover (base, override rows, tombstones) from a [[maintain]]
+    * `persistDir`; None when no snapshot has ever landed. */
+  private[streaming] def loadPersisted(spark: SparkSession, dir: String)
+      : Option[(DataFrame, Seq[Row], Seq[Any])] = {
+    def epochs(sub: String): Seq[Long] = {
+      val f = new java.io.File(s"$dir/$sub")
+      if (!f.isDirectory) Seq.empty
+      else f.listFiles().toSeq.filter(_.isDirectory)
+        .flatMap(x => scala.util.Try(x.getName.toLong).toOption)
+    }
+    val snaps = epochs("state")
+    if (snaps.isEmpty) None
+    else {
+      val m = snaps.max
+      val e = epochs("base").filter(_ <= m).max
+      val base = spark.read.parquet(s"$dir/base/$e")
+      val rows = spark.read.parquet(s"$dir/state/$m").collect().toSeq
+      val (ov, tb) = rows.partition(_.getString(0) == "o")
+      Some((base, ov.map(r => Row(r.get(1), r.get(2))),
+        tb.map(_.get(1))))
+    }
+  }
+
   private final class TakedownState(spark: SparkSession,
       initialLabels: DataFrame, pairs: DataFrame, idCol: String,
-      compactBound: Int) {
+      compactBound: Int, persistDir: Option[String],
+      initOverride: Seq[Row], initTomb: Seq[Any]) {
 
     private var base = initialLabels
       .select(col(idCol), col("cluster_id")).localCheckpoint()
-    private val tomb = mutable.LinkedHashSet.empty[Any]
-    private var overrideOpt: Option[DataFrame] = None
-    private var overrideSize = 0L
+    private val tomb = mutable.LinkedHashSet.empty[Any] ++ initTomb
+    private var overrideOpt: Option[DataFrame] =
+      if (initOverride.isEmpty) None
+      else {
+        import org.apache.spark.sql.types.{StructField, StructType}
+        val t = base.schema(idCol).dataType
+        val c = base.schema("cluster_id").dataType
+        Some(spark.createDataFrame(
+          java.util.Arrays.asList(initOverride: _*),
+          StructType(Seq(StructField(idCol, t),
+            StructField("cluster_id", c)))).localCheckpoint())
+      }
+    private var overrideSize = initOverride.size.toLong
 
     private def tombDf: DataFrame = {
       import org.apache.spark.sql.types.{StructField, StructType}
@@ -96,7 +154,7 @@ object StreamingCcTakedown {
       }
     }
 
-    def fold(batch: DataFrame): Unit = synchronized {
+    def fold(batch: DataFrame, batchId: Long): Unit = synchronized {
       // takedown batches are tiny by nature — the bounded-collect class;
       // the driver-side set is what lets the read anti-join broadcast
       val removals = batch.select(col(idCol)).distinct()
@@ -131,12 +189,13 @@ object StreamingCcTakedown {
           overrideOpt = Some(next)
       }
       tomb ++= removals
-      if (overrideSize > compactBound) compact()
+      if (overrideSize > compactBound) compact(batchId)
+      persistDir.foreach(d => persistSnapshot(d, batchId))
     }
 
     /** Fold tomb + override into a new base — the only corpus-sized
       * rewrite, amortized over `compactBound`-worth of repairs. */
-    private def compact(): Unit = {
+    private def compact(batchId: Long): Unit = {
       val next = view.localCheckpoint()
       Graphs.freeLocalCheckpoint(base)
       overrideOpt.foreach(Graphs.freeLocalCheckpoint)
@@ -144,6 +203,38 @@ object StreamingCcTakedown {
       overrideOpt = None
       overrideSize = 0L
       tomb.clear()
+      persistDir.foreach(d => persistBase(d, batchId))
+    }
+
+    def persistBase(dir: String, epoch: Long): Unit =
+      base.write.mode("overwrite").parquet(s"$dir/base/$epoch")
+
+    /** One tagged frame per snapshot — the full override ("o" rows) and
+      * tombstone ("t" rows) state after this fold; both bounded, so the
+      * write is small, and overwrite makes replays idempotent. The
+      * override leg stays DISTRIBUTED (a plan over its checkpointed
+      * blocks — never collected); only the already-driver-side
+      * tombstones are lifted into a frame. */
+    private def persistSnapshot(dir: String, batchId: Long): Unit = {
+      import org.apache.spark.sql.functions.lit
+      import org.apache.spark.sql.types.{StructField, StructType}
+      val c = base.schema("cluster_id").dataType
+      val tbDf = {
+        val schema = StructType(Seq(
+          StructField(idCol, base.schema(idCol).dataType)))
+        spark.createDataFrame(java.util.Arrays.asList(
+          tomb.toSeq.map(Row(_)): _*), schema)
+      }
+      val empty = spark.createDataFrame(
+        java.util.Collections.emptyList[Row](),
+        StructType(Seq(StructField(idCol, base.schema(idCol).dataType),
+          StructField("cluster_id", c))))
+      overrideOpt.getOrElse(empty)
+        .select(lit("o").as("kind"), col(idCol), col("cluster_id"))
+        .unionAll(tbDf.select(lit("t").as("kind"), col(idCol),
+          lit(null).cast(c).as("cluster_id")))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/state/$batchId")
     }
 
     def read: DataFrame = synchronized(view)
