@@ -120,6 +120,17 @@ object DedupQueries {
         rowsPerBand = RowsPerBand)
     }
 
+  /** [[clusterEdges]] MATERIALIZED once per (session, dir) — for
+    * consumers that scan the edge set repeatedly (q215's takedown
+    * maintainer joins it against the repair set twice per micro-batch
+    * fold; q213's retraction twice per run): they reuse the persisted
+    * rows instead of re-running the LSH candidate+verify lineage on
+    * every scan. Single-scan consumers keep calling [[clusterEdges]]
+    * directly — no reason to pin a cache for one pass. */
+  private[queries] def clusterEdgesFrame(s: SparkSession,
+      dir: String): DataFrame =
+    Caches.frame(s, dir, "clusterEdgesF")(clusterEdges(s, dir))
+
   /** The connected-components cluster map (q55's output frame: doc_id →
     * cluster_id), cached once per (session, dir): q55 presents it, q59's
     * canonical-doc gate filters it — the label-propagation rounds run
@@ -1666,7 +1677,7 @@ object DedupQueries {
       (s, dir) => {
         val docs = Tables(s, dir, "documents").select(col("doc_id"))
         graft.analytics.Graphs.ccRetract(clustersFrame(s, dir),
-            clusterEdges(s, dir),
+            clusterEdgesFrame(s, dir),
             docs.where(col("doc_id") % 10 === 3))
           .orderBy(col("doc_id"))
       },

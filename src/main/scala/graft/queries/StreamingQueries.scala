@@ -859,7 +859,7 @@ object StreamingQueries {
           .option("maxFilesPerTrigger", "1").parquet(s"$staging/removals")
         graft.streaming.StreamingCcTakedown
           .maintain(stream, DedupQueries.clustersFrame(s, dir),
-            DedupQueries.clusterEdges(s, dir), s"$staging/_ckpt")
+            DedupQueries.clusterEdgesFrame(s, dir), s"$staging/_ckpt")
           .orderBy(col("doc_id"))
       },
       Some(DedupQueries.duckLshEdges
