@@ -236,7 +236,8 @@ object StreamingQueries {
         val toks = docStream(s, dir)
           .select(explode(graft.dedup.Dedup.tokens(col("text"))).as("token"))
           // codegen'd shard key; provably equal to the typed operator's
-          // own shardOf (same xxhash64 — ShardAgreementSpec)
+          // own shardOf (same xxhash64 — StreamingHeavyHittersSpec's
+          // shard-agreement test)
           .select(StreamingHeavyHitters.shardCol(col("token"), 4).as("shard"),
             col("token"))
           .as[StreamingHeavyHitters.Tok]

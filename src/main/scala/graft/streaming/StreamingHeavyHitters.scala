@@ -41,7 +41,8 @@ object StreamingHeavyHitters {
     * expression uses (seed 42), so a query can shard with the native
     * column function and this typed side provably agrees (the sharded
     * SpaceSaving guarantee needs a token's whole count in one shard).
-    * [[shardCol]] is that SQL side; ShardAgreementSpec pins the equality. */
+    * [[shardCol]] is that SQL side; StreamingHeavyHittersSpec's
+    * shard-agreement test pins the equality. */
   def shardOf(token: String, nShards: Int): Int = {
     val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
       org.apache.spark.unsafe.types.UTF8String.fromString(token),
