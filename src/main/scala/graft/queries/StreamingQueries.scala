@@ -877,6 +877,62 @@ object StreamingQueries {
         |  least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS cluster_id
         |FROM documents d LEFT JOIN reach r ON d.doc_id = r.s
         |WHERE d.doc_id % 10 <> 3
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
+
+    // MIXED streaming maintenance (StreamingCcMixed) — the shape a
+    // production ingest loop actually has: ONE stream interleaving the
+    // q206/q207 delta-edge ADDS (every LSH pair touching a %10==0 doc)
+    // and the q213/q215 takedown REMOVES (the %10==3 slice) against the
+    // standing history labels, 4 mixed micro-batches. Adds fold as the
+    // bounded root remap, removes as the bounded member override +
+    // tombstones (with the dead-remap-entry drop that keeps the two
+    // layers composable — see StreamingCcMixed's scaladoc), base only
+    // scanned, rewrite only at compaction. Final map = CC over
+    // (history ∪ delta) minus the takedown slice — q213's retained-graph
+    // recursive-CTE oracle VERBATIM: batch retract (q213), streamed
+    // retract (q215), and mixed add+remove (q216) all land on one
+    // ground truth by construction, which is the whole point.
+    Q("q216_streaming_cc_mixed",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select(col("doc_id"))
+        val histLabels = DedupQueries.histLabelsFrame(s, dir)
+        val histEdges = DedupQueries.clusterEdgesFrame(s, dir)
+          .where(DedupQueries.isHistDoc(col("doc_a")) &&
+            DedupQueries.isHistDoc(col("doc_b")))
+        val staging =
+          AnalyticsQueries.tempDirCleanedOnExit("graft_scmx_").toString
+        DedupQueries.clusterEdgesFrame(s, dir)
+          .where(!DedupQueries.isHistDoc(col("doc_a")) ||
+            !DedupQueries.isHistDoc(col("doc_b")))
+          .select(lit("add").as("op"), col("doc_a").as("a"),
+            col("doc_b").as("b"))
+          .unionAll(docs.where(col("doc_id") % 10 === 3)
+            .select(lit("rm").as("op"), col("doc_id").as("a"),
+              lit(-1L).as("b")))
+          .repartition(4)
+          .write.mode("overwrite").parquet(s"$staging/ops")
+        val stream = s.readStream
+          .schema("op STRING, a BIGINT, b BIGINT")
+          .option("maxFilesPerTrigger", "1").parquet(s"$staging/ops")
+        graft.streaming.StreamingCcMixed
+          .maintain(stream, histLabels, histEdges, docs,
+            s"$staging/_ckpt")
+          .orderBy(col("doc_id"))
+      },
+      Some(DedupQueries.duckLshEdges
+          .replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+        |jpr AS (SELECT doc_a, doc_b FROM jp
+        |        WHERE doc_a % 10 <> 3 AND doc_b % 10 <> 3),
+        |und AS (SELECT doc_a AS s, doc_b AS t FROM jpr
+        |        UNION ALL SELECT doc_b, doc_a FROM jpr),
+        |reach AS (SELECT s, t FROM und
+        |          UNION
+        |          SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s
+        |          WHERE u.t <> r.s)
+        |SELECT d.doc_id,
+        |  least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS cluster_id
+        |FROM documents d LEFT JOIN reach r ON d.doc_id = r.s
+        |WHERE d.doc_id % 10 <> 3
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
   )
 }

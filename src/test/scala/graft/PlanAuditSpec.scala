@@ -76,13 +76,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase
     assert(shuffles.size <= 2, s"as-of must shuffle once (+sort):\n$p")
   }
 
+  /** [[collectWithSubqueries]] that ALSO descends into cached plans:
+    * once any earlier suite registers a cache whose logical plan matches
+    * the frame under audit (FpDeterminismSpec builds the whole registry,
+    * and q213/q215/q216 register the clusterEdgesF cache), the fresh
+    * plan compiles to a bare InMemoryTableScan and the joins under audit
+    * live in the relation's cachedPlan — audit them there. */
+  private def collectThroughCaches[A](p: SparkPlan)(
+      f: PartialFunction[SparkPlan, A]): Seq[A] =
+    collectWithSubqueries(p)(f) ++ collectWithSubqueries(p) {
+      case s: org.apache.spark.sql.execution.columnar
+          .InMemoryTableScanExec => s.relation.cachedPlan
+    }.flatMap(cp => collectThroughCaches(cp)(f))
+
   test("q55/q59 edges: every gram join is candidate-driven (no uncapped " +
       "gram self-join)") {
     // clusters() localCheckpoints its output, so the audit runs on the edge
     // frame itself — the part of q55/q59 where a quadratic join could hide.
     val edges = graft.queries.DedupQueries.clusterEdges(spark, dir)
     val p = edges.queryExecution.executedPlan
-    val keySets = collectWithSubqueries(p) {
+    val keySets = collectThroughCaches(p) {
       case j: SortMergeJoinExec => j.leftKeys
       case j: ShuffledHashJoinExec => j.leftKeys
       case j: BroadcastHashJoinExec => j.leftKeys
