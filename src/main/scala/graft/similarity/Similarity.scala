@@ -218,26 +218,34 @@ object Similarity {
     *
     * `postings` is [[assignCells]]' output over the FULL corpus (the
     * standing index; pass `probeCells(emb, cents, a)` output for an
-    * assignProbes-widened index — extra columns ride along unread);
-    * `tombstones` the removed ids. Tombstone sets are tiny relative to
-    * the corpus, so both anti-joins broadcast — no shuffle is added to
-    * the serve path. */
+    * assignProbes-widened index — extra columns ride along unread, but
+    * then ALSO pass `assignProbes = a`: the widened table holds `a` rows
+    * per vector, so the query side must collapse to one row per vector
+    * and the pair stream must dedup before ranking, exactly as
+    * [[ivfMultiProbeTopK]] does — without it a neighbor reachable
+    * through several shared cells occupies several ranks and crowds real
+    * neighbors out of the top k); `tombstones` the removed ids.
+    * Tombstone sets are tiny relative to the corpus, so both anti-joins
+    * broadcast — no shuffle is added to the a=1 serve path. */
   def ivfTombstoneTopK(postings: DataFrame,
       cents: Array[(Int, Array[Double])], tombstones: DataFrame, k: Int,
-      probes: Int, idCol: String = "vec_id", vecCol: String = "e")
-      : DataFrame = {
+      probes: Int, idCol: String = "vec_id", vecCol: String = "e",
+      assignProbes: Int = 1): DataFrame = {
     val tomb = broadcast(tombstones.select(col(idCol)).distinct())
     val cand = compactPostings(postings, tomb, idCol)
       .select(col(idCol).as("neighbor_id"), col("cell"),
         col(vecCol).as("__ne"))
-    val queries = postings.select(col(idCol), col(vecCol))
+    val queries0 = postings.select(col(idCol), col(vecCol))
+    val queries = (if (assignProbes <= 1) queries0 else queries0.distinct())
       .join(tomb, Seq(idCol), "left_anti")
     val probed = probeCells(queries, cents, probes, idCol, vecCol)
       .select(col(idCol), col("cell"), col(vecCol))
     val cos = CosineSimilarity(col(vecCol), col("__ne"))
-    probed.join(cand, "cell")
+    val pairs = probed.join(cand, "cell")
       .where(col(idCol) =!= col("neighbor_id"))
       .select(col(idCol), round(cos, 6).as("cos_sim"), col("neighbor_id"))
+    val deduped = if (assignProbes <= 1) pairs else pairs.distinct()
+    deduped
       .withColumn("rk", row_number().over(Window.partitionBy(col(idCol))
         .orderBy(col("cos_sim").desc, col("neighbor_id"))))
       .where(col("rk") <= k)

@@ -126,7 +126,17 @@ object StreamingCcDelta {
       // base −1 lands before the first fold, so a snapshot implies an
       // eligible base; a base epoch > m is a compaction whose snapshot
       // never landed — ignored, its batch will replay idempotently
-      val e = epochs("base").filter(_ <= m).max
+      val eligible = epochs("base").filter(_ <= m)
+      // a snapshot without any eligible base means a failed/partial
+      // base write or a partially copied persistDir — fail loudly
+      // instead of letting .max throw an opaque UnsupportedOperation
+      if (eligible.isEmpty)
+        throw new IllegalStateException(
+          s"StreamingCcDelta.loadPersisted: $dir holds remap snapshot " +
+            s"$m but no base epoch <= $m — the persist dir is " +
+            s"incomplete (failed base/-1 write or partial copy); " +
+            s"restore the base/ tree or clear the dir for a fresh start")
+      val e = eligible.max
       val base = spark.read.parquet(s"$dir/base/$e")
       val remap = spark.read.parquet(s"$dir/remap/$m")
         .collect().toSeq.map(r => r.get(0) -> r.get(1))

@@ -101,7 +101,16 @@ object StreamingCcTakedown {
     if (snaps.isEmpty) None
     else {
       val m = snaps.max
-      val e = epochs("base").filter(_ <= m).max
+      val eligible = epochs("base").filter(_ <= m)
+      // same guard as StreamingCcDelta.loadPersisted: a snapshot with no
+      // eligible base is an incomplete persist dir, not a fresh start
+      if (eligible.isEmpty)
+        throw new IllegalStateException(
+          s"StreamingCcTakedown.loadPersisted: $dir holds state " +
+            s"snapshot $m but no base epoch <= $m — the persist dir is " +
+            s"incomplete (failed base/-1 write or partial copy); " +
+            s"restore the base/ tree or clear the dir for a fresh start")
+      val e = eligible.max
       val base = spark.read.parquet(s"$dir/base/$e")
       val rows = spark.read.parquet(s"$dir/state/$m").collect().toSeq
       val (ov, tb) = rows.partition(_.getString(0) == "o")

@@ -51,6 +51,16 @@ object StreamingContainment {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$workDir/out/*")
+    // an empty probe slice yields ZERO micro-batches under AvailableNow —
+    // foreachBatch never runs and out/ is never created; return the empty
+    // hit frame (same schema via the batch operator over an empty probe
+    // frame) instead of letting the glob read throw path-not-found
+    if (new java.io.File(s"$workDir/out").isDirectory)
+      spark.read.parquet(s"$workDir/out/*")
+    else
+      Dedup.containmentProbe(
+        mkGrams(spark.createDataFrame(
+          java.util.Collections.emptyList[Row](), probeStream.schema)),
+        index, num, den, probeIdCol)
   }
 }

@@ -61,6 +61,38 @@ class IvfRetractSpec extends AnyFunSuite with SparkTestBase {
       "a tombstoned id surfaced as a neighbor")
   }
 
+  test("assignProbes-widened postings (a=2): tombstone serving == " +
+      "retained rebuild at the same widening — duplicate query rows " +
+      "collapse and multi-cell pairs dedup before ranking") {
+    import spark.implicits._
+    val emb = syntheticEmb(60, 8).cache()
+    val cents = Similarity.trainCells(emb, k = 4, iters = 2)
+    // widened index: one posting row per (vector, 2 nearest cells)
+    val postings = Similarity.probeCells(emb, cents, probes = 2)
+      .select(col("vec_id"), col("cell"), col("e"))
+    val tomb = (0L until 60L).filter(_ % 5 == 2).toDF("vec_id")
+
+    def key(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(1))).toSet
+
+    val served = Similarity.ivfTombstoneTopK(postings, cents, tomb,
+      k = 3, probes = 2, assignProbes = 2)
+    val rebuilt = Similarity.ivfMultiProbeTopK(
+        emb.where(col("vec_id") % 5 =!= 2), cents,
+        k = 3, probes = 2, assignProbes = 2)
+      .select(col("vec_id"), col("cos_sim"), col("neighbor_id"))
+    assert(key(served) === key(rebuilt),
+      "widened tombstone serving drifted from the retained rebuild — " +
+        "a neighbor reachable via multiple shared cells must occupy " +
+        "exactly one rank")
+    // every query appears exactly once per rank (no duplicate query rows)
+    val perQuery = served.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("neighbor_id")).as("d"))
+      .collect()
+    assert(perQuery.forall(r => r.getLong(1) === r.getLong(2)),
+      "a neighbor occupied multiple ranks for one query")
+  }
+
   test("tombstone filter is a broadcast anti-join (no shuffle added to " +
       "the serve path)") {
     import spark.implicits._

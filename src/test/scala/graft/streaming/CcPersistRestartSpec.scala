@@ -96,4 +96,18 @@ class CcPersistRestartSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       === Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
   }
+
+  test("a persistDir with snapshots but NO eligible base epoch fails " +
+      "with an explicit message, not an opaque empty-max crash") {
+    import spark.implicits._
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft_ccpr_bad").toString
+    // remap snapshot landed, base/-1 write failed (or partial copy):
+    // recoverable-looking but incomplete
+    Seq((2L, 0L)).toDF("__cn", "__new").write.parquet(s"$dir/remap/3")
+    val ex = intercept[IllegalStateException] {
+      StreamingCcDelta.loadPersisted(spark, dir, "doc_id")
+    }
+    assert(ex.getMessage.contains("no base epoch"))
+  }
 }

@@ -54,4 +54,27 @@ class StreamingContainmentSpec extends AnyFunSuite with SparkTestBase {
       assert(got === expected, s"$tag-batch stream drifted from batch")
     }
   }
+
+  test("empty probe slice (zero micro-batches) returns the empty hit " +
+      "frame, not a path-not-found error") {
+    import spark.implicits._
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft_scont_e").toString
+    val corpus = Seq((100L, "the quick brown fox jumps over the lazy " +
+      "dog near the old river bank today")).toDF("doc_id", "text")
+    val idx = Dedup.containmentIndex(Dedup.shingles(corpus))
+    // a parquet dir with schema but zero rows -> AvailableNow fires no
+    // foreachBatch at all
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/probe")
+    val got = StreamingContainment.run(
+      spark.readStream.schema("doc_id BIGINT, text STRING")
+        .parquet(s"$dir/probe"),
+      idx, num = 1, den = 2, s"$dir/work",
+      b => Dedup.shingles(b)
+        .select(col("doc_id").as("probe_id"), col("grams")))
+    assert(got.columns.toSeq ===
+      Seq("probe_id", "doc_id", "common", "containment"))
+    assert(got.count() === 0L)
+  }
 }

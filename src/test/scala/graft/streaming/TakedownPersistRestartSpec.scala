@@ -79,4 +79,18 @@ class TakedownPersistRestartSpec extends AnyFunSuite with SparkTestBase {
     assert(ov.map(r => r.get(0) -> r.get(1)) === Seq(1L -> 1L))
     assert(tb === Seq(0L))
   }
+
+  test("a persistDir with snapshots but NO eligible base epoch fails " +
+      "with an explicit message, not an opaque empty-max crash") {
+    import spark.implicits._
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft_tdpr_bad").toString
+    Seq(("t", 0L, Option.empty[Long]))
+      .toDF("kind", "doc_id", "cluster_id")
+      .write.parquet(s"$dir/state/2")
+    val ex = intercept[IllegalStateException] {
+      StreamingCcTakedown.loadPersisted(spark, dir)
+    }
+    assert(ex.getMessage.contains("no base epoch"))
+  }
 }
