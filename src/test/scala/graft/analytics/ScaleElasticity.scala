@@ -361,6 +361,71 @@ object ScaleElasticity {
         postings.unpersist()
       } finally e.unpersist()
     }
+    // MIXED streaming maintenance (round 16): per-batch wall must stay
+    // FLAT across many folds on a fixed corpus — the r15 verdict's weak
+    // row was the previous carrier's per-batch edge-frame accumulation
+    // (every takedown repair unioned ALL added-edge frames, linear plan
+    // growth in batch count) and its forever-driver-side tombstones.
+    // 24 one-file batches of mixed add/remove ops over the clustered
+    // production shape (size-20 chains; adds bridge adjacent chains,
+    // removes drag their chain into the repair); the inner line reports
+    // early-vs-late per-batch means (batch 0 excluded as warmup) —
+    // flat ⟺ the standing layers are O(1) in batch count.
+    def mixedMaintProbe(tag: String): Unit = {
+      val n = 100000L * scaleOf(tag)
+      val nb = 24
+      val ids = spark.range(n).select(col("id").as("doc_id"))
+      val hist = spark.range(n - 1).where((col("id") + 1) % 20 =!= 0)
+        .select(col("id").as("a"), (col("id") + 1).as("b")).persist()
+      try {
+        val labels = graft.analytics.Graphs.connectedComponents(ids, hist)
+          .localCheckpoint()
+        val dir = s"$base/mixed_$tag"
+        val adds = spark.range(n / 20 - 1)
+          .where(pmod(xxhash64(col("id")), lit(50)) === 0)
+          .select(lit("add").as("op"), (col("id") * 20 + 19).as("a"),
+            ((col("id") + 1) * 20).as("b"))
+        val rms = spark.range(n)
+          .where(pmod(xxhash64(col("id") + 7), lit(2000)) === 0)
+          .select(lit("rm").as("op"), col("id").as("a"), lit(-1L).as("b"))
+        val ops = adds.unionAll(rms)
+          .withColumn("__b", pmod(xxhash64(col("a"), col("op")), lit(nb)))
+        for (b <- 0 until nb)
+          ops.where(col("__b") === b).drop("__b").repartition(1)
+            .write.mode("append").parquet(s"$dir/in")
+        val durs = scala.collection.mutable.Map.empty[Long, Double]
+        val listener =
+          new org.apache.spark.sql.streaming.StreamingQueryListener {
+            override def onQueryStarted(e: org.apache.spark.sql.streaming
+              .StreamingQueryListener.QueryStartedEvent): Unit = ()
+            override def onQueryProgress(e: org.apache.spark.sql.streaming
+                .StreamingQueryListener.QueryProgressEvent): Unit =
+              durs.synchronized {
+                durs(e.progress.batchId) = e.progress.durationMs
+                  .get("triggerExecution").toDouble / 1000
+              }
+            override def onQueryTerminated(e: org.apache.spark.sql
+              .streaming.StreamingQueryListener.QueryTerminatedEvent)
+              : Unit = ()
+          }
+        spark.streams.addListener(listener)
+        try {
+          force(graft.streaming.StreamingCcMixed.maintain(
+            spark.readStream.schema("op STRING, a BIGINT, b BIGINT")
+              .option("maxFilesPerTrigger", "1").parquet(s"$dir/in"),
+            labels, hist, ids, s"$dir/_ckpt"))
+          Thread.sleep(2000) // progress events are async; let them drain
+        } finally spark.streams.removeListener(listener)
+        val seq = durs.synchronized(durs.toSeq.sortBy(_._1).map(_._2))
+        val early = seq.slice(1, 9)
+        val late = seq.takeRight(8)
+        val em = early.sum / early.size
+        val lm = late.sum / late.size
+        println(f"[elast]   mixed_maint $tag ${seq.size} folds, " +
+          f"per-batch early $em%.2f s -> late $lm%.2f s " +
+          f"(${lm / em}%.2fx; flat <=> O(1) standing layers)")
+      } finally hist.unpersist()
+    }
     def ccStarChain(tag: String): Unit = {
       val n = 100000L * scaleOf(tag)
       val ids = spark.range(n).select(col("id").as("doc_id"))
@@ -756,6 +821,7 @@ object ScaleElasticity {
       ("cc_retract_clustered", (t: String) => ccRetractProbe(t, "clustered")),
       ("dedup_retract", dedupRetractProbe _),
       ("ivf_tombstone", (t: String) => ivfTombstoneProbe(t, 8 * scaleOf(t))),
+      ("mixed_maint_flat", mixedMaintProbe _),
       ("asof_join", asofProbe _),
       ("range_join", rangeProbe _),
       ("asof_hot_plain", (t: String) => asofHot(t, bucketed = false)),

@@ -80,6 +80,42 @@ class StreamingCcMixedSpec extends AnyFunSuite with SparkTestBase {
     assert(gotSingle === expected, "single-batch drifted")
   }
 
+  test("the edge layer is O(1) frames in batch count: a long stream of " +
+      "one-op batches never accumulates more than EdgeFrameCap + 1 " +
+      "union legs, and the result still equals the ground truth") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mixf").toString
+    val n = 80L
+    val ids = (0L until n).toVector
+    val hist = Seq((0L, 1L), (2L, 3L))
+    // 4·cap add batches chaining even ids, then a few removals — WAY
+    // past the cap, and compactBound high so label compaction never
+    // fires (the cap must bound the frames on its own)
+    val addOps = (0 until 4 * StreamingCcMixed.EdgeFrameCap)
+      .map(i => ("add", (2L * i) % n, (2L * i + 2) % n))
+    val rmOps = Seq(("rm", 4L, -1L), ("rm", 5L, -1L))
+    val batches = (addOps ++ rmOps).map(Seq(_))
+    batches.foreach { b =>
+      b.toDF("op", "a", "b").repartition(1)
+        .write.mode("append").parquet(s"$dir/in")
+    }
+    val labels = Graphs.connectedComponents(ids.toDF("doc_id"),
+      hist.toDF("a", "b")).localCheckpoint()
+    val state = StreamingCcMixed.maintainState(
+      spark.readStream.schema("op STRING, a BIGINT, b BIGINT")
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in"),
+      labels, hist.toDF("a", "b"), ids.toDF("doc_id"),
+      s"$dir/_ckpt", "doc_id", 1000000, None)
+    assert(state.edgeFrameCount <= StreamingCcMixed.EdgeFrameCap + 1,
+      s"edge layer grew to ${state.edgeFrameCount} frames over " +
+        s"${batches.size} batches — the coalesce cap is not bounding it")
+    val got = state.read.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = ground(ids,
+      hist ++ addOps.map(o => (o._2, o._3)), Set(4L, 5L))
+    assert(got === expected)
+  }
+
   test("randomized mixed schedules equal the batch ground truth") {
     val rnd = new scala.util.Random(83)
     for (trial <- 1 to 3) {
