@@ -933,6 +933,92 @@ object StreamingQueries {
         |  least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS cluster_id
         |FROM documents d LEFT JOIN reach r ON d.doc_id = r.s
         |WHERE d.doc_id % 10 <> 3
-        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
+
+    // MIXED streaming maintenance of the passage-grain keep-first INDEX
+    // (StreamingIndexMaint) — the r15 verdict's missing piece #3, the
+    // q145 delta-dedup stream's tombstone-record twin: ONE stream
+    // interleaves document ADDS (the doc_id % 10 == 0 slice, chunked
+    // per batch by the same mkMembers the batch path uses) and takedown
+    // REMOVES (the doc_id % 7 == 2 slice) against the standing q108/
+    // q212 index built over the %10 != 0 history. Adds gather-and-
+    // re-elect only their touched digests (broadcast-semi member
+    // probe), removes run the q212 retraction shape per batch (keeper
+    // handoff / vanish), base rows for untouched digests pass through
+    // unread, member frames coalesce at the cap, removed docs persist
+    // as the standing no-resurrection frame. Final index = rebuild over
+    // (history ∪ adds) ∖ removed = ALL docs minus the %7 == 2 slice —
+    // q212's retained-corpus rebuild oracle VERBATIM: batch retraction
+    // (q212) and streamed mixed maintenance (q217) land on one ground
+    // truth.
+    Q("q217_streaming_index_maint",
+      (s, dir) => {
+        val members = Caches.frame(s, dir, "unitMembers") {
+          val units = graft.text.TextStats
+            .chunk(Tables.sharded(s, dir, "documents", "doc_id"),
+              size = 32, stride = 32)
+            .select(col("doc_id"), col("chunk_id"),
+              concat_ws(" ", col("ctoks")).as("unit"))
+          units.select(
+            md5(regexp_replace(trim(lower(col("unit"))), "\\s+", " "))
+              .as("unit_hash"),
+            col("doc_id"), col("chunk_id"))
+        }
+        val histMembers = members
+          .where(DedupQueries.isHistDoc(col("doc_id")))
+        val index = histMembers.groupBy(col("unit_hash"))
+          .agg(min(struct(col("doc_id"), col("chunk_id"))).as("__kp"),
+            count(lit(1)).as("n_occ"))
+          .select(col("unit_hash"), col("__kp.doc_id").as("doc_id"),
+            col("__kp.chunk_id").as("chunk_id"), col("n_occ"))
+        val docs = Tables(s, dir, "documents")
+        val staging =
+          AnalyticsQueries.tempDirCleanedOnExit("graft_simx_").toString
+        docs.where(!DedupQueries.isHistDoc(col("doc_id")))
+          .select(lit("add").as("op"), col("doc_id"), col("text"))
+          .unionAll(docs.where(col("doc_id") % 7 === 2)
+            .select(lit("rm").as("op"), col("doc_id"),
+              lit(null).cast("string").as("text")))
+          .repartition(4)
+          .write.mode("overwrite").parquet(s"$staging/ops")
+        val stream = s.readStream
+          .schema("op STRING, doc_id BIGINT, text STRING")
+          .option("maxFilesPerTrigger", "1").parquet(s"$staging/ops")
+        graft.streaming.StreamingIndexMaint
+          .maintain(stream, index, histMembers, s"$staging/_ckpt",
+            keyCol = "unit_hash", docCol = "doc_id",
+            orderCols = Seq("doc_id", "chunk_id"),
+            mkMembers = b => graft.text.TextStats
+              .chunk(b, size = 32, stride = 32)
+              .select(
+                md5(regexp_replace(trim(lower(
+                  concat_ws(" ", col("ctoks")))), "\\s+", " "))
+                  .as("unit_hash"),
+                col("doc_id"), col("chunk_id")))
+          .select(col("unit_hash"), col("doc_id").as("keeper_doc"),
+            col("chunk_id").as("keeper_chunk"), col("n_occ"))
+          .orderBy(col("unit_hash"))
+      },
+      Some(
+        s"""WITH d AS (SELECT doc_id, ${ExtQueries.duckTokens} AS toks
+          |  FROM documents),
+          |c AS (SELECT doc_id,
+          |    unnest(list_transform(generate_series(0, (len(toks) - 1) // 32),
+          |      i -> {'chunk_id': i,
+          |            'ctoks': toks[i * 32 + 1 : least(i * 32 + 32,
+          |                                             len(toks))]})) AS ch
+          |  FROM d WHERE len(toks) >= 1),
+          |u AS (SELECT doc_id, ch.chunk_id AS chunk_id,
+          |    lower(trim(regexp_replace(array_to_string(ch.ctoks, ' '),
+          |      '\\s+', ' ', 'g'))) AS norm
+          |  FROM c WHERE doc_id % 7 <> 2),
+          |w AS (SELECT doc_id, chunk_id, norm,
+          |    count(*) OVER (PARTITION BY norm) AS n_occ,
+          |    row_number() OVER (PARTITION BY norm
+          |      ORDER BY doc_id, chunk_id) AS rn
+          |  FROM u)
+          |SELECT md5(norm) AS unit_hash, doc_id AS keeper_doc,
+          |  chunk_id AS keeper_chunk, CAST(n_occ AS BIGINT) AS n_occ
+          |FROM w WHERE rn = 1 ORDER BY unit_hash""".stripMargin))
   )
 }

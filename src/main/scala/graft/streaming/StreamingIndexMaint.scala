@@ -1,0 +1,426 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, count, lit, min, struct}
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.analytics.Graphs
+
+/** MIXED streaming maintenance for a standing keep-first digest INDEX —
+  * [[graft.dedup.Dedup.retractIndex]]'s pattern served as the
+  * production ingest loop, and the r15 verdict's missing piece #3 (the
+  * q145 delta-dedup stream was add-only; this is its tombstone-record
+  * twin — [[StreamingCcMixed]]'s op add/rm fold transposed from
+  * component grain to digest grain): ONE stream interleaves document
+  * ADDS and takedown REMOVES against the standing index
+  * (keyCol, orderCols…, n_occ — keeper = min (orderCols…) member). The
+  * fold invariant is "view = index rebuilt over (history ∪ added docs)
+  * ∖ removed docs", so the final index is row-equal to the batch
+  * rebuild however the ops split into micro-batches —
+  * StreamingIndexMaintSpec pins keeper-handoff, vanish,
+  * re-add-after-vanish, no-resurrection, and same-batch add+rm shapes
+  * plus randomized schedules; q217 gates the sf pipeline against q212's
+  * retained-corpus rebuild oracle VERBATIM (batch retraction and
+  * streamed mixed maintenance land on one ground truth).
+  *
+  * Per-batch fold, cost ∝ batch + read-only scans of the standing
+  * layers (never an index or member rewrite outside compaction):
+  *
+  *   - ADDS: the batch's member rows come from the caller's
+  *     `mkMembers` (chunking/normalization stays the batch operator's,
+  *     so stream and batch digest identically); rows for docs removed
+  *     at ANY earlier point are DROPPED (no resurrection — recent
+  *     removals via the driver set, folded ones via one broadcast-semi
+  *     probe of the standing removed-docs frame). The touched digests'
+  *     CURRENT members are gathered by a broadcast-semi key probe of
+  *     the member view and re-elected together with the new rows — so
+  *     n_occ and the keeper are always recomputed from the true member
+  *     set, never incrementally drifted.
+  *   - REMOVES: affected digests are found by a broadcast-semi doc
+  *     probe of the member view; their retained members re-elect
+  *     (keeper handoff), digests with no retained member VANISH.
+  *   - READ: base rows whose key is untouched pass through UNREAD;
+  *     touched keys resolve to the override (or drop, if vanished).
+  *
+  * Every standing layer is bounded over the stream's lifetime (the
+  * [[StreamingCcMixed]] discipline): added member frames coalesce into
+  * ONE standing frame at [[StreamingCcMixed.EdgeFrameCap]], the
+  * override/vanished/recent-removed layers fold into a new base at
+  * `compactBound`, and removed docs persist as a standing frame sized
+  * by TOTAL takedown volume (the one thing a permanent-takedown
+  * contract cannot forget), not corpus size.
+  *
+  * `persistDir` (optional) transposes the proven snapshot scheme:
+  * `base/<epoch>/`, `members/<epoch>/`, `removed/<epoch>/` at
+  * compactions (epoch −1 = initial index only), `added/<batchId>/`
+  * per add batch, `state/<batchId>/` one tagged frame per fold
+  * ("o" override / "v" vanished / "d" recent removed — all bounded by
+  * `compactBound`); idempotent per-batchId overwrites, recovery takes
+  * the newest snapshot and the newest epochs ≤ it (torn-compaction
+  * orphans are ignored and redone by the replay).
+  * IndexMaintPersistRestartSpec pins the crash-and-recover path. */
+object StreamingIndexMaint {
+
+  /** Run `opStream` (column `op` STRING 'add'|'rm' + the payload
+    * columns `mkMembers` needs; 'rm' rows are read only at `docCol`)
+    * to completion under AvailableNow against the standing
+    * `initialIndex` and its member rows `histMembers`
+    * (keyCol, docCol, orderCols…); returns the final index. `orderCols`
+    * must contain `docCol` (the keeper tuple identifies a member);
+    * add batches must carry doc ids not already present. */
+  def maintain(opStream: DataFrame, initialIndex: DataFrame,
+      histMembers: DataFrame, checkpoint: String, keyCol: String,
+      docCol: String, orderCols: Seq[String],
+      mkMembers: DataFrame => DataFrame, compactBound: Int = 10000,
+      persistDir: Option[String] = None): DataFrame =
+    maintainState(opStream, initialIndex, histMembers, checkpoint,
+      keyCol, docCol, orderCols, mkMembers, compactBound, persistDir)
+      .read
+
+  /** [[maintain]] returning the live state carrier — the spec hook for
+    * the O(1)-frames member-layer bound. */
+  private[streaming] def maintainState(opStream: DataFrame,
+      initialIndex: DataFrame, histMembers: DataFrame, checkpoint: String,
+      keyCol: String, docCol: String, orderCols: Seq[String],
+      mkMembers: DataFrame => DataFrame, compactBound: Int,
+      persistDir: Option[String]): IndexState = {
+    require(orderCols.contains(docCol),
+      s"orderCols $orderCols must contain docCol $docCol — the keeper " +
+        "tuple must identify the member it elects")
+    val spark = opStream.sparkSession
+    val recovered = persistDir.flatMap(d =>
+      loadPersisted(spark, d, keyCol, docCol, orderCols))
+    val state = new IndexState(spark,
+      recovered.map(_.base).getOrElse(initialIndex), histMembers,
+      keyCol, docCol, orderCols, compactBound, persistDir, recovered)
+    if (recovered.isEmpty)
+      persistDir.foreach(d => state.persistBase(d, -1L))
+    val q = opStream.writeStream
+      .foreachBatch((batch: Dataset[Row], id: Long) =>
+        state.fold(batch.toDF(), id, mkMembers))
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    state
+  }
+
+  private[streaming] final case class Recovered(base: DataFrame,
+      members: Option[DataFrame], removed: Option[DataFrame],
+      added: Seq[DataFrame], overrideRows: Seq[Row], vanished: Seq[Any],
+      removedRecent: Seq[Any])
+
+  private[streaming] def loadPersisted(spark: SparkSession, dir: String,
+      keyCol: String, docCol: String, orderCols: Seq[String])
+      : Option[Recovered] = {
+    def epochs(sub: String): Seq[Long] = {
+      val f = new java.io.File(s"$dir/$sub")
+      if (!f.isDirectory) Seq.empty
+      else f.listFiles().toSeq.filter(_.isDirectory)
+        .flatMap(x => scala.util.Try(x.getName.toLong).toOption)
+    }
+    val snaps = epochs("state")
+    if (snaps.isEmpty) None
+    else {
+      val m = snaps.max
+      val eligibleBase = epochs("base").filter(_ <= m)
+      if (eligibleBase.isEmpty)
+        throw new IllegalStateException(
+          s"StreamingIndexMaint.loadPersisted: $dir holds state " +
+            s"snapshot $m but no base epoch <= $m — the persist dir " +
+            s"is incomplete (failed base/-1 write or partial copy); " +
+            s"restore the base/ tree or clear the dir for a fresh start")
+      val e = eligibleBase.max
+      val base = spark.read.parquet(s"$dir/base/$e")
+      def latest(sub: String): Option[DataFrame] =
+        epochs(sub).filter(_ <= m).sorted.lastOption
+          .map(x => spark.read.parquet(s"$dir/$sub/$x"))
+      val memberEpoch = epochs("members").filter(_ <= m)
+        .sorted.lastOption
+      val added = epochs("added")
+        .filter(b => b <= m && b > memberEpoch.getOrElse(Long.MinValue))
+        .sorted.map(b => spark.read.parquet(s"$dir/added/$b"))
+      val rows = spark.read.parquet(s"$dir/state/$m").collect().toSeq
+      val n = orderCols.size
+      val ov = rows.filter(_.getString(0) == "o")
+        .map(r => Row.fromSeq((1 to n + 2).map(r.get)))
+      val vn = rows.filter(_.getString(0) == "v").map(_.get(1))
+      // "d" rows carry the doc id in the docCol slot of the order cols
+      val dPos = 2 + orderCols.indexOf(docCol)
+      val dr = rows.filter(_.getString(0) == "d").map(_.get(dPos))
+      Some(Recovered(base,
+        memberEpoch.map(x => spark.read.parquet(s"$dir/members/$x")),
+        latest("removed"), added, ov, vn, dr))
+    }
+  }
+
+  private[streaming] final class IndexState(spark: SparkSession,
+      initialIndex: DataFrame, histMembers: DataFrame, keyCol: String,
+      docCol: String, orderCols: Seq[String], compactBound: Int,
+      persistDir: Option[String], recovered: Option[Recovered]) {
+
+    private val keyType = initialIndex.schema(keyCol).dataType
+    private val docType = histMembers.schema(docCol).dataType
+    private val indexCols: Seq[String] =
+      keyCol +: orderCols :+ "n_occ"
+    private val memberCols: Seq[String] =
+      (keyCol +: docCol +: orderCols).distinct
+    private val overrideSchema = StructType(
+      StructField(keyCol, keyType) +:
+        orderCols.map(c =>
+          StructField(c, histMembers.schema(c).dataType)) :+
+        StructField("n_occ", initialIndex.schema("n_occ").dataType))
+
+    // eager checkpoints: materialized before any replayed batch can
+    // overwrite the parquet dirs a recovery read them from
+    private var base = initialIndex
+      .select(indexCols.map(col): _*).localCheckpoint()
+    private var overrideOpt: Option[DataFrame] =
+      recovered.map(_.overrideRows).filter(_.nonEmpty).map(rows =>
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+          overrideSchema).localCheckpoint())
+    private var overrideSize =
+      recovered.map(_.overrideRows.size.toLong).getOrElse(0L)
+    private val vanished = mutable.LinkedHashSet.empty[Any] ++
+      recovered.map(_.vanished).getOrElse(Seq.empty)
+    private val removedRecent = mutable.LinkedHashSet.empty[Any] ++
+      recovered.map(_.removedRecent).getOrElse(Seq.empty)
+    private var removedStanding: Option[DataFrame] =
+      recovered.flatMap(_.removed)
+    private var removedOwned = false
+    private var membersStanding: DataFrame =
+      recovered.flatMap(_.members)
+        .getOrElse(histMembers.select(memberCols.map(col): _*))
+    private var membersOwned = false
+    private val addedFrames = mutable.ArrayBuffer.empty[DataFrame] ++
+      recovered.map(_.added).getOrElse(Seq.empty)
+    if (addedFrames.nonEmpty) coalesceMembers()
+
+    private[streaming] def memberFrameCount: Int =
+      synchronized(1 + addedFrames.size)
+
+    private def oneCol(vals: Seq[Any], name: String,
+        t: org.apache.spark.sql.types.DataType): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(vals.map(Row(_)): _*),
+        StructType(Seq(StructField(name, t))))
+
+    /** All member rows of (history ∪ adds) ∖ removed. Folded removals
+      * are already absent (the coalesce filters them); recent ones
+      * anti-join via the driver set. */
+    private def membersView: DataFrame = {
+      val all = addedFrames.foldLeft(membersStanding)(_ unionAll _)
+      if (removedRecent.isEmpty) all
+      else all.join(
+          broadcast(oneCol(removedRecent.toSeq, docCol, docType)),
+          Seq(docCol), "left_anti")
+        // using-joins move the join column FIRST — restore the member
+        // order before anything unions this frame positionally
+        .select(memberCols.map(col): _*)
+    }
+
+    /** The current index view: untouched base rows pass through
+      * (one bounded broadcast anti-join), touched keys resolve to the
+      * override; vanished keys appear on the touched side only. */
+    private def view: DataFrame = {
+      val touchedKeys = overrideOpt
+        .map(_.select(col(keyCol)))
+        .getOrElse(oneCol(Seq.empty, keyCol, keyType))
+        .unionAll(oneCol(vanished.toSeq, keyCol, keyType))
+      val through = base.join(broadcast(touchedKeys.distinct()),
+        Seq(keyCol), "left_anti")
+      overrideOpt match {
+        case None => through
+        case Some(o) => through.unionAll(o.select(indexCols.map(col): _*))
+      }
+    }
+
+    /** Coalesce standing + recent member frames into ONE owned frame,
+      * dropping rows of currently-tombstoned docs (they can never
+      * re-enter: the no-resurrection filter is permanent). */
+    private def coalesceMembers(): Unit = {
+      val next = membersView.localCheckpoint()
+      if (membersOwned) Graphs.freeLocalCheckpoint(membersStanding)
+      addedFrames.foreach(Graphs.freeLocalCheckpoint)
+      addedFrames.clear()
+      membersStanding = next
+      membersOwned = true
+    }
+
+    /** Batch docs removed by a PAST compaction — visible only in the
+      * standing removed-docs frame; one broadcast-semi probe, output
+      * ≤ |batch| (the bounded-collect class). */
+    private def foldedRemoved(docs: Seq[Any]): Set[Any] =
+      removedStanding match {
+        case None => Set.empty
+        case Some(rs) =>
+          if (docs.isEmpty) Set.empty
+          else rs.join(broadcast(oneCol(docs, docCol, docType)),
+              Seq(docCol), "left_semi")
+            .select(col(docCol)).collect().map(_.get(0)).toSet
+      }
+
+    /** Re-elect keeper + n_occ over `ms` (member rows), one row per
+      * digest present. Member rows are unique by their (orderCols…)
+      * tuple by construction, so the distinct() is a no-op in normal
+      * operation — it exists to collapse the duplicates a REPLAYED add
+      * batch introduces (its rows already live in the member layer;
+      * without the collapse n_occ would double-count them), keeping
+      * the fold idempotent. It runs on blast-radius-bounded sets only,
+      * never the corpus. */
+    private def reelect(ms: DataFrame): DataFrame =
+      ms.distinct().groupBy(col(keyCol))
+        .agg(min(struct(orderCols.map(col): _*)).as("__kp"),
+          count(lit(1)).as("n_occ"))
+        .select(col(keyCol) +:
+          orderCols.map(c => col("__kp").getField(c).as(c)) :+
+          col("n_occ"): _*)
+
+    /** Supersede `keys` in the override with `rows` (which may cover a
+      * subset of `keys` — the rest vanished). */
+    private def mergeOverride(rows: DataFrame, keys: DataFrame): Unit = {
+      val fresh = rows.localCheckpoint()
+      val next = overrideOpt match {
+        case None => fresh
+        case Some(o) =>
+          val merged = fresh.unionAll(
+              o.join(broadcast(keys), Seq(keyCol), "left_anti"))
+            .localCheckpoint()
+          Graphs.freeLocalCheckpoint(o)
+          Graphs.freeLocalCheckpoint(fresh)
+          merged
+      }
+      overrideSize = next.count()
+      overrideOpt = Some(next)
+    }
+
+    def fold(batch: DataFrame, batchId: Long,
+        mkMembers: DataFrame => DataFrame): Unit = synchronized {
+      // ---- adds: gather-and-re-elect fold ---------------------------
+      val adds = batch.where(col("op") === "add").drop("op")
+      val addMembers0 = mkMembers(adds)
+        .select(memberCols.map(col): _*)
+      val batchDocs = addMembers0.select(col(docCol)).distinct()
+        .collect().map(_.get(0)).toSeq
+      val deadDocs = batchDocs.filter(removedRecent.contains).toSet ++
+        foldedRemoved(batchDocs)
+      val addMembers = (
+        if (deadDocs.isEmpty) addMembers0
+        else addMembers0.join(
+            broadcast(oneCol(deadDocs.toSeq, docCol, docType)),
+            Seq(docCol), "left_anti")
+          // restore member order — the using-join fronted docCol
+          .select(memberCols.map(col): _*)).localCheckpoint()
+      if (addMembers.count() > 0) {
+        persistDir.foreach(d => addMembers.coalesce(1)
+          .write.mode("overwrite").parquet(s"$d/added/$batchId"))
+        val affKeys = addMembers.select(col(keyCol)).distinct()
+        val gathered = membersView
+          .join(broadcast(affKeys), Seq(keyCol), "left_semi")
+          .unionAll(addMembers)
+        mergeOverride(reelect(gathered), affKeys)
+        // every touched key has ≥ 1 member now (the added rows) — a
+        // previously-vanished digest legitimately lives again
+        vanished --= affKeys.collect().map(_.get(0))
+        addedFrames += addMembers
+        if (addedFrames.size > StreamingCcMixed.EdgeFrameCap)
+          coalesceMembers()
+      } else Graphs.freeLocalCheckpoint(addMembers)
+      // ---- removes: retract fold (Dedup.retractIndex's shape) -------
+      val removals = batch.where(col("op") === "rm")
+        .select(col(docCol)).distinct()
+        .collect().map(_.get(0)).toSeq
+      if (removals.nonEmpty) {
+        val remDf = broadcast(oneCol(removals, docCol, docType))
+        val affKeys = membersView.join(remDf, Seq(docCol), "left_semi")
+          .select(col(keyCol)).distinct().localCheckpoint()
+        val retained = membersView
+          .join(broadcast(affKeys), Seq(keyCol), "left_semi")
+          .join(remDf, Seq(docCol), "left_anti")
+        val rows = reelect(retained)
+        mergeOverride(rows, affKeys)
+        // vanish = affected keys with no retained member
+        val aff = affKeys.collect().map(_.get(0)).toSet
+        val live = overrideOpt.map(_.join(broadcast(affKeys),
+            Seq(keyCol), "left_semi")
+          .select(col(keyCol)).collect().map(_.get(0)).toSet)
+          .getOrElse(Set.empty[Any])
+        vanished ++= (aff -- live)
+        Graphs.freeLocalCheckpoint(affKeys)
+        removedRecent ++= removals
+      }
+      if (overrideSize + vanished.size + removedRecent.size >
+          compactBound) compact(batchId)
+      persistDir.foreach(d => persistSnapshot(d, batchId))
+    }
+
+    /** Fold override + vanished + recent removals into a new base —
+      * the only index-sized rewrite; the member layer coalesces
+      * (dropping removed docs' rows) and recent removals fold into the
+      * standing removed-docs frame, so no layer grows with the
+      * stream's lifetime (removed-docs grows with TOTAL takedown
+      * volume — the permanent-takedown floor). */
+    private def compact(batchId: Long): Unit = {
+      val next = view.localCheckpoint()
+      coalesceMembers() // while removedRecent is still populated
+      if (removedRecent.nonEmpty) {
+        val merged = removedStanding match {
+          case None => oneCol(removedRecent.toSeq, docCol, docType)
+          case Some(rs) =>
+            rs.unionAll(oneCol(removedRecent.toSeq, docCol, docType))
+        }
+        val mergedCp = merged.localCheckpoint()
+        if (removedOwned) removedStanding
+          .foreach(Graphs.freeLocalCheckpoint)
+        removedStanding = Some(mergedCp)
+        removedOwned = true
+      }
+      Graphs.freeLocalCheckpoint(base)
+      overrideOpt.foreach(Graphs.freeLocalCheckpoint)
+      base = next
+      overrideOpt = None
+      overrideSize = 0L
+      vanished.clear()
+      removedRecent.clear()
+      persistDir.foreach { d =>
+        persistBase(d, batchId)
+        membersStanding.write.mode("overwrite")
+          .parquet(s"$d/members/$batchId")
+        removedStanding.foreach(_.write.mode("overwrite")
+          .parquet(s"$d/removed/$batchId"))
+      }
+    }
+
+    def persistBase(dir: String, epoch: Long): Unit =
+      base.write.mode("overwrite").parquet(s"$dir/base/$epoch")
+
+    /** One tagged frame per snapshot: "o" override rows (distributed),
+      * "v" vanished keys, "d" recent removed docs (in the docCol slot);
+      * all bounded by `compactBound`, overwrite = idempotent replay. */
+    private def persistSnapshot(dir: String, batchId: Long): Unit = {
+      val nullOf: String => Column =
+        c => lit(null).cast(overrideSchema(c).dataType)
+      val emptyOv = spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), overrideSchema)
+      val ovLeg = overrideOpt.getOrElse(emptyOv)
+        .select(lit("o").as("kind") +: indexCols.map(col): _*)
+      val vnLeg = oneCol(vanished.toSeq, keyCol, keyType)
+        .select(lit("v").as("kind") +: col(keyCol) +:
+          orderCols.map(nullOf) :+ nullOf("n_occ"): _*)
+      val drLeg = oneCol(removedRecent.toSeq, docCol, docType)
+        .select(lit("d").as("kind") +: nullOf(keyCol).cast(keyType)
+            .as(keyCol) +:
+          orderCols.map(c =>
+            if (c == docCol) col(docCol) else nullOf(c)) :+
+          nullOf("n_occ"): _*)
+      ovLeg.unionAll(vnLeg).unionAll(drLeg)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/state/$batchId")
+    }
+
+    def read: DataFrame = synchronized(view)
+  }
+}
