@@ -68,4 +68,64 @@ object Drift {
         ((col("__p") - col("__q")) * log(col("__p") / col("__q")))
           .as("psi_term"))
   }
+
+  /** PSI between two populations over a CATEGORICAL column — the
+    * convenience [[psi]]'s integer-bin contract left to callers, for
+    * THE drift columns a corpus team actually watches (source mix,
+    * langid mix; the r15 verdict's carried-over gap). The category
+    * dictionary is the UNION of both populations' distinct values —
+    * sorted, so bin ids are deterministic — which is exactly what makes
+    * the UNSEEN-category path work: a category present on only one side
+    * (drifted IN or OUT) still gets a spine slot and a finite
+    * Laplace-smoothed term instead of vanishing from the score
+    * (DriftSpec pins it).
+    *
+    * The dictionary is driver-collected under a loud `maxCategories`
+    * cap — a categorical drift column has dozens of values; a
+    * million-value column is an identifier, not a category, and coding
+    * it would build a degenerate million-bin spine (the bounded-collect
+    * class, guarded). NULL fails loudly like [[psi]] — coalesce a
+    * sentinel first if NULL is a legitimate category. A single-category
+    * union domain is rejected: its PSI is identically zero and the
+    * column is constant — a caller bug, not a drift reading.
+    *
+    * Returns one row per category: (catCol, n_ref, n_cur, psi_term);
+    * headline PSI = `sum(psi_term)`. Scale shape: each population
+    * reduces to ≤ |dict| rows via one keyed aggregate; the dictionary
+    * join broadcasts. */
+  def psiCategorical(ref: DataFrame, cur: DataFrame, catCol: String,
+      maxCategories: Int = 10000): DataFrame = {
+    val c = col(catCol)
+    def guarded(df: DataFrame): DataFrame = df.select(
+      when(c.isNull, raise_error(lit(
+        s"Drift.psiCategorical: NULL $catCol — coalesce a sentinel " +
+          "category first if NULL is legitimate"))).otherwise(c)
+        .as(catCol))
+    val dict = guarded(ref).unionAll(guarded(cur)).distinct()
+      .orderBy(col(catCol)).limit(maxCategories + 1)
+      .collect().map(_.get(0))
+    require(dict.length <= maxCategories,
+      s"Drift.psiCategorical: $catCol has more than $maxCategories " +
+        "distinct values — that is an identifier, not a categorical " +
+        "drift column; raise maxCategories only if the domain is " +
+        "genuinely that wide")
+    require(dict.length >= 2,
+      s"Drift.psiCategorical: $catCol is constant across both " +
+        "populations — a single-category PSI is identically zero and " +
+        "almost certainly a caller bug")
+    val spark = ref.sparkSession
+    val dictDf = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(dict.zipWithIndex.map { case (v, i) =>
+        org.apache.spark.sql.Row(v, i.toLong) }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types
+          .StructField(catCol, ref.schema(catCol).dataType),
+        org.apache.spark.sql.types.StructField("__bin",
+          org.apache.spark.sql.types.LongType)))))
+    def coded(df: DataFrame): DataFrame =
+      guarded(df).join(dictDf, catCol).select(col("__bin"))
+    psi(coded(ref), coded(cur), "__bin", dict.length)
+      .join(dictDf, "__bin")
+      .select(col(catCol), col("n_ref"), col("n_cur"), col("psi_term"))
+  }
 }

@@ -822,6 +822,172 @@ object CurationQueries {
           |SELECT rp.bin AS bin, CAST(n_ref AS BIGINT) AS n_ref,
           |  CAST(n_cur AS BIGINT) AS n_cur,
           |  round((p - q) * ln(p / q), 6) AS psi_term
-          |FROM rp JOIN cp ON rp.bin = cp.bin ORDER BY bin""".stripMargin))
+          |FROM rp JOIN cp ON rp.bin = cp.bin ORDER BY bin""".stripMargin)),
+
+    // CATEGORICAL drift (Drift.psiCategorical) — the r15 verdict's
+    // carried-over gap #1: q210's PSI requires caller-binned integers,
+    // but THE drift columns a corpus team watches are categorical mixes
+    // (source, langid). The dictionary is the sorted union of both
+    // populations' distinct values, so a category present on one side
+    // only (drifted in/out) gets a spine slot and a finite
+    // Laplace-smoothed term instead of vanishing from the score
+    // (DriftSpec pins the unseen-category path); the dictionary is
+    // driver-collected under a loud identifier-not-category cap. Here:
+    // the language mix of the %10 == 0 delta slice against the curated
+    // history — the langid drift check that precedes every ingest.
+    Q("q218_psi_categorical_lang",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"))
+        graft.analytics.Drift.psiCategorical(
+            d.where(col("doc_id") % 10 =!= 0),
+            d.where(col("doc_id") % 10 === 0), "lang")
+          .select(col("lang"), col("n_ref"), col("n_cur"),
+            round(col("psi_term"), 6).as("psi_term"))
+          .orderBy(col("lang"))
+      },
+      Some(
+        """WITH cats AS (SELECT DISTINCT lang AS cat FROM documents),
+          |k AS (SELECT count(*) AS k FROM cats),
+          |rc AS (SELECT lang AS cat, count(*) AS n FROM documents
+          |       WHERE doc_id % 10 <> 0 GROUP BY 1),
+          |cc AS (SELECT lang AS cat, count(*) AS n FROM documents
+          |       WHERE doc_id % 10 = 0 GROUP BY 1),
+          |rd AS (SELECT cats.cat AS cat, coalesce(rc.n, 0) AS n_ref
+          |       FROM cats LEFT JOIN rc USING (cat)),
+          |cd AS (SELECT cats.cat AS cat, coalesce(cc.n, 0) AS n_cur
+          |       FROM cats LEFT JOIN cc USING (cat)),
+          |rp AS (SELECT cat, n_ref, (n_ref + 1) * 1.0 /
+          |         ((SELECT sum(n_ref) FROM rd) + (SELECT k FROM k)) AS p
+          |       FROM rd),
+          |cp AS (SELECT cat, n_cur, (n_cur + 1) * 1.0 /
+          |         ((SELECT sum(n_cur) FROM cd) + (SELECT k FROM k)) AS q
+          |       FROM cd)
+          |SELECT rp.cat AS lang, CAST(n_ref AS BIGINT) AS n_ref,
+          |  CAST(n_cur AS BIGINT) AS n_cur,
+          |  round((p - q) * ln(p / q), 6) AS psi_term
+          |FROM rp JOIN cp ON rp.cat = cp.cat ORDER BY lang""".stripMargin)),
+
+    // The COMPOSED drift dashboard — q86's report-card dimensions read
+    // as BETWEEN-SNAPSHOT drift (the r15 verdict's carried-over gap #1,
+    // second half): one headline PSI + verdict per monitored dimension
+    // between the curated history (doc_id % 10 != 0) and the incoming
+    // delta slice, composed from the SAME library calls the standalone
+    // queries gate (q210's length bins, q218's categorical coding, q86's
+    // cached n_tokens via the shared qualityFrame — the corpus regex
+    // pass is never repeated). Statuses are the public PSI folklore
+    // thresholds (< 0.1 stable, < 0.25 drifting, else shifted). Scale
+    // shape: each dimension reduces its populations to bins-sized
+    // frames via one keyed integer aggregate — four cheap passes over
+    // cached/columnar inputs, nothing corpus-wide shuffles.
+    Q("q219_drift_dashboard",
+      (s, dir) => {
+        import graft.analytics.Drift
+        val docs = Tables(s, dir, "documents")
+        val isRef = col("doc_id") % 10 =!= 0
+        def headline(name: String, terms: org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame =
+          terms
+            .agg(count(lit(1)).as("n_bins"),
+              round(sum(col("psi_term")), 6).as("psi"))
+            .select(lit(name).as("metric"), col("n_bins"), col("psi"),
+              when(col("psi") < 0.1, lit("stable"))
+                .when(col("psi") < 0.25, lit("drifting"))
+                .otherwise(lit("shifted")).as("status"))
+        val lenB = docs.select(col("doc_id"),
+          least(lit(9L), expr("n_chars div 60")).as("bin"))
+        val toks = ExtQueries.qualityFrame(s, dir).select(col("doc_id"),
+          least(lit(9L), expr("n_tokens div 30")).cast("long").as("bin"))
+        headline("lang_mix", Drift.psiCategorical(
+            docs.where(isRef).select(col("lang")),
+            docs.where(!isRef).select(col("lang")), "lang"))
+          .unionAll(headline("len_chars", Drift.psi(
+            lenB.where(isRef).select(col("bin")),
+            lenB.where(!isRef).select(col("bin")), "bin", 10)))
+          .unionAll(headline("len_tokens", Drift.psi(
+            toks.where(isRef).select(col("bin")),
+            toks.where(!isRef).select(col("bin")), "bin", 10)))
+          .unionAll(headline("source_mix", Drift.psiCategorical(
+            docs.where(isRef).select(col("source")),
+            docs.where(!isRef).select(col("source")), "source")))
+          .orderBy(col("metric"))
+      },
+      Some(
+        """WITH
+          |lc AS (SELECT DISTINCT lang AS cat FROM documents),
+          |lk AS (SELECT count(*) AS k FROM lc),
+          |lr AS (SELECT lang AS cat, count(*) AS n FROM documents
+          |       WHERE doc_id % 10 <> 0 GROUP BY 1),
+          |lcur AS (SELECT lang AS cat, count(*) AS n FROM documents
+          |       WHERE doc_id % 10 = 0 GROUP BY 1),
+          |lrd AS (SELECT lc.cat AS cat, coalesce(lr.n, 0) AS nr
+          |        FROM lc LEFT JOIN lr USING (cat)),
+          |lcd AS (SELECT lc.cat AS cat, coalesce(lcur.n, 0) AS nc
+          |        FROM lc LEFT JOIN lcur USING (cat)),
+          |lt AS (SELECT count(*) AS nb, sum((p - q) * ln(p / q)) AS psi
+          |       FROM (SELECT
+          |           (nr + 1) * 1.0 / ((SELECT sum(nr) FROM lrd)
+          |             + (SELECT k FROM lk)) AS p,
+          |           (nc + 1) * 1.0 / ((SELECT sum(nc) FROM lcd)
+          |             + (SELECT k FROM lk)) AS q
+          |         FROM lrd JOIN lcd USING (cat))),
+          |sc AS (SELECT DISTINCT source AS cat FROM documents),
+          |sk AS (SELECT count(*) AS k FROM sc),
+          |sr AS (SELECT source AS cat, count(*) AS n FROM documents
+          |       WHERE doc_id % 10 <> 0 GROUP BY 1),
+          |scur AS (SELECT source AS cat, count(*) AS n FROM documents
+          |       WHERE doc_id % 10 = 0 GROUP BY 1),
+          |srd AS (SELECT sc.cat AS cat, coalesce(sr.n, 0) AS nr
+          |        FROM sc LEFT JOIN sr USING (cat)),
+          |scd AS (SELECT sc.cat AS cat, coalesce(scur.n, 0) AS nc
+          |        FROM sc LEFT JOIN scur USING (cat)),
+          |st AS (SELECT count(*) AS nb, sum((p - q) * ln(p / q)) AS psi
+          |       FROM (SELECT
+          |           (nr + 1) * 1.0 / ((SELECT sum(nr) FROM srd)
+          |             + (SELECT k FROM sk)) AS p,
+          |           (nc + 1) * 1.0 / ((SELECT sum(nc) FROM scd)
+          |             + (SELECT k FROM sk)) AS q
+          |         FROM srd JOIN scd USING (cat))),
+          |bb AS (SELECT unnest(generate_series(0, 9)) AS bin),
+          |hr AS (SELECT least(9, n_chars // 60) AS bin, count(*) AS n
+          |       FROM documents WHERE doc_id % 10 <> 0 GROUP BY 1),
+          |hc AS (SELECT least(9, n_chars // 60) AS bin, count(*) AS n
+          |       FROM documents WHERE doc_id % 10 = 0 GROUP BY 1),
+          |hrd AS (SELECT bb.bin AS bin, coalesce(hr.n, 0) AS nr
+          |        FROM bb LEFT JOIN hr USING (bin)),
+          |hcd AS (SELECT bb.bin AS bin, coalesce(hc.n, 0) AS nc
+          |        FROM bb LEFT JOIN hc USING (bin)),
+          |ht AS (SELECT count(*) AS nb, sum((p - q) * ln(p / q)) AS psi
+          |       FROM (SELECT
+          |           (nr + 1) * 1.0 / ((SELECT sum(nr) FROM hrd) + 10) AS p,
+          |           (nc + 1) * 1.0 / ((SELECT sum(nc) FROM hcd) + 10) AS q
+          |         FROM hrd JOIN hcd USING (bin))),
+          |tk AS (SELECT doc_id,
+          |         len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+          |           AS n_tokens
+          |       FROM documents),
+          |tr AS (SELECT least(9, n_tokens // 30) AS bin, count(*) AS n
+          |       FROM tk WHERE doc_id % 10 <> 0 GROUP BY 1),
+          |tc AS (SELECT least(9, n_tokens // 30) AS bin, count(*) AS n
+          |       FROM tk WHERE doc_id % 10 = 0 GROUP BY 1),
+          |trd AS (SELECT bb.bin AS bin, coalesce(tr.n, 0) AS nr
+          |        FROM bb LEFT JOIN tr USING (bin)),
+          |tcd AS (SELECT bb.bin AS bin, coalesce(tc.n, 0) AS nc
+          |        FROM bb LEFT JOIN tc USING (bin)),
+          |tt AS (SELECT count(*) AS nb, sum((p - q) * ln(p / q)) AS psi
+          |       FROM (SELECT
+          |           (nr + 1) * 1.0 / ((SELECT sum(nr) FROM trd) + 10) AS p,
+          |           (nc + 1) * 1.0 / ((SELECT sum(nc) FROM tcd) + 10) AS q
+          |         FROM trd JOIN tcd USING (bin))),
+          |u AS (SELECT 'lang_mix' AS metric, nb, psi FROM lt
+          |      UNION ALL SELECT 'len_chars', nb, psi FROM ht
+          |      UNION ALL SELECT 'len_tokens', nb, psi FROM tt
+          |      UNION ALL SELECT 'source_mix', nb, psi FROM st)
+          |SELECT metric, CAST(nb AS BIGINT) AS n_bins,
+          |  round(psi, 6) AS psi,
+          |  CASE WHEN round(psi, 6) < 0.1 THEN 'stable'
+          |       WHEN round(psi, 6) < 0.25 THEN 'drifting'
+          |       ELSE 'shifted' END AS status
+          |FROM u ORDER BY metric""".stripMargin))
   )
 }

@@ -58,4 +58,45 @@ class DriftSpec extends AnyFunSuite with SparkTestBase {
     assert(Drift.psi(Seq(0.0, 3.0).toDF("bin"), Seq(0.0).toDF("bin"),
       "bin", 4).collect().length === 4)
   }
+
+  private def catTerms(ref: Seq[String], cur: Seq[String])
+      : Map[String, (Long, Long, Double)] =
+    Drift.psiCategorical(ref.toDF("cat"), cur.toDF("cat"), "cat")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+
+  test("categorical PSI matches the integer-coded psi over the sorted " +
+      "union dictionary — including a category UNSEEN on one side") {
+    // ref: {a:2, b:1}; cur: {a:1, c:2} — b drifted OUT, c drifted IN:
+    // both must appear with finite terms, not vanish from the score
+    val got = catTerms(Seq("a", "a", "b"), Seq("a", "c", "c"))
+    assert(got.keySet === Set("a", "b", "c"))
+    val n = 3.0 + 3 // 3 rows each side + 3 categories of smoothing mass
+    def p(c: Int) = (c + 1) / n
+    for ((cat, (nr, nc)) <- Map("a" -> ((2L, 1L)), "b" -> ((1L, 0L)),
+        "c" -> ((0L, 2L)))) {
+      val (gr, gc, term) = got(cat)
+      assert((gr, gc) === ((nr, nc)), s"counts at $cat")
+      val expect = (p(nr.toInt) - p(nc.toInt)) *
+        math.log(p(nr.toInt) / p(nc.toInt))
+      assert(math.abs(term - expect) < 1e-15, s"term at $cat")
+    }
+    // identical mixes score exactly 0
+    assert(catTerms(Seq("x", "y"), Seq("x", "y"))
+      .values.forall(_._3 === 0.0))
+  }
+
+  test("categorical PSI guards: NULL category, constant column, and " +
+      "the identifier-not-category cap all fail loudly") {
+    intercept[Exception](
+      Drift.psiCategorical(Seq(Some("a"), None).toDF("cat"),
+        Seq("a").toDF("cat"), "cat").collect())
+    intercept[IllegalArgumentException](
+      catTerms(Seq("a", "a"), Seq("a")))
+    intercept[IllegalArgumentException](
+      Drift.psiCategorical(
+        (1 to 40).map(_.toString).toDF("cat"),
+        Seq("1").toDF("cat"), "cat", maxCategories = 10).collect())
+  }
 }
