@@ -715,6 +715,35 @@ object Dedup {
       .select(col("text_hash"), col(idCol).as("canonical_id"),
         col("n_occ").as("n_copies"))
 
+  /** DELETION for a standing near-dup EDGE cache — the takedown path
+    * for the LSH pair table ([[minhashBands]] → [[lshCandidates]] →
+    * [[jaccardVerify]]): drop every pair touching a removed doc, one
+    * broadcast anti-join per endpoint. This is row-EQUAL to re-running
+    * the whole LSH pipeline over the retained corpus — not an
+    * approximation — because every stage is per-document or per-pair
+    * local: shingles and minhash signatures are pure functions of one
+    * document's text, a band collision is a property of the two
+    * signatures alone, and the Jaccard verify reads only the pair's own
+    * gram sets. No stage reads corpus-level state (unlike the DF-capped
+    * q26 variant, whose gram sets shift with corpus frequencies —
+    * retraction there is NOT rebuild-equal and must re-derive).
+    * DedupRetractSpec pins the equivalence on the engine pipeline; q220
+    * gates it against DuckDB's independent LSH rebuild over the
+    * retained corpus. This is the epoch-handoff artifact for the
+    * streaming maintainance loops (q215/q216): after a takedown cycle,
+    * the next epoch's standing edge set derives from the cached pair
+    * table in one pruning pass instead of re-running bands + verify
+    * over the corpus. */
+  def retractEdges(pairs: DataFrame, removals: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b",
+      idCol: String = "doc_id"): DataFrame = {
+    val rem = broadcast(removals.select(col(idCol)).distinct())
+    pairs
+      .join(rem.select(col(idCol).as(aCol)), Seq(aCol), "left_anti")
+      .join(rem.select(col(idCol).as(bCol)), Seq(bCol), "left_anti")
+      .select(pairs.columns.toIndexedSeq.map(col): _*)
+  }
+
   /** Vector-space near-dup: cosine similarity over DF-capped tf-idf
     * vectors — the bag-of-words complement of the shingle family
     * (catches reordered/paraphrase-ish duplicates whose word MULTISET

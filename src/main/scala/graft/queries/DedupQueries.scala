@@ -1694,6 +1694,35 @@ object DedupQueries {
         |  least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS cluster_id
         |FROM documents d LEFT JOIN reach r ON d.doc_id = r.s
         |WHERE d.doc_id % 10 <> 3
-        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
+
+    // EDGE-CACHE retraction (Dedup.retractEdges) — the r15 verdict's
+    // task 6: q185's layouts and the IVF postings had takedown paths,
+    // but the cached LSH pair table (clusterEdgesFrame — the standing
+    // graph q55/q213/q215/q216 all ride) rebuilt from scratch on any
+    // corpus change. Dropping pairs touching removed docs (one
+    // broadcast anti-join per endpoint) is row-EQUAL to re-running the
+    // whole LSH pipeline over the retained corpus, because every stage
+    // is per-document or per-pair local (shingles/minhash per doc, band
+    // collision per signature pair, Jaccard per pair's own grams) —
+    // DedupRetractSpec pins it on the engine pipeline; the oracle here
+    // is DuckDB's INDEPENDENT LSH rebuild over the retained corpus
+    // (duckLshEdges with the takedown slice removed at the SOURCE, not
+    // filtered at the end), so the equivalence is gated engine-vs-
+    // engine. This is the epoch-handoff artifact for the q215/q216
+    // maintenance loops: the next epoch's standing edge set derives
+    // from the cache in one pruning pass, not a corpus re-derivation.
+    Q("q220_edge_cache_retract",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select(col("doc_id"))
+        graft.dedup.Dedup.retractEdges(clusterEdgesFrame(s, dir),
+            docs.where(col("doc_id") % 10 === 3))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(duckLshEdges.replaceFirst("FROM documents",
+          "FROM (SELECT * FROM documents WHERE doc_id % 10 <> 3) documents")
+        + """
+        |SELECT doc_a, doc_b FROM jp
+        |ORDER BY doc_a, doc_b""".stripMargin))
   )
 }

@@ -73,6 +73,44 @@ class DedupRetractSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Map(DigestOf("aa") -> ((1L, 99L))))
   }
 
+  test("edge-cache retraction equals the full LSH rebuild over the " +
+      "retained corpus (per-document stages make it exact, not " +
+      "approximate)") {
+    import spark.implicits._
+    // three near-dup families + singletons; remove one member of a
+    // pair (edge dies), one endpoint of a triangle (its two edges die,
+    // the third survives), and an isolated doc (no edges touched)
+    val body = "the quick brown fox jumps over the lazy dog " +
+      "and then runs far away tonight"
+    val tri = "data pipelines shuffle partition and aggregate massive " +
+      "corpora with care and rigor always every single day"
+    val corpus = Seq(
+      1L -> body, 2L -> body,                      // pair {1,2}
+      10L -> tri, 11L -> tri, 12L -> tri,          // triangle {10,11,12}
+      20L -> "completely different words about cooking pasta dinner now",
+      21L -> "another unrelated document describing mountain hiking gear"
+    ).toDF("doc_id", "text")
+    def edges(docs: org.apache.spark.sql.DataFrame) = {
+      val g = Dedup.shingles(docs)
+      Dedup.jaccardVerify(
+          Dedup.lshCandidates(
+            Dedup.minhashBands(g, k = 16, rowsPerBand = 4)), g)
+        .where(col("jaccard") >= 0.5)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    }
+    val cache = edges(corpus).localCheckpoint()
+    assert(cache.count() === 4L, "fixture should yield pair + triangle")
+    val removals = Seq(2L, 10L, 20L).toDF("doc_id")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = key(Dedup.retractEdges(cache, removals))
+    val rebuilt = key(edges(
+      corpus.where(!col("doc_id").isin(2L, 10L, 20L))))
+    assert(got === rebuilt)
+    assert(got === Set((11L, 12L)),
+      "only the triangle's far edge should survive")
+  }
+
   private def DigestOf(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
