@@ -77,7 +77,7 @@ object Graphs {
           (lit(1.0 - damping) / col("n") + lit(damping) *
             (coalesce(col("s"), lit(0.0)) + col("dang") / col("n")))
             .as("r"))
-        .localCheckpoint(true) // eager: materialized before prev is freed
+      ranks = flatCheckpoint(ranks) // eager: materialized before prev freed
       // the superseded |V|-row rank frame's checkpoint blocks — freed
       // explicitly, Dataset.unpersist is a no-op for them. ONLY frames
       // this loop checkpointed: their plan is a single LogicalRDD leaf
@@ -130,10 +130,11 @@ object Graphs {
     // AND returns its size (eager localCheckpoint would run a separate
     // materialization job first — at 10¹⁰ edges the extra per-round
     // driver barrier is pure contention, the r13 q171 lesson)
-    var edges = pairs.toDF("a", "b").where(col("a") =!= col("b"))
-      .select(greatest(col("a"), col("b")).as("u"),
-        least(col("a"), col("b")).as("v"))
-      .distinct().localCheckpoint(false)
+    var edges = flatCheckpoint(
+      pairs.toDF("a", "b").where(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("u"),
+          least(col("a"), col("b")).as("v"))
+        .distinct(), eager = false)
     var prevCount = edges.count()
     var rounds = 0
     var converged = prevCount == 0L
@@ -150,11 +151,11 @@ object Graphs {
         .distinct()
       // small-star (input and output both (u > v)-oriented)
       val minsS = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val next = ls.join(minsS, "u")
+      val next = flatCheckpoint(ls.join(minsS, "u")
         .where(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionAll(minsS.select(col("u"), col("m").as("v")))
-        .distinct().localCheckpoint(false)
+        .distinct(), eager = false)
       val nextCount = next.count() // materializes the lazy checkpoint too
       // set equality: both sides are distinct, so equal counts plus an
       // empty one-sided difference suffice — one scan of each
@@ -181,6 +182,42 @@ object Graphs {
       .select(col(idCol),
         coalesce(col("__root"), col(idCol)).as("cluster_id"))
     (labels, rounds)
+  }
+
+  /** localCheckpoint with TRUNCATED origin statistics — the fix for a
+    * compounding-planning-cost defect the 24-fold mixed-maintenance
+    * elasticity probe exposed (round 16): `Dataset.localCheckpoint`
+    * preserves the source plan's `sizeInBytes` in the resulting
+    * LogicalRDD, and Catalyst's size-only estimator MULTIPLIES child
+    * sizes through every inner/outer join — so a checkpointed frame
+    * whose lineage held J joins carries a ~J·19-digit BigInt, the next
+    * round's plan multiplies those, its checkpoint preserves the
+    * product, and digits DOUBLE per iteration/fold. After ~10 folds
+    * the "planning" step is minutes of BigInteger.multiplyToomCook3
+    * (measured: per-batch fold wall 13 s → 29 s → 104 s → 821 s on a
+    * fixed corpus — a pure driver-side stats artifact, zero executor
+    * work). Rewrapping the checkpointed RDD in a fresh LogicalRDD with
+    * NO origin stats resets the leaf to the conf default, bounding
+    * every downstream plan's stats at (#joins in THAT plan) digits —
+    * per-fold planning cost becomes flat (the probe's early/late
+    * per-batch means agree). Broadcast decisions are unaffected: every
+    * deliberately-broadcast frame in this codebase is hinted
+    * explicitly, and the garbage product stats were never broadcastable
+    * anyway. Frees nothing and keeps the same checkpoint blocks, so
+    * [[freeLocalCheckpoint]] on the result works unchanged. */
+  private[graft] def flatCheckpoint(df: DataFrame,
+      eager: Boolean = true): DataFrame = {
+    val cp = df.localCheckpoint(eager)
+    cp.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        val session = cp.sparkSession
+          .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(session,
+          lr.copy(lr.output, lr.rdd, lr.outputPartitioning,
+            lr.outputOrdering, lr.isStreaming, lr.stream)(
+            session, None, None))
+      case _ => cp
+    }
   }
 
   /** Free the block-manager storage behind a localCheckpoint'd frame.

@@ -226,8 +226,8 @@ object Dedup {
     val edges = pairs.toDF("a", "b")
     val und = edges.unionAll(edges.select(col("b"), col("a"))).toDF("src", "dst")
       .cache()
-    var labels = ids.select(col(idCol), col(idCol).as("cluster_id"))
-      .localCheckpoint()
+    var labels = graft.analytics.Graphs.flatCheckpoint(
+      ids.select(col(idCol), col(idCol).as("cluster_id")))
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
@@ -237,11 +237,15 @@ object Dedup {
       // action: ONE job per round (the ccWithRounds lesson); the
       // superseded round's checkpoint blocks are freed explicitly —
       // Dataset.unpersist is a no-op for them (see freeLocalCheckpoint)
-      val next = labels.join(nbrMin, col(idCol) === col("src"), "left")
-        .select(col(idCol),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint(false)
+      // flatCheckpoint, not plain localCheckpoint: per-round checkpoints
+      // must not carry origin statistics forward — the join-product
+      // sizeInBytes compounds across rounds (see Graphs.flatCheckpoint)
+      val next = graft.analytics.Graphs.flatCheckpoint(
+        labels.join(nbrMin, col(idCol) === col("src"), "left")
+          .select(col(idCol),
+            least(col("cluster_id"),
+              coalesce(col("nbr_min"), col("cluster_id")))
+              .as("cluster_id")), eager = false)
       changed = next.as("n")
         .join(labels.select(col(idCol), col("cluster_id").as("old")), idCol)
         .where(col("cluster_id") =!= col("old")).count()

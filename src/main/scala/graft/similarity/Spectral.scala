@@ -74,9 +74,12 @@ object Spectral {
       // grows ~2^k and Catalyst analysis hangs well before execution
       // would (observed: 2×2 matrix, 25 iters, 10-minute optimizer
       // stall). The vector is d rows — materializing it is free.
-      v = w.crossJoin(broadcast(nrm))
-        .select(col("i").as("j"), (col("w") / col("nrm")).as("v"))
-        .localCheckpoint(true)
+      // flatCheckpoint: truncate lineage AND origin statistics — the
+      // per-round join-product sizeInBytes would otherwise compound
+      // across iterations (see Graphs.flatCheckpoint)
+      v = graft.analytics.Graphs.flatCheckpoint(
+        w.crossJoin(broadcast(nrm))
+          .select(col("i").as("j"), (col("w") / col("nrm")).as("v")))
     }
     val vec = v.select(col("j").as("i"), col("v"))
     // Rayleigh quotient λ = vᵀGv (‖v‖=1 after the last normalize) and the

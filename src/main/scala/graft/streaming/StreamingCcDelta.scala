@@ -157,7 +157,7 @@ object StreamingCcDelta {
       StructField("__cn", initBase.schema(idCol).dataType),
       StructField("__new", initBase.schema(idCol).dataType)))
     private var base = initBase.select(col(idCol), col("cluster_id"))
-      .localCheckpoint()
+      .transform(Graphs.flatCheckpoint(_))
     private val composed = mutable.LinkedHashMap[Any, Any](initRemap: _*)
 
     private def remapDfOpt: Option[DataFrame] =
@@ -195,7 +195,7 @@ object StreamingCcDelta {
       val keys = base.select(col(idCol))
         .unionAll(rdf.select(col("__cn").as(idCol))).distinct()
       val next = Graphs.composeLabels(base, Some(rdf), keys, idCol)
-        .localCheckpoint()
+        .transform(Graphs.flatCheckpoint(_))
       Graphs.freeLocalCheckpoint(base)
       base = next
       composed.clear()

@@ -202,7 +202,7 @@ object StreamingCcMixed {
     // idempotent overwrite of the parquet dir this was read from (after
     // a recovery) can never pull files out from under a lazy scan
     private var base = initialLabels
-      .select(col(idCol), col("cluster_id")).localCheckpoint()
+      .select(col(idCol), col("cluster_id")).transform(Graphs.flatCheckpoint(_))
     // true once base covers exactly the retained id universe (any
     // compaction establishes it): the member layer then derives from
     // base alone and folded removals are visible as absence
@@ -214,7 +214,7 @@ object StreamingCcMixed {
       recovered.map(_.overrideRows).filter(_.nonEmpty).map(rows =>
         spark.createDataFrame(java.util.Arrays.asList(rows: _*),
           StructType(Seq(StructField(idCol, idType),
-            StructField("cluster_id", clusterType)))).localCheckpoint())
+            StructField("cluster_id", clusterType)))).transform(Graphs.flatCheckpoint(_)))
     private var overrideSize =
       recovered.map(_.overrideRows.size.toLong).getOrElse(0L)
     private val tomb = mutable.LinkedHashSet.empty[Any] ++
@@ -298,7 +298,7 @@ object StreamingCcMixed {
           .join(t.select(col("__t").as("__b")), Seq("__b"), "left_anti")
           .select(col("__a"), col("__b"))
       }
-      val next = merged.localCheckpoint()
+      val next = merged.transform(Graphs.flatCheckpoint(_))
       if (edgesOwned) Graphs.freeLocalCheckpoint(edgesStanding)
       addedFrames.foreach(Graphs.freeLocalCheckpoint)
       addedFrames.clear()
@@ -337,7 +337,7 @@ object StreamingCcMixed {
         adds0.join(t, Seq("a"), "left_anti")
           .join(t.select(col("a").as("b")), Seq("b"), "left_anti")
       }
-      val addRows = adds.localCheckpoint()
+      val addRows = adds.transform(Graphs.flatCheckpoint(_))
       if (addRows.count() > 0) {
         val frame = addRows.select(col("a").as("__a"), col("b").as("__b"))
         addedFrames += frame
@@ -363,7 +363,7 @@ object StreamingCcMixed {
         val remDf = idDf(removals, idCol)
         val (resolved, affected) =
           Graphs.ccRetractParts(view, allEdges, remDf, idCol)
-        val res = resolved.localCheckpoint()
+        val res = resolved.transform(Graphs.flatCheckpoint(_))
         // drop dead remap entries: anything resolving INTO an affected
         // component was just overridden or removed
         val aff = affected.collect().map(_.get(0)).toSet
@@ -377,7 +377,7 @@ object StreamingCcMixed {
             val next = res.unionAll(o
                 .join(res.select(col(idCol)), Seq(idCol), "left_anti")
                 .join(broadcast(remDf), Seq(idCol), "left_anti"))
-              .localCheckpoint()
+              .transform(Graphs.flatCheckpoint(_))
             overrideSize = next.count()
             Graphs.freeLocalCheckpoint(o)
             Graphs.freeLocalCheckpoint(res)
@@ -397,7 +397,7 @@ object StreamingCcMixed {
       * is what [[foldedDeadEndpoints]] probes) — no layer grows with
       * the stream's lifetime. */
     private def compact(batchId: Long): Unit = {
-      val next = view.localCheckpoint()
+      val next = view.transform(Graphs.flatCheckpoint(_))
       // coalesce WHILE tomb is still populated — the edge filter is the
       // last chance to drop this epoch's dead edges from the standing
       // frame (afterwards the ids are visible only as base-absence)

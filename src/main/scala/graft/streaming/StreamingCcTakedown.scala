@@ -125,7 +125,7 @@ object StreamingCcTakedown {
       initOverride: Seq[Row], initTomb: Seq[Any]) {
 
     private var base = initialLabels
-      .select(col(idCol), col("cluster_id")).localCheckpoint()
+      .select(col(idCol), col("cluster_id")).transform(Graphs.flatCheckpoint(_))
     private val tomb = mutable.LinkedHashSet.empty[Any] ++ initTomb
     private var overrideOpt: Option[DataFrame] =
       if (initOverride.isEmpty) None
@@ -136,7 +136,7 @@ object StreamingCcTakedown {
         Some(spark.createDataFrame(
           java.util.Arrays.asList(initOverride: _*),
           StructType(Seq(StructField(idCol, t),
-            StructField("cluster_id", c)))).localCheckpoint())
+            StructField("cluster_id", c)))).transform(Graphs.flatCheckpoint(_)))
       }
     private var overrideSize = initOverride.size.toLong
 
@@ -179,7 +179,7 @@ object StreamingCcTakedown {
       val (resolved, _) =
         Graphs.ccRetractParts(view, pairs, remDf, idCol)
       // eager: materialized (and its size taken) before predecessors free
-      val res = resolved.localCheckpoint()
+      val res = resolved.transform(Graphs.flatCheckpoint(_))
       overrideOpt match {
         case None =>
           overrideSize = res.count()
@@ -191,7 +191,7 @@ object StreamingCcTakedown {
           val next = res.unionAll(o
               .join(res.select(col(idCol)), Seq(idCol), "left_anti")
               .join(broadcast(remDf), Seq(idCol), "left_anti"))
-            .localCheckpoint()
+            .transform(Graphs.flatCheckpoint(_))
           overrideSize = next.count() // materializes before frees
           Graphs.freeLocalCheckpoint(o)
           Graphs.freeLocalCheckpoint(res)
@@ -205,7 +205,7 @@ object StreamingCcTakedown {
     /** Fold tomb + override into a new base — the only corpus-sized
       * rewrite, amortized over `compactBound`-worth of repairs. */
     private def compact(batchId: Long): Unit = {
-      val next = view.localCheckpoint()
+      val next = view.transform(Graphs.flatCheckpoint(_))
       Graphs.freeLocalCheckpoint(base)
       overrideOpt.foreach(Graphs.freeLocalCheckpoint)
       base = next

@@ -177,11 +177,11 @@ object StreamingIndexMaint {
     // eager checkpoints: materialized before any replayed batch can
     // overwrite the parquet dirs a recovery read them from
     private var base = initialIndex
-      .select(indexCols.map(col): _*).localCheckpoint()
+      .select(indexCols.map(col): _*).transform(Graphs.flatCheckpoint(_))
     private var overrideOpt: Option[DataFrame] =
       recovered.map(_.overrideRows).filter(_.nonEmpty).map(rows =>
         spark.createDataFrame(java.util.Arrays.asList(rows: _*),
-          overrideSchema).localCheckpoint())
+          overrideSchema).transform(Graphs.flatCheckpoint(_)))
     private var overrideSize =
       recovered.map(_.overrideRows.size.toLong).getOrElse(0L)
     private val vanished = mutable.LinkedHashSet.empty[Any] ++
@@ -242,7 +242,7 @@ object StreamingIndexMaint {
       * dropping rows of currently-tombstoned docs (they can never
       * re-enter: the no-resurrection filter is permanent). */
     private def coalesceMembers(): Unit = {
-      val next = membersView.localCheckpoint()
+      val next = membersView.transform(Graphs.flatCheckpoint(_))
       if (membersOwned) Graphs.freeLocalCheckpoint(membersStanding)
       addedFrames.foreach(Graphs.freeLocalCheckpoint)
       addedFrames.clear()
@@ -282,13 +282,13 @@ object StreamingIndexMaint {
     /** Supersede `keys` in the override with `rows` (which may cover a
       * subset of `keys` — the rest vanished). */
     private def mergeOverride(rows: DataFrame, keys: DataFrame): Unit = {
-      val fresh = rows.localCheckpoint()
+      val fresh = rows.transform(Graphs.flatCheckpoint(_))
       val next = overrideOpt match {
         case None => fresh
         case Some(o) =>
           val merged = fresh.unionAll(
               o.join(broadcast(keys), Seq(keyCol), "left_anti"))
-            .localCheckpoint()
+            .transform(Graphs.flatCheckpoint(_))
           Graphs.freeLocalCheckpoint(o)
           Graphs.freeLocalCheckpoint(fresh)
           merged
@@ -313,7 +313,7 @@ object StreamingIndexMaint {
             broadcast(oneCol(deadDocs.toSeq, docCol, docType)),
             Seq(docCol), "left_anti")
           // restore member order — the using-join fronted docCol
-          .select(memberCols.map(col): _*)).localCheckpoint()
+          .select(memberCols.map(col): _*)).transform(Graphs.flatCheckpoint(_))
       if (addMembers.count() > 0) {
         persistDir.foreach(d => addMembers.coalesce(1)
           .write.mode("overwrite").parquet(s"$d/added/$batchId"))
@@ -336,7 +336,7 @@ object StreamingIndexMaint {
       if (removals.nonEmpty) {
         val remDf = broadcast(oneCol(removals, docCol, docType))
         val affKeys = membersView.join(remDf, Seq(docCol), "left_semi")
-          .select(col(keyCol)).distinct().localCheckpoint()
+          .select(col(keyCol)).distinct().transform(Graphs.flatCheckpoint(_))
         val retained = membersView
           .join(broadcast(affKeys), Seq(keyCol), "left_semi")
           .join(remDf, Seq(docCol), "left_anti")
@@ -364,7 +364,7 @@ object StreamingIndexMaint {
       * stream's lifetime (removed-docs grows with TOTAL takedown
       * volume — the permanent-takedown floor). */
     private def compact(batchId: Long): Unit = {
-      val next = view.localCheckpoint()
+      val next = view.transform(Graphs.flatCheckpoint(_))
       coalesceMembers() // while removedRecent is still populated
       if (removedRecent.nonEmpty) {
         val merged = removedStanding match {
@@ -372,7 +372,7 @@ object StreamingIndexMaint {
           case Some(rs) =>
             rs.unionAll(oneCol(removedRecent.toSeq, docCol, docType))
         }
-        val mergedCp = merged.localCheckpoint()
+        val mergedCp = merged.transform(Graphs.flatCheckpoint(_))
         if (removedOwned) removedStanding
           .foreach(Graphs.freeLocalCheckpoint)
         removedStanding = Some(mergedCp)

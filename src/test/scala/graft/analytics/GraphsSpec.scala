@@ -252,4 +252,33 @@ class GraphsSpec extends AnyFunSuite with SparkTestBase {
       assert(tris(pairs) == expected.toMap, s"trial $trial")
     }
   }
+
+  test("flatCheckpoint truncates origin statistics (the compounding " +
+      "sizeInBytes defect the mixed-maintenance probe exposed) and " +
+      "keeps rows and freeability intact") {
+    import spark.implicits._
+    val a = (0L until 50L).toDF("x")
+    // a join chain whose size estimate is a PRODUCT of its children —
+    // the thing that doubles digits per checkpoint generation
+    val deep = a.join(a.toDF("y"), col("x") === col("y"))
+      .join(a.toDF("z"), col("x") === col("z"))
+    val plain = deep.localCheckpoint()
+    val flat = Graphs.flatCheckpoint(deep)
+    val plainStats =
+      plain.queryExecution.optimizedPlan.stats.sizeInBytes
+    val flatStats = flat.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(plainStats > flatStats || flatStats ===
+      BigInt(spark.sessionState.conf.defaultSizeInBytes),
+      s"flatCheckpoint kept origin stats: plain=$plainStats flat=$flatStats")
+    // a second, DEEPER lineage lands on the same stats — generation-
+    // independent, which is exactly what breaks the compounding
+    val deeper = Graphs.flatCheckpoint(
+      flat.join(flat.toDF("p", "q", "r"), col("x") === col("p")))
+    assert(deeper.queryExecution.optimizedPlan.stats.sizeInBytes
+      === flatStats)
+    assert(flat.orderBy(col("x")).collect().map(_.getLong(0)).toSeq
+      === plain.orderBy(col("x")).collect().map(_.getLong(0)).toSeq)
+    Graphs.freeLocalCheckpoint(flat) // must find the LogicalRDD leaf
+    Graphs.freeLocalCheckpoint(plain)
+  }
 }
