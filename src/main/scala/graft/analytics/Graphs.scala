@@ -1,5 +1,7 @@
 package graft.analytics
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -281,7 +283,20 @@ object Graphs {
     * from base), then the accumulated remap re-points roots that earlier
     * deltas already merged. The contracted CC runs on ≤ 2·|delta| nodes
     * regardless of corpus size; `base` is only SCANNED (broadcast-join
-    * lookup of the batch's endpoints — no shuffle or rewrite of base). */
+    * lookup of the batch's endpoints — no shuffle or rewrite of base).
+    *
+    * The contracted graph is solved with a DRIVER-side union-find over
+    * the collected rooted pairs (round 16): the pairs are ≤ |delta| rows
+    * — the SAME bounded-collect class as the remap every caller already
+    * collects — and solving a ≤ 2·|delta|-node graph with a
+    * star-contraction LOOP paid ~6 driver-synchronized Spark jobs per
+    * fold where one collect suffices; at minute-grain batches that fixed
+    * overhead, not data volume, dominated the maintainers' per-fold
+    * wall. Labels stay canonical (min member id — the union-find
+    * carries each set's min), so the result is row-identical
+    * (GraphsSpec's ccDelta equivalences pin it). `maxRounds` is unused
+    * since the union-find replaced the loop; kept for source
+    * compatibility. */
   def ccDeltaRemap(base: DataFrame, remap: Option[DataFrame],
       deltaPairs: DataFrame, idCol: String = "doc_id",
       maxRounds: Int = 30): DataFrame = {
@@ -305,16 +320,38 @@ object Graphs {
         .select(coalesce(col("__na"), col("ra0")).as("ra"),
           coalesce(col("__nb"), col("rb0")).as("rb"))
     }
-    // 2. CC over the contracted root graph (≤ 2·|delta| nodes).
-    // "__cn" (contracted node), not "__root" — ccWithRounds aliases its
-    // own internal min as __root and the names must not collide
-    val rootIds = rooted.select(col("ra").as("__cn"))
-      .unionAll(rooted.select(col("rb").as("__cn"))).distinct()
-    ccWithRounds(rootIds,
-        rooted.select(col("ra"), col("rb")), "__cn", maxRounds)._1
-      .select(col("__cn"), col("cluster_id").as("__new"))
-      // identity rows are dead weight in the broadcast: absent = unchanged
-      .where(col("__cn") =!= col("__new"))
+    // 2. union-find over the contracted root graph (≤ 2·|delta| nodes),
+    // driver-side: ONE collect of the ≤ |delta| rooted pairs
+    val idType = base.schema(idCol).dataType
+    val pairs = rooted.collect()
+    val parent = mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent(c); parent(c) = r; c = n
+      }
+      r
+    }
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    for (row <- pairs) {
+      val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+      if (ra != rb) {
+        // min-id representative keeps labels canonical
+        if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val entries = parent.keys.toSeq
+      .map(k => k -> find(k))
+      .filter { case (k, v) => k != v } // absent = unchanged
+      .map { case (k, v) => org.apache.spark.sql.Row(k, v) }
+    rooted.sparkSession.createDataFrame(
+      java.util.Arrays.asList(entries: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__cn", idType),
+        org.apache.spark.sql.types.StructField("__new", idType))))
   }
 
   /** DECREMENTAL connected components — the deletion/takedown path the
