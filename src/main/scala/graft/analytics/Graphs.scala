@@ -324,6 +324,25 @@ object Graphs {
     // driver-side: ONE collect of the ≤ |delta| rooted pairs
     val idType = base.schema(idCol).dataType
     val pairs = rooted.collect()
+    // Canonicalization MUST match the distributed paths' min():
+    // Comparable.compareTo diverges (Java String is UTF-16 code-unit
+    // order; Spark min() on strings is UTF8String code-point order —
+    // supplementary characters sort differently) and throws on
+    // non-Comparable ids (binary digests). So compare through Spark's
+    // own interpreted ordering on the column's INTERNAL representation.
+    // Binary ids also need value-equality map keys (Array[Byte] hashes
+    // by reference), so union-find runs over wrapped keys with a
+    // key -> external-value table for emission.
+    val toCatalyst = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(idType)
+    val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(idType)
+    def key(x: Any): Any = x match {
+      case b: Array[Byte] =>
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+      case o => o
+    }
+    val orig = mutable.HashMap.empty[Any, Any]
     val parent = mutable.HashMap.empty[Any, Any]
     def find(x: Any): Any = {
       var r = x
@@ -335,9 +354,12 @@ object Graphs {
       r
     }
     def lt(a: Any, b: Any): Boolean =
-      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      ord.compare(toCatalyst(orig(a)), toCatalyst(orig(b))) < 0
     for (row <- pairs) {
-      val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+      val (ka, kb) = (key(row.get(0)), key(row.get(1)))
+      orig.getOrElseUpdate(ka, row.get(0))
+      orig.getOrElseUpdate(kb, row.get(1))
+      val (ra, rb) = (find(ka), find(kb))
       if (ra != rb) {
         // min-id representative keeps labels canonical
         if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
@@ -346,7 +368,7 @@ object Graphs {
     val entries = parent.keys.toSeq
       .map(k => k -> find(k))
       .filter { case (k, v) => k != v } // absent = unchanged
-      .map { case (k, v) => org.apache.spark.sql.Row(k, v) }
+      .map { case (k, v) => org.apache.spark.sql.Row(orig(k), orig(v)) }
     rooted.sparkSession.createDataFrame(
       java.util.Arrays.asList(entries: _*),
       org.apache.spark.sql.types.StructType(Seq(

@@ -198,6 +198,14 @@ object StreamingCcMixed {
 
     private val idType = initialLabels.schema(idCol).dataType
     private val clusterType = initialLabels.schema("cluster_id").dataType
+    // cluster ids ARE node ids (canonical label = min member id), and
+    // the snapshot's tagged frame stores remap TARGETS in the shared
+    // cluster_id slot: a divergent cluster_id type would round-trip
+    // remap values back into a frame declared idType with a mismatched
+    // runtime type (failure or silent coercion on recovery)
+    require(clusterType == idType,
+      s"StreamingCcMixed: cluster_id type $clusterType must equal " +
+        s"$idCol type $idType — labels are canonical member ids")
     // eager localCheckpoint: materialized now, so a replayed batch's
     // idempotent overwrite of the parquet dir this was read from (after
     // a recovery) can never pull files out from under a lazy scan
@@ -437,7 +445,7 @@ object StreamingCcMixed {
       overrideOpt.getOrElse(emptyOv)
         .select(lit("o").as("kind"), col(idCol), col("cluster_id"))
         .unionAll(rDf.select(lit("r").as("kind"), col(idCol),
-          col("cluster_id").cast(clusterType)))
+          col("cluster_id")))
         .unionAll(idDf(tomb.toSeq, idCol)
           .select(lit("t").as("kind"), col(idCol),
             lit(null).cast(clusterType).as("cluster_id")))

@@ -188,9 +188,15 @@ object StreamingIndexMaint {
       recovered.map(_.vanished).getOrElse(Seq.empty)
     private val removedRecent = mutable.LinkedHashSet.empty[Any] ++
       recovered.map(_.removedRecent).getOrElse(Seq.empty)
+    // eagerly materialized: a recovered removed frame is otherwise a
+    // LAZY read of removed/<E>, and a replayed add-only compaction at
+    // the same batchId would overwrite that exact path while it is
+    // still being read (removedRecent empty skips the merge branch) —
+    // Spark's "cannot overwrite a path that is also being read from"
+    // turns recovery into a deterministic crash loop
     private var removedStanding: Option[DataFrame] =
-      recovered.flatMap(_.removed)
-    private var removedOwned = false
+      recovered.flatMap(_.removed).map(Graphs.flatCheckpoint(_))
+    private var removedOwned = removedStanding.nonEmpty
     private var membersStanding: DataFrame =
       recovered.flatMap(_.members)
         .getOrElse(histMembers.select(memberCols.map(col): _*))

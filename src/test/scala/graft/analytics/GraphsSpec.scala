@@ -136,6 +136,51 @@ class GraphsSpec extends AnyFunSuite with SparkTestBase {
       60L -> 60L, 61L -> 60L))
   }
 
+  test("ccDelta canonicalizes string ids by Spark's UTF8 order, not " +
+      "Java's UTF-16 code units: supplementary characters agree with " +
+      "the batch path") {
+    import spark.implicits._
+    // U+10000 ("𐀀") vs U+FFFF: Java String.compareTo says
+    // U+10000 < U+FFFF (code-unit 0xD800 < 0xFFFF); Spark's UTF8String
+    // order says U+FFFF < U+10000 (code points). The delta path must
+    // land on the batch path's canonical min.
+    val hi = "𐀀"
+    val lo = "￿"
+    val ids = Seq(hi, lo, "a").toDF("doc_id")
+    val labels = Graphs.connectedComponents(ids,
+      Seq.empty[(String, String)].toDF("a", "b"))
+    val delta = Seq((hi, lo)).toDF("a", "b")
+    val inc = Graphs.ccDelta(labels, delta, ids, idCol = "doc_id")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val full = Graphs.connectedComponents(ids, delta)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(inc === full,
+      "delta canonical label diverged from the batch min() order")
+    assert(inc(hi) === lo, "U+FFFF is the UTF8-order min of the pair")
+  }
+
+  test("ccDelta on BINARY ids (digests): value-equal keys unify and " +
+      "labels match the batch path") {
+    import spark.implicits._
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val ids = Seq(b(2, 2), b(1, 9), b(3, 0), b(7)).toDF("doc_id")
+    val labels = Graphs.connectedComponents(ids,
+      Seq.empty[(Array[Byte], Array[Byte])].toDF("a", "b"))
+    // two delta pairs sharing endpoint [2,2] via DISTINCT array
+    // instances — reference-keyed maps would treat them as different
+    // nodes and miss the transitive merge
+    val delta = Seq((b(2, 2), b(1, 9)), (b(3, 0), b(2, 2)))
+      .toDF("a", "b")
+    def toMapB(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Array[Byte]](0).toSeq,
+        r.getAs[Array[Byte]](1).toSeq)).toMap
+    val inc = toMapB(Graphs.ccDelta(labels, delta, ids))
+    val full = toMapB(Graphs.connectedComponents(ids, delta))
+    assert(inc === full)
+    assert(inc(Seq[Byte](3, 0)) === Seq[Byte](1, 9),
+      "binary min (lexicographic bytes) must canonicalize the merge")
+  }
+
   test("ccDelta's relabel is a broadcast join: the corpus-sized labels " +
       "pass never shuffles on the remap key") {
     import spark.implicits._

@@ -109,6 +109,50 @@ class IndexMaintPersistRestartSpec extends AnyFunSuite
     assert(rec.removedRecent === Seq(1L))
   }
 
+  test("replayed ADD-ONLY compaction at the recovered removed epoch: " +
+      "no overwrite-while-reading crash, and the recovered removed " +
+      "frame still blocks resurrection") {
+    import spark.implicits._
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft_impr_r").toString
+    // a completed compaction at epoch 0 whose stream commit never
+    // landed: base/members/removed/state all at 0; the replay's first
+    // batchId is 0 again, and (add-only + bound 0) it re-compacts AT 0.
+    // Pre-fix, removedStanding stayed a lazy read of removed/0 and the
+    // compaction's overwrite of that same path crash-looped recovery.
+    Seq(("A", 2L, 1L)).toDF("k", "doc_id", "n_occ")
+      .write.parquet(s"$dir/_state/base/0")
+    Seq(("A", 2L)).toDF("k", "doc_id")
+      .write.parquet(s"$dir/_state/members/0")
+    Seq(1L).toDF("doc_id").write.parquet(s"$dir/_state/removed/0")
+    Seq.empty[(String, Option[String], Option[Long], Option[Long])]
+      .toDF("kind", "k", "doc_id", "n_occ")
+      .write.parquet(s"$dir/_state/state/0")
+    val histM = Seq((2L, "A")).toDF("doc_id", "text")
+      .select(col("text").as("k"), col("doc_id"))
+    val index = histM.groupBy(col("k"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_occ"))
+    Seq(("add", 10L, "A"), ("add", 1L, "A"))
+      .toDF("op", "doc_id", "text").repartition(1)
+      .write.mode("append").parquet(s"$dir/in")
+    val out = StreamingIndexMaint.maintain(
+        spark.readStream
+          .schema("op STRING, doc_id BIGINT, text STRING")
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/in"),
+        index, histM, s"$dir/_ckpt", keyCol = "k", docCol = "doc_id",
+        orderCols = Seq("doc_id"), mkMembers = mkMembers,
+        compactBound = 0, persistDir = Some(s"$dir/_state"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // doc 1 is tombstoned in the RECOVERED removed frame → dropped;
+    // doc 10 joins A (keeper stays 2, n_occ 2)
+    assert(out === Map("A" -> (2L, 2L)),
+      "recovered removed frame lost on the add-only compaction replay")
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+  }
+
   test("a persistDir with snapshots but NO eligible base epoch fails " +
       "with an explicit message") {
     import spark.implicits._

@@ -44,6 +44,25 @@ class StreamingCcMixedSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("a cluster_id type diverging from the id type is rejected up " +
+      "front: the snapshot round-trip stores remap targets in the " +
+      "shared cluster_id slot") {
+    import spark.implicits._
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft_mix_ty").toString
+    Seq(("add", 1L, 1L)).toDF("op", "a", "b")
+      .write.parquet(s"$dir/in")
+    val badLabels = Seq((1L, 1)).toDF("doc_id", "cluster_id") // INT label
+    val ex = intercept[IllegalArgumentException] {
+      StreamingCcMixed.maintain(
+        spark.readStream.schema("op STRING, a BIGINT, b BIGINT")
+          .parquet(s"$dir/in"),
+        badLabels, Seq.empty[(Long, Long)].toDF("a", "b"),
+        Seq(1L).toDF("doc_id"), s"$dir/_ckpt")
+    }
+    assert(ex.getMessage.contains("cluster_id type"))
+  }
+
   test("planted interleavings: merge-then-takedown, same-batch add+rm, " +
       "takedown-then-remerge, no resurrection") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mix").toString
