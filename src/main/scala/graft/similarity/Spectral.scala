@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Spectral analysis of an embedding corpus as DataFrame algebra — the
@@ -55,54 +55,64 @@ object Spectral {
     * matrix (no convergence test, no randomness). Sign is canonicalized
     * so the largest-|loading| coordinate (lowest index on ties) is
     * positive. Returns (i, v) plus the Rayleigh eigenvalue and
-    * trace-explained ratio as constant columns (ev, explained). */
+    * trace-explained ratio as constant columns (ev, explained).
+    *
+    * The iteration itself runs DRIVER-SIDE on the collected d² cells —
+    * the bounded-collect class (4096 doubles at d=64, the same bound as
+    * k×d centroids), independent of corpus size. The first version ran
+    * each of the `iters` rounds as Spark jobs on d-sized frames
+    * (join + agg + normalize + checkpoint ≈ 6 driver-synchronized jobs
+    * per round): pure fixed scheduler overhead on zero data, and
+    * exactly the cost a loaded driver amplifies — the r16 bench showed
+    * that family at 10× under driver-host contention while the one
+    * corpus-sized stage (the Gram build) was unaffected. At 100 TB the
+    * split is the same: aggregate Gram distributed once, eigensolve the
+    * d×d result where it fits. */
   def topEigen(gram: DataFrame, dim: Int, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = gram.sparkSession
-    import spark.implicits._
-    // v re-derives from gram after one round — aliases keep the
-    // self-join resolution unambiguous (the pageRank convention)
-    var v: DataFrame = (0 until dim).map(i => (i, 1.0 / math.sqrt(dim)))
-      .toDF("j", "v")
+    // ONE bounded collect of the d² cells (missing cells = 0), packed
+    // dense; all arithmetic below is a deterministic fixed-order loop
+    val g = Array.ofDim[Double](dim * dim)
+    gram.select(col("i").cast("int"), col("j").cast("int"),
+        col("g").cast("double"))
+      .collect().foreach(r => g(r.getInt(0) * dim + r.getInt(1)) =
+        r.getDouble(2))
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    val w = Array.ofDim[Double](dim)
     for (_ <- 1 to iters) {
-      val w = gram.alias("g").join(v.alias("vv"), col("g.j") === col("vv.j"))
-        .groupBy(col("g.i").as("i"))
-        .agg(sum(col("g.g") * col("vv.v")).as("w"))
-      val nrm = w.agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-      // localCheckpoint truncates the loop lineage every round: without
-      // it the logical plan (gram + TWO references to the previous v)
-      // grows ~2^k and Catalyst analysis hangs well before execution
-      // would (observed: 2×2 matrix, 25 iters, 10-minute optimizer
-      // stall). The vector is d rows — materializing it is free.
-      // flatCheckpoint: truncate lineage AND origin statistics — the
-      // per-round join-product sizeInBytes would otherwise compound
-      // across iterations (see Graphs.flatCheckpoint)
-      v = graft.analytics.Graphs.flatCheckpoint(
-        w.crossJoin(broadcast(nrm))
-          .select(col("i").as("j"), (col("w") / col("nrm")).as("v")))
+      var i = 0
+      while (i < dim) {
+        var s = 0.0; var j = 0
+        while (j < dim) { s += g(i * dim + j) * v(j); j += 1 }
+        w(i) = s; i += 1
+      }
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      i = 0
+      while (i < dim) { v(i) = w(i) / nrm; i += 1 }
     }
-    val vec = v.select(col("j").as("i"), col("v"))
-    // Rayleigh quotient λ = vᵀGv (‖v‖=1 after the last normalize) and the
-    // variance share λ/tr(G)
-    val gv = gram.alias("g")
-      .join(vec.select(col("i").as("j"), col("v")).alias("vv"),
-        col("g.j") === col("vv.j"))
-      .groupBy(col("g.i").as("i"))
-      .agg(sum(col("g.g") * col("vv.v")).as("w"))
-    val lam = gv.alias("w").join(broadcast(vec.alias("vv")),
-        col("w.i") === col("vv.i"))
-      .agg(sum(col("w.w") * col("vv.v")).as("ev"))
-    val tr = gram.where(col("i") === col("j"))
-      .agg(sum(col("g")).as("tr"))
+    // Rayleigh quotient λ = vᵀGv (‖v‖=1 after the last normalize) and
+    // the variance share λ/tr(G)
+    val gv = Array.tabulate(dim) { i =>
+      var s = 0.0; var j = 0
+      while (j < dim) { s += g(i * dim + j) * v(j); j += 1 }
+      s
+    }
+    val lam = gv.zip(v).map { case (a, b) => a * b }.sum
+    val tr = (0 until dim).map(i => g(i * dim + i)).sum
     // sign canon: s = sign of v at the smallest index attaining max |v|
-    val sgn = vec.crossJoin(broadcast(
-        vec.agg(max(abs(col("v"))).as("mx"))))
-      .where(abs(col("v")) === col("mx"))
-      .agg(min_by(signum(col("v")), col("i")).as("s"))
-    vec.crossJoin(broadcast(sgn))
-      .crossJoin(broadcast(lam))
-      .crossJoin(broadcast(tr))
-      .select(col("i"), (col("v") * col("s")).as("v"),
-        col("ev"), (col("ev") / col("tr")).as("explained"))
+    val mx = v.map(math.abs).max
+    val sgn = math.signum(v(v.indexWhere(x => math.abs(x) == mx)))
+    spark.createDataFrame(spark.sparkContext.parallelize(
+        (0 until dim).map(i => Row(i, v(i) * sgn, lam, lam / tr)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("i",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("ev",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("explained",
+          org.apache.spark.sql.types.DoubleType))))
   }
 }
