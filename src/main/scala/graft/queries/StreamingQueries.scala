@@ -1019,6 +1019,75 @@ object StreamingQueries {
           |  FROM u)
           |SELECT md5(norm) AS unit_hash, doc_id AS keeper_doc,
           |  chunk_id AS keeper_chunk, CAST(n_occ AS BIGINT) AS n_occ
-          |FROM w WHERE rn = 1 ORDER BY unit_hash""".stripMargin))
+          |FROM w WHERE rn = 1 ORDER BY unit_hash""".stripMargin)),
+
+    // MIXED add/remove streaming ANN index maintenance
+    // (StreamingIvfMixed) — the retraction matrix's LAST quadrant (r16
+    // verdict next-round #2): the digest index (q217) and the cluster
+    // map (q216) already had mixed maintainers; the IVF posting table
+    // had only the add leg online (q205) and batch tombstone serving
+    // (q214). ONE stream interleaves vector ADDS (vec_id % 10 == 7,
+    // q205's delta slice) and takedown REMOVES (vec_id % 10 == 3,
+    // q214's slice) against the standing postings built under the
+    // SHARED frozen k=8 quantizer — training is redone on neither op
+    // (the deployed-artifact stance of every serving system). Adds
+    // assign through the same codegen'd frozen-centroid map stage as
+    // the batch path; removes fold as driver-side tombstones (takedown
+    // sets are tiny — the bounded-collect class) anti-joined at read;
+    // added frames coalesce at PostingFrameCap and compaction is the
+    // only posting-sized rewrite, so per-batch cost ∝ batch at any
+    // corpus size. The final retained table is row-equal to the
+    // rebuild over (hist ∪ adds) ∖ removed = corpus ∖ (%10==3), so
+    // serving multi-probe top-k over it lands on q214's oracle
+    // VERBATIM — batch tombstone serving and streamed mixed
+    // maintenance, one ground truth, two routes.
+    // StreamingIvfMixedSpec pins split-invariance / same-batch add+rm /
+    // no-resurrection / both compaction regimes / the O(1)-frames
+    // bound; IvfMixedPersistRestartSpec pins driver-crash recovery.
+    Q("q221_streaming_ivf_mixed",
+      (s, dir) => {
+        import s.implicits._
+        val emb = ExtQueries.embFrame(s, dir)
+        val cents = ExtQueries.trainedCells(s, dir)
+        val hist = emb.where(pmod(col("vec_id"), lit(10)) =!= 7)
+        val initial = graft.similarity.Similarity
+          .assignCells(hist, cents)
+          .select(col("vec_id"), col("cell"), col("e"))
+        val staging =
+          AnalyticsQueries.tempDirCleanedOnExit("graft_ivfx_").toString
+        emb.where(pmod(col("vec_id"), lit(10)) === 7)
+          .select(lit("add").as("op"), col("vec_id"), col("e"))
+          .unionAll(emb.where(pmod(col("vec_id"), lit(10)) === 3)
+            .select(lit("rm").as("op"), col("vec_id"),
+              lit(null).cast("array<double>").as("e")))
+          .repartition(4)
+          .write.mode("overwrite").parquet(s"$staging/ops")
+        val stream = s.readStream
+          .schema("op STRING, vec_id BIGINT, e ARRAY<DOUBLE>")
+          .option("maxFilesPerTrigger", "1").parquet(s"$staging/ops")
+        val retained = graft.streaming.StreamingIvfMixed
+          .maintain(stream, initial, s"$staging/_ckpt",
+            idCol = "vec_id",
+            mkPostings = b => graft.similarity.Similarity
+              .assignCells(b, cents)
+              .select(col("vec_id"), col("cell"), col("e")))
+        graft.similarity.Similarity
+          .ivfTombstoneTopK(retained, cents,
+            Seq.empty[Long].toDF("vec_id"), k = 3, probes = 2)
+          .select(col("vec_id"), col("neighbor_id"), col("cos_sim"))
+          .orderBy(col("vec_id"), col("neighbor_id"))
+      },
+      Some(ExtQueries.ivfTrainCtes(k = 8, iters = 2, dim = 64,
+        probes = Some(2)) +
+        """
+          |SELECT vec_id, neighbor_id, cos_sim FROM (
+          |  SELECT q.vec_id AS vec_id, b.vec_id AS neighbor_id,
+          |    round(list_cosine_similarity(q.e, b.e), 6) AS cos_sim,
+          |    row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY round(list_cosine_similarity(q.e, b.e), 6) DESC,
+          |        b.vec_id) AS rk
+          |  FROM aprobe q JOIN afin b ON q.cell = b.cell AND q.vec_id <> b.vec_id
+          |  WHERE q.vec_id % 10 <> 3 AND b.vec_id % 10 <> 3
+          |) t WHERE rk <= 3 ORDER BY vec_id, neighbor_id""".stripMargin))
   )
 }

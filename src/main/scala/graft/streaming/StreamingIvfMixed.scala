@@ -1,0 +1,278 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.analytics.Graphs
+
+/** MIXED streaming maintenance for the standing IVF POSTING TABLE — the
+  * retraction matrix's last quadrant (r16 verdict, next-round #2): the
+  * digest index (q217) and the cluster map (q216) already have mixed
+  * add/remove maintainers; the ANN index had only the add leg served
+  * online (q205) and batch tombstone serving (q214). ONE stream
+  * interleaves vector ADDS and takedown REMOVES against the standing
+  * posting table (idCol, cell, e) built under FROZEN centroids — the
+  * production stance of every serving system: assignment is a deployed
+  * artifact, deletion must not retrain it
+  * ([[graft.similarity.Similarity.ivfTombstoneTopK]]'s contract).
+  *
+  * The fold invariant is "view = postings over (history ∪ added
+  * vectors) ∖ removed ids", so the final table is row-equal to the
+  * retained-corpus index rebuild HOWEVER the ops split into
+  * micro-batches (removal wins same-batch add+rm; takedown is
+  * permanent — a re-add of a removed id is dropped, the
+  * no-resurrection rule shared with [[StreamingIndexMaint]]).
+  * StreamingIvfMixedSpec pins split-invariance, same-batch shapes,
+  * no-resurrection, and both compaction regimes; q221 gates the sf
+  * pipeline against q214's retained-corpus oracle VERBATIM (batch
+  * tombstone serving and streamed mixed maintenance land on one ground
+  * truth).
+  *
+  * Per-batch fold, cost ∝ batch (never a posting-table rewrite outside
+  * compaction):
+  *
+  *   - ADDS: the caller's `mkPostings` assigns the batch's vectors
+  *     against the frozen centroids (a shuffle-free codegen'd map
+  *     stage — stream and batch assign identically); rows for ids
+  *     removed at ANY earlier point (or in THIS batch) are DROPPED.
+  *     The assigned rows append as one bounded frame.
+  *   - REMOVES: ids fold into the driver-side recent-removals set
+  *     (takedown sets are tiny — the bounded-collect class) and
+  *     anti-join the view at read time; a PAST compaction's removals
+  *     are visible as absence plus the standing removed frame (probed
+  *     only by add batches, one broadcast semi-join ≤ |batch|).
+  *
+  * Standing layers are bounded over the stream's lifetime: added
+  * frames coalesce into ONE owned frame at [[PostingFrameCap]], recent
+  * removals fold into a new base at `compactBound` (the only
+  * index-sized rewrite — [[graft.similarity.Similarity
+  * .compactPostings]]' amortization argument), and removed ids persist
+  * as a frame sized by TOTAL takedown volume (the permanent-takedown
+  * floor).
+  *
+  * `persistDir` (optional) transposes the proven epoch-snapshot
+  * scheme: `postings/<epoch>` + `removed/<epoch>` at compactions
+  * (epoch −1 = initial postings only), `added/<batchId>` per add batch
+  * (the ASSIGNED rows — recovery never re-runs assignment),
+  * `state/<batchId>` one bounded recent-removals frame per fold;
+  * idempotent per-batchId overwrites, recovery takes the newest
+  * snapshot and the newest epochs ≤ it. Recovered frames are EAGERLY
+  * materialized (the r16 advisor's StreamingIndexMaint lesson: a lazy
+  * read of `removed/<E>` crash-loops when a replayed compaction
+  * overwrites the same path). IvfMixedPersistRestartSpec pins the
+  * crash-and-recover path. */
+object StreamingIvfMixed {
+
+  /** Added-posting frames coalesce into one owned frame past this —
+    * the member view stays O(1) frames regardless of batch count. */
+  val PostingFrameCap = 8
+
+  /** Run `opStream` (column `op` STRING 'add'|'rm' + the payload
+    * columns `mkPostings` needs; 'rm' rows are read only at `idCol`)
+    * to completion under AvailableNow against the standing
+    * `initialPostings` (idCol, cell, e); returns the final retained
+    * posting table. `mkPostings` must map add rows to assigned posting
+    * rows (idCol, cell, e) — the frozen-centroid assignment stage. */
+  def maintain(opStream: DataFrame, initialPostings: DataFrame,
+      checkpoint: String, idCol: String,
+      mkPostings: DataFrame => DataFrame, compactBound: Int = 10000,
+      persistDir: Option[String] = None): DataFrame =
+    maintainState(opStream, initialPostings, checkpoint, idCol,
+      mkPostings, compactBound, persistDir).read
+
+  /** [[maintain]] returning the live state carrier — the spec hook for
+    * the O(1)-frames layer bound. */
+  private[streaming] def maintainState(opStream: DataFrame,
+      initialPostings: DataFrame, checkpoint: String, idCol: String,
+      mkPostings: DataFrame => DataFrame, compactBound: Int,
+      persistDir: Option[String]): IvfState = {
+    val spark = opStream.sparkSession
+    val recovered = persistDir.flatMap(d =>
+      loadPersisted(spark, d, idCol))
+    val state = new IvfState(spark,
+      recovered.map(_.postings).getOrElse(initialPostings), idCol,
+      compactBound, persistDir, recovered)
+    if (recovered.isEmpty)
+      persistDir.foreach(d => state.persistPostings(d, -1L))
+    val q = opStream.writeStream
+      .foreachBatch((batch: Dataset[Row], id: Long) =>
+        state.fold(batch.toDF(), id, mkPostings))
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    state
+  }
+
+  private[streaming] final case class Recovered(postings: DataFrame,
+      removed: Option[DataFrame], added: Seq[DataFrame],
+      removedRecent: Seq[Any])
+
+  private[streaming] def loadPersisted(spark: SparkSession, dir: String,
+      idCol: String): Option[Recovered] = {
+    def epochs(sub: String): Seq[Long] = {
+      val f = new java.io.File(s"$dir/$sub")
+      if (!f.isDirectory) Seq.empty
+      else f.listFiles().toSeq.filter(_.isDirectory)
+        .flatMap(x => scala.util.Try(x.getName.toLong).toOption)
+    }
+    val snaps = epochs("state")
+    if (snaps.isEmpty) None
+    else {
+      val m = snaps.max
+      val eligible = epochs("postings").filter(_ <= m)
+      if (eligible.isEmpty)
+        throw new IllegalStateException(
+          s"StreamingIvfMixed.loadPersisted: $dir holds state " +
+            s"snapshot $m but no postings epoch <= $m — the persist " +
+            s"dir is incomplete (failed postings/-1 write or partial " +
+            s"copy); restore the postings/ tree or clear the dir for " +
+            s"a fresh start")
+      val e = eligible.max
+      val postings = spark.read.parquet(s"$dir/postings/$e")
+      val removed = epochs("removed").filter(_ <= m).sorted.lastOption
+        .map(x => spark.read.parquet(s"$dir/removed/$x"))
+      val added = epochs("added").filter(b => b <= m && b > e)
+        .sorted.map(b => spark.read.parquet(s"$dir/added/$b"))
+      val rr = spark.read.parquet(s"$dir/state/$m")
+        .collect().map(_.get(0)).toSeq
+      Some(Recovered(postings, removed, added, rr))
+    }
+  }
+
+  private[streaming] final class IvfState(spark: SparkSession,
+      initialPostings: DataFrame, idCol: String, compactBound: Int,
+      persistDir: Option[String], recovered: Option[Recovered]) {
+
+    private val idType = initialPostings.schema(idCol).dataType
+    private val postingCols: Seq[String] = Seq(idCol, "cell", "e")
+
+    // eager checkpoints throughout: every recovered frame is
+    // materialized before any replayed batch can overwrite the parquet
+    // dirs a recovery read them from (the r16 advisor lesson)
+    private var postingsStanding = initialPostings
+      .select(postingCols.map(col): _*)
+      .transform(Graphs.flatCheckpoint(_))
+    private var removedStanding: Option[DataFrame] =
+      recovered.flatMap(_.removed).map(Graphs.flatCheckpoint(_))
+    private var removedOwned = removedStanding.nonEmpty
+    private val removedRecent = mutable.LinkedHashSet.empty[Any] ++
+      recovered.map(_.removedRecent).getOrElse(Seq.empty)
+    private val addedFrames = mutable.ArrayBuffer.empty[DataFrame] ++
+      recovered.map(_.added).getOrElse(Seq.empty)
+    if (addedFrames.nonEmpty) coalescePostings()
+
+    private[streaming] def postingFrameCount: Int =
+      synchronized(1 + addedFrames.size)
+
+    private def idDf(vals: Seq[Any]): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(vals.map(Row(_)): _*),
+        StructType(Seq(StructField(idCol, idType))))
+
+    /** The retained posting table: (standing ∪ adds) ∖ recent removals
+      * (folded removals are already absent from the standing frame). */
+    private def view: DataFrame = {
+      val all = addedFrames.foldLeft(postingsStanding)(_ unionAll _)
+      if (removedRecent.isEmpty) all
+      else all.join(broadcast(idDf(removedRecent.toSeq)),
+          Seq(idCol), "left_anti")
+        // using-joins front the join column — restore posting order
+        .select(postingCols.map(col): _*)
+    }
+
+    /** Coalesce standing + added frames into ONE owned frame, dropping
+      * currently-tombstoned rows (they can never re-enter — the
+      * no-resurrection filter is permanent; the ids stay in
+      * `removedRecent` until compaction folds them into the standing
+      * removed frame). */
+    private def coalescePostings(): Unit = {
+      val next = view.transform(Graphs.flatCheckpoint(_))
+      Graphs.freeLocalCheckpoint(postingsStanding)
+      addedFrames.foreach(Graphs.freeLocalCheckpoint)
+      addedFrames.clear()
+      postingsStanding = next
+    }
+
+    /** Batch ids removed by a PAST compaction — one broadcast-semi
+      * probe of the standing removed frame, output ≤ |batch|. */
+    private def foldedRemoved(ids: Seq[Any]): Set[Any] =
+      removedStanding match {
+        case None => Set.empty
+        case Some(rs) =>
+          if (ids.isEmpty) Set.empty
+          else rs.join(broadcast(idDf(ids)), Seq(idCol), "left_semi")
+            .select(col(idCol)).collect().map(_.get(0)).toSet
+      }
+
+    def fold(batch: DataFrame, batchId: Long,
+        mkPostings: DataFrame => DataFrame): Unit = synchronized {
+      // ---- removes FIRST: removal wins a same-batch add+rm (the
+      // rebuild oracle's set-minus semantics) --------------------------
+      val removals = batch.where(col("op") === "rm")
+        .select(col(idCol)).distinct()
+        .collect().map(_.get(0)).toSeq
+      removedRecent ++= removals
+      // ---- adds: frozen-centroid assignment, dead ids dropped -------
+      val addRows0 = mkPostings(batch.where(col("op") === "add")
+          .drop("op"))
+        .select(postingCols.map(col): _*)
+      val batchIds = addRows0.select(col(idCol)).distinct()
+        .collect().map(_.get(0)).toSeq
+      val dead = batchIds.filter(removedRecent.contains).toSet ++
+        foldedRemoved(batchIds)
+      val addRows = (
+        if (dead.isEmpty) addRows0
+        else addRows0.join(broadcast(idDf(dead.toSeq)),
+            Seq(idCol), "left_anti")
+          .select(postingCols.map(col): _*))
+        .transform(Graphs.flatCheckpoint(_))
+      if (addRows.count() > 0) {
+        persistDir.foreach(d => addRows.coalesce(1)
+          .write.mode("overwrite").parquet(s"$d/added/$batchId"))
+        addedFrames += addRows
+        if (addedFrames.size > PostingFrameCap) coalescePostings()
+      } else Graphs.freeLocalCheckpoint(addRows)
+      if (removedRecent.size > compactBound) compact(batchId)
+      persistDir.foreach { d =>
+        idDf(removedRecent.toSeq).coalesce(1)
+          .write.mode("overwrite").parquet(s"$d/state/$batchId")
+      }
+    }
+
+    /** Fold recent removals into a new base — the only posting-sized
+      * rewrite ([[graft.similarity.Similarity.compactPostings]]'
+      * amortization); recent removals fold into the standing removed
+      * frame (the permanent-takedown floor). */
+    private def compact(batchId: Long): Unit = {
+      coalescePostings() // view filters removedRecent — the fold
+      if (removedRecent.nonEmpty) {
+        val merged = removedStanding match {
+          case None => idDf(removedRecent.toSeq)
+          case Some(rs) => rs.unionAll(idDf(removedRecent.toSeq))
+        }
+        val mergedCp = merged.transform(Graphs.flatCheckpoint(_))
+        if (removedOwned) removedStanding
+          .foreach(Graphs.freeLocalCheckpoint)
+        removedStanding = Some(mergedCp)
+        removedOwned = true
+      }
+      removedRecent.clear()
+      persistDir.foreach { d =>
+        persistPostings(d, batchId)
+        removedStanding.foreach(_.write.mode("overwrite")
+          .parquet(s"$d/removed/$batchId"))
+      }
+    }
+
+    def persistPostings(dir: String, epoch: Long): Unit =
+      postingsStanding.write.mode("overwrite")
+        .parquet(s"$dir/postings/$epoch")
+
+    def read: DataFrame = synchronized(view)
+  }
+}
