@@ -30,7 +30,9 @@ object ExtQueries {
     * centroid = per-dim avg rounded to 6), so both engines walk identical
     * centroid sequences. */
   private[queries] def ivfTrainCtes(k: Int, iters: Int, dim: Int,
-      probes: Option[Int] = None, assignProbes: Option[Int] = None): String = {
+      probes: Option[Int] = None, assignProbes: Option[Int] = None,
+      embCte: String = "emb AS (SELECT vec_id, " +
+        "CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"): String = {
     val avgVec = (1 to dim).map(i => s"round(avg(e[$i]), 6)")
       .mkString("[", ", ", "]")
     def assign(name: String, cents: String, rkLim: Int) =
@@ -49,7 +51,7 @@ object ExtQueries {
       (probes.map(p => assign("aprobe", s"c$iters", p)).toSeq ++
         assignProbes.map(a => assign("aidx", s"c$iters", a)).toSeq))
     (Seq(
-      "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+      embCte,
       s"""c0 AS (
          |  SELECT rn - 1 AS cell, e AS c FROM (
          |    SELECT e, row_number() OVER (
@@ -2620,6 +2622,70 @@ object ExtQueries {
            |     * sum(CASE WHEN is_delta THEN 1 ELSE 0 END)) AS retrain
            |FROM fa GROUP BY cluster ORDER BY cluster""".stripMargin
       }),
+
+    // ACTING on the retrain trigger (graft.similarity.Retrain) — q203
+    // computes the integer-exact drift trigger; this query CONSUMES it
+    // (r16 verdict next-round #3): the %10==7 ingest slice arrives
+    // DRIFTED (each coordinate affinely transformed, x·3 + 0.5 — the
+    // planted drift that makes the fire path exercisable on this
+    // isotropic corpus, where no natural slice trips the 2× mean-error
+    // predicate; the transform is replayed VERBATIM in the oracle), the
+    // hist-trained k=4 monitor fires cell-locally (measured ~25× the
+    // history's mean quantized error at every scale), and the engine
+    // runs the full consequence: quantizer retrained from scratch on
+    // the full drifted corpus, every vector re-encoded, serving swapped
+    // only after the successor artifacts are complete (maybeSwap
+    // returns the old epoch VERBATIM until then — RetrainSpec pins the
+    // no-fire path). The oracle is DuckDB training from scratch on the
+    // same drifted corpus: the swapped-in index must be
+    // indistinguishable from a cold build — and had the trigger NOT
+    // fired, the stale hist-trained epoch would hash-differ, so the
+    // fire decision itself sits under the gate. The epoch counter rides
+    // as a column (1 = exactly one swap).
+    Q("q222_retrain_epoch_swap",
+      (s, dir) => {
+        import s.implicits._
+        val emb = embFrame(s, dir)
+        val drifted = Caches.frame(s, dir, "driftedEmb", eager = true) {
+          emb.select(col("vec_id"),
+            when(pmod(col("vec_id"), lit(10)) === 7,
+              transform(col("e"), x => x * lit(3.0) + lit(0.5)))
+            .otherwise(col("e")).as("e"))
+        }
+        val hist = drifted.where(pmod(col("vec_id"), lit(10)) =!= 7)
+        val delta = drifted.where(pmod(col("vec_id"), lit(10)) === 7)
+        val histCents = graft.similarity.Similarity
+          .trainCells(hist, k = 8, iters = 2)
+        val old = graft.similarity.Retrain.IvfEpoch(0L, histCents,
+          graft.similarity.Similarity.assignCells(drifted, histCents)
+            .select(col("vec_id"), col("cell"), col("e")))
+        val monitor = graft.similarity.Clustering
+          .lloydCentroids(hist, vecCol = "e", k = 4, updates = 2)
+        val serving = graft.similarity.Retrain.maybeSwap(old, drifted,
+          hist, delta, monitor, k = 8, iters = 2, monitorVecCol = "e")
+        graft.similarity.Similarity
+          .ivfTombstoneTopK(serving.postings, serving.cents,
+            Seq.empty[Long].toDF("vec_id"), k = 3, probes = 3)
+          .select(col("vec_id"), col("neighbor_id"), col("cos_sim"),
+            lit(serving.epoch).as("epoch"))
+          .orderBy(col("vec_id"), col("neighbor_id"))
+      },
+      Some(ivfTrainCtes(k = 8, iters = 2, dim = 64, probes = Some(3),
+        embCte = """emb AS (SELECT vec_id, CASE WHEN vec_id % 10 = 7
+          |  THEN list_transform(CAST(embedding AS DOUBLE[]),
+          |       x -> x * 3.0 + 0.5)
+          |  ELSE CAST(embedding AS DOUBLE[]) END AS e FROM embeddings)"""
+          .stripMargin) +
+        """
+          |SELECT vec_id, neighbor_id, cos_sim, CAST(1 AS BIGINT) AS epoch
+          |FROM (
+          |  SELECT q.vec_id AS vec_id, b.vec_id AS neighbor_id,
+          |    round(list_cosine_similarity(q.e, b.e), 6) AS cos_sim,
+          |    row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY round(list_cosine_similarity(q.e, b.e), 6) DESC,
+          |        b.vec_id) AS rk
+          |  FROM aprobe q JOIN afin b ON q.cell = b.cell AND q.vec_id <> b.vec_id
+          |) t WHERE rk <= 3 ORDER BY vec_id, neighbor_id""".stripMargin)),
 
     // H.264 manifest extraction (graft.ext.H264 — Annex-B NAL walker +
     // Exp-Golomb SPS parser from the public ITU-T H.264 spec): the video

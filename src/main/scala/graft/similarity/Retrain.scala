@@ -1,0 +1,84 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Drift-triggered retraining for the trained-IVF family — the
+  * CONSUMER of the q203/q205 monitor (the r16 verdict's next-round #3:
+  * "q203 computes the integer-exact drift trigger but nothing consumes
+  * it"). The production pattern at 100 TB: serving runs on a frozen
+  * EPOCH (centroids + posting table — the deployed artifacts every
+  * query in the trained-IVF family assumes); a cheap keyed-aggregate
+  * monitor watches each ingest slice; when the trigger fires the
+  * expensive retrain → re-encode runs OFFLINE against the full corpus,
+  * and only the finished artifact set swaps in. Serving reads the OLD
+  * epoch until the swap commits — [[maybeSwap]] returns either the old
+  * epoch VERBATIM (same object, artifacts untouched) or a fully-built
+  * successor; the caller's single reference assignment IS the commit
+  * point, so there is no window where queries see half-trained state.
+  *
+  * RetrainSpec pins both paths (no-fire returns the old epoch
+  * unmutated; fire trains exactly [[Similarity.trainCells]]'
+  * trajectory on the full corpus); q222 gates the fire path end-to-end
+  * against DuckDB's from-scratch full-corpus training replay. */
+object Retrain {
+
+  /** One deployed artifact generation: the coarse quantizer and the
+    * posting table every serve-path query keys by `cell`. */
+  final case class IvfEpoch(epoch: Long,
+      cents: Array[(Int, Array[Double])], postings: DataFrame)
+
+  /** q203's integer-exact drift predicate reduced to the FIRE
+    * decision: true iff ANY monitor cell trips
+    * `dist2_delta · n_hist > 2 · dist2_hist · n_delta` (mean quantized
+    * assignment error of the delta slice more than doubles the
+    * history's, cell-locally). Both sides are exact integers widened
+    * to decimal — no FP threshold, so the decision is reproducible
+    * across engines and run orders. Each population reduces to ≤ k
+    * monitor rows via one keyed integer aggregate; the comparison runs
+    * on those k-sized frames (one action, bounded). */
+  def triggerFires(hist: DataFrame, delta: DataFrame,
+      monitor: Seq[(Long, Array[Long])], idCol: String = "vec_id",
+      vecCol: String = "embedding"): Boolean = {
+    val gH = Clustering.assign(hist, monitor, idCol, vecCol)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_hist"),
+        sum(col("dist2")).as("dist2_hist"))
+    val gD = Clustering.assign(delta, monitor, idCol, vecCol)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_delta"),
+        sum(col("dist2")).as("dist2_delta"))
+    gH.join(gD, Seq("cluster"), "full_outer")
+      .where(
+        coalesce(col("dist2_delta"), lit(0L)).cast("decimal(38,0)") *
+          coalesce(col("n_hist"), lit(0L)) >
+        coalesce(col("dist2_hist"), lit(0L)).cast("decimal(38,0)") *
+          coalesce(col("n_delta"), lit(0L)) * lit(2))
+      .limit(1).count() > 0
+  }
+
+  /** Trigger-gated retrain → re-encode → epoch swap. When the monitor
+    * does NOT fire, returns `old` verbatim — the old artifacts keep
+    * serving, nothing is trained, nothing is touched. When it fires,
+    * builds the complete successor epoch — quantizer retrained from
+    * scratch over the FULL `corpus` ([[Similarity.trainCells]], the
+    * same trajectory a cold build walks, so the swapped-in index is
+    * indistinguishable from one trained fresh — q222's oracle pins
+    * exactly that), every vector re-encoded under the new centroids —
+    * and returns it with the epoch counter advanced. The caller swaps
+    * its serving reference to the returned value; until that
+    * assignment, every reader still resolves the old epoch. */
+  def maybeSwap(old: IvfEpoch, corpus: DataFrame, hist: DataFrame,
+      delta: DataFrame, monitor: Seq[(Long, Array[Long])], k: Int,
+      iters: Int, idCol: String = "vec_id",
+      monitorVecCol: String = "embedding", vecCol: String = "e")
+      : IvfEpoch = {
+    if (!triggerFires(hist, delta, monitor, idCol, monitorVecCol)) old
+    else {
+      val cents = Similarity.trainCells(corpus, k, iters, idCol, vecCol)
+      val postings = Similarity.assignCells(corpus, cents, idCol, vecCol)
+        .select(col(idCol), col("cell"), col(vecCol))
+      IvfEpoch(old.epoch + 1, cents, postings)
+    }
+  }
+}
