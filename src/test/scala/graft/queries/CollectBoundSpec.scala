@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.plans.CollectAudit
+
+/** Registry-wide gate for the BOUNDED-COLLECT discipline (the r16
+  * verdict's next-round #4, mechanized like FpDeterminismSpec did for
+  * FP order): every `.collect()` a query performs while it BUILDS —
+  * quantizer training, threshold tables, delta remaps, streaming-fold
+  * state, prefix offsets — must deliver a driver-bounded row count. A
+  * corpus-sized internal collect works at test scale and dies at
+  * 100 TB; this gate fails the build the day one appears.
+  *
+  * The ceiling is [[Ceiling]] rows per internal collect: the
+  * registry's legitimate collects measured across the whole registry
+  * are the CORPUS-INDEPENDENT training constants — d² Gram cells
+  * (4096), m·ksub·sd PQ codebook rows (2048), k·d Lloyd update rows
+  * (256) — plus ≤ 6-row thresholds, partition-count prefix offsets,
+  * monitor aggregates (≤ k), and batch-/compactBound-sized maintainer
+  * state; the ceiling clears the largest constant with ~10% margin and
+  * sits well under every pair-level, exploded, or big-table row count.
+  * Unknown row counts (no metric anywhere in the executed plan) also
+  * flag: an unmeasurable collect is not a bounded one.
+  *
+  * EXCLUDED: batches written to the streaming MEMORY sink
+  * (`WriteToDataSourceV2` roots). The memory sink is this harness's
+  * result-materialization choice — result-sized by contract, the same
+  * volume the driver's own dump reads — while production sinks
+  * (parquet/WARC/kafka) write distributed; the engine's own
+  * foreachBatch fold collects are ordinary actions and stay gated.
+  * Residual blind spot, documented: a full collect of a table smaller
+  * than the ceiling (sf0.001 documents = 500 rows) passes; the gate
+  * exists for the corpus-scaling classes (pair streams, exploded
+  * grams, lineitem-sized frames), and CollectAuditSpec's 50k fixture
+  * pins that those flag.
+  *
+  * Queries are BUILT (which executes their internal collects and, for
+  * streaming rows, their full micro-batch folds); the final frame is
+  * not collected — that is the driver's own dump, not engine-internal
+  * state. Set GRAFT_COLLECT_PRINT=1 to dump the per-query maxima
+  * instead of asserting (the triage mode). */
+class CollectBoundSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir =
+    sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.001")
+  private val printOnly = sys.env.contains("GRAFT_COLLECT_PRINT")
+
+  /** Per-collect row ceiling — see class doc. */
+  val Ceiling = 4500L
+
+  test("every internal collect during query build is driver-bounded") {
+    val offenders = Registry.all.flatMap { q =>
+      val r = CollectAudit.start(spark)
+      val built =
+        try { q.run(spark, dir); None }
+        catch { case e: Throwable =>
+          Some(s"${q.name}: <build failed: " +
+            s"${e.getClass.getSimpleName}: ${e.getMessage}>")
+        }
+      val events = CollectAudit.stop(spark, r)
+      if (printOnly) {
+        val mx = events.map(_.rows).maxOption.getOrElse(0L)
+        println(s"[collect-audit] ${q.name} n=${events.size} max=$mx" +
+          (if (events.exists(_.rows < 0)) " UNKNOWN" else ""))
+        events.filter(_.rows > 100).foreach(e =>
+          println(s"[collect-audit]   ${q.name} ${e.funcName} " +
+            s"rows=${e.rows} root=${e.rootNode}"))
+      }
+      val bad = events
+        .filter(_.rootNode != "WriteToDataSourceV2") // memory-sink leg
+        .filter(e => e.rows > Ceiling || e.rows < 0)
+        .map(e => s"${q.name}: ${e.funcName} rows=${e.rows} " +
+          s"root=${e.rootNode}")
+      built.toSeq ++ (if (printOnly) Nil else bad)
+    }
+    assert(offenders.isEmpty,
+      s"\nDriver-unbounded internal collects (bound each by k/batch/" +
+        s"compactBound or push the work into the plan):\n  " +
+        offenders.mkString("\n  "))
+  }
+}
