@@ -124,6 +124,80 @@ object MemoryPressure {
         .orderBy(col("gram"), col("doc_id")))
     }
 
+    // The STREAMING MAINTAINER fold loops under the same constrained
+    // heap (the r16 verdict's next-round #5: the batch heavy paths were
+    // probed at 2 GiB; the q216/q217-shaped loops were not). 24 folds
+    // each on a 100k corpus, RocksDB state store, forcing compactBounds
+    // so coalesce AND compaction boundaries land inside the probe; the
+    // per-fold standing layers (localCheckpoint blocks + driver sets)
+    // are the thing that would OOM a small heap if they weren't bounded.
+    probe("mixed_cc_24folds") {
+      val n = 100000L
+      val nb = 24
+      val ids = spark.range(n).select(col("id").as("doc_id"))
+      val hist = spark.range(n - 1).where((col("id") + 1) % 20 =!= 0)
+        .select(col("id").as("a"), (col("id") + 1).as("b")).persist()
+      try {
+        val labels = graft.analytics.Graphs.connectedComponents(ids, hist)
+          .localCheckpoint()
+        val adds = spark.range(n / 20 - 1)
+          .where(pmod(xxhash64(col("id")), lit(50)) === 0)
+          .select(lit("add").as("op"), (col("id") * 20 + 19).as("a"),
+            ((col("id") + 1) * 20).as("b"))
+        val rms = spark.range(n)
+          .where(pmod(xxhash64(col("id") + 7), lit(2000)) === 0)
+          .select(lit("rm").as("op"), col("id").as("a"), lit(-1L).as("b"))
+        val ops = adds.unionAll(rms).withColumn("__b",
+          pmod(xxhash64(col("a"), col("op")), lit(nb)))
+        for (b <- 0 until nb)
+          ops.where(col("__b") === b).drop("__b").repartition(1)
+            .write.mode("append").parquet(s"$base/mixed_in")
+        graft.streaming.StateBackend.withRocksDb(spark) {
+          force(graft.streaming.StreamingCcMixed.maintain(
+            spark.readStream.schema("op STRING, a BIGINT, b BIGINT")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(s"$base/mixed_in"),
+            labels, hist, ids, s"$base/mixed_ckpt", compactBound = 10))
+        }
+      } finally hist.unpersist()
+    }
+    probe("index_maint_24folds") {
+      val n = 100000L
+      val nb = 24
+      val histM = spark.range(n).select(
+        concat(lit("k"), (col("id") / 5)).as("k"), col("id").as("doc_id"))
+        .persist()
+      try {
+        val index = histM.groupBy(col("k"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_occ"))
+        val adds = spark.range(n / 100)
+          .select(lit("add").as("op"), (col("id") + n).as("doc_id"),
+            concat(lit("k"), pmod(xxhash64(col("id")), lit(n / 5)))
+              .as("text"))
+        val rms = spark.range(n)
+          .where(pmod(xxhash64(col("id") + 3), lit(n / 500)) === 0)
+          .select(lit("rm").as("op"), col("id").as("doc_id"),
+            lit(null).cast("string").as("text"))
+        val ops = adds.unionAll(rms).withColumn("__b",
+          pmod(xxhash64(col("doc_id"), col("op")), lit(nb)))
+        for (b <- 0 until nb)
+          ops.where(col("__b") === b).drop("__b").repartition(1)
+            .write.mode("append").parquet(s"$base/idxm_in")
+        graft.streaming.StateBackend.withRocksDb(spark) {
+          force(graft.streaming.StreamingIndexMaint.maintain(
+            spark.readStream
+              .schema("op STRING, doc_id BIGINT, text STRING")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(s"$base/idxm_in"),
+            index, histM, s"$base/idxm_ckpt", keyCol = "k",
+            docCol = "doc_id", orderCols = Seq("doc_id"),
+            mkMembers = b => b.select(col("text").as("k"),
+              col("doc_id")),
+            compactBound = 25))
+        }
+      } finally histM.unpersist()
+    }
+
     println(f"[mem] TOTAL spill: mem ${memSpill.get / 1048576.0}%.1f MB, " +
       f"disk ${diskSpill.get / 1048576.0}%.1f MB — completed, no OOM")
     spark.stop()

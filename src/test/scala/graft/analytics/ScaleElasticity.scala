@@ -371,16 +371,97 @@ object ScaleElasticity {
     // removes drag their chain into the repair); the inner line reports
     // early-vs-late per-batch means (batch 0 excluded as warmup) —
     // flat ⟺ the standing layers are O(1) in batch count.
-    def mixedMaintProbe(tag: String): Unit = {
+    /** Per-batch trigger durations of a streaming run, via the async
+      * progress listener (shared by the maintainer fold probes). */
+    def timedFolds(run: => Unit): Seq[Double] = {
+      val durs = scala.collection.mutable.Map.empty[Long, Double]
+      val listener =
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          override def onQueryStarted(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryProgress(e: org.apache.spark.sql.streaming
+              .StreamingQueryListener.QueryProgressEvent): Unit =
+            durs.synchronized {
+              durs(e.progress.batchId) = e.progress.durationMs
+                .get("triggerExecution").toDouble / 1000
+            }
+          override def onQueryTerminated(e: org.apache.spark.sql
+            .streaming.StreamingQueryListener.QueryTerminatedEvent)
+            : Unit = ()
+        }
+      spark.streams.addListener(listener)
+      try {
+        run
+        Thread.sleep(2000) // progress events are async; let them drain
+      } finally spark.streams.removeListener(listener)
+      durs.synchronized(durs.toSeq.sortBy(_._1).map(_._2))
+    }
+
+    def reportFolds(name: String, tag: String, seq: Seq[Double]): Unit = {
+      val early = seq.slice(1, 9)
+      val late = seq.takeRight(8)
+      val em = early.sum / early.size
+      val lm = late.sum / late.size
+      println(f"[elast]   $name $tag ${seq.size} folds, " +
+        f"per-batch early $em%.2f s -> late $lm%.2f s " +
+        f"(${lm / em}%.2fx; flat <=> O(1) standing layers)")
+    }
+
+    /** STREAMING digest-index maintenance (q217's shape) over many
+      * folds with a FORCING compactBound — the r16 verdict's
+      * long-horizon ask: per-fold wall must stay flat past every
+      * member-frame-cap coalesce and compaction boundary. Groups of 5
+      * duplicate docs per digest; adds join existing digests (keeper
+      * re-election does real work), removes hit keepers (handoff). */
+    def indexMaintProbe(tag: String, nb: Int, compactBound: Int): Unit = {
       val n = 100000L * scaleOf(tag)
-      val nb = 24
+      val histM = spark.range(n).select(
+        concat(lit("k"), (col("id") / 5)).as("k"), col("id").as("doc_id"))
+        .persist()
+      try {
+        val index = histM.groupBy(col("k"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_occ"))
+        val dir = s"$base/idxm_${tag}_$nb"
+        val adds = spark.range(n / 100)
+          .select(lit("add").as("op"), (col("id") + n).as("doc_id"),
+            concat(lit("k"), pmod(xxhash64(col("id")), lit(n / 5)))
+              .as("text"))
+        val rms = spark.range(n)
+          .where(pmod(xxhash64(col("id") + 3), lit(n / 500)) === 0)
+          .select(lit("rm").as("op"), col("id").as("doc_id"),
+            lit(null).cast("string").as("text"))
+        val ops = adds.unionAll(rms).withColumn("__b",
+          pmod(xxhash64(col("doc_id"), col("op")), lit(nb)))
+        for (b <- 0 until nb)
+          ops.where(col("__b") === b).drop("__b").repartition(1)
+            .write.mode("append").parquet(s"$dir/in")
+        val seq = timedFolds {
+          graft.streaming.StateBackend.withRocksDb(spark) {
+            force(graft.streaming.StreamingIndexMaint.maintain(
+              spark.readStream
+                .schema("op STRING, doc_id BIGINT, text STRING")
+                .option("maxFilesPerTrigger", "1").parquet(s"$dir/in"),
+              index, histM, s"$dir/_ckpt", keyCol = "k",
+              docCol = "doc_id", orderCols = Seq("doc_id"),
+              mkMembers = b => b.select(col("text").as("k"),
+                col("doc_id")),
+              compactBound = compactBound))
+          }
+        }
+        reportFolds(s"index_maint($nb,cb=$compactBound)", tag, seq)
+      } finally histM.unpersist()
+    }
+
+    def mixedMaintProbe(tag: String, nb: Int = 24,
+        compactBound: Int = 10000): Unit = {
+      val n = 100000L * scaleOf(tag)
       val ids = spark.range(n).select(col("id").as("doc_id"))
       val hist = spark.range(n - 1).where((col("id") + 1) % 20 =!= 0)
         .select(col("id").as("a"), (col("id") + 1).as("b")).persist()
       try {
         val labels = graft.analytics.Graphs.connectedComponents(ids, hist)
           .localCheckpoint()
-        val dir = s"$base/mixed_$tag"
+        val dir = s"$base/mixed_${tag}_$nb"
         val adds = spark.range(n / 20 - 1)
           .where(pmod(xxhash64(col("id")), lit(50)) === 0)
           .select(lit("add").as("op"), (col("id") * 20 + 19).as("a"),
@@ -393,37 +474,16 @@ object ScaleElasticity {
         for (b <- 0 until nb)
           ops.where(col("__b") === b).drop("__b").repartition(1)
             .write.mode("append").parquet(s"$dir/in")
-        val durs = scala.collection.mutable.Map.empty[Long, Double]
-        val listener =
-          new org.apache.spark.sql.streaming.StreamingQueryListener {
-            override def onQueryStarted(e: org.apache.spark.sql.streaming
-              .StreamingQueryListener.QueryStartedEvent): Unit = ()
-            override def onQueryProgress(e: org.apache.spark.sql.streaming
-                .StreamingQueryListener.QueryProgressEvent): Unit =
-              durs.synchronized {
-                durs(e.progress.batchId) = e.progress.durationMs
-                  .get("triggerExecution").toDouble / 1000
-              }
-            override def onQueryTerminated(e: org.apache.spark.sql
-              .streaming.StreamingQueryListener.QueryTerminatedEvent)
-              : Unit = ()
+        val seq = timedFolds {
+          graft.streaming.StateBackend.withRocksDb(spark) {
+            force(graft.streaming.StreamingCcMixed.maintain(
+              spark.readStream.schema("op STRING, a BIGINT, b BIGINT")
+                .option("maxFilesPerTrigger", "1").parquet(s"$dir/in"),
+              labels, hist, ids, s"$dir/_ckpt",
+              compactBound = compactBound))
           }
-        spark.streams.addListener(listener)
-        try {
-          force(graft.streaming.StreamingCcMixed.maintain(
-            spark.readStream.schema("op STRING, a BIGINT, b BIGINT")
-              .option("maxFilesPerTrigger", "1").parquet(s"$dir/in"),
-            labels, hist, ids, s"$dir/_ckpt"))
-          Thread.sleep(2000) // progress events are async; let them drain
-        } finally spark.streams.removeListener(listener)
-        val seq = durs.synchronized(durs.toSeq.sortBy(_._1).map(_._2))
-        val early = seq.slice(1, 9)
-        val late = seq.takeRight(8)
-        val em = early.sum / early.size
-        val lm = late.sum / late.size
-        println(f"[elast]   mixed_maint $tag ${seq.size} folds, " +
-          f"per-batch early $em%.2f s -> late $lm%.2f s " +
-          f"(${lm / em}%.2fx; flat <=> O(1) standing layers)")
+        }
+        reportFolds(s"mixed_maint($nb,cb=$compactBound)", tag, seq)
       } finally hist.unpersist()
     }
     def ccStarChain(tag: String): Unit = {
@@ -821,7 +881,15 @@ object ScaleElasticity {
       ("cc_retract_clustered", (t: String) => ccRetractProbe(t, "clustered")),
       ("dedup_retract", dedupRetractProbe _),
       ("ivf_tombstone", (t: String) => ivfTombstoneProbe(t, 8 * scaleOf(t))),
-      ("mixed_maint_flat", mixedMaintProbe _),
+      ("mixed_maint_flat", (t: String) => mixedMaintProbe(t)),
+      // the r16 verdict's long-horizon ask: >= 100 folds on a fixed
+      // corpus with a FORCING compactBound, so per-fold flatness is
+      // proven past every EdgeFrameCap coalesce and several
+      // compaction boundaries (the planning bug surfaced at fold ~20)
+      ("mixed_maint_long",
+        (t: String) => mixedMaintProbe(t, nb = 100, compactBound = 10)),
+      ("index_maint_long",
+        (t: String) => indexMaintProbe(t, nb = 100, compactBound = 25)),
       ("asof_join", asofProbe _),
       ("range_join", rangeProbe _),
       ("asof_hot_plain", (t: String) => asofHot(t, bucketed = false)),
