@@ -297,6 +297,67 @@ object Graphs {
     * (GraphsSpec's ccDelta equivalences pin it). `maxRounds` is unused
     * since the union-find replaced the loop; kept for source
     * compatibility. */
+  /** Driver-side union-find with CANONICAL min representatives —
+    * shared by the delta remap and the small-blast-radius retract
+    * repair. Canonicalization MUST match the distributed paths' min():
+    * Comparable.compareTo diverges (Java String is UTF-16 code-unit
+    * order; Spark min() on strings is UTF8String code-point order —
+    * supplementary characters sort differently) and throws on
+    * non-Comparable ids (binary digests), so comparisons go through
+    * Spark's interpreted ordering on the column's INTERNAL
+    * representation. Binary ids also need value-equality map keys
+    * (Array[Byte] hashes by reference): the structure runs over
+    * wrapped keys with a key → external-value table for emission. */
+  private final class DriverUnionFind(
+      dt: org.apache.spark.sql.types.DataType) {
+    private val toCatalyst =
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(dt)
+    private val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(dt)
+    private val orig = mutable.HashMap.empty[Any, Any]
+    private val parent = mutable.HashMap.empty[Any, Any]
+    private def key(x: Any): Any = x match {
+      case b: Array[Byte] =>
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+      case o => o
+    }
+    /** Register a node (idempotent); returns its internal key. */
+    def add(x: Any): Any = {
+      val k = key(x)
+      orig.getOrElseUpdate(k, x)
+      k
+    }
+    private def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent(c); parent(c) = r; c = n
+      }
+      r
+    }
+    private def lt(a: Any, b: Any): Boolean =
+      ord.compare(toCatalyst(orig(a)), toCatalyst(orig(b))) < 0
+    def union(a: Any, b: Any): Unit = {
+      val (ra, rb) = (find(add(a)), find(add(b)))
+      if (ra != rb) {
+        // min-id representative keeps labels canonical
+        if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    /** (changed root → new root) rows — identity rows dropped. */
+    def remapRows: Seq[org.apache.spark.sql.Row] = parent.keys.toSeq
+      .map(k => k -> find(k))
+      .filter { case (k, v) => k != v } // absent = unchanged
+      .map { case (k, v) =>
+        org.apache.spark.sql.Row(orig(k), orig(v)) }
+    /** (node → canonical root) rows for EVERY registered node —
+      * singletons label themselves. */
+    def labelRows: Seq[org.apache.spark.sql.Row] = orig.keys.toSeq
+      .map(k => org.apache.spark.sql.Row(orig(k), orig(find(k))))
+  }
+
   def ccDeltaRemap(base: DataFrame, remap: Option[DataFrame],
       deltaPairs: DataFrame, idCol: String = "doc_id",
       maxRounds: Int = 30): DataFrame = {
@@ -324,51 +385,9 @@ object Graphs {
     // driver-side: ONE collect of the ≤ |delta| rooted pairs
     val idType = base.schema(idCol).dataType
     val pairs = rooted.collect()
-    // Canonicalization MUST match the distributed paths' min():
-    // Comparable.compareTo diverges (Java String is UTF-16 code-unit
-    // order; Spark min() on strings is UTF8String code-point order —
-    // supplementary characters sort differently) and throws on
-    // non-Comparable ids (binary digests). So compare through Spark's
-    // own interpreted ordering on the column's INTERNAL representation.
-    // Binary ids also need value-equality map keys (Array[Byte] hashes
-    // by reference), so union-find runs over wrapped keys with a
-    // key -> external-value table for emission.
-    val toCatalyst = org.apache.spark.sql.catalyst.CatalystTypeConverters
-      .createToCatalystConverter(idType)
-    val ord = org.apache.spark.sql.catalyst.util.TypeUtils
-      .getInterpretedOrdering(idType)
-    def key(x: Any): Any = x match {
-      case b: Array[Byte] =>
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
-      case o => o
-    }
-    val orig = mutable.HashMap.empty[Any, Any]
-    val parent = mutable.HashMap.empty[Any, Any]
-    def find(x: Any): Any = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent(r)
-      var c = x // path compression
-      while (parent.getOrElse(c, c) != c) {
-        val n = parent(c); parent(c) = r; c = n
-      }
-      r
-    }
-    def lt(a: Any, b: Any): Boolean =
-      ord.compare(toCatalyst(orig(a)), toCatalyst(orig(b))) < 0
-    for (row <- pairs) {
-      val (ka, kb) = (key(row.get(0)), key(row.get(1)))
-      orig.getOrElseUpdate(ka, row.get(0))
-      orig.getOrElseUpdate(kb, row.get(1))
-      val (ra, rb) = (find(ka), find(kb))
-      if (ra != rb) {
-        // min-id representative keeps labels canonical
-        if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
-      }
-    }
-    val entries = parent.keys.toSeq
-      .map(k => k -> find(k))
-      .filter { case (k, v) => k != v } // absent = unchanged
-      .map { case (k, v) => org.apache.spark.sql.Row(orig(k), orig(v)) }
+    val uf = new DriverUnionFind(idType)
+    for (row <- pairs) uf.union(row.get(0), row.get(1))
+    val entries = uf.remapRows
     rooted.sparkSession.createDataFrame(
       java.util.Arrays.asList(entries: _*),
       org.apache.spark.sql.types.StructType(Seq(
@@ -431,9 +450,46 @@ object Graphs {
     val e = pairs.toDF("__a", "__b")
       .join(keep.select(col(idCol).as("__a")), "__a")
       .join(keep.select(col(idCol).as("__b")), "__b")
-    (connectedComponents(keep, e.select(col("__a"), col("__b")),
-      idCol, maxRounds), affected)
+      .select(col("__a"), col("__b"))
+    // ADAPTIVE small-case solve: a takedown's blast radius is usually a
+    // handful of components, and re-solving it with the distributed
+    // star-contraction loop pays ~20 driver-synchronized jobs per
+    // repair (the ccDeltaRemap lesson, remove-leg edition — q216's
+    // fold profile showed 411 jobs dominated by exactly this). When
+    // BOTH the retained members and the affected edge set fit the
+    // bounded-collect ceiling, one collect each + a driver union-find
+    // replaces the loop, with labels canonical by the same Spark
+    // interpreted ordering the distributed min() uses — row-identical
+    // by construction (GraphsSpec pins equality on random graphs; the
+    // oracles of q213/q215/q216 gate it end-to-end). A giant affected
+    // component (dense near-dup clique: members² edges) falls back to
+    // the distributed loop unchanged — the limit probes cost one
+    // bounded job each, noise next to the loop they replace.
+    val memberRows = keep.limit(RetractSolveBound + 1).collect()
+    if (memberRows.length <= RetractSolveBound) {
+      val edgeRows = e.limit(RetractSolveBound + 1).collect()
+      if (edgeRows.length <= RetractSolveBound) {
+        val idType = labels.schema(idCol).dataType
+        val uf = new DriverUnionFind(idType)
+        memberRows.foreach(r => uf.add(r.get(0)))
+        edgeRows.foreach(r => uf.union(r.get(0), r.get(1)))
+        // cluster_id is a member id (canonical = min member), so both
+        // fields are idType — the same schema connectedComponents emits
+        val resolved = labels.sparkSession.createDataFrame(
+          java.util.Arrays.asList(uf.labelRows: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(idCol, idType),
+            org.apache.spark.sql.types.StructField("cluster_id",
+              idType))))
+        return (resolved, affected)
+      }
+    }
+    (connectedComponents(keep, e, idCol, maxRounds), affected)
   }
+
+  /** Collect ceiling for [[ccRetractParts]]' small-case repair — under
+    * CollectBoundSpec's registry gate (4500) by margin. */
+  private val RetractSolveBound = 4000
 
   /** Step 3 of [[ccDelta]] as the MERGE-ON-READ label view: every id's
     * label through (base, remap) — base root first (own id for new

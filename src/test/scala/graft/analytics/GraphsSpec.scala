@@ -263,6 +263,43 @@ class GraphsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ccRetract falls back to the distributed solve past the " +
+      "member bound and stays row-equal: >4000 retained members") {
+    import spark.implicits._
+    // one 4200-node chain component; removing its head exceeds the
+    // small-case member ceiling (4000) — the repair must take the
+    // distributed star-contraction path and still hand the canonical
+    // label off to the min RETAINED member
+    val n = 4200L
+    val ids = spark.range(n).select(col("id").as("doc_id"))
+    val edges = spark.range(n - 1)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val labels = Graphs.connectedComponents(ids, edges)
+    val got = Graphs.ccRetract(labels, edges, Seq(0L).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === (n - 1).toInt)
+    assert(got.values.toSet === Set(1L),
+      "the canonical label must hand off to the min retained member")
+  }
+
+  test("ccRetract falls back past the EDGE bound (dense component, " +
+      "few members) and stays row-equal") {
+    import spark.implicits._
+    // 120 members but ~7k edges (dense near-dup clique shape): the
+    // member probe passes, the edge probe must trip the fallback
+    val n = 120
+    val dense = for {
+      i <- 0 until n; j <- (i + 1) until n
+    } yield (i.toLong, j.toLong)
+    assert(dense.size > 4000)
+    val ids = (0L until n.toLong).toDF("doc_id")
+    val labels = Graphs.connectedComponents(ids, dense.toDF("a", "b"))
+    val got = Graphs.ccRetract(labels, dense.toDF("a", "b"),
+        Seq(0L).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === n - 1 && got.values.toSet === Set(1L))
+  }
+
   test("counts each triangle once at each corner") {
     // K4 on {1,2,3,4}: 4 triangles, each node in exactly 3; node 9
     // hangs off node 1 and is in none
