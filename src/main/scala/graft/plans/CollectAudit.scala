@@ -5,7 +5,7 @@ import java.util.concurrent.ConcurrentLinkedQueue
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, QueryExecution, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.{CollectLimitExec, EmptyRelationExec, GlobalLimitExec, QueryExecution, SparkPlan, TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.util.QueryExecutionListener
 
@@ -54,6 +54,9 @@ object CollectAudit {
     // AQE wrappers: the final plan hides behind leaf-node stages
     case a: AdaptiveSparkPlanExec => firstRows(a.executedPlan)
     case s: QueryStageExec => firstRows(s.plan)
+    // AQE's propagate-empty rewrite replaces a provably-empty subtree
+    // with a metric-less leaf — zero rows by construction
+    case _: EmptyRelationExec => Some(0L)
     // limit roots carry no row metric but bound delivery by
     // construction: min(child rows, limit) is the delivered ceiling
     case t: TakeOrderedAndProjectExec =>
