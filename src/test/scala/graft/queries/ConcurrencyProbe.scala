@@ -32,8 +32,12 @@ import org.apache.spark.sql.SparkSession
   */
 object ConcurrencyProbe {
 
+  // q222 joined in round 17: it shares trainedCells with q65/q66/q67
+  // AND owns the new driftedEmb cache key — concurrent sessions race
+  // one more single-flight family, including a maybeSwap retrain whose
+  // trigger evaluation collects monitor aggregates per session
   private val SlicePrefixes = Seq("q10_", "q185", "q26_", "q28_", "q65_",
-    "q66_", "q67_", "q103_", "q116_", "q21_", "q22_", "q144_")
+    "q66_", "q67_", "q103_", "q116_", "q21_", "q22_", "q144_", "q222_")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
