@@ -112,13 +112,18 @@ object CollectAudit {
     r.events.asScala.toSeq
   }
 
-  /** Record the collect events `body` causes on `spark`. */
+  /** Record the collect events `body` causes on `spark`. The recorder
+    * unregisters on BOTH exits — a throwing body must not leak a live
+    * listener onto the shared session. */
   def watching[T](spark: SparkSession)(body: => T)
       : (T, Seq[CollectEvent]) = {
     val r = start(spark)
     val out =
       try body
-      finally ()
+      catch { case t: Throwable =>
+        spark.listenerManager.unregister(r)
+        throw t
+      }
     (out, stop(spark, r))
   }
 }

@@ -91,8 +91,7 @@ object StreamingIvfMixed {
       mkPostings: DataFrame => DataFrame, compactBound: Int,
       persistDir: Option[String]): IvfState = {
     val spark = opStream.sparkSession
-    val recovered = persistDir.flatMap(d =>
-      loadPersisted(spark, d, idCol))
+    val recovered = persistDir.flatMap(d => loadPersisted(spark, d))
     val state = new IvfState(spark,
       recovered.map(_.postings).getOrElse(initialPostings), idCol,
       compactBound, persistDir, recovered)
@@ -112,8 +111,8 @@ object StreamingIvfMixed {
       removed: Option[DataFrame], added: Seq[DataFrame],
       removedRecent: Seq[Any])
 
-  private[streaming] def loadPersisted(spark: SparkSession, dir: String,
-      idCol: String): Option[Recovered] = {
+  private[streaming] def loadPersisted(spark: SparkSession, dir: String)
+      : Option[Recovered] = {
     def epochs(sub: String): Seq[Long] = {
       val f = new java.io.File(s"$dir/$sub")
       if (!f.isDirectory) Seq.empty
@@ -218,19 +217,28 @@ object StreamingIvfMixed {
         .collect().map(_.get(0)).toSeq
       removedRecent ++= removals
       // ---- adds: frozen-centroid assignment, dead ids dropped -------
+      // checkpoint the assigned rows FIRST: deriving batchIds and (if
+      // needed) the dead-filtered frame from the materialized blocks
+      // runs the assignment map stage ONCE per batch, not once per
+      // consumer
       val addRows0 = mkPostings(batch.where(col("op") === "add")
           .drop("op"))
         .select(postingCols.map(col): _*)
+        .transform(Graphs.flatCheckpoint(_))
       val batchIds = addRows0.select(col(idCol)).distinct()
         .collect().map(_.get(0)).toSeq
       val dead = batchIds.filter(removedRecent.contains).toSet ++
         foldedRemoved(batchIds)
-      val addRows = (
+      val addRows =
         if (dead.isEmpty) addRows0
-        else addRows0.join(broadcast(idDf(dead.toSeq)),
-            Seq(idCol), "left_anti")
-          .select(postingCols.map(col): _*))
-        .transform(Graphs.flatCheckpoint(_))
+        else {
+          val filtered = addRows0
+            .join(broadcast(idDf(dead.toSeq)), Seq(idCol), "left_anti")
+            .select(postingCols.map(col): _*)
+            .transform(Graphs.flatCheckpoint(_))
+          Graphs.freeLocalCheckpoint(addRows0)
+          filtered
+        }
       if (addRows.count() > 0) {
         persistDir.foreach(d => addRows.coalesce(1)
           .write.mode("overwrite").parquet(s"$d/added/$batchId"))

@@ -55,7 +55,7 @@ class CollectBoundSpec extends AnyFunSuite with SparkTestBase {
       val r = CollectAudit.start(spark)
       val built =
         try { q.run(spark, dir); None }
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           Some(s"${q.name}: <build failed: " +
             s"${e.getClass.getSimpleName}: ${e.getMessage}>")
         }

@@ -121,7 +121,7 @@ class IvfMixedPersistRestartSpec extends AnyFunSuite with SparkTestBase {
     Seq(0L).toDF("vec_id").write.parquet(s"$dir/removed/3")
     Seq((8L, 0, ex)).toDF("vec_id", "cell", "e")
       .write.parquet(s"$dir/added/3")
-    val Some(rec) = StreamingIvfMixed.loadPersisted(spark, dir, "vec_id")
+    val Some(rec) = StreamingIvfMixed.loadPersisted(spark, dir)
     assert(rec.postings.collect().map(_.getLong(0)).toSeq === Seq(1L))
     assert(rec.removed.isEmpty,
       "orphan removed epoch leaked into recovery")
@@ -137,7 +137,7 @@ class IvfMixedPersistRestartSpec extends AnyFunSuite with SparkTestBase {
       java.nio.file.Files.createTempDirectory("graft_ivfp_b").toString
     Seq(5L).toDF("vec_id").write.parquet(s"$dir/state/2")
     val ex2 = intercept[IllegalStateException] {
-      StreamingIvfMixed.loadPersisted(spark, dir, "vec_id")
+      StreamingIvfMixed.loadPersisted(spark, dir)
     }
     assert(ex2.getMessage.contains("no postings epoch"))
   }
