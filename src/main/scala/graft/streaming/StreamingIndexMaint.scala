@@ -307,19 +307,31 @@ object StreamingIndexMaint {
         mkMembers: DataFrame => DataFrame): Unit = synchronized {
       // ---- adds: gather-and-re-elect fold ---------------------------
       val adds = batch.where(col("op") === "add").drop("op")
+      // checkpoint the derived member rows FIRST: mkMembers is the
+      // expensive per-batch stage (chunking + tokenization at passage
+      // grain), and both downstream consumers (batch-doc collect,
+      // dead-doc filter) read the materialized blocks instead of
+      // re-running it (the round-17 self-review's doubled-compute
+      // finding, IndexMaint edition)
       val addMembers0 = mkMembers(adds)
         .select(memberCols.map(col): _*)
+        .transform(Graphs.flatCheckpoint(_))
       val batchDocs = addMembers0.select(col(docCol)).distinct()
         .collect().map(_.get(0)).toSeq
       val deadDocs = batchDocs.filter(removedRecent.contains).toSet ++
         foldedRemoved(batchDocs)
-      val addMembers = (
+      val addMembers =
         if (deadDocs.isEmpty) addMembers0
-        else addMembers0.join(
-            broadcast(oneCol(deadDocs.toSeq, docCol, docType)),
-            Seq(docCol), "left_anti")
-          // restore member order — the using-join fronted docCol
-          .select(memberCols.map(col): _*)).transform(Graphs.flatCheckpoint(_))
+        else {
+          val filtered = addMembers0.join(
+              broadcast(oneCol(deadDocs.toSeq, docCol, docType)),
+              Seq(docCol), "left_anti")
+            // restore member order — the using-join fronted docCol
+            .select(memberCols.map(col): _*)
+            .transform(Graphs.flatCheckpoint(_))
+          Graphs.freeLocalCheckpoint(addMembers0)
+          filtered
+        }
       if (addMembers.count() > 0) {
         persistDir.foreach(d => addMembers.coalesce(1)
           .write.mode("overwrite").parquet(s"$d/added/$batchId"))
