@@ -5,7 +5,7 @@ import java.util.concurrent.ConcurrentLinkedQueue
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.{CollectLimitExec, EmptyRelationExec, GlobalLimitExec, QueryExecution, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.{CollectLimitExec, EmptyRelationExec, GlobalLimitExec, QueryExecution, SparkPlan, TakeOrderedAndProjectExec, UnionExec}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.util.QueryExecutionListener
 
@@ -70,7 +70,20 @@ object CollectAudit {
         math.min(_, g.limit.toLong)))
     case q =>
       q.metrics.get("numOutputRows").map(_.value)
-        .orElse(q.children.view.flatMap(firstRows(_)).headOption)
+        .orElse(q.children match {
+          case collection.Seq() => None
+          case collection.Seq(only) => firstRows(only)
+          // a metric-less multi-child root delivers ALL branches: for
+          // Union that is the branch sum (unknown if any branch is);
+          // anything else is unmeasurable — report unknown so the gate
+          // fails loudly rather than crediting only the first branch
+          // (the r17 advisor's under-count)
+          case many if q.isInstanceOf[UnionExec] =>
+            val kids = many.map(firstRows)
+            if (kids.forall(_.isDefined)) Some(kids.flatten.sum)
+            else None
+          case _ => None
+        })
   }
 
   final class Recorder private[CollectAudit] ()

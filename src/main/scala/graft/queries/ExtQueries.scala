@@ -2553,24 +2553,34 @@ object ExtQueries {
         val delta = emb.where(pmod(col("vec_id"), lit(10)) === 7)
         val cents = graft.similarity.Clustering
           .lloydCentroids(hist, k = 4, updates = 2)
+        // widen INSIDE the aggregate (r17 advisor): a BIGINT sum can
+        // silently wrap on a large population before the post-hoc
+        // decimal cast sees it; the trigger compares the exact decimal
+        // sums, the dump columns keep their BIGINT contract
         val gH = graft.similarity.Clustering.assign(hist, cents)
           .groupBy(col("cluster"))
           .agg(count(lit(1)).as("n_hist"),
-            sum(col("dist2")).as("dist2_hist"))
+            sum(col("dist2").cast("decimal(38,0)")).as("dist2_hist"))
         val gD = graft.similarity.Clustering.assign(delta, cents)
           .groupBy(col("cluster"))
           .agg(count(lit(1)).as("n_delta"),
-            sum(col("dist2")).as("dist2_delta"))
+            sum(col("dist2").cast("decimal(38,0)")).as("dist2_delta"))
         gH.join(gD, Seq("cluster"), "full_outer")
           .select(col("cluster"),
             coalesce(col("n_hist"), lit(0L)).as("n_hist"),
-            coalesce(col("dist2_hist"), lit(0L)).as("dist2_hist"),
+            coalesce(col("dist2_hist"), lit(0L).cast("decimal(38,0)"))
+              .as("dist2_hist"),
             coalesce(col("n_delta"), lit(0L)).as("n_delta"),
-            coalesce(col("dist2_delta"), lit(0L)).as("dist2_delta"))
+            coalesce(col("dist2_delta"), lit(0L).cast("decimal(38,0)"))
+              .as("dist2_delta"))
           .withColumn("retrain",
-            col("dist2_delta").cast("decimal(38,0)") * col("n_hist") >
-              col("dist2_hist").cast("decimal(38,0)") *
-                col("n_delta") * lit(2))
+            col("dist2_delta") * col("n_hist") >
+              col("dist2_hist") * col("n_delta") * lit(2))
+          .select(col("cluster"), col("n_hist"),
+            col("dist2_hist").cast("bigint").as("dist2_hist"),
+            col("n_delta"),
+            col("dist2_delta").cast("bigint").as("dist2_delta"),
+            col("retrain"))
           .orderBy(col("cluster"))
       },
       Some {

@@ -686,11 +686,15 @@ object StreamingQueries {
           .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
           .parquet(stagedTableDir(dir, "embeddings"))
           .where(pmod(col("vec_id"), lit(10)) === 7)
+        // decimal-widened inside the aggregate (overflow-safe on large
+        // populations — the q203/Retrain discipline); BIGINT at the dump
         val agg = graft.similarity.Clustering.assign(deltaStream, cents)
           .groupBy(col("cluster"))
           .agg(count(lit(1)).as("n_delta"),
-            sum(col("dist2")).as("dist2_delta"))
+            sum(col("dist2").cast("decimal(38,0)")).as("dist2_delta"))
         runToTable(agg, "ivf_delta", mode = "complete")
+          .select(col("cluster"), col("n_delta"),
+            col("dist2_delta").cast("bigint").as("dist2_delta"))
           .orderBy(col("cluster"))
       },
       Some {

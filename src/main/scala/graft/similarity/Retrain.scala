@@ -40,19 +40,22 @@ object Retrain {
   def triggerFires(hist: DataFrame, delta: DataFrame,
       monitor: Seq[(Long, Array[Long])], idCol: String = "vec_id",
       vecCol: String = "embedding"): Boolean = {
+    // widen INSIDE the aggregate: a BIGINT sum of per-row squared
+    // distances can overflow Long on a large population before any
+    // post-hoc cast sees it (r17 advisor; q203 widens identically)
     val gH = Clustering.assign(hist, monitor, idCol, vecCol)
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_hist"),
-        sum(col("dist2")).as("dist2_hist"))
+        sum(col("dist2").cast("decimal(38,0)")).as("dist2_hist"))
     val gD = Clustering.assign(delta, monitor, idCol, vecCol)
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_delta"),
-        sum(col("dist2")).as("dist2_delta"))
+        sum(col("dist2").cast("decimal(38,0)")).as("dist2_delta"))
     gH.join(gD, Seq("cluster"), "full_outer")
       .where(
-        coalesce(col("dist2_delta"), lit(0L)).cast("decimal(38,0)") *
+        coalesce(col("dist2_delta"), lit(0L).cast("decimal(38,0)")) *
           coalesce(col("n_hist"), lit(0L)) >
-        coalesce(col("dist2_hist"), lit(0L)).cast("decimal(38,0)") *
+        coalesce(col("dist2_hist"), lit(0L).cast("decimal(38,0)")) *
           coalesce(col("n_delta"), lit(0L)) * lit(2))
       .limit(1).count() > 0
   }

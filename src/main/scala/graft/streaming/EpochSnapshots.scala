@@ -1,0 +1,209 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.analytics.Graphs
+
+/** The epoch-snapshot persistence core shared by the three mixed
+  * maintainers ([[StreamingCcMixed]], [[StreamingIndexMaint]],
+  * [[StreamingIvfMixed]]) — the r17 verdict's highest-leverage item:
+  * the persist/recover/coalesce/replay invariants lived as three
+  * near-copies, and every invariant fix was a three-site change (the
+  * r16 eager-recovery lesson had to land in two places and then be
+  * hand-applied to a third). This module holds each rule ONCE; the
+  * maintainers keep only their payload semantics.
+  *
+  * The on-disk layout (per maintainer `persistDir`):
+  *
+  *   - `<primary>/<epoch>/`   — the corpus-sized base artifact, written
+  *     at compactions (epoch −1 = the initial artifact, written once at
+  *     fresh start; epoch N = the compaction done while folding batch N)
+  *   - `<secondary>/<epoch>/` — per-layout standing side artifacts
+  *     (members / edges / removed), also written only at compactions
+  *   - `added/<batchId>/`     — one bounded frame per add batch (the
+  *     DERIVED rows: assignment / chunking never re-runs on recovery)
+  *   - `state/<batchId>/`     — ONE bounded tagged frame per fold,
+  *     written LAST in every fold; its presence proves the fold's every
+  *     other write landed
+  *
+  * Recovery ([[load]]) takes the newest `state` snapshot `m`, the
+  * newest primary epoch ≤ m (a snapshot with NO eligible primary is an
+  * incomplete dir — an explicit failure, not a fresh start), the newest
+  * secondary epochs ≤ m, and the added frames in `(gateEpoch, m]` where
+  * the gate is the layout's coalesce artifact (frames at or before a
+  * persisted coalesce are already folded into it). Epochs > m are
+  * torn-compaction orphans: ignored, and redone by the replay. Every
+  * recovered frame is a LAZY parquet read — the state constructor
+  * materializes each ([[Graphs.flatCheckpoint]]) before the stream
+  * starts (the r16 advisor's crash-loop lesson; the three restart
+  * suites pin it).
+  *
+  * Replay rule ([[alreadyApplied]]): `state/<batchId>` is the LAST
+  * persist of a fold, so a recovered snapshot `m` proves every batch
+  * ≤ m was fully applied AND persisted. A stream-checkpoint replay of
+  * such a batch (crash after the state write, before the sink commit)
+  * must therefore be SKIPPED — re-folding it would append rows the
+  * recovery already holds (the r17 advisor's IvfMixed double-count).
+  * The skip also makes it impossible for any fold to overwrite a path
+  * recovery read from: new batches persist only under their own
+  * batchId > m. Corollary of the rule: `persistDir` and the stream
+  * `checkpoint` MUST pair for the stream's lifetime — a fresh
+  * checkpoint over a recovered persistDir renumbers batches from 0 and
+  * the skip would silently drop them (each maintainer documents the
+  * contract; the skip logs a warning).
+  */
+private[streaming] object EpochSnapshots {
+
+  /** Max recent per-batch payload frames held before they coalesce
+    * into the ONE standing frame — bounds the member/edge/posting view
+    * at FrameCap + O(1) union legs regardless of stream lifetime. The
+    * coalesce is a standing-layer scan amortized over FrameCap batches;
+    * 8 keeps plans shallow while coalescing ~once per 8 add batches. */
+  val FrameCap = 8
+
+  /** Numeric epoch subdirectories of `dir/sub` (absent dir = none). */
+  def epochs(dir: String, sub: String): Seq[Long] = {
+    val f = new java.io.File(s"$dir/$sub")
+    if (!f.isDirectory) Seq.empty
+    else f.listFiles().toSeq.filter(_.isDirectory)
+      .flatMap(x => scala.util.Try(x.getName.toLong).toOption)
+  }
+
+  /** Everything recovery yields. All frames are LAZY parquet reads —
+    * materialize before the stream starts. `through` = the newest
+    * state snapshot: folds with batchId ≤ it are already applied. */
+  final case class Loaded(through: Long, primaryEpoch: Long,
+      primary: DataFrame, secondary: Map[String, DataFrame],
+      added: Seq[DataFrame], stateRows: Seq[Row])
+
+  /** The newest-snapshot ≤ rule. `owner` names the maintainer in the
+    * incomplete-dir failure; `addedGateSub` is the secondary whose
+    * newest epoch gates added-frame replay (frames ≤ it are folded into
+    * the persisted coalesce artifact) — pass `primarySub` for layouts
+    * whose primary IS the coalesce artifact. */
+  def load(spark: SparkSession, dir: String, owner: String,
+      primarySub: String, secondarySubs: Seq[String],
+      addedGateSub: String): Option[Loaded] = {
+    val snaps = epochs(dir, "state")
+    if (snaps.isEmpty) None
+    else {
+      val m = snaps.max
+      val eligible = epochs(dir, primarySub).filter(_ <= m)
+      if (eligible.isEmpty)
+        throw new IllegalStateException(
+          s"$owner.loadPersisted: $dir holds state snapshot $m but " +
+            s"no $primarySub epoch <= $m — the persist dir is " +
+            s"incomplete (failed $primarySub/-1 write or partial " +
+            s"copy); restore the $primarySub/ tree or clear the dir " +
+            s"for a fresh start")
+      val e = eligible.max
+      val primary = spark.read.parquet(s"$dir/$primarySub/$e")
+      val secondary = secondarySubs.flatMap { sub =>
+        epochs(dir, sub).filter(_ <= m).sorted.lastOption
+          .map(x => sub -> spark.read.parquet(s"$dir/$sub/$x"))
+      }.toMap
+      val gate =
+        if (addedGateSub == primarySub) e
+        else epochs(dir, addedGateSub).filter(_ <= m).sorted.lastOption
+          .getOrElse(Long.MinValue)
+      val added = epochs(dir, "added").filter(b => b <= m && b > gate)
+        .sorted.map(b => spark.read.parquet(s"$dir/added/$b"))
+      val stateRows = spark.read.parquet(s"$dir/state/$m")
+        .collect().toSeq
+      Some(Loaded(m, e, primary, secondary, added, stateRows))
+    }
+  }
+
+  /** True when a replayed fold must be skipped: batchId ≤ the recovered
+    * snapshot means the fold's every effect is already in the recovered
+    * state (see the replay rule above). Logs — a skip on a correctly
+    * paired checkpoint is a benign crash-replay, but a flood of skips
+    * means a fresh checkpoint was pointed at an old persistDir. */
+  def alreadyApplied(through: Long, batchId: Long, owner: String)
+      : Boolean = {
+    val skip = batchId <= through
+    if (skip) org.slf4j.LoggerFactory.getLogger(owner).warn(
+      s"$owner: skipping replayed batch $batchId (persisted state " +
+        s"already covers batches <= $through). Benign after a crash; " +
+        s"if this repeats for many batches, the stream checkpoint " +
+        s"does not pair with the persistDir.")
+    skip
+  }
+
+  /** Run `opStream` to completion under AvailableNow through `fold` —
+    * the shared foreachBatch wiring. */
+  def runAvailableNow(opStream: DataFrame, checkpoint: String)(
+      fold: (DataFrame, Long) => Unit): Unit = {
+    val q = opStream.writeStream
+      .foreachBatch((batch: Dataset[Row], id: Long) =>
+        fold(batch.toDF(), id))
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Idempotent per-epoch artifact write. `bounded` frames (state
+    * snapshots, per-batch adds) collapse to one file. */
+  def persistEpoch(df: DataFrame, dir: String, sub: String, epoch: Long,
+      bounded: Boolean = false): Unit =
+    (if (bounded) df.coalesce(1) else df)
+      .write.mode("overwrite").parquet(s"$dir/$sub/$epoch")
+
+  /** ONE standing frame + a capped list of recent per-batch frames —
+    * the owned-frame ledger every maintainer's payload layer uses.
+    * `owned` tracks whether the standing frame's checkpoint blocks are
+    * ours to free on supersession (false for caller-provided history
+    * and for lazy recovery reads). */
+  final class FrameLedger(initial: DataFrame, initiallyOwned: Boolean) {
+    private var standing = initial
+    private var owned = initiallyOwned
+    private val recent = mutable.ArrayBuffer.empty[DataFrame]
+
+    def frameCount: Int = 1 + recent.size
+    def overCap: Boolean = recent.size > FrameCap
+    def hasRecent: Boolean = recent.nonEmpty
+    /** standing ∪ recent, in append order. */
+    def union: DataFrame = recent.foldLeft(standing)(_ unionAll _)
+    def append(f: DataFrame): Unit = recent += f
+
+    /** Supersede every frame with `next` (already materialized):
+      * frees the owned standing blocks and every recent frame's. */
+    def reset(next: DataFrame): Unit = {
+      if (owned) Graphs.freeLocalCheckpoint(standing)
+      recent.foreach(Graphs.freeLocalCheckpoint)
+      recent.clear()
+      standing = next
+      owned = true
+    }
+  }
+
+  /** The standing removed-ids slot shared by the takedown layouts: an
+    * optional owned frame that recent removals fold into at compaction
+    * (the permanent-takedown floor — sized by TOTAL takedown volume). */
+  final class RemovedSlot(initial: Option[DataFrame]) {
+    // eagerly materialized: recovery hands a lazy read
+    private var cur: Option[DataFrame] =
+      initial.map(Graphs.flatCheckpoint(_))
+    private var owned = cur.nonEmpty
+
+    def get: Option[DataFrame] = cur
+    def write(dir: String, sub: String, epoch: Long): Unit =
+      cur.foreach(persistEpoch(_, dir, sub, epoch))
+
+    /** Fold `recent` (a bounded ids frame) into the standing frame. */
+    def merge(recent: DataFrame): Unit = {
+      val merged = cur match {
+        case None => recent
+        case Some(rs) => rs.unionAll(recent)
+      }
+      val mergedCp = Graphs.flatCheckpoint(merged)
+      if (owned) cur.foreach(Graphs.freeLocalCheckpoint)
+      cur = Some(mergedCp)
+      owned = true
+    }
+  }
+}

@@ -2,10 +2,9 @@ package graft.streaming
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
 import org.apache.spark.sql.types.{StructField, StructType}
-import org.apache.spark.sql.streaming.Trigger
 
 import graft.analytics.Graphs
 
@@ -76,8 +75,7 @@ import graft.analytics.Graphs
   * never a corpus rewrite outside compaction.
   *
   * `persistDir` (optional) makes the mixed state survive a driver
-  * crash — the two proven single-op snapshot schemes side by side plus
-  * the edge layer as a third epoch-stamped artifact:
+  * crash via the shared [[EpochSnapshots]] scheme:
   * `base/<epoch>/` parquet (epoch −1 = initial labels, epoch N = the
   * compaction done while folding batch N), `edges/<epoch>/` parquet
   * (the coalesced standing edge frame, written ONLY at compaction —
@@ -90,18 +88,17 @@ import graft.analytics.Graphs
   * overwrite; recovery takes the newest snapshot M, the newest base
   * epoch ≤ M (orphans from a torn compaction are ignored and redone by
   * the replay), the newest edges epoch ≤ M, and the added frames in
-  * between. MixedPersistRestartSpec pins the crash-and-recover path,
-  * torn compaction included. If `persistDir` already holds a
-  * recoverable state it is resumed and `initialLabels` is IGNORED
-  * (pair with the same `checkpoint`). */
+  * between; a replayed fold at or below M is SKIPPED
+  * ([[EpochSnapshots.alreadyApplied]]). MixedPersistRestartSpec pins
+  * the crash-and-recover paths, torn compaction and forced replay
+  * included. If `persistDir` already holds a recoverable state it is
+  * resumed and `initialLabels` is IGNORED — pair it with the same
+  * `checkpoint` for the stream's lifetime. */
 object StreamingCcMixed {
 
   /** Max per-batch added-edge frames held before they coalesce into the
-    * standing edge frame — bounds `allEdges` at EdgeFrameCap + 2 union
-    * legs regardless of stream lifetime. The coalesce is an edge-layer
-    * scan amortized over EdgeFrameCap batches; 8 keeps the repair
-    * plans shallow while coalescing ~once per 8 add batches. */
-  val EdgeFrameCap = 8
+    * standing edge frame — the shared [[EpochSnapshots.FrameCap]]. */
+  val EdgeFrameCap: Int = EpochSnapshots.FrameCap
 
   /** Run `opStream` (columns: op STRING 'add'|'rm', a, b — `b` ignored
     * for 'rm') to completion under AvailableNow against `initialLabels`
@@ -129,13 +126,7 @@ object StreamingCcMixed {
       recovered)
     if (recovered.isEmpty)
       persistDir.foreach(d => state.persistBase(d, -1L))
-    val q = opStream.writeStream
-      .foreachBatch((batch: Dataset[Row], id: Long) =>
-        state.fold(batch.toDF(), id))
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    EpochSnapshots.runAvailableNow(opStream, checkpoint)(state.fold)
     state
   }
 
@@ -143,53 +134,27 @@ object StreamingCcMixed {
     * exactly when the recovered base epoch is a compaction (≥ 0): a
     * compacted base covers the full retained id universe, so the member
     * layer reads it directly and folded removals show as absence. */
-  private[streaming] final case class Recovered(base: DataFrame,
-      baseIsUniverse: Boolean, edges: Option[DataFrame],
+  private[streaming] final case class Recovered(through: Long,
+      base: DataFrame, baseIsUniverse: Boolean, edges: Option[DataFrame],
       added: Seq[DataFrame], remap: Seq[(Any, Any)],
       overrideRows: Seq[Row], tomb: Seq[Any])
 
   /** Recover the mixed state from a [[maintain]] `persistDir`; None when
     * no snapshot has ever landed (fresh start). */
   private[streaming] def loadPersisted(spark: SparkSession, dir: String)
-      : Option[Recovered] = {
-    def epochs(sub: String): Seq[Long] = {
-      val f = new java.io.File(s"$dir/$sub")
-      if (!f.isDirectory) Seq.empty
-      else f.listFiles().toSeq.filter(_.isDirectory)
-        .flatMap(x => scala.util.Try(x.getName.toLong).toOption)
-    }
-    val snaps = epochs("state")
-    if (snaps.isEmpty) None
-    else {
-      val m = snaps.max
-      val eligible = epochs("base").filter(_ <= m)
-      // the StreamingCcDelta.loadPersisted guard: a snapshot with no
-      // eligible base is an incomplete dir, not a fresh start
-      if (eligible.isEmpty)
-        throw new IllegalStateException(
-          s"StreamingCcMixed.loadPersisted: $dir holds state snapshot " +
-            s"$m but no base epoch <= $m — the persist dir is " +
-            s"incomplete (failed base/-1 write or partial copy); " +
-            s"restore the base/ tree or clear the dir for a fresh start")
-      val e = eligible.max
-      val base = spark.read.parquet(s"$dir/base/$e")
-      val edgeEpoch = epochs("edges").filter(_ <= m)
-        .sorted.lastOption
-      val edges = edgeEpoch.map(x => spark.read.parquet(s"$dir/edges/$x"))
-      val added = epochs("added")
-        .filter(b => b <= m && b > edgeEpoch.getOrElse(Long.MinValue))
-        .sorted
-        .map(b => spark.read.parquet(s"$dir/added/$b"))
-      val rows = spark.read.parquet(s"$dir/state/$m").collect().toSeq
-      val remap = rows.filter(_.getString(0) == "r")
+      : Option[Recovered] =
+    EpochSnapshots.load(spark, dir, "StreamingCcMixed",
+      primarySub = "base", secondarySubs = Seq("edges"),
+      addedGateSub = "edges").map { l =>
+      val remap = l.stateRows.filter(_.getString(0) == "r")
         .map(r => r.get(1) -> r.get(2))
-      val ov = rows.filter(_.getString(0) == "o")
+      val ov = l.stateRows.filter(_.getString(0) == "o")
         .map(r => Row(r.get(1), r.get(2)))
-      val tb = rows.filter(_.getString(0) == "t").map(_.get(1))
-      Some(Recovered(base, baseIsUniverse = e >= 0, edges, added,
-        remap, ov, tb))
+      val tb = l.stateRows.filter(_.getString(0) == "t").map(_.get(1))
+      Recovered(l.through, l.primary,
+        baseIsUniverse = l.primaryEpoch >= 0, l.secondary.get("edges"),
+        l.added, remap, ov, tb)
     }
-  }
 
   private[streaming] final class MixedState(spark: SparkSession,
       initialLabels: DataFrame, histPairs: DataFrame, ids: DataFrame,
@@ -206,9 +171,10 @@ object StreamingCcMixed {
     require(clusterType == idType,
       s"StreamingCcMixed: cluster_id type $clusterType must equal " +
         s"$idCol type $idType — labels are canonical member ids")
-    // eager localCheckpoint: materialized now, so a replayed batch's
-    // idempotent overwrite of the parquet dir this was read from (after
-    // a recovery) can never pull files out from under a lazy scan
+    private val recoveredThrough =
+      recovered.map(_.through).getOrElse(Long.MinValue)
+    // eager localCheckpoint: every recovered frame is materialized
+    // before the stream starts (EpochSnapshots' contract)
     private var base = initialLabels
       .select(col(idCol), col("cluster_id")).transform(Graphs.flatCheckpoint(_))
     // true once base covers exactly the retained id universe (any
@@ -228,21 +194,18 @@ object StreamingCcMixed {
     private val tomb = mutable.LinkedHashSet.empty[Any] ++
       recovered.map(_.tomb).getOrElse(Seq.empty)
     // ---- the edge layer: ONE standing frame + a capped recent list ----
-    private var edgesStanding: DataFrame =
+    private val edges = new EpochSnapshots.FrameLedger(
       recovered.flatMap(_.edges)
-        .getOrElse(histPairs.toDF("__a", "__b"))
-    // whether edgesStanding's blocks are ours to free on supersession
-    // (false for the caller's histPairs and for lazy parquet reads)
-    private var edgesOwned = false
-    private val addedFrames = mutable.ArrayBuffer.empty[DataFrame] ++
-      recovered.map(_.added).getOrElse(Seq.empty)
-    // a recovery's added frames are LAZY parquet reads of per-batchId
-    // dirs a replayed batch will overwrite — coalesce them into owned
-    // blocks now (one-time recovery cost) before the stream starts
-    if (addedFrames.nonEmpty) coalesceEdges()
+        .getOrElse(histPairs.toDF("__a", "__b")),
+      initiallyOwned = false)
+    // a recovery's added frames are LAZY parquet reads — coalesce them
+    // into owned blocks now (one-time recovery cost) before the stream
+    // starts
+    recovered.map(_.added).getOrElse(Seq.empty).foreach(edges.append)
+    if (edges.hasRecent) coalesceEdges()
 
     private[streaming] def edgeFrameCount: Int =
-      synchronized(1 + addedFrames.size)
+      synchronized(edges.frameCount)
 
     private def idDf(vals: Seq[Any], name: String): DataFrame =
       spark.createDataFrame(
@@ -288,8 +251,7 @@ object StreamingCcMixed {
       Graphs.composeLabels(memberLayer, remapDfOpt,
         memberLayer.select(col(idCol)), idCol)
 
-    private def allEdges: DataFrame =
-      addedFrames.foldLeft(edgesStanding)((acc, f) => acc.unionAll(f))
+    private def allEdges: DataFrame = edges.union
 
     /** Coalesce the standing frame + recent per-batch frames into ONE
       * owned frame, dropping edges touching a current tombstone (such
@@ -306,12 +268,7 @@ object StreamingCcMixed {
           .join(t.select(col("__t").as("__b")), Seq("__b"), "left_anti")
           .select(col("__a"), col("__b"))
       }
-      val next = merged.transform(Graphs.flatCheckpoint(_))
-      if (edgesOwned) Graphs.freeLocalCheckpoint(edgesStanding)
-      addedFrames.foreach(Graphs.freeLocalCheckpoint)
-      addedFrames.clear()
-      edgesStanding = next
-      edgesOwned = true
+      edges.reset(merged.transform(Graphs.flatCheckpoint(_)))
     }
 
     /** Endpoints of `adds` removed by a PAST compaction — visible only
@@ -332,6 +289,8 @@ object StreamingCcMixed {
     }
 
     def fold(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (EpochSnapshots.alreadyApplied(recoveredThrough, batchId,
+        "StreamingCcMixed")) return
       val b = batch.select(col("op"), col("a"), col("b"))
       // ---- adds: root-remap fold (StreamingCcDelta's shape) ----------
       val adds0 = b.where(col("op") === "add")
@@ -348,9 +307,9 @@ object StreamingCcMixed {
       val addRows = adds.transform(Graphs.flatCheckpoint(_))
       if (addRows.count() > 0) {
         val frame = addRows.select(col("a").as("__a"), col("b").as("__b"))
-        addedFrames += frame
-        persistDir.foreach(d => frame.coalesce(1)
-          .write.mode("overwrite").parquet(s"$d/added/$batchId"))
+        edges.append(frame)
+        persistDir.foreach(d => EpochSnapshots.persistEpoch(frame,
+          d, "added", batchId, bounded = true))
         val fresh = Graphs
           .ccDeltaRemap(memberLayer, remapDfOpt, addRows, idCol)
           .collect().map(r => r.get(0) -> r.get(1)).toSeq
@@ -361,7 +320,7 @@ object StreamingCcMixed {
         }
         // cap-coalesce only AFTER the remap fold: `frame` shares
         // addRows' checkpoint blocks, and coalescing frees them
-        if (addedFrames.size > EdgeFrameCap) coalesceEdges()
+        if (edges.overCap) coalesceEdges()
       } else Graphs.freeLocalCheckpoint(addRows)
       // ---- removes: member-override fold (Takedown's shape) ----------
       val removals = b.where(col("op") === "rm")
@@ -420,13 +379,12 @@ object StreamingCcMixed {
       tomb.clear()
       persistDir.foreach { d =>
         persistBase(d, batchId)
-        edgesStanding.write.mode("overwrite")
-          .parquet(s"$d/edges/$batchId")
+        EpochSnapshots.persistEpoch(edges.union, d, "edges", batchId)
       }
     }
 
     def persistBase(dir: String, epoch: Long): Unit =
-      base.write.mode("overwrite").parquet(s"$dir/base/$epoch")
+      EpochSnapshots.persistEpoch(base, dir, "base", epoch)
 
     /** One tagged frame per snapshot — remap ("r"), override ("o"), and
       * tombstone ("t") rows, all bounded by `compactBound`; overwrite
@@ -442,15 +400,15 @@ object StreamingCcMixed {
           remap.toSeq.map { case (k, v) => Row(k, v) }: _*),
         StructType(Seq(StructField(idCol, idType),
           StructField("cluster_id", idType))))
-      overrideOpt.getOrElse(emptyOv)
-        .select(lit("o").as("kind"), col(idCol), col("cluster_id"))
-        .unionAll(rDf.select(lit("r").as("kind"), col(idCol),
-          col("cluster_id")))
-        .unionAll(idDf(tomb.toSeq, idCol)
-          .select(lit("t").as("kind"), col(idCol),
-            lit(null).cast(clusterType).as("cluster_id")))
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/state/$batchId")
+      EpochSnapshots.persistEpoch(
+        overrideOpt.getOrElse(emptyOv)
+          .select(lit("o").as("kind"), col(idCol), col("cluster_id"))
+          .unionAll(rDf.select(lit("r").as("kind"), col(idCol),
+            col("cluster_id")))
+          .unionAll(idDf(tomb.toSeq, idCol)
+            .select(lit("t").as("kind"), col(idCol),
+              lit(null).cast(clusterType).as("cluster_id"))),
+        dir, "state", batchId, bounded = true)
     }
 
     def read: DataFrame = synchronized(view)

@@ -2,10 +2,9 @@ package graft.streaming
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col, count, lit, min, struct}
 import org.apache.spark.sql.types.{StructField, StructType}
-import org.apache.spark.sql.streaming.Trigger
 
 import graft.analytics.Graphs
 
@@ -47,21 +46,25 @@ import graft.analytics.Graphs
   *
   * Every standing layer is bounded over the stream's lifetime (the
   * [[StreamingCcMixed]] discipline): added member frames coalesce into
-  * ONE standing frame at [[StreamingCcMixed.EdgeFrameCap]], the
+  * ONE standing frame at [[EpochSnapshots.FrameCap]], the
   * override/vanished/recent-removed layers fold into a new base at
   * `compactBound`, and removed docs persist as a standing frame sized
   * by TOTAL takedown volume (the one thing a permanent-takedown
   * contract cannot forget), not corpus size.
   *
-  * `persistDir` (optional) transposes the proven snapshot scheme:
+  * `persistDir` (optional) uses the shared [[EpochSnapshots]] scheme:
   * `base/<epoch>/`, `members/<epoch>/`, `removed/<epoch>/` at
   * compactions (epoch −1 = initial index only), `added/<batchId>/`
   * per add batch, `state/<batchId>/` one tagged frame per fold
   * ("o" override / "v" vanished / "d" recent removed — all bounded by
   * `compactBound`); idempotent per-batchId overwrites, recovery takes
   * the newest snapshot and the newest epochs ≤ it (torn-compaction
-  * orphans are ignored and redone by the replay).
-  * IndexMaintPersistRestartSpec pins the crash-and-recover path. */
+  * orphans are ignored and redone by the replay), and a replayed fold
+  * at or below the recovered snapshot is SKIPPED
+  * ([[EpochSnapshots.alreadyApplied]] — pair `persistDir` with the
+  * same stream `checkpoint` for the stream's lifetime).
+  * IndexMaintPersistRestartSpec pins the crash-and-recover paths,
+  * forced replay included. */
 object StreamingIndexMaint {
 
   /** Run `opStream` (column `op` STRING 'add'|'rm' + the payload
@@ -98,64 +101,32 @@ object StreamingIndexMaint {
       keyCol, docCol, orderCols, compactBound, persistDir, recovered)
     if (recovered.isEmpty)
       persistDir.foreach(d => state.persistBase(d, -1L))
-    val q = opStream.writeStream
-      .foreachBatch((batch: Dataset[Row], id: Long) =>
-        state.fold(batch.toDF(), id, mkMembers))
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    EpochSnapshots.runAvailableNow(opStream, checkpoint)(
+      state.fold(_, _, mkMembers))
     state
   }
 
-  private[streaming] final case class Recovered(base: DataFrame,
-      members: Option[DataFrame], removed: Option[DataFrame],
-      added: Seq[DataFrame], overrideRows: Seq[Row], vanished: Seq[Any],
-      removedRecent: Seq[Any])
+  private[streaming] final case class Recovered(through: Long,
+      base: DataFrame, members: Option[DataFrame],
+      removed: Option[DataFrame], added: Seq[DataFrame],
+      overrideRows: Seq[Row], vanished: Seq[Any], removedRecent: Seq[Any])
 
   private[streaming] def loadPersisted(spark: SparkSession, dir: String,
       keyCol: String, docCol: String, orderCols: Seq[String])
-      : Option[Recovered] = {
-    def epochs(sub: String): Seq[Long] = {
-      val f = new java.io.File(s"$dir/$sub")
-      if (!f.isDirectory) Seq.empty
-      else f.listFiles().toSeq.filter(_.isDirectory)
-        .flatMap(x => scala.util.Try(x.getName.toLong).toOption)
-    }
-    val snaps = epochs("state")
-    if (snaps.isEmpty) None
-    else {
-      val m = snaps.max
-      val eligibleBase = epochs("base").filter(_ <= m)
-      if (eligibleBase.isEmpty)
-        throw new IllegalStateException(
-          s"StreamingIndexMaint.loadPersisted: $dir holds state " +
-            s"snapshot $m but no base epoch <= $m — the persist dir " +
-            s"is incomplete (failed base/-1 write or partial copy); " +
-            s"restore the base/ tree or clear the dir for a fresh start")
-      val e = eligibleBase.max
-      val base = spark.read.parquet(s"$dir/base/$e")
-      def latest(sub: String): Option[DataFrame] =
-        epochs(sub).filter(_ <= m).sorted.lastOption
-          .map(x => spark.read.parquet(s"$dir/$sub/$x"))
-      val memberEpoch = epochs("members").filter(_ <= m)
-        .sorted.lastOption
-      val added = epochs("added")
-        .filter(b => b <= m && b > memberEpoch.getOrElse(Long.MinValue))
-        .sorted.map(b => spark.read.parquet(s"$dir/added/$b"))
-      val rows = spark.read.parquet(s"$dir/state/$m").collect().toSeq
+      : Option[Recovered] =
+    EpochSnapshots.load(spark, dir, "StreamingIndexMaint",
+      primarySub = "base", secondarySubs = Seq("members", "removed"),
+      addedGateSub = "members").map { l =>
       val n = orderCols.size
-      val ov = rows.filter(_.getString(0) == "o")
+      val ov = l.stateRows.filter(_.getString(0) == "o")
         .map(r => Row.fromSeq((1 to n + 2).map(r.get)))
-      val vn = rows.filter(_.getString(0) == "v").map(_.get(1))
+      val vn = l.stateRows.filter(_.getString(0) == "v").map(_.get(1))
       // "d" rows carry the doc id in the docCol slot of the order cols
       val dPos = 2 + orderCols.indexOf(docCol)
-      val dr = rows.filter(_.getString(0) == "d").map(_.get(dPos))
-      Some(Recovered(base,
-        memberEpoch.map(x => spark.read.parquet(s"$dir/members/$x")),
-        latest("removed"), added, ov, vn, dr))
+      val dr = l.stateRows.filter(_.getString(0) == "d").map(_.get(dPos))
+      Recovered(l.through, l.primary, l.secondary.get("members"),
+        l.secondary.get("removed"), l.added, ov, vn, dr)
     }
-  }
 
   private[streaming] final class IndexState(spark: SparkSession,
       initialIndex: DataFrame, histMembers: DataFrame, keyCol: String,
@@ -173,9 +144,11 @@ object StreamingIndexMaint {
         orderCols.map(c =>
           StructField(c, histMembers.schema(c).dataType)) :+
         StructField("n_occ", initialIndex.schema("n_occ").dataType))
+    private val recoveredThrough =
+      recovered.map(_.through).getOrElse(Long.MinValue)
 
-    // eager checkpoints: materialized before any replayed batch can
-    // overwrite the parquet dirs a recovery read them from
+    // eager checkpoints: every recovered frame is materialized before
+    // the stream starts (EpochSnapshots' contract)
     private var base = initialIndex
       .select(indexCols.map(col): _*).transform(Graphs.flatCheckpoint(_))
     private var overrideOpt: Option[DataFrame] =
@@ -188,25 +161,17 @@ object StreamingIndexMaint {
       recovered.map(_.vanished).getOrElse(Seq.empty)
     private val removedRecent = mutable.LinkedHashSet.empty[Any] ++
       recovered.map(_.removedRecent).getOrElse(Seq.empty)
-    // eagerly materialized: a recovered removed frame is otherwise a
-    // LAZY read of removed/<E>, and a replayed add-only compaction at
-    // the same batchId would overwrite that exact path while it is
-    // still being read (removedRecent empty skips the merge branch) —
-    // Spark's "cannot overwrite a path that is also being read from"
-    // turns recovery into a deterministic crash loop
-    private var removedStanding: Option[DataFrame] =
-      recovered.flatMap(_.removed).map(Graphs.flatCheckpoint(_))
-    private var removedOwned = removedStanding.nonEmpty
-    private var membersStanding: DataFrame =
+    private val removedStanding =
+      new EpochSnapshots.RemovedSlot(recovered.flatMap(_.removed))
+    private val members = new EpochSnapshots.FrameLedger(
       recovered.flatMap(_.members)
-        .getOrElse(histMembers.select(memberCols.map(col): _*))
-    private var membersOwned = false
-    private val addedFrames = mutable.ArrayBuffer.empty[DataFrame] ++
-      recovered.map(_.added).getOrElse(Seq.empty)
-    if (addedFrames.nonEmpty) coalesceMembers()
+        .getOrElse(histMembers.select(memberCols.map(col): _*)),
+      initiallyOwned = false)
+    recovered.map(_.added).getOrElse(Seq.empty).foreach(members.append)
+    if (members.hasRecent) coalesceMembers()
 
     private[streaming] def memberFrameCount: Int =
-      synchronized(1 + addedFrames.size)
+      synchronized(members.frameCount)
 
     private def oneCol(vals: Seq[Any], name: String,
         t: org.apache.spark.sql.types.DataType): DataFrame =
@@ -218,7 +183,7 @@ object StreamingIndexMaint {
       * are already absent (the coalesce filters them); recent ones
       * anti-join via the driver set. */
     private def membersView: DataFrame = {
-      val all = addedFrames.foldLeft(membersStanding)(_ unionAll _)
+      val all = members.union
       if (removedRecent.isEmpty) all
       else all.join(
           broadcast(oneCol(removedRecent.toSeq, docCol, docType)),
@@ -247,20 +212,14 @@ object StreamingIndexMaint {
     /** Coalesce standing + recent member frames into ONE owned frame,
       * dropping rows of currently-tombstoned docs (they can never
       * re-enter: the no-resurrection filter is permanent). */
-    private def coalesceMembers(): Unit = {
-      val next = membersView.transform(Graphs.flatCheckpoint(_))
-      if (membersOwned) Graphs.freeLocalCheckpoint(membersStanding)
-      addedFrames.foreach(Graphs.freeLocalCheckpoint)
-      addedFrames.clear()
-      membersStanding = next
-      membersOwned = true
-    }
+    private def coalesceMembers(): Unit =
+      members.reset(membersView.transform(Graphs.flatCheckpoint(_)))
 
     /** Batch docs removed by a PAST compaction — visible only in the
       * standing removed-docs frame; one broadcast-semi probe, output
       * ≤ |batch| (the bounded-collect class). */
     private def foldedRemoved(docs: Seq[Any]): Set[Any] =
-      removedStanding match {
+      removedStanding.get match {
         case None => Set.empty
         case Some(rs) =>
           if (docs.isEmpty) Set.empty
@@ -272,11 +231,10 @@ object StreamingIndexMaint {
     /** Re-elect keeper + n_occ over `ms` (member rows), one row per
       * digest present. Member rows are unique by their (orderCols…)
       * tuple by construction, so the distinct() is a no-op in normal
-      * operation — it exists to collapse the duplicates a REPLAYED add
-      * batch introduces (its rows already live in the member layer;
-      * without the collapse n_occ would double-count them), keeping
-      * the fold idempotent. It runs on blast-radius-bounded sets only,
-      * never the corpus. */
+      * operation — defense-in-depth against duplicated member rows
+      * (replayed batches, their original motivation, are skipped at
+      * the fold gate since r18 — [[EpochSnapshots.alreadyApplied]]).
+      * It runs on blast-radius-bounded sets only, never the corpus. */
     private def reelect(ms: DataFrame): DataFrame =
       ms.distinct().groupBy(col(keyCol))
         .agg(min(struct(orderCols.map(col): _*)).as("__kp"),
@@ -305,6 +263,8 @@ object StreamingIndexMaint {
 
     def fold(batch: DataFrame, batchId: Long,
         mkMembers: DataFrame => DataFrame): Unit = synchronized {
+      if (EpochSnapshots.alreadyApplied(recoveredThrough, batchId,
+        "StreamingIndexMaint")) return
       // ---- adds: gather-and-re-elect fold ---------------------------
       val adds = batch.where(col("op") === "add").drop("op")
       // checkpoint the derived member rows FIRST: mkMembers is the
@@ -333,8 +293,8 @@ object StreamingIndexMaint {
           filtered
         }
       if (addMembers.count() > 0) {
-        persistDir.foreach(d => addMembers.coalesce(1)
-          .write.mode("overwrite").parquet(s"$d/added/$batchId"))
+        persistDir.foreach(d => EpochSnapshots.persistEpoch(addMembers,
+          d, "added", batchId, bounded = true))
         val affKeys = addMembers.select(col(keyCol)).distinct()
         val gathered = membersView
           .join(broadcast(affKeys), Seq(keyCol), "left_semi")
@@ -343,9 +303,8 @@ object StreamingIndexMaint {
         // every touched key has ≥ 1 member now (the added rows) — a
         // previously-vanished digest legitimately lives again
         vanished --= affKeys.collect().map(_.get(0))
-        addedFrames += addMembers
-        if (addedFrames.size > StreamingCcMixed.EdgeFrameCap)
-          coalesceMembers()
+        members.append(addMembers)
+        if (members.overCap) coalesceMembers()
       } else Graphs.freeLocalCheckpoint(addMembers)
       // ---- removes: retract fold (Dedup.retractIndex's shape) -------
       val removals = batch.where(col("op") === "rm")
@@ -384,18 +343,9 @@ object StreamingIndexMaint {
     private def compact(batchId: Long): Unit = {
       val next = view.transform(Graphs.flatCheckpoint(_))
       coalesceMembers() // while removedRecent is still populated
-      if (removedRecent.nonEmpty) {
-        val merged = removedStanding match {
-          case None => oneCol(removedRecent.toSeq, docCol, docType)
-          case Some(rs) =>
-            rs.unionAll(oneCol(removedRecent.toSeq, docCol, docType))
-        }
-        val mergedCp = merged.transform(Graphs.flatCheckpoint(_))
-        if (removedOwned) removedStanding
-          .foreach(Graphs.freeLocalCheckpoint)
-        removedStanding = Some(mergedCp)
-        removedOwned = true
-      }
+      if (removedRecent.nonEmpty)
+        removedStanding.merge(oneCol(removedRecent.toSeq, docCol,
+          docType))
       Graphs.freeLocalCheckpoint(base)
       overrideOpt.foreach(Graphs.freeLocalCheckpoint)
       base = next
@@ -405,15 +355,14 @@ object StreamingIndexMaint {
       removedRecent.clear()
       persistDir.foreach { d =>
         persistBase(d, batchId)
-        membersStanding.write.mode("overwrite")
-          .parquet(s"$d/members/$batchId")
-        removedStanding.foreach(_.write.mode("overwrite")
-          .parquet(s"$d/removed/$batchId"))
+        EpochSnapshots.persistEpoch(members.union, d, "members",
+          batchId)
+        removedStanding.write(d, "removed", batchId)
       }
     }
 
     def persistBase(dir: String, epoch: Long): Unit =
-      base.write.mode("overwrite").parquet(s"$dir/base/$epoch")
+      EpochSnapshots.persistEpoch(base, dir, "base", epoch)
 
     /** One tagged frame per snapshot: "o" override rows (distributed),
       * "v" vanished keys, "d" recent removed docs (in the docCol slot);
@@ -434,9 +383,9 @@ object StreamingIndexMaint {
           orderCols.map(c =>
             if (c == docCol) col(docCol) else nullOf(c)) :+
           nullOf("n_occ"): _*)
-      ovLeg.unionAll(vnLeg).unionAll(drLeg)
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/state/$batchId")
+      EpochSnapshots.persistEpoch(
+        ovLeg.unionAll(vnLeg).unionAll(drLeg), dir, "state", batchId,
+        bounded = true)
     }
 
     def read: DataFrame = synchronized(view)

@@ -2,10 +2,9 @@ package graft.streaming
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col}
 import org.apache.spark.sql.types.{StructField, StructType}
-import org.apache.spark.sql.streaming.Trigger
 
 import graft.analytics.Graphs
 
@@ -47,29 +46,32 @@ import graft.analytics.Graphs
   *     only by add batches, one broadcast semi-join ≤ |batch|).
   *
   * Standing layers are bounded over the stream's lifetime: added
-  * frames coalesce into ONE owned frame at [[PostingFrameCap]], recent
-  * removals fold into a new base at `compactBound` (the only
-  * index-sized rewrite — [[graft.similarity.Similarity
-  * .compactPostings]]' amortization argument), and removed ids persist
-  * as a frame sized by TOTAL takedown volume (the permanent-takedown
-  * floor).
+  * frames coalesce into ONE owned frame at
+  * [[EpochSnapshots.FrameCap]], recent removals fold into a new base
+  * at `compactBound` (the only index-sized rewrite —
+  * [[graft.similarity.Similarity.compactPostings]]' amortization
+  * argument), and removed ids persist as a frame sized by TOTAL
+  * takedown volume (the permanent-takedown floor).
   *
-  * `persistDir` (optional) transposes the proven epoch-snapshot
-  * scheme: `postings/<epoch>` + `removed/<epoch>` at compactions
-  * (epoch −1 = initial postings only), `added/<batchId>` per add batch
-  * (the ASSIGNED rows — recovery never re-runs assignment),
+  * `persistDir` (optional) uses the shared [[EpochSnapshots]] scheme:
+  * `postings/<epoch>` + `removed/<epoch>` at compactions (epoch −1 =
+  * initial postings only), `added/<batchId>` per add batch (the
+  * ASSIGNED rows — recovery never re-runs assignment),
   * `state/<batchId>` one bounded recent-removals frame per fold;
   * idempotent per-batchId overwrites, recovery takes the newest
-  * snapshot and the newest epochs ≤ it. Recovered frames are EAGERLY
-  * materialized (the r16 advisor's StreamingIndexMaint lesson: a lazy
-  * read of `removed/<E>` crash-loops when a replayed compaction
-  * overwrites the same path). IvfMixedPersistRestartSpec pins the
-  * crash-and-recover path. */
+  * snapshot and the newest epochs ≤ it, and a replayed fold at or
+  * below the recovered snapshot is SKIPPED
+  * ([[EpochSnapshots.alreadyApplied]] — the r17 advisor's double-count
+  * fix; pair `persistDir` with the same stream `checkpoint` for the
+  * stream's lifetime). Recovered frames are EAGERLY materialized.
+  * IvfMixedPersistRestartSpec pins the crash-and-recover paths,
+  * forced replay included. */
 object StreamingIvfMixed {
 
   /** Added-posting frames coalesce into one owned frame past this —
-    * the member view stays O(1) frames regardless of batch count. */
-  val PostingFrameCap = 8
+    * the member view stays O(1) frames regardless of batch count
+    * (the shared [[EpochSnapshots.FrameCap]]). */
+  val PostingFrameCap: Int = EpochSnapshots.FrameCap
 
   /** Run `opStream` (column `op` STRING 'add'|'rm' + the payload
     * columns `mkPostings` needs; 'rm' rows are read only at `idCol`)
@@ -97,51 +99,23 @@ object StreamingIvfMixed {
       compactBound, persistDir, recovered)
     if (recovered.isEmpty)
       persistDir.foreach(d => state.persistPostings(d, -1L))
-    val q = opStream.writeStream
-      .foreachBatch((batch: Dataset[Row], id: Long) =>
-        state.fold(batch.toDF(), id, mkPostings))
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    EpochSnapshots.runAvailableNow(opStream, checkpoint)(
+      state.fold(_, _, mkPostings))
     state
   }
 
-  private[streaming] final case class Recovered(postings: DataFrame,
-      removed: Option[DataFrame], added: Seq[DataFrame],
-      removedRecent: Seq[Any])
+  private[streaming] final case class Recovered(through: Long,
+      postings: DataFrame, removed: Option[DataFrame],
+      added: Seq[DataFrame], removedRecent: Seq[Any])
 
   private[streaming] def loadPersisted(spark: SparkSession, dir: String)
-      : Option[Recovered] = {
-    def epochs(sub: String): Seq[Long] = {
-      val f = new java.io.File(s"$dir/$sub")
-      if (!f.isDirectory) Seq.empty
-      else f.listFiles().toSeq.filter(_.isDirectory)
-        .flatMap(x => scala.util.Try(x.getName.toLong).toOption)
+      : Option[Recovered] =
+    EpochSnapshots.load(spark, dir, "StreamingIvfMixed",
+      primarySub = "postings", secondarySubs = Seq("removed"),
+      addedGateSub = "postings").map { l =>
+      Recovered(l.through, l.primary, l.secondary.get("removed"),
+        l.added, l.stateRows.map(_.get(0)))
     }
-    val snaps = epochs("state")
-    if (snaps.isEmpty) None
-    else {
-      val m = snaps.max
-      val eligible = epochs("postings").filter(_ <= m)
-      if (eligible.isEmpty)
-        throw new IllegalStateException(
-          s"StreamingIvfMixed.loadPersisted: $dir holds state " +
-            s"snapshot $m but no postings epoch <= $m — the persist " +
-            s"dir is incomplete (failed postings/-1 write or partial " +
-            s"copy); restore the postings/ tree or clear the dir for " +
-            s"a fresh start")
-      val e = eligible.max
-      val postings = spark.read.parquet(s"$dir/postings/$e")
-      val removed = epochs("removed").filter(_ <= m).sorted.lastOption
-        .map(x => spark.read.parquet(s"$dir/removed/$x"))
-      val added = epochs("added").filter(b => b <= m && b > e)
-        .sorted.map(b => spark.read.parquet(s"$dir/added/$b"))
-      val rr = spark.read.parquet(s"$dir/state/$m")
-        .collect().map(_.get(0)).toSeq
-      Some(Recovered(postings, removed, added, rr))
-    }
-  }
 
   private[streaming] final class IvfState(spark: SparkSession,
       initialPostings: DataFrame, idCol: String, compactBound: Int,
@@ -149,24 +123,24 @@ object StreamingIvfMixed {
 
     private val idType = initialPostings.schema(idCol).dataType
     private val postingCols: Seq[String] = Seq(idCol, "cell", "e")
+    private val recoveredThrough =
+      recovered.map(_.through).getOrElse(Long.MinValue)
 
     // eager checkpoints throughout: every recovered frame is
-    // materialized before any replayed batch can overwrite the parquet
-    // dirs a recovery read them from (the r16 advisor lesson)
-    private var postingsStanding = initialPostings
-      .select(postingCols.map(col): _*)
-      .transform(Graphs.flatCheckpoint(_))
-    private var removedStanding: Option[DataFrame] =
-      recovered.flatMap(_.removed).map(Graphs.flatCheckpoint(_))
-    private var removedOwned = removedStanding.nonEmpty
+    // materialized before the stream starts (EpochSnapshots' contract)
+    private val postings = new EpochSnapshots.FrameLedger(
+      initialPostings.select(postingCols.map(col): _*)
+        .transform(Graphs.flatCheckpoint(_)),
+      initiallyOwned = true)
+    private val removedStanding =
+      new EpochSnapshots.RemovedSlot(recovered.flatMap(_.removed))
     private val removedRecent = mutable.LinkedHashSet.empty[Any] ++
       recovered.map(_.removedRecent).getOrElse(Seq.empty)
-    private val addedFrames = mutable.ArrayBuffer.empty[DataFrame] ++
-      recovered.map(_.added).getOrElse(Seq.empty)
-    if (addedFrames.nonEmpty) coalescePostings()
+    recovered.map(_.added).getOrElse(Seq.empty).foreach(postings.append)
+    if (postings.hasRecent) coalescePostings()
 
     private[streaming] def postingFrameCount: Int =
-      synchronized(1 + addedFrames.size)
+      synchronized(postings.frameCount)
 
     private def idDf(vals: Seq[Any]): DataFrame =
       spark.createDataFrame(
@@ -176,7 +150,7 @@ object StreamingIvfMixed {
     /** The retained posting table: (standing ∪ adds) ∖ recent removals
       * (folded removals are already absent from the standing frame). */
     private def view: DataFrame = {
-      val all = addedFrames.foldLeft(postingsStanding)(_ unionAll _)
+      val all = postings.union
       if (removedRecent.isEmpty) all
       else all.join(broadcast(idDf(removedRecent.toSeq)),
           Seq(idCol), "left_anti")
@@ -189,18 +163,13 @@ object StreamingIvfMixed {
       * no-resurrection filter is permanent; the ids stay in
       * `removedRecent` until compaction folds them into the standing
       * removed frame). */
-    private def coalescePostings(): Unit = {
-      val next = view.transform(Graphs.flatCheckpoint(_))
-      Graphs.freeLocalCheckpoint(postingsStanding)
-      addedFrames.foreach(Graphs.freeLocalCheckpoint)
-      addedFrames.clear()
-      postingsStanding = next
-    }
+    private def coalescePostings(): Unit =
+      postings.reset(view.transform(Graphs.flatCheckpoint(_)))
 
     /** Batch ids removed by a PAST compaction — one broadcast-semi
       * probe of the standing removed frame, output ≤ |batch|. */
     private def foldedRemoved(ids: Seq[Any]): Set[Any] =
-      removedStanding match {
+      removedStanding.get match {
         case None => Set.empty
         case Some(rs) =>
           if (ids.isEmpty) Set.empty
@@ -210,6 +179,8 @@ object StreamingIvfMixed {
 
     def fold(batch: DataFrame, batchId: Long,
         mkPostings: DataFrame => DataFrame): Unit = synchronized {
+      if (EpochSnapshots.alreadyApplied(recoveredThrough, batchId,
+        "StreamingIvfMixed")) return
       // ---- removes FIRST: removal wins a same-batch add+rm (the
       // rebuild oracle's set-minus semantics) --------------------------
       val removals = batch.where(col("op") === "rm")
@@ -240,16 +211,14 @@ object StreamingIvfMixed {
           filtered
         }
       if (addRows.count() > 0) {
-        persistDir.foreach(d => addRows.coalesce(1)
-          .write.mode("overwrite").parquet(s"$d/added/$batchId"))
-        addedFrames += addRows
-        if (addedFrames.size > PostingFrameCap) coalescePostings()
+        persistDir.foreach(d => EpochSnapshots.persistEpoch(addRows,
+          d, "added", batchId, bounded = true))
+        postings.append(addRows)
+        if (postings.overCap) coalescePostings()
       } else Graphs.freeLocalCheckpoint(addRows)
       if (removedRecent.size > compactBound) compact(batchId)
-      persistDir.foreach { d =>
-        idDf(removedRecent.toSeq).coalesce(1)
-          .write.mode("overwrite").parquet(s"$d/state/$batchId")
-      }
+      persistDir.foreach(d => EpochSnapshots.persistEpoch(
+        idDf(removedRecent.toSeq), d, "state", batchId, bounded = true))
     }
 
     /** Fold recent removals into a new base — the only posting-sized
@@ -258,28 +227,18 @@ object StreamingIvfMixed {
       * frame (the permanent-takedown floor). */
     private def compact(batchId: Long): Unit = {
       coalescePostings() // view filters removedRecent — the fold
-      if (removedRecent.nonEmpty) {
-        val merged = removedStanding match {
-          case None => idDf(removedRecent.toSeq)
-          case Some(rs) => rs.unionAll(idDf(removedRecent.toSeq))
-        }
-        val mergedCp = merged.transform(Graphs.flatCheckpoint(_))
-        if (removedOwned) removedStanding
-          .foreach(Graphs.freeLocalCheckpoint)
-        removedStanding = Some(mergedCp)
-        removedOwned = true
-      }
+      if (removedRecent.nonEmpty)
+        removedStanding.merge(idDf(removedRecent.toSeq))
       removedRecent.clear()
       persistDir.foreach { d =>
         persistPostings(d, batchId)
-        removedStanding.foreach(_.write.mode("overwrite")
-          .parquet(s"$d/removed/$batchId"))
+        removedStanding.write(d, "removed", batchId)
       }
     }
 
     def persistPostings(dir: String, epoch: Long): Unit =
-      postingsStanding.write.mode("overwrite")
-        .parquet(s"$dir/postings/$epoch")
+      EpochSnapshots.persistEpoch(postings.union, dir, "postings",
+        epoch)
 
     def read: DataFrame = synchronized(view)
   }

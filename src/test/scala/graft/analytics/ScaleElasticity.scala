@@ -398,8 +398,15 @@ object ScaleElasticity {
     }
 
     def reportFolds(name: String, tag: String, seq: Seq[Double]): Unit = {
+      // guard short runs (r17 advisor): <10 recorded folds can't fill
+      // both windows — print a partial line instead of NaN means
       val early = seq.slice(1, 9)
       val late = seq.takeRight(8)
+      if (seq.size < 10 || early.isEmpty || late.isEmpty) {
+        println(f"[elast]   $name $tag ${seq.size} folds — too few " +
+          f"for an early/late split (sum ${seq.sum}%.2f s)")
+        return
+      }
       val em = early.sum / early.size
       val lm = late.sum / late.size
       println(f"[elast]   $name $tag ${seq.size} folds, " +

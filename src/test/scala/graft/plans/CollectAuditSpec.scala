@@ -41,6 +41,21 @@ class CollectAuditSpec extends AnyFunSuite with SparkTestBase {
       s"bounded collects must report bounded counts: $events")
   }
 
+  test("a metric-less Union root reports the SUM of its branches, not " +
+      "the first branch (the r17 advisor's under-count)") {
+    val a = spark.range(3000).toDF("id")
+    val b = spark.range(2500).toDF("id")
+    val (_, events) = CollectAudit.watching(spark) {
+      a.unionAll(b).collect()
+    }
+    assert(events.nonEmpty &&
+      events.exists(e => e.rows === 5500L || e.rows === -1L),
+      s"a union delivering 5500 rows must not be credited as one " +
+        s"branch: $events")
+    assert(!events.exists(e => e.rows > 0 && e.rows < 5500L),
+      s"under-counted union delivery: $events")
+  }
+
   test("scalar actions (count) do not register as collects") {
     val corpus = spark.range(10000).toDF("id")
     val (_, events) = CollectAudit.watching(spark) {

@@ -109,45 +109,50 @@ class IndexMaintPersistRestartSpec extends AnyFunSuite
     assert(rec.removedRecent === Seq(1L))
   }
 
-  test("replayed ADD-ONLY compaction at the recovered removed epoch: " +
-      "no overwrite-while-reading crash, and the recovered removed " +
-      "frame still blocks resurrection") {
+  test("forced replay of a COMPACTING fold: the replayed batch is " +
+      "skipped (no double-count, no overwrite of the recovered epoch) " +
+      "and the recovered removed frame still blocks resurrection") {
     import spark.implicits._
     val dir =
       java.nio.file.Files.createTempDirectory("graft_impr_r").toString
-    // a completed compaction at epoch 0 whose stream commit never
-    // landed: base/members/removed/state all at 0; the replay's first
-    // batchId is 0 again, and (add-only + bound 0) it re-compacts AT 0.
-    // Pre-fix, removedStanding stayed a lazy read of removed/0 and the
-    // compaction's overwrite of that same path crash-looped recovery.
-    Seq(("A", 2L, 1L)).toDF("k", "doc_id", "n_occ")
-      .write.parquet(s"$dir/_state/base/0")
-    Seq(("A", 2L)).toDF("k", "doc_id")
-      .write.parquet(s"$dir/_state/members/0")
-    Seq(1L).toDF("doc_id").write.parquet(s"$dir/_state/removed/0")
-    Seq.empty[(String, Option[String], Option[Long], Option[Long])]
-      .toDF("kind", "k", "doc_id", "n_occ")
-      .write.parquet(s"$dir/_state/state/0")
-    val histM = Seq((2L, "A")).toDF("doc_id", "text")
+    val histM = Seq((1L, "A"), (2L, "A")).toDF("doc_id", "text")
       .select(col("text").as("k"), col("doc_id"))
     val index = histM.groupBy(col("k"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_occ"))
-    Seq(("add", 10L, "A"), ("add", 1L, "A"))
+    def run(idx: DataFrame): Map[String, (Long, Long)] =
+      StreamingIndexMaint.maintain(
+          spark.readStream
+            .schema("op STRING, doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", "1").parquet(s"$dir/in"),
+          idx, histM, s"$dir/_ckpt", keyCol = "k", docCol = "doc_id",
+          orderCols = Seq("doc_id"), mkMembers = mkMembers,
+          compactBound = 0, persistDir = Some(s"$dir/_state"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // batch 0 = [(rm 1), (add 10 to A)] with bound 0 → a real
+    // compaction at epoch 0: base/0 holds A re-elected over {2, 10}
+    // (unlike the pre-r18 planted fixture, which omitted the batch's
+    // adds), removed/0 = {1}, state/0 written last
+    Seq(("rm", 1L, ""), ("add", 10L, "A"))
       .toDF("op", "doc_id", "text").repartition(1)
       .write.mode("append").parquet(s"$dir/in")
-    val out = StreamingIndexMaint.maintain(
-        spark.readStream
-          .schema("op STRING, doc_id BIGINT, text STRING")
-          .option("maxFilesPerTrigger", "1").parquet(s"$dir/in"),
-        index, histM, s"$dir/_ckpt", keyCol = "k", docCol = "doc_id",
-        orderCols = Seq("doc_id"), mkMembers = mkMembers,
-        compactBound = 0, persistDir = Some(s"$dir/_state"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
-      .toMap
-    // doc 1 is tombstoned in the RECOVERED removed frame → dropped;
-    // doc 10 joins A (keeper stays 2, n_occ 2)
-    assert(out === Map("A" -> (2L, 2L)),
-      "recovered removed frame lost on the add-only compaction replay")
+    assert(run(index) === Map("A" -> (2L, 2L)))
+    // crash after the state write, before the sink commit
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/_ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/_ckpt/commits/.0.crc"))
+    // restart replays batch 0 (skipped — already in base/0), then
+    // folds batch 1: re-add of REMOVED doc 1 must hit the recovered
+    // standing removed frame and drop; doc 11 founds B
+    Seq(("add", 1L, "A"), ("add", 11L, "B"))
+      .toDF("op", "doc_id", "text").repartition(1)
+      .write.mode("append").parquet(s"$dir/in")
+    val wrong = index.select(col("k"), lit(-1L).as("doc_id"),
+      col("n_occ"))
+    assert(run(wrong) === Map("A" -> (2L, 2L), "B" -> (11L, 1L)),
+      "compacting-fold replay double-counted n_occ, lost the " +
+        "recovered removed frame, or resurrected a removed doc")
     java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
       .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
       .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })

@@ -73,36 +73,91 @@ class IvfMixedPersistRestartSpec extends AnyFunSuite with SparkTestBase {
         .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
     }
 
-  test("replayed ADD-ONLY compaction at the recovered removed epoch: " +
-      "no overwrite-while-reading crash, and the recovered removed " +
-      "frame still blocks resurrection") {
+  test("forced replay of a COMPACTING fold: the replayed batch is " +
+      "skipped (no overwrite of the recovered epoch) and the recovered " +
+      "removed frame still blocks resurrection") {
     import spark.implicits._
     val dir =
       java.nio.file.Files.createTempDirectory("graft_ivfp_r").toString
-    // a completed compaction at epoch 0 whose stream commit never
-    // landed: postings/removed/state all at 0; the replay's first
-    // batchId is 0 again and (add-only + bound 0 + a recovered recent
-    // removal) it re-compacts AT 0 — the overwrite-while-reading shape.
-    Seq((2L, 1, ey)).toDF("vec_id", "cell", "e")
-      .write.parquet(s"$dir/_state/postings/0")
-    Seq(1L).toDF("vec_id").write.parquet(s"$dir/_state/removed/0")
-    Seq(3L).toDF("vec_id").write.parquet(s"$dir/_state/state/0")
-    val initial = Seq((2L, 1, ey)).toDF("vec_id", "cell", "e")
-    Seq(("add", 10L, ex), ("add", 1L, ex))
+    val initial = Similarity
+      .assignCells(Seq((1L, ex), (2L, ey)).toDF("vec_id", "e"), cents)
+      .select(col("vec_id"), col("cell"), col("e"))
+    def run(init: DataFrame): Seq[(Long, Int)] =
+      StreamingIvfMixed.maintain(
+          spark.readStream
+            .schema("op STRING, vec_id BIGINT, e ARRAY<DOUBLE>")
+            .option("maxFilesPerTrigger", "1").parquet(s"$dir/in"),
+          init, s"$dir/_ckpt", idCol = "vec_id",
+          mkPostings = mkPostings, compactBound = 0,
+          persistDir = Some(s"$dir/_state"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toSeq.sorted
+    // batch 0 = [(rm 1), (add 10)] with bound 0 → a real compaction at
+    // epoch 0: postings/0 holds the batch's adds (unlike the pre-r18
+    // planted fixture), removed/0 = {1}, state/0 written last
+    Seq(("rm", 1L, Seq.empty[Double]), ("add", 10L, ey))
       .toDF("op", "vec_id", "e").repartition(1)
       .write.mode("append").parquet(s"$dir/in")
-    val out = StreamingIvfMixed.maintain(
-        spark.readStream
-          .schema("op STRING, vec_id BIGINT, e ARRAY<DOUBLE>")
-          .option("maxFilesPerTrigger", "1").parquet(s"$dir/in"),
-        initial, s"$dir/_ckpt", idCol = "vec_id",
-        mkPostings = mkPostings, compactBound = 0,
-        persistDir = Some(s"$dir/_state"))
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    // id 1 is tombstoned in the RECOVERED removed frame → dropped;
-    // id 10 joins cell 0; id 3's recovered recent removal folds
-    assert(out === Map(2L -> 1, 10L -> 0),
-      "recovered removed frame lost on the add-only compaction replay")
+    assert(run(initial) === Seq(2L -> 1, 10L -> 1))
+    // crash after the state write, before the sink commit
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/_ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/_ckpt/commits/.0.crc"))
+    // the restart replays batch 0 (skipped — already in postings/0),
+    // then folds batch 1: re-add of REMOVED id 1 must hit the
+    // recovered standing removed frame and drop
+    Seq(("add", 1L, ex), ("add", 11L, ex))
+      .toDF("op", "vec_id", "e").repartition(1)
+      .write.mode("append").parquet(s"$dir/in")
+    val out = run(initial.select(col("vec_id"), lit(-1).as("cell"),
+      col("e")))
+    assert(out === Seq(2L -> 1, 10L -> 1, 11L -> 0),
+      "compacting-fold replay duplicated rows, lost the recovered " +
+        "removed frame, or resurrected a removed id")
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+  }
+
+  test("forced replay of a persisted-but-uncommitted batch (deleted " +
+      "stream commit) does not double-count its adds") {
+    import spark.implicits._
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft_ivfp_d").toString
+    val initial = Similarity
+      .assignCells(Seq((1L, ex)).toDF("vec_id", "e"), cents)
+      .select(col("vec_id"), col("cell"), col("e"))
+    def run(init: DataFrame): Seq[(Long, Int)] =
+      StreamingIvfMixed.maintain(
+          spark.readStream
+            .schema("op STRING, vec_id BIGINT, e ARRAY<DOUBLE>")
+            .option("maxFilesPerTrigger", "1").parquet(s"$dir/in"),
+          init, s"$dir/_ckpt", idCol = "vec_id",
+          mkPostings = mkPostings, compactBound = 10000,
+          persistDir = Some(s"$dir/_state"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toSeq.sorted
+    // phase 1: one committed batch [(add 10)] — non-compacting, so
+    // added/0 survives into recovery
+    Seq(("add", 10L, ey)).toDF("op", "vec_id", "e").repartition(1)
+      .write.mode("append").parquet(s"$dir/in")
+    assert(run(initial) === Seq(1L -> 0, 10L -> 1))
+    // crash AFTER the fold persisted state/0 but BEFORE the stream
+    // commit landed: delete commits/0, so the restart replays batch 0
+    // against a recovery that already holds added/0
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/_ckpt/commits/0"))
+    // and Hadoop's checksum sibling — a stale .crc fails the rewrite
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/_ckpt/commits/.0.crc"))
+    Seq(("add", 11L, ex)).toDF("op", "vec_id", "e").repartition(1)
+      .write.mode("append").parquet(s"$dir/in")
+    val out = run(initial.select(col("vec_id"), lit(-1).as("cell"),
+      col("e")))
+    assert(out === Seq(1L -> 0, 10L -> 1, 11L -> 0),
+      "replayed batch 0 duplicated its recovered add rows")
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
   }
 
   test("torn compaction: postings/removed epochs without their " +

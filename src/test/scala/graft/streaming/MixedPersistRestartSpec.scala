@@ -73,6 +73,51 @@ class MixedPersistRestartSpec extends AnyFunSuite with SparkTestBase {
         .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
     }
 
+  test("forced replay of a COMPACTING fold: the replayed batch is " +
+      "skipped and its effects come from the recovered epoch — " +
+      "nothing lost, nothing doubled") {
+    import spark.implicits._
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft_mxpr_rp").toString
+    val ids = Seq(0L, 1L, 10L, 11L, 20L, 21L, 30L, 40L).toDF("doc_id")
+    val hist = Seq((0L, 1L), (10L, 11L), (20L, 21L))
+    val labels = Graphs.connectedComponents(ids, hist.toDF("a", "b"))
+      .localCheckpoint()
+    def run(ops: Seq[(String, Long, Long)],
+        lbl: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      ops.toDF("op", "a", "b").repartition(1)
+        .write.mode("append").parquet(s"$dir/in")
+      StreamingCcMixed.maintain(
+          spark.readStream.schema("op STRING, a BIGINT, b BIGINT")
+            .option("maxFilesPerTrigger", "1").parquet(s"$dir/in"),
+          lbl, hist.toDF("a", "b"), ids, s"$dir/_ckpt",
+          compactBound = 0, persistDir = Some(s"$dir/_state"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // batch 0 = [(add 1,10), (rm 20)] with bound 0 → a real compaction
+    // at epoch 0 (base/0 + edges/0 hold the batch's full effect)
+    val phase1 = run(Seq(("add", 1L, 10L), ("rm", 20L, -1L)), labels)
+    assert(phase1 === Map(0L -> 0L, 1L -> 0L, 10L -> 0L, 11L -> 0L,
+      21L -> 21L, 30L -> 30L, 40L -> 40L))
+    // crash after the state write, before the sink commit
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/_ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/_ckpt/commits/.0.crc"))
+    // restart with singleton labels: batch 0 replays (skipped — its
+    // merge and tombstone MUST come from the recovered base), then
+    // batch 1 merges 30/40 and re-add of tombstoned 20 dies
+    val wrong = ids.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    val phase2 = run(Seq(("add", 30L, 40L), ("add", 20L, 21L)), wrong)
+    assert(phase2 === Map(0L -> 0L, 1L -> 0L, 10L -> 0L, 11L -> 0L,
+      21L -> 21L, 30L -> 30L, 40L -> 30L),
+      "skipped replay lost the compacted batch's effects, or the " +
+        "tombstoned id resurrected")
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+  }
+
   test("recovery ignores base/edges epochs whose snapshot never landed " +
       "(torn compaction) and reconstructs added frames from their dirs") {
     import spark.implicits._
