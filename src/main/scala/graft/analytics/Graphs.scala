@@ -308,6 +308,15 @@ object Graphs {
     * representation. Binary ids also need value-equality map keys
     * (Array[Byte] hashes by reference): the structure runs over
     * wrapped keys with a key → external-value table for emission. */
+  /** Value-equality map key for a driver-side id: binary digests
+    * (Array[Byte]) hash by reference, so they wrap; everything else is
+    * already value-keyed. Shared by every driver-side id set/map. */
+  private[graft] def wrapKey(x: Any): Any = x match {
+    case b: Array[Byte] =>
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+    case o => o
+  }
+
   private final class DriverUnionFind(
       dt: org.apache.spark.sql.types.DataType) {
     private val toCatalyst =
@@ -317,11 +326,7 @@ object Graphs {
       .getInterpretedOrdering(dt)
     private val orig = mutable.HashMap.empty[Any, Any]
     private val parent = mutable.HashMap.empty[Any, Any]
-    private def key(x: Any): Any = x match {
-      case b: Array[Byte] =>
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
-      case o => o
-    }
+    private def key(x: Any): Any = wrapKey(x)
     /** Register a node (idempotent); returns its internal key. */
     def add(x: Any): Any = {
       val k = key(x)
@@ -361,38 +366,53 @@ object Graphs {
   def ccDeltaRemap(base: DataFrame, remap: Option[DataFrame],
       deltaPairs: DataFrame, idCol: String = "doc_id",
       maxRounds: Int = 30): DataFrame = {
-    val lbl = base.select(col(idCol).as("__n"), col("cluster_id").as("__r"))
-    // 1. endpoint -> base root (new node -> itself) -> accumulated remap
-    val e = deltaPairs.toDF("__a", "__b")
-    val rooted0 = e
-      .join(lbl.select(col("__n").as("__a"), col("__r").as("__ra")),
-        Seq("__a"), "left")
-      .join(lbl.select(col("__n").as("__b"), col("__r").as("__rb")),
-        Seq("__b"), "left")
-      .select(coalesce(col("__ra"), col("__a")).as("ra0"),
-        coalesce(col("__rb"), col("__b")).as("rb0"))
-    val rooted = remap match {
-      case None => rooted0.select(col("ra0").as("ra"), col("rb0").as("rb"))
-      case Some(r) => rooted0
-        .join(broadcast(r.select(col("__cn").as("ra0"),
-          col("__new").as("__na"))), Seq("ra0"), "left")
-        .join(broadcast(r.select(col("__cn").as("rb0"),
-          col("__new").as("__nb"))), Seq("rb0"), "left")
-        .select(coalesce(col("__na"), col("ra0")).as("ra"),
-          coalesce(col("__nb"), col("rb0")).as("rb"))
-    }
-    // 2. union-find over the contracted root graph (≤ 2·|delta| nodes),
-    // driver-side: ONE collect of the ≤ |delta| rooted pairs
+    val spark = deltaPairs.sparkSession
     val idType = base.schema(idCol).dataType
-    val pairs = rooted.collect()
-    val uf = new DriverUnionFind(idType)
-    for (row <- pairs) uf.union(row.get(0), row.get(1))
-    val entries = uf.remapRows
-    rooted.sparkSession.createDataFrame(
-      java.util.Arrays.asList(entries: _*),
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__cn", idType),
+      org.apache.spark.sql.types.StructField("__new", idType)))
+    def mk(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    // 1. collect the batch pairs ONCE (≤ |delta| rows — the SAME
+    // bounded class as the rooted pairs this function always
+    // collected) and probe `base` for only their endpoints' roots:
+    // one broadcast-semi lookup instead of the two label-view-side
+    // joins that re-executed (and at scale shuffled) the composed
+    // member layer per fold — the fold loops' job count was dominated
+    // by exactly this (r17 verdict next-round #2).
+    val pairRows = deltaPairs.toDF("__a", "__b").collect()
+    if (pairRows.isEmpty) return mk(Seq.empty)
+    val eps = {
+      val seen = mutable.LinkedHashMap.empty[Any, Any]
+      for (r <- pairRows; x <- Seq(r.get(0), r.get(1)))
+        seen.getOrElseUpdate(wrapKey(x), x)
+      seen.values.toSeq
+    }
+    val epDf = spark.createDataFrame(
+      java.util.Arrays.asList(
+        eps.map(org.apache.spark.sql.Row(_)): _*),
       org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__cn", idType),
-        org.apache.spark.sql.types.StructField("__new", idType))))
+        org.apache.spark.sql.types.StructField("__n", idType))))
+    val rootOf = base
+      .select(col(idCol).as("__n"), col("cluster_id").as("__r"))
+      .join(broadcast(epDf), Seq("__n"), "left_semi")
+      .collect().map(r => wrapKey(r.get(0)) -> r.get(1)).toMap
+    // the accumulated remap is a bounded local frame in every caller —
+    // its collect is a driver-side LocalTableScan, not a job
+    val remapOf = remap.map(_.collect()
+        .map(r => wrapKey(r.get(0)) -> r.get(1)).toMap)
+      .getOrElse(Map.empty[Any, Any])
+    // 2. endpoint -> base root (new node -> itself) -> accumulated
+    // remap, then union-find over the contracted root graph
+    // (≤ 2·|delta| nodes), all driver-side
+    def resolve(x: Any): Any = {
+      val r0 = rootOf.getOrElse(wrapKey(x), x)
+      remapOf.getOrElse(wrapKey(r0), r0)
+    }
+    val uf = new DriverUnionFind(idType)
+    for (row <- pairRows)
+      uf.union(resolve(row.get(0)), resolve(row.get(1)))
+    mk(uf.remapRows)
   }
 
   /** DECREMENTAL connected components — the deletion/takedown path the
@@ -441,16 +461,22 @@ object Graphs {
       removed: DataFrame, idCol: String = "doc_id", maxRounds: Int = 30)
       : (DataFrame, DataFrame) = {
     val rem = broadcast(removed.select(col(idCol)).distinct())
-    val affected = broadcast(
-      labels.join(rem, idCol).select(col("cluster_id")).distinct())
+    // the affected cluster set is ≤ |removals| values — collect it once
+    // into a local relation so its three consumers (the keep filter
+    // here, the caller's pass-through anti-join, the caller's
+    // dead-remap-entry drop) don't each re-execute the label-view scan
+    val clusterType = labels.schema("cluster_id").dataType
+    val affRows = labels.join(rem, idCol)
+      .select(col("cluster_id")).distinct().collect()
+    val affected = broadcast(labels.sparkSession.createDataFrame(
+      java.util.Arrays.asList(affRows.toSeq: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cluster_id",
+          clusterType)))))
     // retained members of affected components
     val keep = labels.join(affected, "cluster_id")
       .join(rem, Seq(idCol), "left_anti")
       .select(col(idCol))
-    val e = pairs.toDF("__a", "__b")
-      .join(keep.select(col(idCol).as("__a")), "__a")
-      .join(keep.select(col(idCol).as("__b")), "__b")
-      .select(col("__a"), col("__b"))
     // ADAPTIVE small-case solve: a takedown's blast radius is usually a
     // handful of components, and re-solving it with the distributed
     // star-contraction loop pays ~20 driver-synchronized jobs per
@@ -466,10 +492,26 @@ object Graphs {
     // the distributed loop unchanged — the limit probes cost one
     // bounded job each, noise next to the loop they replace.
     val memberRows = keep.limit(RetractSolveBound + 1).collect()
+    val idType = labels.schema(idCol).dataType
     if (memberRows.length <= RetractSolveBound) {
+      // the collected member set IS the edge filter: a bounded local
+      // relation with exact size stats, broadcast to the edge scan —
+      // the `keep` plan (a multi-join pass over the composed label
+      // view) executes once, not once per consumer, and the edge
+      // layer is pruned map-side instead of shuffled (r17 verdict
+      // next-round #2)
+      val keepDf = labels.sparkSession.createDataFrame(
+        java.util.Arrays.asList(memberRows.toSeq: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol, idType))))
+      val e = pairs.toDF("__a", "__b")
+        .join(broadcast(keepDf.select(col(idCol).as("__a"))),
+          Seq("__a"), "left_semi")
+        .join(broadcast(keepDf.select(col(idCol).as("__b"))),
+          Seq("__b"), "left_semi")
+        .select(col("__a"), col("__b"))
       val edgeRows = e.limit(RetractSolveBound + 1).collect()
       if (edgeRows.length <= RetractSolveBound) {
-        val idType = labels.schema(idCol).dataType
         val uf = new DriverUnionFind(idType)
         memberRows.foreach(r => uf.add(r.get(0)))
         edgeRows.foreach(r => uf.union(r.get(0), r.get(1)))
@@ -483,7 +525,15 @@ object Graphs {
               idType))))
         return (resolved, affected)
       }
+      // dense blast radius (members² edges): distributed loop over the
+      // already-pruned edge set, member list still the collected one
+      return (connectedComponents(keepDf, e, idCol, maxRounds), affected)
     }
+    // giant member set: fully distributed, plan-side filters
+    val e = pairs.toDF("__a", "__b")
+      .join(keep.select(col(idCol).as("__a")), "__a")
+      .join(keep.select(col(idCol).as("__b")), "__b")
+      .select(col("__a"), col("__b"))
     (connectedComponents(keep, e, idCol, maxRounds), affected)
   }
 

@@ -2697,6 +2697,84 @@ object ExtQueries {
           |  FROM aprobe q JOIN afin b ON q.cell = b.cell AND q.vec_id <> b.vec_id
           |) t WHERE rk <= 3 ORDER BY vec_id, neighbor_id""".stripMargin)),
 
+    // ONLINE epoch swap (graft.streaming.StreamingIvfRetrain) — q222's
+    // retrain consumer wired INTO the mixed maintenance stream (r17
+    // verdict next-round #3): serving starts on the HIST-trained epoch
+    // 0 with only the history encoded; the drifted %10==7 slice (q222's
+    // planted x·3+0.5 transform) arrives as a stream of ADDS and fires
+    // the k-row integer monitor on its first fold; the swap runs at the
+    // fold boundary — successor quantizer trained from scratch over the
+    // retained corpus (= the full drifted corpus at that moment),
+    // everything re-encoded, epoch 1. A LATER fold then takes down the
+    // vec_id % 20 == 7 half under the NEW epoch (maintenance continues
+    // across the swap). The oracle is DuckDB training from scratch on
+    // the full drifted corpus — the corpus at fire time — and serving
+    // only the retained vectors: had the monitor not fired, the stale
+    // hist-trained epoch would hash-differ; had the takedown not folded
+    // post-swap, the removed half would still serve. Epoch rides as a
+    // column (1 = exactly one swap — the baseline reset after the swap
+    // keeps the same drift from re-firing).
+    Q("q223_streaming_epoch_swap",
+      (s, dir) => {
+        import s.implicits._
+        val drifted = Caches.frame(s, dir, "driftedEmb", eager = true) {
+          embFrame(s, dir).select(col("vec_id"),
+            when(pmod(col("vec_id"), lit(10)) === 7,
+              transform(col("e"), x => x * lit(3.0) + lit(0.5)))
+            .otherwise(col("e")).as("e"))
+        }
+        val hist = drifted.where(pmod(col("vec_id"), lit(10)) =!= 7)
+        val histCents = graft.similarity.Similarity
+          .trainCells(hist, k = 8, iters = 2)
+        val monitor = graft.similarity.Clustering
+          .lloydCentroids(hist, vecCol = "e", k = 4, updates = 2)
+        val initial = graft.similarity.Similarity
+          .assignCells(hist, histCents)
+          .select(col("vec_id"), col("cell"), col("e"))
+        val staging =
+          AnalyticsQueries.tempDirCleanedOnExit("graft_ivfrt_").toString
+        // fold 0: the drifted adds (fires → swap); fold 1: the takedown
+        // (post-swap maintenance) — two files in write order
+        drifted.where(pmod(col("vec_id"), lit(10)) === 7)
+          .select(lit("add").as("op"), col("vec_id"), col("e"))
+          .repartition(1)
+          .write.mode("append").parquet(s"$staging/ops")
+        drifted.where(pmod(col("vec_id"), lit(20)) === 7)
+          .select(lit("rm").as("op"), col("vec_id"),
+            lit(null).cast("array<double>").as("e"))
+          .repartition(1)
+          .write.mode("append").parquet(s"$staging/ops")
+        val served = graft.streaming.StreamingIvfRetrain.maintain(
+          s.readStream
+            .schema("op STRING, vec_id BIGINT, e ARRAY<DOUBLE>")
+            .option("maxFilesPerTrigger", "1").parquet(s"$staging/ops"),
+          initial, histCents, monitor, k = 8, iters = 2,
+          checkpoint = s"$staging/_ckpt")
+        graft.similarity.Similarity
+          .ivfTombstoneTopK(served.postings, served.cents,
+            Seq.empty[Long].toDF("vec_id"), k = 3, probes = 3)
+          .select(col("vec_id"), col("neighbor_id"), col("cos_sim"),
+            lit(served.epoch).as("epoch"))
+          .orderBy(col("vec_id"), col("neighbor_id"))
+      },
+      Some(ivfTrainCtes(k = 8, iters = 2, dim = 64, probes = Some(3),
+        embCte = """emb AS (SELECT vec_id, CASE WHEN vec_id % 10 = 7
+          |  THEN list_transform(CAST(embedding AS DOUBLE[]),
+          |       x -> x * 3.0 + 0.5)
+          |  ELSE CAST(embedding AS DOUBLE[]) END AS e FROM embeddings)"""
+          .stripMargin) +
+        """
+          |SELECT vec_id, neighbor_id, cos_sim, CAST(1 AS BIGINT) AS epoch
+          |FROM (
+          |  SELECT q.vec_id AS vec_id, b.vec_id AS neighbor_id,
+          |    round(list_cosine_similarity(q.e, b.e), 6) AS cos_sim,
+          |    row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY round(list_cosine_similarity(q.e, b.e), 6) DESC,
+          |        b.vec_id) AS rk
+          |  FROM aprobe q JOIN afin b ON q.cell = b.cell AND q.vec_id <> b.vec_id
+          |  WHERE q.vec_id % 20 <> 7 AND b.vec_id % 20 <> 7
+          |) t WHERE rk <= 3 ORDER BY vec_id, neighbor_id""".stripMargin)),
+
     // H.264 manifest extraction (graft.ext.H264 — Annex-B NAL walker +
     // Exp-Golomb SPS parser from the public ITU-T H.264 spec): the video
     // half of metadata-grade curation — crop-adjusted resolution,

@@ -28,37 +28,60 @@ object Retrain {
   final case class IvfEpoch(epoch: Long,
       cents: Array[(Int, Array[Double])], postings: DataFrame)
 
-  /** q203's integer-exact drift predicate reduced to the FIRE
-    * decision: true iff ANY monitor cell trips
+  /** A population's ≤ k-row monitor aggregate under the frozen integer
+    * monitor: cluster → (count, Σ quantized dist²). The sums widen to
+    * decimal INSIDE the aggregate (a BIGINT sum can silently wrap on a
+    * large population — r17 advisor; q203 widens identically) and land
+    * driver-side as exact BigInt, so monitor frames compose (a
+    * streaming baseline folds each fold's delta in by plain addition)
+    * and compare with no FP anywhere. One keyed integer aggregate, one
+    * bounded ≤ k-row collect. */
+  def monitorStats(pop: DataFrame, monitor: Seq[(Long, Array[Long])],
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Map[Long, (Long, BigInt)] =
+    Clustering.assign(pop, monitor, idCol, vecCol)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dist2").cast("decimal(38,0)")).as("dist2"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), BigInt(r.getDecimal(2).toBigInteger)))
+      .toMap
+
+  /** Pointwise sum of two monitor frames — the streaming baseline
+    * update (after a no-fire fold, the delta's vectors ARE history for
+    * every later fold). */
+  def mergeStats(a: Map[Long, (Long, BigInt)],
+      b: Map[Long, (Long, BigInt)]): Map[Long, (Long, BigInt)] =
+    (a.keySet ++ b.keySet).map { c =>
+      val (na, da) = a.getOrElse(c, (0L, BigInt(0)))
+      val (nb, db) = b.getOrElse(c, (0L, BigInt(0)))
+      c -> (na + nb, da + db)
+    }.toMap
+
+  /** The fire decision on two monitor frames: true iff ANY cell trips
     * `dist2_delta · n_hist > 2 · dist2_hist · n_delta` (mean quantized
-    * assignment error of the delta slice more than doubles the
-    * history's, cell-locally). Both sides are exact integers widened
-    * to decimal — no FP threshold, so the decision is reproducible
-    * across engines and run orders. Each population reduces to ≤ k
-    * monitor rows via one keyed integer aggregate; the comparison runs
-    * on those k-sized frames (one action, bounded). */
+    * assignment error of the delta more than doubles the history's,
+    * cell-locally). Exact integer cross-multiplication — reproducible
+    * across engines and run orders. A cell absent from a frame
+    * contributes zeros (the full-outer convention: a cell no delta
+    * reaches stays false, and so does the degenerate all-delta cell). */
+  def fires(hist: Map[Long, (Long, BigInt)],
+      delta: Map[Long, (Long, BigInt)]): Boolean =
+    (hist.keySet ++ delta.keySet).exists { c =>
+      val (nH, dH) = hist.getOrElse(c, (0L, BigInt(0)))
+      val (nD, dD) = delta.getOrElse(c, (0L, BigInt(0)))
+      dD * nH > 2 * dH * nD
+    }
+
+  /** q203's integer-exact drift predicate reduced to the FIRE
+    * decision — [[monitorStats]] of each population compared by
+    * [[fires]]. Two keyed aggregates, two ≤ k-row collects. */
   def triggerFires(hist: DataFrame, delta: DataFrame,
       monitor: Seq[(Long, Array[Long])], idCol: String = "vec_id",
-      vecCol: String = "embedding"): Boolean = {
-    // widen INSIDE the aggregate: a BIGINT sum of per-row squared
-    // distances can overflow Long on a large population before any
-    // post-hoc cast sees it (r17 advisor; q203 widens identically)
-    val gH = Clustering.assign(hist, monitor, idCol, vecCol)
-      .groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n_hist"),
-        sum(col("dist2").cast("decimal(38,0)")).as("dist2_hist"))
-    val gD = Clustering.assign(delta, monitor, idCol, vecCol)
-      .groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n_delta"),
-        sum(col("dist2").cast("decimal(38,0)")).as("dist2_delta"))
-    gH.join(gD, Seq("cluster"), "full_outer")
-      .where(
-        coalesce(col("dist2_delta"), lit(0L).cast("decimal(38,0)")) *
-          coalesce(col("n_hist"), lit(0L)) >
-        coalesce(col("dist2_hist"), lit(0L).cast("decimal(38,0)")) *
-          coalesce(col("n_delta"), lit(0L)) * lit(2))
-      .limit(1).count() > 0
-  }
+      vecCol: String = "embedding"): Boolean =
+    fires(monitorStats(hist, monitor, idCol, vecCol),
+      monitorStats(delta, monitor, idCol, vecCol))
 
   /** Trigger-gated retrain → re-encode → epoch swap. When the monitor
     * does NOT fire, returns `old` verbatim — the old artifacts keep

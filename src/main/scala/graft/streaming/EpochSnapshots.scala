@@ -153,6 +153,18 @@ private[streaming] object EpochSnapshots {
     (if (bounded) df.coalesce(1) else df)
       .write.mode("overwrite").parquet(s"$dir/$sub/$epoch")
 
+  /** Materialize a standing layer with a BOUNDED partition count.
+    * Union concatenates its children's partitions, so a fold loop
+    * that re-checkpoints `standing ∪ recent` grows the partition
+    * count without bound — especially with local-relation recent
+    * frames, which execute at up to defaultParallelism slices each;
+    * by fold ~100 task-launch overhead made late folds 2.4× early
+    * (the r18 index_maint_long probe). The narrow coalesce caps it at
+    * the session default parallelism — no shuffle, no extra job. */
+  def materializeStanding(df: DataFrame): DataFrame =
+    Graphs.flatCheckpoint(
+      df.coalesce(df.sparkSession.sparkContext.defaultParallelism))
+
   /** ONE standing frame + a capped list of recent per-batch frames —
     * the owned-frame ledger every maintainer's payload layer uses.
     * `owned` tracks whether the standing frame's checkpoint blocks are

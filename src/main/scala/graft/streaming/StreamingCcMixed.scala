@@ -203,6 +203,21 @@ object StreamingCcMixed {
     // starts
     recovered.map(_.added).getOrElse(Seq.empty).foreach(edges.append)
     if (edges.hasRecent) coalesceEdges()
+    // the pre-compaction universe (ids ⟕ base, own id when absent) is
+    // MATERIALIZED ONCE: it changes only at compaction, yet every view
+    // execution re-ran the corpus×corpus join — the single biggest
+    // per-fold cost in the r18 fold profile. Post-compaction base IS
+    // the universe and the cache aliases it (universeOwned guards the
+    // double-free).
+    private var universe: DataFrame =
+      if (baseIsUniverse) base
+      else ids
+        .join(base.select(col(idCol), col("cluster_id").as("__b")),
+          Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("__b"), col(idCol)).as("cluster_id"))
+        .transform(EpochSnapshots.materializeStanding(_))
+    private var universeOwned = !baseIsUniverse
 
     private[streaming] def edgeFrameCount: Int =
       synchronized(edges.frameCount)
@@ -222,24 +237,22 @@ object StreamingCcMixed {
 
     /** The member layer: (universe ∖ tomb) ⟕ override — own id for
       * nodes absent from base (possible only pre-compaction, when base
-      * is the caller's initial labels over a subset of `ids`). Remap
-      * applies on top. */
+      * is the caller's initial labels over a subset of `ids`; the
+      * joined universe is cached — see the field). Remap applies on
+      * top. */
     private def memberLayer: DataFrame = {
-      val universe = if (baseIsUniverse) base else {
-        val withBase = ids
-          .join(base.select(col(idCol), col("cluster_id").as("__b")),
-            Seq(idCol), "left")
-        withBase.select(col(idCol),
-          coalesce(col("__b"), col(idCol)).as("cluster_id"))
-      }
       val retained =
         if (tomb.isEmpty) universe
         else universe.join(broadcast(idDf(tomb.toSeq, idCol)),
           Seq(idCol), "left_anti")
       overrideOpt match {
         case None => retained
+        // broadcast: the override is compactBound-bounded — without
+        // the hint (stats-flattened checkpoint leaf) every view
+        // execution shuffled the corpus side into a sort-merge join
         case Some(o) => retained
-          .join(o.select(col(idCol), col("cluster_id").as("__o")),
+          .join(broadcast(
+              o.select(col(idCol), col("cluster_id").as("__o"))),
             Seq(idCol), "left")
           .select(col(idCol),
             coalesce(col("__o"), col("cluster_id")).as("cluster_id"))
@@ -268,24 +281,21 @@ object StreamingCcMixed {
           .join(t.select(col("__t").as("__b")), Seq("__b"), "left_anti")
           .select(col("__a"), col("__b"))
       }
-      edges.reset(merged.transform(Graphs.flatCheckpoint(_)))
+      edges.reset(EpochSnapshots.materializeStanding(merged))
     }
 
-    /** Endpoints of `adds` removed by a PAST compaction — visible only
-      * as absence from the compacted universe; one broadcast-semi probe
-      * (read-only base scan, output ≤ 2·|batch| — the bounded-collect
-      * class). Pre-compaction the driver tombstone set is complete and
-      * the probe is skipped. */
-    private def foldedDeadEndpoints(adds: DataFrame): Set[Any] = {
-      if (!baseIsUniverse) return Set.empty
-      val ep = adds.select(col("a").as(idCol))
-        .unionAll(adds.select(col("b").as(idCol))).distinct()
-        .collect().map(_.get(0))
-      if (ep.isEmpty) return Set.empty
+    /** Endpoints (of the batch's add edges) removed by a PAST
+      * compaction — visible only as absence from the compacted
+      * universe; one broadcast-semi probe (read-only base scan, output
+      * ≤ 2·|batch| — the bounded-collect class). Pre-compaction the
+      * driver tombstone set is complete and the probe is skipped. */
+    private def foldedDeadEndpoints(eps: Seq[Any]): Set[Any] = {
+      if (!baseIsUniverse || eps.isEmpty) return Set.empty
       val alive = base
-        .join(broadcast(idDf(ep.toSeq, idCol)), Seq(idCol), "left_semi")
-        .select(col(idCol)).collect().map(_.get(0)).toSet
-      ep.toSet -- alive
+        .join(broadcast(idDf(eps, idCol)), Seq(idCol), "left_semi")
+        .select(col(idCol)).collect()
+        .map(r => Graphs.wrapKey(r.get(0))).toSet
+      eps.filterNot(x => alive(Graphs.wrapKey(x))).toSet
     }
 
     def fold(batch: DataFrame, batchId: Long): Unit = synchronized {
@@ -293,35 +303,45 @@ object StreamingCcMixed {
         "StreamingCcMixed")) return
       val b = batch.select(col("op"), col("a"), col("b"))
       // ---- adds: root-remap fold (StreamingCcDelta's shape) ----------
-      val adds0 = b.where(col("op") === "add")
-        .select(col("a"), col("b"))
+      // collect the batch's add pairs ONCE (∝ batch — the same bounded
+      // class as the remap entries this fold always collected) and run
+      // the dead-endpoint filter driver-side: the pre-r18 plan-side
+      // path paid a checkpoint + count + anti-join chain of tiny jobs
+      // per fold on data this size (r17 verdict next-round #2)
+      val addPairs0 = b.where(col("op") === "add")
+        .select(col("a"), col("b")).collect().toSeq
+      val eps = {
+        val seen = scala.collection.mutable.LinkedHashMap.empty[Any, Any]
+        for (r <- addPairs0; x <- Seq(r.get(0), r.get(1)))
+          seen.getOrElseUpdate(Graphs.wrapKey(x), x)
+        seen.values.toSeq
+      }
       // no resurrection: an edge touching a removed id is dropped —
       // recent removals via the driver tombstone set, folded removals
       // via absence from the compacted universe
-      val dead = tomb.toSet ++ foldedDeadEndpoints(adds0)
-      val adds = if (dead.isEmpty) adds0 else {
-        val t = broadcast(idDf(dead.toSeq, "a"))
-        adds0.join(t, Seq("a"), "left_anti")
-          .join(t.select(col("a").as("b")), Seq("b"), "left_anti")
-      }
-      val addRows = adds.transform(Graphs.flatCheckpoint(_))
-      if (addRows.count() > 0) {
-        val frame = addRows.select(col("a").as("__a"), col("b").as("__b"))
+      val dead = tomb.map(Graphs.wrapKey) ++
+        foldedDeadEndpoints(eps).map(Graphs.wrapKey)
+      val addPairs = addPairs0.filterNot(r =>
+        dead(Graphs.wrapKey(r.get(0))) || dead(Graphs.wrapKey(r.get(1))))
+      if (addPairs.nonEmpty) {
+        val frame = spark.createDataFrame(
+          java.util.Arrays.asList(addPairs: _*),
+          StructType(Seq(StructField("__a", idType),
+            StructField("__b", idType))))
         edges.append(frame)
         persistDir.foreach(d => EpochSnapshots.persistEpoch(frame,
           d, "added", batchId, bounded = true))
         val fresh = Graphs
-          .ccDeltaRemap(memberLayer, remapDfOpt, addRows, idCol)
+          .ccDeltaRemap(memberLayer, remapDfOpt,
+            frame.select(col("__a").as("a"), col("__b").as("b")), idCol)
           .collect().map(r => r.get(0) -> r.get(1)).toSeq
         if (fresh.nonEmpty) {
           val nm = fresh.toMap
           for ((k, v) <- remap.toSeq) remap(k) = nm.getOrElse(v, v)
           for ((k, v) <- fresh if !remap.contains(k)) remap(k) = v
         }
-        // cap-coalesce only AFTER the remap fold: `frame` shares
-        // addRows' checkpoint blocks, and coalescing frees them
         if (edges.overCap) coalesceEdges()
-      } else Graphs.freeLocalCheckpoint(addRows)
+      }
       // ---- removes: member-override fold (Takedown's shape) ----------
       val removals = b.where(col("op") === "rm")
         .select(col("a").as(idCol)).distinct()
@@ -330,7 +350,7 @@ object StreamingCcMixed {
         val remDf = idDf(removals, idCol)
         val (resolved, affected) =
           Graphs.ccRetractParts(view, allEdges, remDf, idCol)
-        val res = resolved.transform(Graphs.flatCheckpoint(_))
+        val res = EpochSnapshots.materializeStanding(resolved)
         // drop dead remap entries: anything resolving INTO an affected
         // component was just overridden or removed
         val aff = affected.collect().map(_.get(0)).toSet
@@ -341,10 +361,11 @@ object StreamingCcMixed {
             overrideSize = res.count()
             overrideOpt = Some(res)
           case Some(o) =>
-            val next = res.unionAll(o
-                .join(res.select(col(idCol)), Seq(idCol), "left_anti")
-                .join(broadcast(remDf), Seq(idCol), "left_anti"))
-              .transform(Graphs.flatCheckpoint(_))
+            val next = EpochSnapshots.materializeStanding(
+              res.unionAll(o
+                .join(broadcast(res.select(col(idCol))), Seq(idCol),
+                  "left_anti")
+                .join(broadcast(remDf), Seq(idCol), "left_anti")))
             overrideSize = next.count()
             Graphs.freeLocalCheckpoint(o)
             Graphs.freeLocalCheckpoint(res)
@@ -364,14 +385,17 @@ object StreamingCcMixed {
       * is what [[foldedDeadEndpoints]] probes) — no layer grows with
       * the stream's lifetime. */
     private def compact(batchId: Long): Unit = {
-      val next = view.transform(Graphs.flatCheckpoint(_))
+      val next = EpochSnapshots.materializeStanding(view)
       // coalesce WHILE tomb is still populated — the edge filter is the
       // last chance to drop this epoch's dead edges from the standing
       // frame (afterwards the ids are visible only as base-absence)
       coalesceEdges()
       Graphs.freeLocalCheckpoint(base)
+      if (universeOwned) Graphs.freeLocalCheckpoint(universe)
       overrideOpt.foreach(Graphs.freeLocalCheckpoint)
       base = next
+      universe = base // compacted base covers the retained universe
+      universeOwned = false
       baseIsUniverse = true
       remap.clear()
       overrideOpt = None

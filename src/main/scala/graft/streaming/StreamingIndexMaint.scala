@@ -213,7 +213,7 @@ object StreamingIndexMaint {
       * dropping rows of currently-tombstoned docs (they can never
       * re-enter: the no-resurrection filter is permanent). */
     private def coalesceMembers(): Unit =
-      members.reset(membersView.transform(Graphs.flatCheckpoint(_)))
+      members.reset(EpochSnapshots.materializeStanding(membersView))
 
     /** Batch docs removed by a PAST compaction — visible only in the
       * standing removed-docs frame; one broadcast-semi probe, output
@@ -243,16 +243,16 @@ object StreamingIndexMaint {
           orderCols.map(c => col("__kp").getField(c).as(c)) :+
           col("n_occ"): _*)
 
-    /** Supersede `keys` in the override with `rows` (which may cover a
-      * subset of `keys` — the rest vanished). */
-    private def mergeOverride(rows: DataFrame, keys: DataFrame): Unit = {
-      val fresh = rows.transform(Graphs.flatCheckpoint(_))
+    /** Supersede `keys` in the override with `fresh` (ALREADY
+      * materialized by the caller; may cover a subset of `keys` — the
+      * rest vanished). */
+    private def mergeOverride(fresh: DataFrame, keys: DataFrame): Unit = {
       val next = overrideOpt match {
         case None => fresh
         case Some(o) =>
-          val merged = fresh.unionAll(
-              o.join(broadcast(keys), Seq(keyCol), "left_anti"))
-            .transform(Graphs.flatCheckpoint(_))
+          val merged = EpochSnapshots.materializeStanding(
+            fresh.unionAll(
+              o.join(broadcast(keys), Seq(keyCol), "left_anti")))
           Graphs.freeLocalCheckpoint(o)
           Graphs.freeLocalCheckpoint(fresh)
           merged
@@ -265,69 +265,92 @@ object StreamingIndexMaint {
         mkMembers: DataFrame => DataFrame): Unit = synchronized {
       if (EpochSnapshots.alreadyApplied(recoveredThrough, batchId,
         "StreamingIndexMaint")) return
-      // ---- adds: gather-and-re-elect fold ---------------------------
-      val adds = batch.where(col("op") === "add").drop("op")
-      // checkpoint the derived member rows FIRST: mkMembers is the
-      // expensive per-batch stage (chunking + tokenization at passage
-      // grain), and both downstream consumers (batch-doc collect,
-      // dead-doc filter) read the materialized blocks instead of
-      // re-running it (the round-17 self-review's doubled-compute
-      // finding, IndexMaint edition)
-      val addMembers0 = mkMembers(adds)
-        .select(memberCols.map(col): _*)
-        .transform(Graphs.flatCheckpoint(_))
-      val batchDocs = addMembers0.select(col(docCol)).distinct()
-        .collect().map(_.get(0)).toSeq
-      val deadDocs = batchDocs.filter(removedRecent.contains).toSet ++
-        foldedRemoved(batchDocs)
-      val addMembers =
-        if (deadDocs.isEmpty) addMembers0
-        else {
-          val filtered = addMembers0.join(
-              broadcast(oneCol(deadDocs.toSeq, docCol, docType)),
-              Seq(docCol), "left_anti")
-            // restore member order — the using-join fronted docCol
-            .select(memberCols.map(col): _*)
-            .transform(Graphs.flatCheckpoint(_))
-          Graphs.freeLocalCheckpoint(addMembers0)
-          filtered
-        }
-      if (addMembers.count() > 0) {
-        persistDir.foreach(d => EpochSnapshots.persistEpoch(addMembers,
-          d, "added", batchId, bounded = true))
-        val affKeys = addMembers.select(col(keyCol)).distinct()
-        val gathered = membersView
-          .join(broadcast(affKeys), Seq(keyCol), "left_semi")
-          .unionAll(addMembers)
-        mergeOverride(reelect(gathered), affKeys)
-        // every touched key has ≥ 1 member now (the added rows) — a
-        // previously-vanished digest legitimately lives again
-        vanished --= affKeys.collect().map(_.get(0))
-        members.append(addMembers)
-        if (members.overCap) coalesceMembers()
-      } else Graphs.freeLocalCheckpoint(addMembers)
-      // ---- removes: retract fold (Dedup.retractIndex's shape) -------
+      // ONE gather-and-re-elect over addKeys ∪ rmAffKeys against the
+      // members-after-ops view (r17 verdict next-round #2): the
+      // pre-r18 fold ran the re-elect + override-merge chain once per
+      // leg, and the two legs compose to exactly one re-elect over the
+      // union — the fold invariant ("view = rebuild over history ∪
+      // adds ∖ removed") doesn't care which leg touched a key.
+      // ---- removals first: their affected keys must be read from the
+      // member view while it still shows their rows -------------------
       val removals = batch.where(col("op") === "rm")
         .select(col(docCol)).distinct()
         .collect().map(_.get(0)).toSeq
-      if (removals.nonEmpty) {
-        val remDf = broadcast(oneCol(removals, docCol, docType))
-        val affKeys = membersView.join(remDf, Seq(docCol), "left_semi")
-          .select(col(keyCol)).distinct().transform(Graphs.flatCheckpoint(_))
-        val retained = membersView
-          .join(broadcast(affKeys), Seq(keyCol), "left_semi")
-          .join(remDf, Seq(docCol), "left_anti")
-        val rows = reelect(retained)
-        mergeOverride(rows, affKeys)
-        // vanish = affected keys with no retained member
-        val aff = affKeys.collect().map(_.get(0)).toSet
-        val live = overrideOpt.map(_.join(broadcast(affKeys),
-            Seq(keyCol), "left_semi")
-          .select(col(keyCol)).collect().map(_.get(0)).toSet)
-          .getOrElse(Set.empty[Any])
-        vanished ++= (aff -- live)
-        Graphs.freeLocalCheckpoint(affKeys)
-        removedRecent ++= removals
+      val rmAffKeys: Seq[Any] =
+        if (removals.isEmpty) Seq.empty
+        else membersView
+          .join(broadcast(oneCol(removals, docCol, docType)),
+            Seq(docCol), "left_semi")
+          .select(col(keyCol)).distinct()
+          .collect().map(_.get(0)).toSeq
+      // ---- adds: collect the batch's derived member rows ONCE (∝
+      // batch chunk count — the same bounded class as the batch-doc /
+      // affected-key collects this fold always did): mkMembers (the
+      // expensive chunking stage) runs exactly once, the dead-doc
+      // filter is driver-side, and the appended member frame is a
+      // local relation with exact size stats
+      val memberPlan = mkMembers(batch.where(col("op") === "add")
+          .drop("op"))
+        .select(memberCols.map(col): _*)
+      val memberSchema = memberPlan.schema
+      val memberRows0 = memberPlan.collect().toSeq
+      val docIdx = memberCols.indexOf(docCol)
+      val batchDocs = {
+        val seen = mutable.LinkedHashMap.empty[Any, Any]
+        for (r <- memberRows0)
+          seen.getOrElseUpdate(Graphs.wrapKey(r.get(docIdx)),
+            r.get(docIdx))
+        seen.values.toSeq
+      }
+      // no resurrection — and removal wins a same-batch add+rm, so
+      // THIS batch's removals count as dead too (the rebuild oracle's
+      // set-minus semantics; pre-r18 the rm leg scrubbed them after
+      // the fact)
+      val removalSet = removals.map(Graphs.wrapKey).toSet
+      val deadDocs: Set[Any] = batchDocs.filter(d =>
+          removedRecent.contains(d) ||
+            removalSet.contains(Graphs.wrapKey(d))).toSet ++
+        foldedRemoved(batchDocs)
+      val deadWrapped = deadDocs.map(Graphs.wrapKey)
+      val memberRows = memberRows0.filterNot(r =>
+        deadWrapped.contains(Graphs.wrapKey(r.get(docIdx))))
+      val addMembers = spark.createDataFrame(
+        java.util.Arrays.asList(memberRows: _*), memberSchema)
+      val keyIdx = memberCols.indexOf(keyCol)
+      val addKeys = {
+        val seen = mutable.LinkedHashMap.empty[Any, Any]
+        for (r <- memberRows)
+          seen.getOrElseUpdate(Graphs.wrapKey(r.get(keyIdx)),
+            r.get(keyIdx))
+        seen.values.toSeq
+      }
+      removedRecent ++= removals
+      // ---- one re-elect over every touched key ----------------------
+      val affSet = (addKeys ++ rmAffKeys).distinct
+      if (affSet.nonEmpty) {
+        val affDf = broadcast(oneCol(affSet, keyCol, keyType))
+        // membersView now excludes this batch's removals; the adds are
+        // not yet appended, so the union IS the after-ops member set.
+        // The re-elect result is ∝ |affSet| — collected once, it is
+        // both the vanish bookkeeping and the fresh override rows.
+        val gathered = membersView
+          .join(affDf, Seq(keyCol), "left_semi")
+          .unionAll(addMembers)
+        val reRows = reelect(gathered).collect().toSeq
+        val reelected = reRows.map(_.get(0)).toSet
+        mergeOverride(spark.createDataFrame(
+          java.util.Arrays.asList(reRows: _*), overrideSchema), affDf)
+        // a re-elected key has ≥ 1 member after ops (vanished digests
+        // with fresh adds legitimately live again); a touched key with
+        // no row vanished (keeper gone, nothing retained)
+        vanished --= reelected
+        vanished ++= affSet.filterNot(reelected)
+      }
+      if (addKeys.nonEmpty) {
+        persistDir.foreach(d => EpochSnapshots.persistEpoch(addMembers,
+          d, "added", batchId, bounded = true))
+        members.append(addMembers)
+        if (members.overCap) coalesceMembers()
       }
       if (overrideSize + vanished.size + removedRecent.size >
           compactBound) compact(batchId)
@@ -341,7 +364,7 @@ object StreamingIndexMaint {
       * stream's lifetime (removed-docs grows with TOTAL takedown
       * volume — the permanent-takedown floor). */
     private def compact(batchId: Long): Unit = {
-      val next = view.transform(Graphs.flatCheckpoint(_))
+      val next = EpochSnapshots.materializeStanding(view)
       coalesceMembers() // while removedRecent is still populated
       if (removedRecent.nonEmpty)
         removedStanding.merge(oneCol(removedRecent.toSeq, docCol,

@@ -100,7 +100,7 @@ object StreamingIvfMixed {
     if (recovered.isEmpty)
       persistDir.foreach(d => state.persistPostings(d, -1L))
     EpochSnapshots.runAvailableNow(opStream, checkpoint)(
-      state.fold(_, _, mkPostings))
+      (b, id) => { state.fold(b, id, mkPostings); () })
     state
   }
 
@@ -164,7 +164,7 @@ object StreamingIvfMixed {
       * `removedRecent` until compaction folds them into the standing
       * removed frame). */
     private def coalescePostings(): Unit =
-      postings.reset(view.transform(Graphs.flatCheckpoint(_)))
+      postings.reset(EpochSnapshots.materializeStanding(view))
 
     /** Batch ids removed by a PAST compaction — one broadcast-semi
       * probe of the standing removed frame, output ≤ |batch|. */
@@ -177,10 +177,16 @@ object StreamingIvfMixed {
             .select(col(idCol)).collect().map(_.get(0)).toSet
       }
 
+    /** Apply one op batch; returns the RETAINED assigned add rows
+      * (idCol, cell, e) when the batch contributed any — the monitor
+      * hook for [[StreamingIvfRetrain]] (what actually ENTERED the
+      * index, post no-resurrection filter; a fully-dropped add batch
+      * returns None and must not fire a drift monitor). */
     def fold(batch: DataFrame, batchId: Long,
-        mkPostings: DataFrame => DataFrame): Unit = synchronized {
+        mkPostings: DataFrame => DataFrame): Option[DataFrame] =
+        synchronized {
       if (EpochSnapshots.alreadyApplied(recoveredThrough, batchId,
-        "StreamingIvfMixed")) return
+        "StreamingIvfMixed")) return None
       // ---- removes FIRST: removal wins a same-batch add+rm (the
       // rebuild oracle's set-minus semantics) --------------------------
       val removals = batch.where(col("op") === "rm")
@@ -210,7 +216,8 @@ object StreamingIvfMixed {
           Graphs.freeLocalCheckpoint(addRows0)
           filtered
         }
-      if (addRows.count() > 0) {
+      val contributed = addRows.count() > 0
+      if (contributed) {
         persistDir.foreach(d => EpochSnapshots.persistEpoch(addRows,
           d, "added", batchId, bounded = true))
         postings.append(addRows)
@@ -219,6 +226,31 @@ object StreamingIvfMixed {
       if (removedRecent.size > compactBound) compact(batchId)
       persistDir.foreach(d => EpochSnapshots.persistEpoch(
         idDf(removedRecent.toSeq), d, "state", batchId, bounded = true))
+      if (contributed) Some(addRows) else None
+    }
+
+    /** EPOCH SWAP support ([[StreamingIvfRetrain]]): rebuild the
+      * posting layer by re-assigning the retained view's vectors under
+      * a NEW frozen quantizer — the only legitimate whole-table
+      * rewrite besides compaction, and it IS a compaction for the
+      * removal layers (recent removals fold into the standing removed
+      * frame, so no-resurrection crosses the epoch boundary intact —
+      * spec-pinned). `mk` is the new epoch's assignment stage over
+      * (idCol, e) rows. */
+    def reencode(mk: DataFrame => DataFrame, batchId: Long): Unit =
+        synchronized {
+      val next = EpochSnapshots.materializeStanding(
+        mk(view.select(col(idCol), col("e")))
+          .select(postingCols.map(col): _*))
+      postings.reset(next)
+      if (removedRecent.nonEmpty) {
+        removedStanding.merge(idDf(removedRecent.toSeq))
+        removedRecent.clear()
+      }
+      persistDir.foreach { d =>
+        persistPostings(d, batchId)
+        removedStanding.write(d, "removed", batchId)
+      }
     }
 
     /** Fold recent removals into a new base — the only posting-sized
