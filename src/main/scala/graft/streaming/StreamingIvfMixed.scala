@@ -181,10 +181,21 @@ object StreamingIvfMixed {
       * (idCol, cell, e) when the batch contributed any — the monitor
       * hook for [[StreamingIvfRetrain]] (what actually ENTERED the
       * index, post no-resurrection filter; a fully-dropped add batch
-      * returns None and must not fire a drift monitor). */
+      * returns None and must not fire a drift monitor).
+      *
+      * `beforeCommit` runs with that same option AFTER the batch is
+      * fully applied but BEFORE the fold's `state/<batchId>` write —
+      * so everything a consumer persists inside it (a retrain swap's
+      * quantizer/monitor/re-encoded artifacts) sits UNDER the
+      * state-last replay rule: `state/<batchId>` present proves the
+      * hook's persists landed too, and a torn hook leaves only
+      * orphan epochs > the newest snapshot, which recovery ignores
+      * and the replayed fold redoes. Skipped replays never invoke
+      * it. */
     def fold(batch: DataFrame, batchId: Long,
-        mkPostings: DataFrame => DataFrame): Option[DataFrame] =
-        synchronized {
+        mkPostings: DataFrame => DataFrame,
+        beforeCommit: Option[DataFrame] => Unit = _ => ())
+        : Option[DataFrame] = synchronized {
       if (EpochSnapshots.alreadyApplied(recoveredThrough, batchId,
         "StreamingIvfMixed")) return None
       // ---- removes FIRST: removal wins a same-batch add+rm (the
@@ -224,9 +235,11 @@ object StreamingIvfMixed {
         if (postings.overCap) coalescePostings()
       } else Graphs.freeLocalCheckpoint(addRows)
       if (removedRecent.size > compactBound) compact(batchId)
+      val result = if (contributed) Some(addRows) else None
+      beforeCommit(result)
       persistDir.foreach(d => EpochSnapshots.persistEpoch(
         idDf(removedRecent.toSeq), d, "state", batchId, bounded = true))
-      if (contributed) Some(addRows) else None
+      result
     }
 
     /** EPOCH SWAP support ([[StreamingIvfRetrain]]): rebuild the

@@ -45,6 +45,28 @@ class StreamingIvfRetrainSpec extends AnyFunSuite with SparkTestBase {
     (served, cents0, monitor)
   }
 
+  /** Persistent runner against a shared dir: appends `ops` as one more
+    * file and drains the stream with `persistDir` set. */
+  private def runPersist(dir: String,
+      initial: org.apache.spark.sql.DataFrame,
+      cents0In: Array[(Int, Array[Double])],
+      monitor: Seq[(Long, Array[Long])],
+      ops: Seq[(String, Long, Seq[Double])])
+      : StreamingIvfRetrain.Served = {
+    import spark.implicits._
+    if (ops.nonEmpty) ops.toDF("op", "vec_id", "e").repartition(1)
+      .write.mode("append").parquet(s"$dir/in")
+    StreamingIvfRetrain.maintain(
+      spark.readStream
+        .schema("op STRING, vec_id BIGINT, e ARRAY<DOUBLE>")
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in"),
+      initial, cents0In, monitor, k = 2, iters = 2,
+      checkpoint = s"$dir/_ckpt", persistDir = Some(s"$dir/_state"))
+  }
+
+  private val wrongCents: Array[(Int, Array[Double])] =
+    Array(0 -> Array(5.0, 5.0), 1 -> Array(-5.0, -5.0))
+
   private def rows(df: org.apache.spark.sql.DataFrame)
       : Set[(Long, Int, Seq[Double])] =
     df.collect()
@@ -96,6 +118,86 @@ class StreamingIvfRetrainSpec extends AnyFunSuite with SparkTestBase {
           .toDF("vec_id", "e"), cents1)
       .select(col("vec_id"), col("cell"), col("e"))
     assert(rows(served.postings) === rows(expected))
+  }
+
+  test("restart after a committed SWAP fold: quantizer, baseline, and " +
+      "re-encoded postings recover (wrong cents0/initial ignored), " +
+      "and the same drift does not re-fire on the next fold") {
+    import spark.implicits._
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft_ivfr_p").toString
+    val hist = Seq((1L, ex), (2L, ey), (3L, ex), (4L, ey))
+    val histDf = hist.toDF("vec_id", "e")
+    val cents0 = Similarity.trainCells(histDf, k = 2, iters = 2)
+    val monitor = Clustering.lloydCentroids(histDf, vecCol = "e",
+      k = 2, updates = 1)
+    val initial = Similarity.assignCells(histDf, cents0)
+      .select(col("vec_id"), col("cell"), col("e"))
+    // phase 1: the drifted fold fires → swap commits (epoch 1)
+    val p1 = runPersist(dir, initial, cents0, monitor,
+      Seq(("add", 20L, drift), ("add", 21L, drift)))
+    assert(p1.epoch === 1L)
+    // "crash": restart with GARBAGE initial artifacts — only the
+    // persisted quantizer/monitor/postings know the swap happened
+    val wrongInit = initial.select(col("vec_id"), lit(-1).as("cell"),
+      col("e"))
+    val p2 = runPersist(dir, wrongInit, wrongCents, monitor,
+      Seq(("add", 22L, drift)))
+    assert(p2.epoch === 1L,
+      "recovered post-swap baseline must keep the same drift from " +
+        "re-firing (epoch 2 = baseline lost; epoch 0 = quantizer lost)")
+    val atFire = (hist ++ Seq((20L, drift), (21L, drift)))
+      .toDF("vec_id", "e")
+    val cents1 = Similarity.trainCells(atFire, k = 2, iters = 2)
+    val expected = Similarity.assignCells(
+        (hist ++ Seq((20L, drift), (21L, drift), (22L, drift)))
+          .toDF("vec_id", "e"), cents1)
+      .select(col("vec_id"), col("cell"), col("e"))
+    assert(rows(p2.postings) === rows(expected),
+      "restart lost the recovered epoch-1 quantizer or postings")
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+  }
+
+  test("forced replay of the SWAP fold: skipped (state-last covers " +
+      "the hook's persists), epoch stays 1, no double-retrain") {
+    import spark.implicits._
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft_ivfr_rp").toString
+    val hist = Seq((1L, ex), (2L, ey), (3L, ex), (4L, ey))
+    val histDf = hist.toDF("vec_id", "e")
+    val cents0 = Similarity.trainCells(histDf, k = 2, iters = 2)
+    val monitor = Clustering.lloydCentroids(histDf, vecCol = "e",
+      k = 2, updates = 1)
+    val initial = Similarity.assignCells(histDf, cents0)
+      .select(col("vec_id"), col("cell"), col("e"))
+    val p1 = runPersist(dir, initial, cents0, monitor,
+      Seq(("add", 20L, drift), ("add", 21L, drift)))
+    assert(p1.epoch === 1L)
+    // crash AFTER the fold's state write but BEFORE the sink commit:
+    // the restart replays the swap fold — which must be SKIPPED, its
+    // effects coming entirely from the recovered epoch
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/_ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/_ckpt/commits/.0.crc"))
+    val p2 = runPersist(dir, initial, wrongCents, monitor,
+      Seq(("add", 22L, drift)))
+    assert(p2.epoch === 1L,
+      "replayed swap fold must not retrain again")
+    val atFire = (hist ++ Seq((20L, drift), (21L, drift)))
+      .toDF("vec_id", "e")
+    val cents1 = Similarity.trainCells(atFire, k = 2, iters = 2)
+    val expected = Similarity.assignCells(
+        (hist ++ Seq((20L, drift), (21L, drift), (22L, drift)))
+          .toDF("vec_id", "e"), cents1)
+      .select(col("vec_id"), col("cell"), col("e"))
+    assert(rows(p2.postings) === rows(expected),
+      "replayed swap fold duplicated adds or lost the epoch-1 state")
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
   }
 
   test("no resurrection across the swap: a takedown from epoch 0 " +
