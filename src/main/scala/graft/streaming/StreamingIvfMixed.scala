@@ -204,36 +204,37 @@ object StreamingIvfMixed {
         .select(col(idCol)).distinct()
         .collect().map(_.get(0)).toSeq
       removedRecent ++= removals
-      // ---- adds: frozen-centroid assignment, dead ids dropped -------
-      // checkpoint the assigned rows FIRST: deriving batchIds and (if
-      // needed) the dead-filtered frame from the materialized blocks
-      // runs the assignment map stage ONCE per batch, not once per
-      // consumer
-      val addRows0 = mkPostings(batch.where(col("op") === "add")
+      // ---- adds: collect the batch's ASSIGNED rows once (∝ batch —
+      // the same bounded class as the batch-id collect this fold
+      // always did): the frozen-centroid assignment map stage runs
+      // exactly once, the dead-id filter is driver-side, and the
+      // appended posting frame is a local relation with exact stats
+      // (the CcMixed/IndexMaint one-collect treatment, Ivf edition) --
+      val addPlan = mkPostings(batch.where(col("op") === "add")
           .drop("op"))
         .select(postingCols.map(col): _*)
-        .transform(Graphs.flatCheckpoint(_))
-      val batchIds = addRows0.select(col(idCol)).distinct()
-        .collect().map(_.get(0)).toSeq
+      val addSchema = addPlan.schema
+      val addRows0 = addPlan.collect().toSeq
+      val batchIds = {
+        val seen = mutable.LinkedHashMap.empty[Any, Any]
+        for (r <- addRows0)
+          seen.getOrElseUpdate(Graphs.wrapKey(r.get(0)), r.get(0))
+        seen.values.toSeq
+      }
       val dead = batchIds.filter(removedRecent.contains).toSet ++
         foldedRemoved(batchIds)
-      val addRows =
-        if (dead.isEmpty) addRows0
-        else {
-          val filtered = addRows0
-            .join(broadcast(idDf(dead.toSeq)), Seq(idCol), "left_anti")
-            .select(postingCols.map(col): _*)
-            .transform(Graphs.flatCheckpoint(_))
-          Graphs.freeLocalCheckpoint(addRows0)
-          filtered
-        }
-      val contributed = addRows.count() > 0
+      val deadWrapped = dead.map(Graphs.wrapKey)
+      val liveRows = addRows0.filterNot(r =>
+        deadWrapped.contains(Graphs.wrapKey(r.get(0))))
+      val addRows = spark.createDataFrame(
+        java.util.Arrays.asList(liveRows: _*), addSchema)
+      val contributed = liveRows.nonEmpty
       if (contributed) {
         persistDir.foreach(d => EpochSnapshots.persistEpoch(addRows,
           d, "added", batchId, bounded = true))
         postings.append(addRows)
         if (postings.overCap) coalescePostings()
-      } else Graphs.freeLocalCheckpoint(addRows)
+      }
       if (removedRecent.size > compactBound) compact(batchId)
       val result = if (contributed) Some(addRows) else None
       beforeCommit(result)

@@ -125,7 +125,8 @@ object StreamingIvfRetrain {
       monitor: Seq[(Long, Array[Long])], k: Int, iters: Int,
       checkpoint: String, idCol: String = "vec_id",
       compactBound: Int = 10000,
-      persistDir: Option[String] = None): Served = {
+      persistDir: Option[String] = None,
+      trainSampleFraction: Double = 1.0): Served = {
     val spark = opStream.sparkSession
     val recovered =
       persistDir.flatMap(d => StreamingIvfMixed.loadPersisted(spark, d))
@@ -174,9 +175,14 @@ object StreamingIvfRetrain {
             // fold-boundary swap: train from scratch on the retained
             // corpus, re-encode, advance, reset the baseline to the
             // new epoch's corpus
+            // trainSampleFraction < 1 is the 100 TB path: the swap's
+            // from-scratch training runs on trainCells' deterministic
+            // id-stable sample while the re-encode still assigns the
+            // FULL retained corpus (the same split q92's trained IVF
+            // uses; AnnQualitySpec bounds sample-trained recall)
             cents = Similarity.trainCells(
               state.read.select(col(idCol), col("e")), k, iters, idCol,
-              "e")
+              "e", sampleFraction = trainSampleFraction)
             state.reencode(mk, id)
             epoch += 1
             persistDir.foreach(d => writeQuantizer(spark, d, id, cents))
