@@ -45,21 +45,41 @@ object TableStats {
   def isEmpty: Boolean = reg.isEmpty
   def lookup(path: String): Option[Stats] = Option(reg.get(norm(path)))
 
-  /** ONE aggregate pass over `df` collecting row count plus exact
+  /** ONE melted pass over `df` collecting row count plus exact
     * NDV + octiles for each named numeric column, registered under
     * `path`. Exact percentiles/NDV are the right call at ANALYZE time
     * for bounded tables; q70/q43 document the mergeable-sketch forms
-    * that replace them when the profiled table itself is corpus-sized. */
+    * that replace them when the profiled table itself is corpus-sized.
+    *
+    * The stats come from [[graft.analytics.Percentiles.profile]] over a
+    * `stack` melt (bit-identical to the previous
+    * percentile()+count_distinct aggregate — PercentilesSpec): the
+    * single-group percentile buffer held one value-multiset hash map
+    * PER PARTITION and merged them single-threaded, which made the q190
+    * ANALYZE pass cost ~3 s at sf0.1 on l_orderkey's 150k NDV. Columns
+    * are cast to DOUBLE in the melt (the profile needs one value type);
+    * exact for integral values up to 2^53 — beyond that, profile the
+    * column with the q70 sketch instead. */
   def analyze(df: DataFrame, path: String, cols: Seq[String]): Stats = {
-    val qs = "array(0.0d,0.125d,0.25d,0.375d,0.5d,0.625d,0.75d,0.875d,1.0d)"
-    val aggs = cols.flatMap(c => Seq(
-      count_distinct(col(c)).as(s"__ndv_$c"),
-      expr(s"percentile($c, $qs)").as(s"__h_$c")))
-    val row = df.agg(count(lit(1)).as("__n"), aggs: _*).head()
+    val qs = Seq(0.0, 0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875, 1.0)
+    val melt = df.select(expr(
+      s"stack(${cols.size}, " +
+        cols.map(c => s"'$c', CAST($c AS DOUBLE)").mkString(", ") +
+        ") AS (__col, __v)"))
+    val prof = graft.analytics.Percentiles
+      .profile(melt, "__col", "__v", qs)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), qs.indices.map(i => r.getDouble(5 + i)).toArray))
+      .toMap
     val colStats = cols.map { c =>
-      c -> ColHist(row.getAs[Long](s"__ndv_$c"),
-        row.getAs[Seq[Double]](s"__h_$c").toArray)
+      val (ndv, bounds) = prof(c)
+      c -> ColHist(ndv, bounds)
     }.toMap
+    // row count exactly as before (count(lit(1)): all rows, nulls
+    // included — the profile's __n drops nulls); a zero-column count
+    // scan is footer-cheap next to the melt pass
+    val row = df.groupBy().agg(count(lit(1)).as("__n")).head()
     // static row-width estimate from the schema; the stats drive a
     // broadcast-or-not decision, where being within 2x is plenty
     val rowBytes = df.schema.map(_.dataType.defaultSize.toLong).sum

@@ -265,6 +265,11 @@ object AdvancedQueries {
     // per-group state is the group's value multiset, sharded by the group
     // key. Rounded to 6dp on both sides: the interpolation arithmetic is
     // the only FP step that could differ between engines.
+    // (r18 optimization note: the Percentiles.profile histogram path was
+    // measured HERE at 1.8s vs 1.5s for this one-aggregation form — at 3
+    // groups the buffer is the cheaper plan, so q51 keeps the built-in
+    // and stays the exact-reference twin of q70's sketch; q183/q190 use
+    // profile, where high-NDV buffers lose badly.)
     Q("q51_group_quantiles",
       (s, dir) =>
         Tables(s, dir, "lineitem")
@@ -1093,26 +1098,35 @@ object AdvancedQueries {
     // (exact interpolated octile boundaries; equal-COUNT buckets carry
     // selectivity information a fixed-width histogram loses on skewed
     // columns). Columns melt through one `stack` pass so the table scans
-    // ONCE for all three columns; per-column state is the value multiset
-    // only inside the exact-percentile buffer (q51's documented
-    // exact-vs-sketch tradeoff — q70 is the 100 TB path).
+    // ONCE for all three columns; NDV and the exact octiles come from
+    // [[graft.analytics.Percentiles.profile]] — a GROUP BY value
+    // histogram + one window pass, shuffling ~NDV rows once, instead of
+    // the percentile()+countDistinct aggregate whose per-partition
+    // hash-map partials made this the suite's slowest query (7.2 s →
+    // ~1 s at sf0.1; bit-identical results, PercentilesSpec pins it).
+    // q70 stays the mergeable-sketch 100 TB default for corpus-NDV
+    // columns (q51's documented exact-vs-sketch tradeoff).
     Q("q183_column_stats",
       (s, dir) => {
-        val melted = Tables(s, dir, "lineitem").select(
+        // lineitem's measure columns are non-null, so the profile's
+        // non-null count equals the original count(lit(1)) row count.
+        // Tables.sharded: the single-row-group testdata scan is ONE
+        // task, so without the fan-out the whole melt + partial
+        // aggregation would run serially (measured core-count-invariant
+        // before the shard)
+        val melted = Tables.sharded(s, dir, "lineitem", "l_orderkey")
+          .select(
           expr("stack(3, 'l_quantity', l_quantity, " +
             "'l_extendedprice', l_extendedprice, " +
             "'l_discount', l_discount) AS (col_name, v)"))
-        melted.groupBy(col("col_name"))
-          .agg(count(lit(1)).as("n"),
-            countDistinct(col("v")).as("ndv"),
-            round(min(col("v")), 6).as("min_v"),
-            round(max(col("v")), 6).as("max_v"),
-            percentile(col("v"), array((1 to 7).map(i =>
-              lit(i / 8.0)): _*)).as("__ps"))
-          .select(col("col_name") +: col("n") +: col("ndv") +:
-            col("min_v") +: col("max_v") +:
+        graft.analytics.Percentiles
+          .profile(melted, "col_name", "v", (1 to 7).map(_ / 8.0))
+          .select(col("col_name") +: col("__n").as("n") +:
+            col("__ndv").as("ndv") +:
+            round(col("__min"), 6).as("min_v") +:
+            round(col("__max"), 6).as("max_v") +:
             (1 to 7).map(i =>
-              round(element_at(col("__ps"), i), 6).as(s"b$i")): _*)
+              round(col(s"__pct${i - 1}"), 6).as(s"b$i")): _*)
           .orderBy(col("col_name"))
       },
       Some(
@@ -1392,25 +1406,47 @@ object AdvancedQueries {
         val dirtyBg = dirty.select(col("dk"), col("dn"), explode(expr(
           "transform(sequence(1, 6), i -> concat(element_at(dw, i), ' ', element_at(dw, i + 1)))"))
           .as("bg"))
-        val wRare = Window.partitionBy(col("dk"))
-          .orderBy(col("df"), col("bg"))
-        val rare = dirtyBg.join(dfreq, "bg")
-          .withColumn("rn", row_number().over(wRare))
-          .where(col("rn") === 1)
-          .select(col("dk"), col("dn"), col("bg"))
-        val candIdx = cleanBg.select(col("ck"), col("bg")).distinct()
-        val cands = rare.join(candIdx, "bg")
-          .select(col("dk"), col("dn"), col("ck")).distinct()
-        val scored = cands
-          .join(clean.select(col("ck"), col("cn")), "ck")
+        // rarest bigram per dirty record = argmin over (df, bg) — a
+        // struct-min AGGREGATE, not a partition-sort window: identical
+        // pick (lexicographic struct ordering = the window's (df, bg)
+        // order; dn rides along, constant per dk), but map-side partial
+        // aggregation replaces the per-key sort and the df table joins
+        // as an explicit broadcast (bigram df is vocabulary-sized).
+        val rare = dirtyBg.join(broadcast(dfreq), "bg")
+          .groupBy(col("dk"))
+          .agg(min(struct(col("df"), col("bg"), col("dn"))).as("m"))
+          .select(col("dk"), col("m.dn").as("dn"), col("m.bg").as("bg"))
+        // candidate gather + scoring on a PINNED parallel partitioning:
+        // the clean index and the clean-name table are the REGISTRY side
+        // of the linkage (small by design — that is what makes blocking
+        // viable), so both attach as broadcasts. The repartition is
+        // explicit because the scoring stage is row-expensive but
+        // byte-tiny: AQE's byte-based coalescing was measured folding it
+        // onto ONE task (5.5 s single-threaded, and the orderBy's range-
+        // sampling pass re-executes the child, paying it TWICE — 2×2.4 s
+        // serial vs 0.9 s across the cores). A user-specified partition
+        // count is exempt from AQE coalescing, but repartition(n, dk)
+        // alone is optimized AWAY (child already hash(dk)-partitioned),
+        // so the key set includes bg — the surviving REPARTITION_BY_NUM
+        // keeps the stage at cluster parallelism for the cost of one
+        // 5k-row exchange into the final argmin. No distinct passes: a
+        // bigram occurring twice in one clean title just scores the same
+        // (dk, ck) pair twice, and the argmin is duplicate-invariant —
+        // the old candIdx/cands distincts bought nothing but two
+        // corpus-keyed shuffles.
+        val scored = rare
+          .repartition(s.sparkContext.defaultParallelism, col("dk"), col("bg"))
+          .join(broadcast(cleanBg), "bg")
+          .join(broadcast(clean.select(col("ck"), col("cn"))), "ck")
           .withColumn("dist", levenshtein(col("dn"), col("cn")))
-        val wBest = Window.partitionBy(col("dk"))
-          .orderBy(col("dist"), col("ck"))
-        scored.withColumn("rn", row_number().over(wBest))
-          .where(col("rn") === 1)
-          .select(col("dk").as("src_key"), col("ck").as("matched_key"),
-            col("dist"),
-            (col("ck") === col("dk")).cast("int").as("matched_self"))
+        // best match = argmin over (dist, ck): the same struct-min
+        // aggregate shape as `rare` (window orderBy (dist, ck) picked
+        // exactly this row)
+        scored.groupBy(col("dk"))
+          .agg(min(struct(col("dist"), col("ck"))).as("m"))
+          .select(col("dk").as("src_key"), col("m.ck").as("matched_key"),
+            col("m.dist").as("dist"),
+            (col("m.ck") === col("dk")).cast("int").as("matched_self"))
           .orderBy(col("src_key"))
       },
       Some(
@@ -1612,26 +1648,30 @@ object AdvancedQueries {
         val dirtyBg = dirty.select(col("dk"), col("dn"), explode(expr(
           "transform(sequence(1, 6), i -> concat(element_at(dw, i), ' ', element_at(dw, i + 1)))"))
           .as("bg"))
-        val wRare = Window.partitionBy(col("dk"))
-          .orderBy(col("df"), col("bg"))
-        val rare = dirtyBg.join(dfreq, "bg")
-          .withColumn("rn", row_number().over(wRare))
-          .where(col("rn") === 1)
-          .select(col("dk"), col("dn"), col("bg"))
-        val candIdx = cleanBg.select(col("ck"), col("bg")).distinct()
-        val cands = rare.join(candIdx, "bg")
-          .select(col("dk"), col("dn"), col("ck")).distinct()
-        val scored = cands
-          .join(clean.select(col("ck"), col("cn")), "ck")
+        // same struct-min argmin/argmax shape as q191 (see there): the
+        // per-key row_number windows become map-side-partial aggregates,
+        // and the vocabulary-sized df table broadcasts. Descending jw
+        // rides as its exact negation (order-faithful for finite
+        // doubles; jw ∈ [0,1]), the original value carried alongside.
+        val rare = dirtyBg.join(broadcast(dfreq), "bg")
+          .groupBy(col("dk"))
+          .agg(min(struct(col("df"), col("bg"), col("dn"))).as("m"))
+          .select(col("dk"), col("m.dn").as("dn"), col("m.bg").as("bg"))
+        // registry side broadcasts + argmax on a pinned parallel
+        // partitioning, exactly as q191 (see there — incl. why the
+        // repartition must be explicit and why its key set includes
+        // bg): no distinct passes — the argmax is duplicate-invariant
+        val scored = rare
+          .repartition(s.sparkContext.defaultParallelism, col("dk"), col("bg"))
+          .join(broadcast(cleanBg), "bg")
+          .join(broadcast(clean.select(col("ck"), col("cn"))), "ck")
           .withColumn("jw",
             graft.functions.JaroWinkler(col("dn"), col("cn")))
-        val wBest = Window.partitionBy(col("dk"))
-          .orderBy(col("jw").desc, col("ck"))
-        scored.withColumn("rn", row_number().over(wBest))
-          .where(col("rn") === 1)
-          .select(col("dk").as("src_key"), col("ck").as("matched_key"),
-            round(col("jw"), 6).as("jw"),
-            (col("ck") === col("dk")).cast("int").as("matched_self"))
+        scored.groupBy(col("dk"))
+          .agg(min(struct(-col("jw"), col("ck"), col("jw"))).as("m"))
+          .select(col("dk").as("src_key"), col("m.ck").as("matched_key"),
+            round(col("m.jw"), 6).as("jw"),
+            (col("m.ck") === col("dk")).cast("int").as("matched_self"))
           .orderBy(col("src_key"))
       },
       Some(
