@@ -917,6 +917,9 @@ object Dedup {
       .orderBy(col("df"), col("gram"))
     def ceilDiv(x: Column): Column =
       ((x * num + (den - 1)) / den).cast("long")
+    // (no partition pins here, unlike ppjoinExact: measured on q208 —
+    // the probe-side flows are prefix-thin, and pinned exchanges cost
+    // more than AQE coalescing saves: 1.3 s -> 2.5 s with the pins)
     val pref = pRows.join(dfs, Seq("gram"), "left")
       .withColumn("df", coalesce(col("df"), lit(0L)))
       .withColumn("__pos", row_number().over(byProbe))
@@ -955,10 +958,19 @@ object Dedup {
     // positives — integer-exact for any corpus-plausible n
     def ceilDiv(x: Column): Column =
       ((x * num + (den - 1)) / den).cast("long")
+    // The pair-expansion and verify stages are ROW-expensive but
+    // byte-tiny (a prefix row explodes by df(gram); a verify row pays an
+    // exact array intersect), so their partition counts are PINNED with
+    // user repartitions on the very join keys the planner would exchange
+    // on anyway — identical data movement, but AQE's byte-based
+    // coalescing (which was measured folding these stages onto a handful
+    // of tasks, 2× the query) cannot fold a user-specified count.
+    val p = grams.sparkSession.sparkContext.defaultParallelism
     val pref = rows.join(dfs, "gram")
       .withColumn("__pos", row_number().over(byDoc))
       .where(col("__pos") <= col("n") - ceilDiv(col("n")) + 1)
       .select(col("id"), col("gram"), col("n"))
+      .repartition(p, col("gram"))
     val cands = pref.select(col("id").as("id_a"), col("gram"),
         col("n").as("na"))
       .join(pref.select(col("id").as("id_b"), col("gram"),
@@ -966,10 +978,14 @@ object Dedup {
       .where(col("id_a") < col("id_b") &&
         least(col("na"), col("nb")) * den >=
           greatest(col("na"), col("nb")) * num)
-      .select(col("id_a"), col("id_b")).distinct()
+      .select(col("id_a"), col("id_b"))
+      // pinned for the same reason: the dedup itself is cheap, but its
+      // exchange otherwise coalesces and serializes the pair stream
+      .repartition(p, col("id_a"), col("id_b")).distinct()
     cands
       .join(grams.select(col(idCol).as("id_a"), col("grams").as("__ga")),
         "id_a")
+      .repartition(p, col("id_b"))
       .join(grams.select(col(idCol).as("id_b"), col("grams").as("__gb")),
         "id_b")
       .select(col("id_a"), col("id_b"),
