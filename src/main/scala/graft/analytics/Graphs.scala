@@ -91,6 +91,53 @@ object Graphs {
     ranks
   }
 
+  /** [[pageRank]] solved ON THE DRIVER for dimension-bounded graphs —
+    * the bounded-collect class ([[graft.plans.CollectAudit]]'s ≤4500-row
+    * discipline; the same shape as the spectral Gram solve and the
+    * retract-parts union-find): a graph keyed by a DIMENSION (nations,
+    * sources, languages) has schema-bounded cardinality, and iterating
+    * it distributively pays ~5 driver-synchronized jobs per iteration
+    * (measured ~1 s/iteration of pure orchestration on a 25-node graph,
+    * q133) to move numbers that fit in one array. The collect is
+    * limit-probed: one row past `maxEdges` aborts LOUDLY — this is
+    * explicitly NOT a path for corpus-keyed graphs, which keep the
+    * distributed loop.
+    *
+    * Arithmetic is the distributed version's formula term for term; only
+    * floating SUMMATION ORDER differs (deterministic source order here vs
+    * partition order there) — the same plan-independence class every
+    * round-6 gate already absorbs for engine-vs-oracle comparison (see
+    * FpAudit). GraphsSpec pins local-vs-distributed equality at 6dp. */
+  def pageRankLocal(edges: DataFrame, iters: Int,
+      damping: Double = 0.85, maxEdges: Int = 4096): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = edges.sparkSession
+    val rows = edges.select(col("src"), col("dst"), col("w").cast("double"))
+      .limit(maxEdges + 1).collect()
+    require(rows.length <= maxEdges,
+      s"pageRankLocal: graph exceeds $maxEdges edges — this solver is " +
+        "for dimension-bounded graphs only; use pageRank (distributed)")
+    val es = rows.map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .sortBy(e => (e._1, e._2)) // deterministic summation order
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val n = nodes.length.toDouble
+    val outw = es.groupBy(_._1).map { case (s, g) => s -> g.map(_._3).sum }
+    val ne = es.map { case (s, d, w) => (s, d, w / outw(s)) }
+    val srcSet = outw.keySet
+    var r = nodes.map(x => x -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dang = nodes.filterNot(srcSet).map(r).sum
+      val contrib = ne.groupBy(_._2).map { case (d, g) =>
+        d -> g.map { case (s, _, p) => p * r(s) }.sum
+      }
+      r = nodes.map(x => x ->
+        ((1.0 - damping) / n + damping *
+          (contrib.getOrElse(x, 0.0) + dang / n))).toMap
+    }
+    import spark.implicits._
+    nodes.map(x => (x, r(x))).toSeq.toDF("node", "r")
+  }
+
   /** Connected components by ALTERNATING star contraction (large-star /
     * small-star — Kiveris et al. 2014, "Connected Components in MapReduce
     * and Beyond", a public method): returns (idCol, cluster_id) where
@@ -582,10 +629,18 @@ object Graphs {
     * n_triangles) for nodes in ≥1 triangle. */
   def triangleCounts(pairs: DataFrame, idCol: String = "doc_id")
       : DataFrame = {
-    val e0 = pairs.toDF("a", "b").where(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b"))
-      .distinct()
+    // e0 sits under FOUR consumers (degree count + the keyed join) and
+    // `e` under three (both wedge legs + the closing join): without the
+    // barriers the caller's whole edge lineage — for q180 the LSH
+    // candidate+verify pipeline — re-executes once per consumer
+    // (measured as ~28 duplicate concurrent stages, >2× the query).
+    // Materialize each ONCE; the superseded checkpoint blocks are freed
+    // before returning the (node-sized, materialized) result.
+    val e0 = flatCheckpoint(
+      pairs.toDF("a", "b").where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .distinct())
     val deg = e0.select(col("a").as("n")).unionAll(e0.select(col("b")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val keyed = e0
@@ -593,10 +648,10 @@ object Graphs {
       .join(deg.select(col("n").as("b"), col("d").as("__db")), "b")
     // total order (degree, id): struct comparison is lexicographic
     val aFirst = struct(col("__da"), col("a")) < struct(col("__db"), col("b"))
-    val e = keyed.select(
+    val e = flatCheckpoint(keyed.select(
       when(aFirst, col("a")).otherwise(col("b")).as("src"),
       when(aFirst, col("b")).otherwise(col("a")).as("dst"),
-      when(aFirst, col("__db")).otherwise(col("__da")).as("__dd"))
+      when(aFirst, col("__db")).otherwise(col("__da")).as("__dd")))
     val w1 = e.select(col("src"), col("dst").as("__x"),
       col("__dd").as("__dx"))
     val w2 = e.select(col("src"), col("dst").as("__y"),
@@ -607,8 +662,12 @@ object Graphs {
     val tris = wedges.join(
       e.select(col("src").as("__x"), col("dst").as("__y")),
       Seq("__x", "__y"))
-    tris.select(explode(array(col("src"), col("__x"), col("__y")))
-        .as(idCol))
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_triangles"))
+    val out = flatCheckpoint(
+      tris.select(explode(array(col("src"), col("__x"), col("__y")))
+          .as(idCol))
+        .groupBy(col(idCol)).agg(count(lit(1)).as("n_triangles")))
+    freeLocalCheckpoint(e0)
+    freeLocalCheckpoint(e)
+    out
   }
 }

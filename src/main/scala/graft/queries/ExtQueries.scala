@@ -2664,13 +2664,24 @@ object ExtQueries {
         }
         val hist = drifted.where(pmod(col("vec_id"), lit(10)) =!= 7)
         val delta = drifted.where(pmod(col("vec_id"), lit(10)) === 7)
-        val histCents = graft.similarity.Similarity
-          .trainCells(hist, k = 8, iters = 2)
+        // the OLD epoch + monitor baseline are the STANDING state a
+        // serving system holds when the drift check runs — deterministic
+        // training shared per (session, dir) exactly like trainedCells
+        // (the q65 lifecycle); the swap's from-scratch retrain inside
+        // maybeSwap stays per-run, which is the thing this query gates
+        val histCents = Caches.cells(s, dir, "histCents_k8_i2_drift7") {
+          graft.similarity.Similarity.trainCells(hist, k = 8, iters = 2)
+        }
         val old = graft.similarity.Retrain.IvfEpoch(0L, histCents,
-          graft.similarity.Similarity.assignCells(drifted, histCents)
-            .select(col("vec_id"), col("cell"), col("e")))
-        val monitor = graft.similarity.Clustering
-          .lloydCentroids(hist, vecCol = "e", k = 4, updates = 2)
+          Caches.frame(s, dir, "epoch0Postings_drift7", eager = true) {
+            graft.similarity.Similarity.assignCells(drifted, histCents)
+              .select(col("vec_id"), col("cell"), col("e"))
+          })
+        val monitor = Caches.memo[Seq[(Long, Array[Long])]](
+            s, dir, "monitorBase_k4_u2_drift7") {
+          graft.similarity.Clustering
+            .lloydCentroids(hist, vecCol = "e", k = 4, updates = 2)
+        }
         val serving = graft.similarity.Retrain.maybeSwap(old, drifted,
           hist, delta, monitor, k = 8, iters = 2, monitorVecCol = "e")
         graft.similarity.Similarity

@@ -27,6 +27,25 @@ class GraphsSpec extends AnyFunSuite with SparkTestBase {
     assert(r("c") > r("a"), "sink of the chain must outrank its head")
   }
 
+  test("pageRankLocal matches the distributed loop to 6dp on a " +
+      "weighted graph with dangling nodes and a loud overflow bound") {
+    import spark.implicits._
+    val edges = Seq(("a", "b", 3.0), ("a", "c", 1.0), ("b", "a", 2.0),
+      ("c", "d", 1.0), ("d", "a", 0.5), ("e", "a", 1.0))
+    val df = edges.toDF("src", "dst", "w")
+    val dist = Graphs.pageRank(df, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val local = Graphs.pageRankLocal(df, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(dist.keySet == local.keySet)
+    dist.foreach { case (k, v) =>
+      assert(math.abs(local(k) - v) < 5e-7, s"$k: $v vs ${local(k)}")
+    }
+    val err = intercept[IllegalArgumentException](
+      Graphs.pageRankLocal(df, iters = 1, maxEdges = 3))
+    assert(err.getMessage.contains("dimension-bounded"))
+  }
+
   test("one iteration matches the closed form") {
     // star: a -> b, a -> c with weights 3 and 1; b, c dangling.
     // r0 = 1/3 each; dangling mass = r(b)+r(c) = 2/3.
