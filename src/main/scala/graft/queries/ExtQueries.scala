@@ -2109,8 +2109,14 @@ object ExtQueries {
     Q("q161_image_dedup_clusters",
       (s, dir) => {
         val hashes = imageHashFrame(s, dir)
-        val reps = hashes.groupBy(col("fingerprint"))
-          .agg(min(col("img_id")).as("rep"))
+        // the rep table sits under the exact-edge join AND both sides of
+        // the banded near-dup self-join — materialized once so the
+        // fingerprint aggregate doesn't re-execute per consumer (the
+        // triangleCounts lesson); freed after the CC rounds (clusters()
+        // is eager) hold the labels as a flat checkpoint
+        val reps = graft.analytics.Graphs.flatCheckpoint(
+          hashes.groupBy(col("fingerprint"))
+            .agg(min(col("img_id")).as("rep")))
         val exactEdges = hashes.join(reps, "fingerprint")
           .where(col("img_id") =!= col("rep"))
           .select(col("img_id").as("id_a"), col("rep").as("id_b"))
@@ -2118,9 +2124,11 @@ object ExtQueries {
             reps.withColumnRenamed("rep", "img_id"), idCol = "img_id",
             nBlocks = 4, maxHamming = 3)
           .select(col("id_a"), col("id_b"))
-        graft.dedup.Dedup.clusters(hashes.select(col("img_id")),
-            exactEdges.unionAll(nearEdges), idCol = "img_id")
-          .orderBy(col("img_id"))
+        val labels = graft.dedup.Dedup.clusters(
+          hashes.select(col("img_id")),
+          exactEdges.unionAll(nearEdges), idCol = "img_id")
+        graft.analytics.Graphs.freeLocalCheckpoint(reps)
+        labels.orderBy(col("img_id"))
       },
       Some(
         """WITH RECURSIVE imgs AS (
@@ -2263,8 +2271,14 @@ object ExtQueries {
             .select((col("vec_id") + 100000).as("vec_id"),
               transform(col("embedding"), (x, i) =>
                 when(i === 0, x + lit(0.5)).otherwise(x)).as("embedding")))
-        val cents = graft.similarity.Clustering
-          .lloydCentroids(corpus, k = 4, updates = 1)
+        // deterministic training shared per (session, dir) — the
+        // trainedCells lifecycle; the gated surface here is the top-2
+        // assignment + prune, which stay per-run
+        val cents = Caches.memo[Seq[(Long, Array[Long])]](
+            s, dir, "semdedup_cents_k4_u1") {
+          graft.similarity.Clustering.lloydCentroids(corpus, k = 4,
+            updates = 1)
+        }
         val a2 = Caches.frame(s, dir, "semdedup_topm_assign",
           eager = true) {
           graft.similarity.Clustering.assignTopM(corpus, cents, m = 2)
@@ -2735,13 +2749,24 @@ object ExtQueries {
             .otherwise(col("e")).as("e"))
         }
         val hist = drifted.where(pmod(col("vec_id"), lit(10)) =!= 7)
-        val histCents = graft.similarity.Similarity
-          .trainCells(hist, k = 8, iters = 2)
-        val monitor = graft.similarity.Clustering
-          .lloydCentroids(hist, vecCol = "e", k = 4, updates = 2)
-        val initial = graft.similarity.Similarity
-          .assignCells(hist, histCents)
-          .select(col("vec_id"), col("cell"), col("e"))
+        // the SAME standing pre-stream state as q222 (shared cache keys
+        // — one deterministic training per session, the trainedCells
+        // lifecycle); the in-stream monitor folds, swap retrain, and
+        // takedown fold stay per-run — they are what this query gates
+        val histCents = Caches.cells(s, dir, "histCents_k8_i2_drift7") {
+          graft.similarity.Similarity.trainCells(hist, k = 8, iters = 2)
+        }
+        val monitor = Caches.memo[Seq[(Long, Array[Long])]](
+            s, dir, "monitorBase_k4_u2_drift7") {
+          graft.similarity.Clustering
+            .lloydCentroids(hist, vecCol = "e", k = 4, updates = 2)
+        }
+        val initial = Caches.frame(s, dir, "epoch0HistAssign_drift7",
+            eager = true) {
+          graft.similarity.Similarity
+            .assignCells(hist, histCents)
+            .select(col("vec_id"), col("cell"), col("e"))
+        }
         val staging =
           AnalyticsQueries.tempDirCleanedOnExit("graft_ivfrt_").toString
         // fold 0: the drifted adds (fires → swap); fold 1: the takedown
