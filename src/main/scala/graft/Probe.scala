@@ -66,6 +66,23 @@ object Probe {
               f"tasks=${i.numTasks} wall=${wall / 1e3}%.2f s")
         }
       })
+    // SPARK_PROBE_SQL: dump every SQL execution's physical plan during
+    // the last rep — the way to see per-micro-batch plans a foreachBatch
+    // stream runs (the final frame's executedPlan shows only the
+    // read-back query)
+    if (sys.env.contains("SPARK_PROBE_SQL"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onOtherEvent(
+              e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+            e match {
+              case s: org.apache.spark.sql.execution.ui
+                  .SparkListenerSQLExecutionStart if listening =>
+                println(s"[probe-sql] === execution ${s.executionId} " +
+                  s"${s.description.take(80)}\n${s.physicalPlanDescription}")
+              case _ => ()
+            }
+        })
     (1 to reps).foreach { i =>
       if (i == reps) { listening = true }
       val t0 = System.nanoTime()

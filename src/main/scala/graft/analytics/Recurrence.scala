@@ -76,6 +76,11 @@ object Recurrence {
         "block for this alpha")
 
     val key = keyCols.map(col)
+    // (no partition pins here: the q191 repartition treatment was tried
+    // in r18 and MEASURED WORSE — q201 2.9 s → 4.0 s, task-time 2.7 s →
+    // 47 s: the window passes are byte-tiny AND row-cheap, so AQE's
+    // coalesced few-task plan beats 32 pinned tasks' per-task overhead,
+    // exactly the q208 containment-probe shape)
     val wRn = Window.partitionBy(key: _*).orderBy(orderCols: _*)
     val base = df
       .withColumn("__rn", row_number().over(wRn) - lit(1))

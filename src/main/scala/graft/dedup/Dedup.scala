@@ -228,6 +228,10 @@ object Dedup {
       .cache()
     var labels = graft.analytics.Graphs.flatCheckpoint(
       ids.select(col(idCol), col(idCol).as("cluster_id")))
+    // (a size-derived per-round coalesce was tried in r18 and measured
+    // a wash: the rounds' task-time is not where q161's wall goes —
+    // driver gaps between the ~1-job rounds are — and the sizing counts
+    // cost two extra jobs; reverted)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
@@ -919,7 +923,14 @@ object Dedup {
       ((x * num + (den - 1)) / den).cast("long")
     // (no partition pins here, unlike ppjoinExact: measured on q208 —
     // the probe-side flows are prefix-thin, and pinned exchanges cost
-    // more than AQE coalescing saves: 1.3 s -> 2.5 s with the pins)
+    // more than AQE coalescing saves: 1.3 s -> 2.5 s with the pins; the
+    // same held for the streaming path once the batch grams were
+    // materialized — r18 measured pins-on at 2x the task time of
+    // pins-off for equal wall. Streaming callers MUST hand `probe` in
+    // materialized (attribute-backed grams): an unmaterialized shingle
+    // expression re-evaluates per row inside the emptiness guard and the
+    // explode's inferred filter, below any repartition — see
+    // StreamingContainment for the trap and the checkpoint treatment.)
     val pref = pRows.join(dfs, Seq("gram"), "left")
       .withColumn("df", coalesce(col("df"), lit(0L)))
       .withColumn("__pos", row_number().over(byProbe))

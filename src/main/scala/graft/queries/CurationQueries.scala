@@ -143,14 +143,18 @@ object CurationQueries {
             lit("."), ((col("doc_id") * 7) % 256).cast("string")),
           concat(lit(" order "), (col("doc_id") * 13).cast("string")))
         val counts = graft.text.Redact.piiCounts(col("__full"))
-        Tables(s, dir, "documents")
+        // sharded: the per-row regex chain is row-expensive and the
+        // single-row-group scan otherwise runs it on ONE task (two
+        // 0.7 s serial stages in the r18 probe); and the redacted text
+        // is materialized ONCE per row — red_len and red_digest both
+        // read __red instead of re-running the 4-pass regex chain
+        Tables.sharded(s, dir, "documents", "doc_id")
           .select(col("doc_id"), planted.as("__full"))
+          .withColumn("__red", graft.text.Redact.redactPii(col("__full")))
           .select(col("doc_id") +:
             counts.map { case (n, c) => c.as(n) } :+
-            length(graft.text.Redact.redactPii(col("__full")))
-              .as("red_len") :+
-            md5(graft.text.Redact.redactPii(col("__full")))
-              .as("red_digest"): _*)
+            length(col("__red")).as("red_len") :+
+            md5(col("__red")).as("red_digest"): _*)
           .orderBy(col("doc_id"))
       },
       Some(

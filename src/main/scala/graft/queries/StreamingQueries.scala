@@ -818,7 +818,14 @@ object StreamingQueries {
           .option("maxFilesPerTrigger", "1").parquet(s"$staging/probe")
         graft.streaming.StreamingContainment
           .run(stream, idx, num = 4, den = 5, s"$staging/work",
-            b => graft.dedup.Dedup.shingles(b)
+            // fan the batch out BEFORE shingling: each micro-batch is
+            // one staged file → one scan partition, so the per-doc
+            // rolling-hash shingle pass otherwise runs on a single task
+            // per batch (the shardedDocStream rationale, foreachBatch
+            // edition)
+            b => graft.dedup.Dedup.shingles(
+                b.repartition(s.sparkContext.defaultParallelism,
+                  col("doc_id")))
               .select(col("doc_id").as("probe_id"), col("grams")))
           .select(col("probe_id"), col("doc_id"), col("common"),
             round(col("containment"), 6).as("containment"))

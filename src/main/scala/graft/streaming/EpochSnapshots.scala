@@ -146,6 +146,19 @@ private[streaming] object EpochSnapshots {
     q.awaitTermination()
   }
 
+  /** A BOUNDED driver-built frame as ONE slice. A local relation
+    * otherwise executes at up to defaultParallelism slices, so every
+    * scan of a standing ∪ recent union grows +parallelism tasks per
+    * appended batch (the r18 q217 fold profile: 32 → 160 tasks across
+    * four folds, 70 s of task time for 4 s of stage wall — all task-
+    * launch overhead on near-empty slices). These frames are batch- or
+    * compactBound-sized (KBs) at any corpus scale, so one slice is the
+    * right shape at 100 TB too; the narrow coalesce adds no job. */
+  def localFrame(spark: SparkSession, rows: Seq[Row],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .coalesce(1)
+
   /** Idempotent per-epoch artifact write. `bounded` frames (state
     * snapshots, per-batch adds) collapse to one file. */
   def persistEpoch(df: DataFrame, dir: String, sub: String, epoch: Long,

@@ -163,11 +163,9 @@ object StreamingCcDelta {
     private def remapDfOpt: Option[DataFrame] =
       if (composed.isEmpty) None else Some(remapDf)
 
-    private def remapDf: DataFrame = {
-      val rows: java.util.List[Row] = java.util.Arrays.asList(
-        composed.toSeq.map { case (k, v) => Row(k, v) }: _*)
-      spark.createDataFrame(rows, remapSchema)
-    }
+    private def remapDf: DataFrame =
+      EpochSnapshots.localFrame(spark,
+        composed.toSeq.map { case (k, v) => Row(k, v) }, remapSchema)
 
     def fold(batch: DataFrame, batchId: Long): Unit = synchronized {
       val fresh = Graphs.ccDeltaRemap(base, remapDfOpt, batch, idCol)
@@ -207,8 +205,7 @@ object StreamingCcDelta {
 
     private def persistSnapshot(dir: String, batchId: Long): Unit =
       remapDfOpt
-        .getOrElse(spark.createDataFrame(
-          java.util.Collections.emptyList[Row](), remapSchema))
+        .getOrElse(EpochSnapshots.localFrame(spark, Seq.empty, remapSchema))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/remap/$batchId")
 

@@ -186,9 +186,10 @@ object StreamingCcMixed {
       recovered.map(_.remap).getOrElse(Seq.empty)
     private var overrideOpt: Option[DataFrame] =
       recovered.map(_.overrideRows).filter(_.nonEmpty).map(rows =>
-        spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        EpochSnapshots.localFrame(spark, rows,
           StructType(Seq(StructField(idCol, idType),
-            StructField("cluster_id", clusterType)))).transform(Graphs.flatCheckpoint(_)))
+            StructField("cluster_id", clusterType))))
+          .transform(Graphs.flatCheckpoint(_)))
     private var overrideSize =
       recovered.map(_.overrideRows.size.toLong).getOrElse(0L)
     private val tomb = mutable.LinkedHashSet.empty[Any] ++
@@ -223,15 +224,13 @@ object StreamingCcMixed {
       synchronized(edges.frameCount)
 
     private def idDf(vals: Seq[Any], name: String): DataFrame =
-      spark.createDataFrame(
-        java.util.Arrays.asList(vals.map(Row(_)): _*),
+      EpochSnapshots.localFrame(spark, vals.map(Row(_)),
         StructType(Seq(StructField(name, idType))))
 
     private def remapDfOpt: Option[DataFrame] =
       if (remap.isEmpty) None
-      else Some(spark.createDataFrame(
-        java.util.Arrays.asList(
-          remap.toSeq.map { case (k, v) => Row(k, v) }: _*),
+      else Some(EpochSnapshots.localFrame(spark,
+        remap.toSeq.map { case (k, v) => Row(k, v) },
         StructType(Seq(StructField("__cn", idType),
           StructField("__new", idType)))))
 
@@ -324,8 +323,7 @@ object StreamingCcMixed {
       val addPairs = addPairs0.filterNot(r =>
         dead(Graphs.wrapKey(r.get(0))) || dead(Graphs.wrapKey(r.get(1))))
       if (addPairs.nonEmpty) {
-        val frame = spark.createDataFrame(
-          java.util.Arrays.asList(addPairs: _*),
+        val frame = EpochSnapshots.localFrame(spark, addPairs,
           StructType(Seq(StructField("__a", idType),
             StructField("__b", idType))))
         edges.append(frame)
@@ -415,13 +413,11 @@ object StreamingCcMixed {
       * makes replays idempotent. The override leg stays DISTRIBUTED (a
       * plan over its checkpointed blocks — never collected). */
     private def persistSnapshot(dir: String, batchId: Long): Unit = {
-      val emptyOv = spark.createDataFrame(
-        java.util.Collections.emptyList[Row](),
+      val emptyOv = EpochSnapshots.localFrame(spark, Seq.empty,
         StructType(Seq(StructField(idCol, idType),
           StructField("cluster_id", clusterType))))
-      val rDf = spark.createDataFrame(
-        java.util.Arrays.asList(
-          remap.toSeq.map { case (k, v) => Row(k, v) }: _*),
+      val rDf = EpochSnapshots.localFrame(spark,
+        remap.toSeq.map { case (k, v) => Row(k, v) },
         StructType(Seq(StructField(idCol, idType),
           StructField("cluster_id", idType))))
       EpochSnapshots.persistEpoch(

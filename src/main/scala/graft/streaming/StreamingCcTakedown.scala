@@ -133,10 +133,10 @@ object StreamingCcTakedown {
         import org.apache.spark.sql.types.{StructField, StructType}
         val t = base.schema(idCol).dataType
         val c = base.schema("cluster_id").dataType
-        Some(spark.createDataFrame(
-          java.util.Arrays.asList(initOverride: _*),
+        Some(EpochSnapshots.localFrame(spark, initOverride,
           StructType(Seq(StructField(idCol, t),
-            StructField("cluster_id", c)))).transform(Graphs.flatCheckpoint(_)))
+            StructField("cluster_id", c))))
+          .transform(Graphs.flatCheckpoint(_)))
       }
     private var overrideSize = initOverride.size.toLong
 
@@ -144,8 +144,7 @@ object StreamingCcTakedown {
       import org.apache.spark.sql.types.{StructField, StructType}
       val schema = StructType(Seq(
         StructField(idCol, base.schema(idCol).dataType)))
-      spark.createDataFrame(java.util.Arrays.asList(
-        tomb.toSeq.map(Row(_)): _*), schema)
+      EpochSnapshots.localFrame(spark, tomb.toSeq.map(Row(_)), schema)
     }
 
     /** The current label view: (base ∖ tomb) ⟕ override. */
@@ -173,8 +172,7 @@ object StreamingCcTakedown {
         import org.apache.spark.sql.types.{StructField, StructType}
         val schema = StructType(Seq(
           StructField(idCol, base.schema(idCol).dataType)))
-        spark.createDataFrame(java.util.Arrays.asList(
-          removals.map(Row(_)): _*), schema)
+        EpochSnapshots.localFrame(spark, removals.map(Row(_)), schema)
       }
       val (resolved, _) =
         Graphs.ccRetractParts(view, pairs, remDf, idCol)
@@ -231,11 +229,9 @@ object StreamingCcTakedown {
       val tbDf = {
         val schema = StructType(Seq(
           StructField(idCol, base.schema(idCol).dataType)))
-        spark.createDataFrame(java.util.Arrays.asList(
-          tomb.toSeq.map(Row(_)): _*), schema)
+        EpochSnapshots.localFrame(spark, tomb.toSeq.map(Row(_)), schema)
       }
-      val empty = spark.createDataFrame(
-        java.util.Collections.emptyList[Row](),
+      val empty = EpochSnapshots.localFrame(spark, Seq.empty,
         StructType(Seq(StructField(idCol, base.schema(idCol).dataType),
           StructField("cluster_id", c))))
       overrideOpt.getOrElse(empty)

@@ -43,9 +43,24 @@ object StreamingContainment {
     val spark = probeStream.sparkSession
     val q = probeStream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        Dedup.containmentProbe(mkGrams(batch.toDF()), index,
-            num, den, probeIdCol)
+        // The batch's grams are MATERIALIZED once (bounded: one
+        // micro-batch of (id, grams) rows) before probing, for two
+        // measured reasons (r18 plan dump): (1) containmentProbe
+        // consumes its probe frame twice (prefix rows + verify gather),
+        // so an unmaterialized batch re-shingled per consumer; (2) the
+        // probe's emptiness guard and the explode's inferred
+        // size(grams)>0 filter push BELOW any repartition with the
+        // grams alias substituted, re-evaluating the whole shingle
+        // expression per row on the batch's single source split — the
+        // minhashSignature trap, foreachBatch edition. Checkpointed
+        // grams are attributes, so the filter costs a size() probe and
+        // the shingle pass runs exactly once, post-fan-out. (Partition
+        // pins on the probe stages were also tried here — 2x the task
+        // time for equal wall once grams were materialized; reverted.)
+        val g = graft.analytics.Graphs.flatCheckpoint(mkGrams(batch.toDF()))
+        try Dedup.containmentProbe(g, index, num, den, probeIdCol)
           .write.mode("overwrite").parquet(s"$workDir/out/$batchId")
+        finally graft.analytics.Graphs.freeLocalCheckpoint(g)
       }
       .option("checkpointLocation", s"$workDir/_ckpt")
       .trigger(Trigger.AvailableNow())

@@ -153,10 +153,17 @@ object StreamingIndexMaint {
       .select(indexCols.map(col): _*).transform(Graphs.flatCheckpoint(_))
     private var overrideOpt: Option[DataFrame] =
       recovered.map(_.overrideRows).filter(_.nonEmpty).map(rows =>
-        spark.createDataFrame(java.util.Arrays.asList(rows: _*),
-          overrideSchema).transform(Graphs.flatCheckpoint(_)))
-    private var overrideSize =
-      recovered.map(_.overrideRows.size.toLong).getOrElse(0L)
+        EpochSnapshots.localFrame(spark, rows, overrideSchema)
+          .transform(Graphs.flatCheckpoint(_)))
+    // the override's KEY SET mirrored driver-side (bounded by
+    // compactBound, like `vanished`): the override is one row per key,
+    // so |override| = |keys| — tracking it here replaces the per-fold
+    // count() job the pre-r18 mergeOverride paid just for the
+    // compaction check (~1 driver-synchronized job per fold saved)
+    private val overrideKeys = mutable.LinkedHashSet.empty[Any] ++
+      recovered.map(_.overrideRows.map(r => Graphs.wrapKey(r.get(0))))
+        .getOrElse(Seq.empty)
+    private def overrideSize: Long = overrideKeys.size.toLong
     private val vanished = mutable.LinkedHashSet.empty[Any] ++
       recovered.map(_.vanished).getOrElse(Seq.empty)
     private val removedRecent = mutable.LinkedHashSet.empty[Any] ++
@@ -175,8 +182,7 @@ object StreamingIndexMaint {
 
     private def oneCol(vals: Seq[Any], name: String,
         t: org.apache.spark.sql.types.DataType): DataFrame =
-      spark.createDataFrame(
-        java.util.Arrays.asList(vals.map(Row(_)): _*),
+      EpochSnapshots.localFrame(spark, vals.map(Row(_)),
         StructType(Seq(StructField(name, t))))
 
     /** All member rows of (history ∪ adds) ∖ removed. Folded removals
@@ -245,7 +251,8 @@ object StreamingIndexMaint {
 
     /** Supersede `keys` in the override with `fresh` (ALREADY
       * materialized by the caller; may cover a subset of `keys` — the
-      * rest vanished). */
+      * rest vanished). The caller maintains [[overrideKeys]]; no count
+      * job runs here (the set size IS the override size). */
     private def mergeOverride(fresh: DataFrame, keys: DataFrame): Unit = {
       val next = overrideOpt match {
         case None => fresh
@@ -257,7 +264,6 @@ object StreamingIndexMaint {
           Graphs.freeLocalCheckpoint(fresh)
           merged
       }
-      overrideSize = next.count()
       overrideOpt = Some(next)
     }
 
@@ -314,8 +320,8 @@ object StreamingIndexMaint {
       val deadWrapped = deadDocs.map(Graphs.wrapKey)
       val memberRows = memberRows0.filterNot(r =>
         deadWrapped.contains(Graphs.wrapKey(r.get(docIdx))))
-      val addMembers = spark.createDataFrame(
-        java.util.Arrays.asList(memberRows: _*), memberSchema)
+      val addMembers =
+        EpochSnapshots.localFrame(spark, memberRows, memberSchema)
       val keyIdx = memberCols.indexOf(keyCol)
       val addKeys = {
         val seen = mutable.LinkedHashMap.empty[Any, Any]
@@ -338,8 +344,10 @@ object StreamingIndexMaint {
           .unionAll(addMembers)
         val reRows = reelect(gathered).collect().toSeq
         val reelected = reRows.map(_.get(0)).toSet
-        mergeOverride(spark.createDataFrame(
-          java.util.Arrays.asList(reRows: _*), overrideSchema), affDf)
+        mergeOverride(
+          EpochSnapshots.localFrame(spark, reRows, overrideSchema), affDf)
+        overrideKeys --= affSet.map(Graphs.wrapKey)
+        overrideKeys ++= reRows.map(r => Graphs.wrapKey(r.get(0)))
         // a re-elected key has ≥ 1 member after ops (vanished digests
         // with fresh adds legitimately live again); a touched key with
         // no row vanished (keeper gone, nothing retained)
@@ -373,7 +381,7 @@ object StreamingIndexMaint {
       overrideOpt.foreach(Graphs.freeLocalCheckpoint)
       base = next
       overrideOpt = None
-      overrideSize = 0L
+      overrideKeys.clear()
       vanished.clear()
       removedRecent.clear()
       persistDir.foreach { d =>
@@ -393,8 +401,8 @@ object StreamingIndexMaint {
     private def persistSnapshot(dir: String, batchId: Long): Unit = {
       val nullOf: String => Column =
         c => lit(null).cast(overrideSchema(c).dataType)
-      val emptyOv = spark.createDataFrame(
-        java.util.Collections.emptyList[Row](), overrideSchema)
+      val emptyOv =
+        EpochSnapshots.localFrame(spark, Seq.empty, overrideSchema)
       val ovLeg = overrideOpt.getOrElse(emptyOv)
         .select(lit("o").as("kind") +: indexCols.map(col): _*)
       val vnLeg = oneCol(vanished.toSeq, keyCol, keyType)

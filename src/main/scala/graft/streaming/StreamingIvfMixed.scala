@@ -143,8 +143,7 @@ object StreamingIvfMixed {
       synchronized(postings.frameCount)
 
     private def idDf(vals: Seq[Any]): DataFrame =
-      spark.createDataFrame(
-        java.util.Arrays.asList(vals.map(Row(_)): _*),
+      EpochSnapshots.localFrame(spark, vals.map(Row(_)),
         StructType(Seq(StructField(idCol, idType))))
 
     /** The retained posting table: (standing ∪ adds) ∖ recent removals
@@ -226,8 +225,7 @@ object StreamingIvfMixed {
       val deadWrapped = dead.map(Graphs.wrapKey)
       val liveRows = addRows0.filterNot(r =>
         deadWrapped.contains(Graphs.wrapKey(r.get(0))))
-      val addRows = spark.createDataFrame(
-        java.util.Arrays.asList(liveRows: _*), addSchema)
+      val addRows = EpochSnapshots.localFrame(spark, liveRows, addSchema)
       val contributed = liveRows.nonEmpty
       if (contributed) {
         persistDir.foreach(d => EpochSnapshots.persistEpoch(addRows,

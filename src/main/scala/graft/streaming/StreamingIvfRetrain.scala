@@ -84,8 +84,8 @@ object StreamingIvfRetrain {
   private def writeQuantizer(spark: SparkSession, dir: String,
       batchId: Long, cents: Array[(Int, Array[Double])]): Unit =
     EpochSnapshots.persistEpoch(
-      spark.createDataFrame(java.util.Arrays.asList(
-        cents.toSeq.map { case (c, v) => Row(c, v.toSeq) }: _*),
+      EpochSnapshots.localFrame(spark,
+        cents.toSeq.map { case (c, v) => Row(c, v.toSeq) },
         quantizerSchema),
       dir, "quantizer", batchId, bounded = true)
 
@@ -98,9 +98,9 @@ object StreamingIvfRetrain {
   private def writeMonitor(spark: SparkSession, dir: String,
       batchId: Long, stats: Map[Long, (Long, BigInt)]): Unit =
     EpochSnapshots.persistEpoch(
-      spark.createDataFrame(java.util.Arrays.asList(
+      EpochSnapshots.localFrame(spark,
         stats.toSeq.map { case (c, (n, d)) =>
-          Row(c, n, new java.math.BigDecimal(d.bigInteger)) }: _*),
+          Row(c, n, new java.math.BigDecimal(d.bigInteger)) },
         monitorSchema),
       dir, "monitor", batchId, bounded = true)
 

@@ -204,16 +204,24 @@ object TextStats {
       .groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
     // V = the unigram table's row count — no extra pass over the corpus
     val vocab = uni.agg(count(lit(1)).as("__v"))
-    docBi
-      .join(corpusBi, Seq("w1", "w2"))
+    // assemble the model at TYPE grain first (guide §2.3: the per-type
+    // log-probability needs only corpusBi ⋈ uni ⋈ vocab — all
+    // type/vocabulary-sized), then join the DOC-grain counts ONCE; the
+    // pre-r18 shape joined docBi by (w1,w2) and AGAIN by w1, shuffling
+    // the corpus-sized doc-grain table twice. Per-term arithmetic is
+    // bit-identical (same ln over the same integers).
+    val lp = corpusBi
       .join(uni, "w1")
       .crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        log((col("__c2") + lit(1.0)) / (col("__c1") + col("__v")))
+          .as("__lp"))
+    docBi
+      .join(lp, Seq("w1", "w2"))
       .groupBy(col(idCol))
       .agg(sum(col("__c")).as("n_bigrams"),
-        round(
-          sum(col("__c") *
-            log((col("__c2") + lit(1.0)) / (col("__c1") + col("__v")))) /
-            sum(col("__c")), 6).as("avg_logp"))
+        round(sum(col("__c") * col("__lp")) / sum(col("__c")), 6)
+          .as("avg_logp"))
   }
 
   /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
@@ -264,14 +272,21 @@ object TextStats {
     val d = lit(0.75)
     val p = greatest(col("__c2") - d, lit(0.0)) / col("__cw1") +
       (d * col("__n1f") / col("__cw1")) * (col("__n1b") / col("__t"))
-    docBi
-      .join(corpusBi, Seq("w1", "w2"))
+    // model assembled at TYPE grain, doc-grain counts joined ONCE — the
+    // bigramLmScore treatment (guide §2.3): the pre-r18 shape shuffled
+    // the doc-grain table three times (by (w1,w2), by w1, by w2); the
+    // per-term ln(p) is bit-identical either way.
+    val lp = corpusBi
       .join(leftStats, "w1")
       .join(rightCont, "w2")
       .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), log(p).as("__lp"))
+    docBi
+      .join(lp, Seq("w1", "w2"))
       .groupBy(col(idCol))
       .agg(sum(col("__c")).as("n_bigrams"),
-        round(sum(col("__c") * log(p)) / sum(col("__c")), 6).as("avg_logp"))
+        round(sum(col("__c") * col("__lp")) / sum(col("__c")), 6)
+          .as("avg_logp"))
   }
 
   /** BM25 document ranking against a literal query-token set (Robertson/
@@ -416,13 +431,20 @@ object TextStats {
         "dsirLogRatio: target set is empty — no row has " +
           s"$targetCol = true")))
     val lpR = log((col("__c2r") + lit(1.0)) / (col("__c1r") + col("__vr")))
-    docBi
+    // both models assembled at TYPE grain (rawBi holds every observed
+    // bigram type, so the left/inner join pattern is unchanged), then
+    // the doc-grain counts join ONCE — the bigramLmScore/knBigramScore
+    // r18 treatment: the pre-r18 shape shuffled the corpus-sized
+    // doc-grain table by (w1,w2) and again by w1. Per-term lr is
+    // bit-identical (same ln over the same integers).
+    val lr = rawBi
       .join(tgtBi, Seq("w1", "w2"), "left")
-      .join(rawBi, Seq("w1", "w2"))
-      .join(tgtUni, Seq("w1"), "left")
       .join(rawUni, Seq("w1"))
+      .join(tgtUni, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
-      .select(col(idCol), col("__c"), (lpT - lpR).as("__lr"))
+      .select(col("w1"), col("w2"), (lpT - lpR).as("__lr"))
+    docBi
+      .join(lr, Seq("w1", "w2"))
       .groupBy(col(idCol))
       .agg(sum(col("__c")).as("n_bigrams"),
         round(sum(col("__c") * col("__lr")) / sum(col("__c")), 6)
