@@ -83,6 +83,34 @@ object Probe {
               case _ => ()
             }
         })
+    // SPARK_PROBE_EXEC: per-SQL-execution wall times for the last rep —
+    // execution wall INCLUDES driver-side planning/scheduling gaps that
+    // job-wall misses, so (exec wall − its jobs' wall) attributes the
+    // fixed per-execution overhead the streaming folds pay
+    val execs = new java.util.concurrent.ConcurrentHashMap[
+      Long, (String, Long, Long)]()
+    if (sys.env.contains("SPARK_PROBE_EXEC"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onOtherEvent(
+              e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+            e match {
+              case s: org.apache.spark.sql.execution.ui
+                  .SparkListenerSQLExecutionStart if listening =>
+                execs.put(s.executionId,
+                  (s.physicalPlanDescription.linesIterator
+                    .filter(l => l.contains("(1)") || l.contains("Scan") ||
+                      l.contains("Aggregate") || l.contains("Join"))
+                    .take(2).mkString(" | ").take(100) + " @ " +
+                    s.description.take(60), s.time, 0L))
+              case s: org.apache.spark.sql.execution.ui
+                  .SparkListenerSQLExecutionEnd if listening =>
+                Option(execs.get(s.executionId)).foreach {
+                  case (d, t0, _) => execs.put(s.executionId, (d, t0, s.time))
+                }
+              case _ => ()
+            }
+        })
     (1 to reps).foreach { i =>
       if (i == reps) { listening = true }
       val t0 = System.nanoTime()
@@ -106,6 +134,15 @@ object Probe {
       f"sum ${taskMs.get() / 1e3}%.2f s")
     js.foreach { case (id, (s, e)) =>
       if (e - s > 100) println(f"[probe]   job $id: ${(e - s) / 1e3}%.2f s")
+    }
+    if (sys.env.contains("SPARK_PROBE_EXEC")) {
+      val es = execs.asScala.toSeq.sortBy(_._1)
+      val sum = es.map { case (_, (_, s, e)) => (e - s).max(0L) }.sum
+      println(f"[probe] last rep: ${es.size} sql executions, wall sum " +
+        f"${sum / 1e3}%.2f s")
+      es.foreach { case (id, (d, s, e)) =>
+        println(f"[probe-exec]   $id%4d ${(e - s).max(0L) / 1e3}%6.3f s  $d")
+      }
     }
     spark.stop()
   }

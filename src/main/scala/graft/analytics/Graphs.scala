@@ -2,7 +2,7 @@ package graft.analytics
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Link-graph analytics as iterative join-aggregation — the provenance
@@ -507,19 +507,77 @@ object Graphs {
   def ccRetractParts(labels: DataFrame, pairs: DataFrame,
       removed: DataFrame, idCol: String = "doc_id", maxRounds: Int = 30)
       : (DataFrame, DataFrame) = {
-    val rem = broadcast(removed.select(col(idCol)).distinct())
-    // the affected cluster set is ≤ |removals| values — collect it once
-    // into a local relation so its three consumers (the keep filter
-    // here, the caller's pass-through anti-join, the caller's
-    // dead-remap-entry drop) don't each re-execute the label-view scan
+    val r = ccRetractRepair(labels, pairs, removed, idCol, maxRounds)
+    (r.resolved, r.affected)
+  }
+
+  /** Everything one retraction repair yields: the affected cluster set
+    * (a bounded local relation, broadcast-ready, plus its driver-side
+    * values) and the repaired labels. `resolvedRows` is Some exactly
+    * when the repair was solved by the driver union-find (the common
+    * bounded blast radius) — the streaming maintainers then merge
+    * their override ledgers with ZERO further jobs, where the pre-r19
+    * folds paid a localCheckpoint + count per fold on rows the driver
+    * already held. */
+  private[graft] final case class RetractRepair(resolved: DataFrame,
+      affected: DataFrame, resolvedRows: Option[Seq[Row]],
+      affectedVals: Seq[Any])
+
+  private[graft] def ccRetractRepair(labels: DataFrame, pairs: DataFrame,
+      removed: DataFrame, idCol: String = "doc_id", maxRounds: Int = 30,
+      removedVals: Option[Seq[Any]] = None): RetractRepair = {
+    val spark = labels.sparkSession
+    val idType = labels.schema(idCol).dataType
     val clusterType = labels.schema("cluster_id").dataType
-    val affRows = labels.join(rem, idCol)
-      .select(col("cluster_id")).distinct().collect()
-    val affected = broadcast(labels.sparkSession.createDataFrame(
-      java.util.Arrays.asList(affRows.toSeq: _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("cluster_id",
-          clusterType)))))
+    def localDf(rows: Seq[Row], name: String,
+        t: org.apache.spark.sql.types.DataType): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(name, t))))
+    val rem = broadcast(removed.select(col(idCol)).distinct())
+    val affPlan = labels.join(rem, idCol)
+      .select(col("cluster_id")).distinct()
+    // the affected cluster set is ≤ |removals| values — collected once
+    // into a local relation so its consumers (the keep filter here, the
+    // caller's pass-through anti-join, the caller's dead-remap-entry
+    // drop) don't each re-execute the label-view scan. When the caller
+    // holds the removal values driver-side (every streaming maintainer
+    // does — takedown batches are the bounded-collect class), ONE fused
+    // probe collects the affected components' full membership, removed
+    // rows included: the distinct cluster values ARE the affected set
+    // (every affected component still shows ≥ 1 row — its removed
+    // member — because `labels` is the pre-removal view), and the
+    // retained members are a driver-side filter away. That replaces
+    // the two label-view executions (affected collect, keep
+    // limit-probe) the r18 shape paid per fold with one.
+    var affRows: Seq[Row] = null
+    var smallMembers: Option[Seq[Row]] = None
+    var probedSmall = false
+    removedVals.foreach { rv =>
+      val probe = labels.join(broadcast(affPlan), "cluster_id")
+        .select(col("cluster_id"), col(idCol))
+        .limit(2 * RetractSolveBound + 1).collect()
+      if (probe.length <= 2 * RetractSolveBound) {
+        probedSmall = true
+        val seen = mutable.LinkedHashMap.empty[Any, Any]
+        probe.foreach(r =>
+          seen.getOrElseUpdate(wrapKey(r.get(0)), r.get(0)))
+        affRows = seen.values.toSeq.map(Row(_))
+        val rvW = rv.map(wrapKey).toSet
+        val retained = probe.iterator
+          .filterNot(r => rvW.contains(wrapKey(r.get(1))))
+          .map(r => Row(r.get(1))).toSeq
+        if (retained.length <= RetractSolveBound)
+          smallMembers = Some(retained)
+      }
+      // a truncated probe proves nothing about the affected set —
+      // fall through to the two-execution path below
+    }
+    if (!probedSmall)
+      affRows = labels.join(rem, idCol)
+        .select(col("cluster_id")).distinct().collect().toSeq
+    val affected =
+      broadcast(localDf(affRows, "cluster_id", clusterType))
     // retained members of affected components
     val keep = labels.join(affected, "cluster_id")
       .join(rem, Seq(idCol), "left_anti")
@@ -538,19 +596,22 @@ object Graphs {
     // component (dense near-dup clique: members² edges) falls back to
     // the distributed loop unchanged — the limit probes cost one
     // bounded job each, noise next to the loop they replace.
-    val memberRows = keep.limit(RetractSolveBound + 1).collect()
-    val idType = labels.schema(idCol).dataType
-    if (memberRows.length <= RetractSolveBound) {
+    val memberRows: Seq[Row] = smallMembers.getOrElse {
+      if (probedSmall) null // fused probe already proved > bound
+      else {
+        val mr = keep.limit(RetractSolveBound + 1).collect().toSeq
+        if (mr.length <= RetractSolveBound) mr else null
+      }
+    }
+    val affectedVals = affRows.map(_.get(0))
+    if (memberRows != null) {
       // the collected member set IS the edge filter: a bounded local
       // relation with exact size stats, broadcast to the edge scan —
       // the `keep` plan (a multi-join pass over the composed label
       // view) executes once, not once per consumer, and the edge
       // layer is pruned map-side instead of shuffled (r17 verdict
       // next-round #2)
-      val keepDf = labels.sparkSession.createDataFrame(
-        java.util.Arrays.asList(memberRows.toSeq: _*),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(idCol, idType))))
+      val keepDf = localDf(memberRows, idCol, idType)
       val e = pairs.toDF("__a", "__b")
         .join(broadcast(keepDf.select(col(idCol).as("__a"))),
           Seq("__a"), "left_semi")
@@ -564,24 +625,29 @@ object Graphs {
         edgeRows.foreach(r => uf.union(r.get(0), r.get(1)))
         // cluster_id is a member id (canonical = min member), so both
         // fields are idType — the same schema connectedComponents emits
-        val resolved = labels.sparkSession.createDataFrame(
-          java.util.Arrays.asList(uf.labelRows: _*),
+        val labelRows = uf.labelRows
+        val resolved = spark.createDataFrame(
+          java.util.Arrays.asList(labelRows: _*),
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField(idCol, idType),
             org.apache.spark.sql.types.StructField("cluster_id",
               idType))))
-        return (resolved, affected)
+        return RetractRepair(resolved, affected, Some(labelRows),
+          affectedVals)
       }
       // dense blast radius (members² edges): distributed loop over the
       // already-pruned edge set, member list still the collected one
-      return (connectedComponents(keepDf, e, idCol, maxRounds), affected)
+      return RetractRepair(
+        connectedComponents(keepDf, e, idCol, maxRounds), affected,
+        None, affectedVals)
     }
     // giant member set: fully distributed, plan-side filters
     val e = pairs.toDF("__a", "__b")
       .join(keep.select(col(idCol).as("__a")), "__a")
       .join(keep.select(col(idCol).as("__b")), "__b")
       .select(col("__a"), col("__b"))
-    (connectedComponents(keep, e, idCol, maxRounds), affected)
+    RetractRepair(connectedComponents(keep, e, idCol, maxRounds),
+      affected, None, affectedVals)
   }
 
   /** Collect ceiling for [[ccRetractParts]]' small-case repair — under

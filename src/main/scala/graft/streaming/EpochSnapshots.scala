@@ -3,7 +3,9 @@ package graft.streaming
 import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
 
 import graft.analytics.Graphs
 
@@ -203,6 +205,98 @@ private[streaming] object EpochSnapshots {
       recent.clear()
       standing = next
       owned = true
+    }
+  }
+
+  /** The bounded repaired-rows OVERRIDE layer every mixed maintainer
+    * composes over its base, keyed by the schema's FIRST column. The
+    * common fold hands its repaired rows over DRIVER-side (they were
+    * either collected anyway — the re-elect results — or solved by the
+    * driver union-find), so the ledger holds them in a map: merge and
+    * size cost ZERO jobs, and the view reads ONE exact-stats local
+    * relation. The pre-r19 folds paid a localCheckpoint (and the CC
+    * maintainers a count()) per fold just to keep a distributed copy of
+    * rows the driver already had — the r18 probe attributed most of the
+    * streaming family's wall to exactly these per-execution overheads.
+    * A repair too large to collect (the giant-component fallback of
+    * [[Graphs.ccRetractRepair]]) [[spill]]s the ledger one-way into a
+    * checkpointed distributed frame until compaction [[clear]]s it —
+    * the 100 TB path is unchanged, only the bounded path got cheap.
+    * Also closes the r18 ADVICE invariant gap: the key set and the row
+    * set live in ONE structure, so they cannot drift. */
+  final class OverrideLedger(spark: SparkSession, schema: StructType,
+      initRows: Seq[Row]) {
+    private val keyName = schema.fields.head.name
+    private val keySchema = StructType(Seq(schema.fields.head))
+    private val local = mutable.LinkedHashMap.empty[Any, Row]
+    initRows.foreach(r => local(Graphs.wrapKey(r.get(0))) = r)
+    private var dist: Option[DataFrame] = None
+    private var distSize = 0L
+
+    def size: Long = if (dist.isDefined) distSize else local.size.toLong
+    def spilled: Boolean = dist.isDefined
+    /** Driver-held override keys (external values) — only meaningful
+      * while not spilled. */
+    def keys: Seq[Any] =
+      if (dist.isDefined) throw new IllegalStateException(
+        "OverrideLedger.keys on a spilled ledger")
+      else local.values.iterator.map(_.get(0)).toSeq
+
+    /** The override frame: an exact-stats local relation while
+      * driver-held, the checkpointed frame after a spill; None when
+      * empty. */
+    def frame: Option[DataFrame] =
+      dist.orElse(if (local.isEmpty) None
+      else Some(localFrame(spark, local.values.toSeq, schema)))
+
+    /** Supersede: drop the `drop` keys, insert the `fresh` rows (keyed
+      * by their first column; fresh wins). Zero jobs while driver-held;
+      * after a spill, one merge-checkpoint + count like the pre-ledger
+      * distributed path. */
+    def merge(fresh: Seq[Row], drop: Seq[Any]): Unit = dist match {
+      case None =>
+        drop.foreach(k => local.remove(Graphs.wrapKey(k)))
+        fresh.foreach(r => local(Graphs.wrapKey(r.get(0))) = r)
+      case Some(o) =>
+        val gone = localFrame(spark,
+          (drop ++ fresh.map(_.get(0))).map(Row(_)), keySchema)
+        val next = materializeStanding(
+          localFrame(spark, fresh, schema).unionAll(
+            o.join(broadcast(gone), Seq(keyName), "left_anti")))
+        distSize = next.count()
+        Graphs.freeLocalCheckpoint(o)
+        dist = Some(next)
+    }
+
+    /** One-way flip to a distributed frame: `resolved` (a plan —
+      * checkpointed here) supersedes existing entries, `drop` keys
+      * leave. Costs one checkpoint + count — exactly what EVERY fold
+      * paid before the ledger existed. */
+    def spill(resolved: DataFrame, drop: Seq[Any]): Unit = {
+      val res = materializeStanding(resolved)
+      val next = frame match {
+        case None => res
+        case Some(o) =>
+          val merged = materializeStanding(res.unionAll(o
+            .join(broadcast(res.select(col(keyName))),
+              Seq(keyName), "left_anti")
+            .join(broadcast(localFrame(spark, drop.map(Row(_)),
+              keySchema)), Seq(keyName), "left_anti")))
+          if (dist.isDefined) Graphs.freeLocalCheckpoint(o)
+          Graphs.freeLocalCheckpoint(res)
+          merged
+      }
+      distSize = next.count()
+      local.clear()
+      dist = Some(next)
+    }
+
+    /** Reset to empty (compaction folded the layer into the base). */
+    def clear(): Unit = {
+      dist.foreach(Graphs.freeLocalCheckpoint)
+      dist = None
+      distSize = 0L
+      local.clear()
     }
   }
 

@@ -184,14 +184,15 @@ object StreamingCcMixed {
       recovered.exists(_.baseIsUniverse)
     private val remap = mutable.LinkedHashMap.empty[Any, Any] ++
       recovered.map(_.remap).getOrElse(Seq.empty)
-    private var overrideOpt: Option[DataFrame] =
-      recovered.map(_.overrideRows).filter(_.nonEmpty).map(rows =>
-        EpochSnapshots.localFrame(spark, rows,
-          StructType(Seq(StructField(idCol, idType),
-            StructField("cluster_id", clusterType))))
-          .transform(Graphs.flatCheckpoint(_)))
-    private var overrideSize =
-      recovered.map(_.overrideRows.size.toLong).getOrElse(0L)
+    // the member-grain override lives DRIVER-side in the shared ledger
+    // while every repair stays inside the union-find bound (its rows
+    // were solved driver-side anyway); a giant blast radius spills it
+    // to a distributed frame. Pre-r19 every removal fold paid a
+    // localCheckpoint + count() to maintain a distributed copy.
+    private val overrides = new EpochSnapshots.OverrideLedger(spark,
+      StructType(Seq(StructField(idCol, idType),
+        StructField("cluster_id", clusterType))),
+      recovered.map(_.overrideRows).getOrElse(Seq.empty))
     private val tomb = mutable.LinkedHashSet.empty[Any] ++
       recovered.map(_.tomb).getOrElse(Seq.empty)
     // ---- the edge layer: ONE standing frame + a capped recent list ----
@@ -244,11 +245,12 @@ object StreamingCcMixed {
         if (tomb.isEmpty) universe
         else universe.join(broadcast(idDf(tomb.toSeq, idCol)),
           Seq(idCol), "left_anti")
-      overrideOpt match {
+      overrides.frame match {
         case None => retained
         // broadcast: the override is compactBound-bounded — without
-        // the hint (stats-flattened checkpoint leaf) every view
-        // execution shuffled the corpus side into a sort-merge join
+        // the hint (stats-flattened checkpoint leaf after a spill)
+        // every view execution shuffled the corpus side into a
+        // sort-merge join
         case Some(o) => retained
           .join(broadcast(
               o.select(col(idCol), col("cluster_id").as("__o"))),
@@ -300,15 +302,18 @@ object StreamingCcMixed {
     def fold(batch: DataFrame, batchId: Long): Unit = synchronized {
       if (EpochSnapshots.alreadyApplied(recoveredThrough, batchId,
         "StreamingCcMixed")) return
-      val b = batch.select(col("op"), col("a"), col("b"))
+      // ---- ONE collect over the whole op batch (∝ batch — the same
+      // bounded class as the add-pair + removal collects this fold
+      // always ran as TWO executions; r19 fuses them, the split is
+      // driver-side) -------------------------------------------------
+      val opRows = batch.select(col("op"), col("a"), col("b"))
+        .collect().toSeq
       // ---- adds: root-remap fold (StreamingCcDelta's shape) ----------
-      // collect the batch's add pairs ONCE (∝ batch — the same bounded
-      // class as the remap entries this fold always collected) and run
-      // the dead-endpoint filter driver-side: the pre-r18 plan-side
-      // path paid a checkpoint + count + anti-join chain of tiny jobs
-      // per fold on data this size (r17 verdict next-round #2)
-      val addPairs0 = b.where(col("op") === "add")
-        .select(col("a"), col("b")).collect().toSeq
+      // the dead-endpoint filter runs driver-side: the pre-r18
+      // plan-side path paid a checkpoint + count + anti-join chain of
+      // tiny jobs per fold on data this size (r17 verdict next-round #2)
+      val addPairs0 = opRows.iterator.filter(_.getString(0) == "add")
+        .map(r => Row(r.get(1), r.get(2))).toSeq
       val eps = {
         val seen = scala.collection.mutable.LinkedHashMap.empty[Any, Any]
         for (r <- addPairs0; x <- Seq(r.get(0), r.get(1)))
@@ -341,37 +346,33 @@ object StreamingCcMixed {
         if (edges.overCap) coalesceEdges()
       }
       // ---- removes: member-override fold (Takedown's shape) ----------
-      val removals = b.where(col("op") === "rm")
-        .select(col("a").as(idCol)).distinct()
-        .collect().map(_.get(0)).toSeq
+      val removals = {
+        val seen = mutable.LinkedHashMap.empty[Any, Any]
+        opRows.iterator.filter(_.getString(0) == "rm")
+          .foreach(r => seen.getOrElseUpdate(Graphs.wrapKey(r.get(1)),
+            r.get(1)))
+        seen.values.toSeq
+      }
       if (removals.nonEmpty) {
         val remDf = idDf(removals, idCol)
-        val (resolved, affected) =
-          Graphs.ccRetractParts(view, allEdges, remDf, idCol)
-        val res = EpochSnapshots.materializeStanding(resolved)
+        // the driver-held removal values let the repair fuse its
+        // affected/member probes into one execution; its resolved rows
+        // come back driver-side in the bounded case and the ledger
+        // merge costs no job
+        val repair = Graphs.ccRetractRepair(view, allEdges, remDf,
+          idCol, removedVals = Some(removals))
         // drop dead remap entries: anything resolving INTO an affected
         // component was just overridden or removed
-        val aff = affected.collect().map(_.get(0)).toSet
+        val aff = repair.affectedVals.toSet
         if (aff.nonEmpty)
           remap.filterInPlace { case (_, v) => !aff.contains(v) }
-        overrideOpt match {
-          case None =>
-            overrideSize = res.count()
-            overrideOpt = Some(res)
-          case Some(o) =>
-            val next = EpochSnapshots.materializeStanding(
-              res.unionAll(o
-                .join(broadcast(res.select(col(idCol))), Seq(idCol),
-                  "left_anti")
-                .join(broadcast(remDf), Seq(idCol), "left_anti")))
-            overrideSize = next.count()
-            Graphs.freeLocalCheckpoint(o)
-            Graphs.freeLocalCheckpoint(res)
-            overrideOpt = Some(next)
+        repair.resolvedRows match {
+          case Some(rows) => overrides.merge(rows, removals)
+          case None => overrides.spill(repair.resolved, removals)
         }
         tomb ++= removals
       }
-      if (remap.size + overrideSize + tomb.size > compactBound)
+      if (remap.size + overrides.size + tomb.size > compactBound)
         compact(batchId)
       persistDir.foreach(d => persistSnapshot(d, batchId))
     }
@@ -390,14 +391,12 @@ object StreamingCcMixed {
       coalesceEdges()
       Graphs.freeLocalCheckpoint(base)
       if (universeOwned) Graphs.freeLocalCheckpoint(universe)
-      overrideOpt.foreach(Graphs.freeLocalCheckpoint)
       base = next
       universe = base // compacted base covers the retained universe
       universeOwned = false
       baseIsUniverse = true
       remap.clear()
-      overrideOpt = None
-      overrideSize = 0L
+      overrides.clear()
       tomb.clear()
       persistDir.foreach { d =>
         persistBase(d, batchId)
@@ -421,7 +420,7 @@ object StreamingCcMixed {
         StructType(Seq(StructField(idCol, idType),
           StructField("cluster_id", idType))))
       EpochSnapshots.persistEpoch(
-        overrideOpt.getOrElse(emptyOv)
+        overrides.frame.getOrElse(emptyOv)
           .select(lit("o").as("kind"), col(idCol), col("cluster_id"))
           .unionAll(rDf.select(lit("r").as("kind"), col(idCol),
             col("cluster_id")))

@@ -34,9 +34,11 @@ import graft.analytics.Graphs
   *     broadcast-anti-joined at read;
   *   - `override`: the accumulated repaired (id, cluster_id) rows —
   *     bounded by the takedowns' cumulative blast radius, NOT the
-  *     corpus — localCheckpointed per fold (each fold's checkpoint cost
-  *     is the override's size); a member repaired again is superseded,
-  *     a member removed later is dropped;
+  *     corpus — held in the shared [[EpochSnapshots.OverrideLedger]]
+  *     (driver-side while repairs stay in the union-find bound, zero
+  *     jobs to merge; spilled to a checkpointed frame for a giant
+  *     blast radius); a member repaired again is superseded, a member
+  *     removed later is dropped;
   *   - COMPACTION: when the override passes `compactBound`, it and the
   *     tombstones fold into a new base (the only corpus-sized rewrite),
   *     and both reset.
@@ -127,18 +129,19 @@ object StreamingCcTakedown {
     private var base = initialLabels
       .select(col(idCol), col("cluster_id")).transform(Graphs.flatCheckpoint(_))
     private val tomb = mutable.LinkedHashSet.empty[Any] ++ initTomb
-    private var overrideOpt: Option[DataFrame] =
-      if (initOverride.isEmpty) None
-      else {
-        import org.apache.spark.sql.types.{StructField, StructType}
-        val t = base.schema(idCol).dataType
-        val c = base.schema("cluster_id").dataType
-        Some(EpochSnapshots.localFrame(spark, initOverride,
-          StructType(Seq(StructField(idCol, t),
-            StructField("cluster_id", c))))
-          .transform(Graphs.flatCheckpoint(_)))
-      }
-    private var overrideSize = initOverride.size.toLong
+    // repaired labels live DRIVER-side in the shared ledger while every
+    // repair stays inside the union-find bound (the common case — the
+    // rows were solved driver-side anyway); a giant blast radius spills
+    // it to a distributed frame. Pre-r19 every fold paid a
+    // localCheckpoint + count() to maintain a distributed copy.
+    private val overrides = {
+      import org.apache.spark.sql.types.{StructField, StructType}
+      new EpochSnapshots.OverrideLedger(spark,
+        StructType(Seq(
+          StructField(idCol, base.schema(idCol).dataType),
+          StructField("cluster_id", base.schema("cluster_id").dataType))),
+        initOverride)
+    }
 
     private def tombDf: DataFrame = {
       import org.apache.spark.sql.types.{StructField, StructType}
@@ -152,10 +155,11 @@ object StreamingCcTakedown {
       val retained =
         if (tomb.isEmpty) base
         else base.join(broadcast(tombDf), Seq(idCol), "left_anti")
-      overrideOpt match {
+      overrides.frame match {
         case None => retained
         case Some(o) => retained
-          .join(o.select(col(idCol), col("cluster_id").as("__ov")),
+          .join(broadcast(
+              o.select(col(idCol), col("cluster_id").as("__ov"))),
             Seq(idCol), "left")
           .select(col(idCol),
             coalesce(col("__ov"), col("cluster_id")).as("cluster_id"))
@@ -174,29 +178,21 @@ object StreamingCcTakedown {
           StructField(idCol, base.schema(idCol).dataType)))
         EpochSnapshots.localFrame(spark, removals.map(Row(_)), schema)
       }
-      val (resolved, _) =
-        Graphs.ccRetractParts(view, pairs, remDf, idCol)
-      // eager: materialized (and its size taken) before predecessors free
-      val res = resolved.transform(Graphs.flatCheckpoint(_))
-      overrideOpt match {
-        case None =>
-          overrideSize = res.count()
-          overrideOpt = Some(res)
-        case Some(o) =>
-          // the new repair supersedes older overrides for re-touched
-          // members; overrides for now-removed members drop (they would
-          // be tomb-filtered anyway — dropping keeps the table bounded)
-          val next = res.unionAll(o
-              .join(res.select(col(idCol)), Seq(idCol), "left_anti")
-              .join(broadcast(remDf), Seq(idCol), "left_anti"))
-            .transform(Graphs.flatCheckpoint(_))
-          overrideSize = next.count() // materializes before frees
-          Graphs.freeLocalCheckpoint(o)
-          Graphs.freeLocalCheckpoint(res)
-          overrideOpt = Some(next)
+      // the driver-held removal values let the repair fuse its
+      // affected/member probes into one execution; its resolved rows
+      // come back driver-side in the bounded case and the ledger merge
+      // costs no job (the new repair supersedes older overrides for
+      // re-touched members; overrides for now-removed members drop —
+      // they would be tomb-filtered anyway, dropping keeps the ledger
+      // bounded)
+      val repair = Graphs.ccRetractRepair(view, pairs, remDf, idCol,
+        removedVals = Some(removals))
+      repair.resolvedRows match {
+        case Some(rows) => overrides.merge(rows, removals)
+        case None => overrides.spill(repair.resolved, removals)
       }
       tomb ++= removals
-      if (overrideSize > compactBound) compact(batchId)
+      if (overrides.size > compactBound) compact(batchId)
       persistDir.foreach(d => persistSnapshot(d, batchId))
     }
 
@@ -205,10 +201,8 @@ object StreamingCcTakedown {
     private def compact(batchId: Long): Unit = {
       val next = view.transform(Graphs.flatCheckpoint(_))
       Graphs.freeLocalCheckpoint(base)
-      overrideOpt.foreach(Graphs.freeLocalCheckpoint)
       base = next
-      overrideOpt = None
-      overrideSize = 0L
+      overrides.clear()
       tomb.clear()
       persistDir.foreach(d => persistBase(d, batchId))
     }
@@ -234,7 +228,7 @@ object StreamingCcTakedown {
       val empty = EpochSnapshots.localFrame(spark, Seq.empty,
         StructType(Seq(StructField(idCol, base.schema(idCol).dataType),
           StructField("cluster_id", c))))
-      overrideOpt.getOrElse(empty)
+      overrides.frame.getOrElse(empty)
         .select(lit("o").as("kind"), col(idCol), col("cluster_id"))
         .unionAll(tbDf.select(lit("t").as("kind"), col(idCol),
           lit(null).cast(c).as("cluster_id")))

@@ -10,8 +10,8 @@ import graft.dedup.Dedup
   * streaming twin, the q145 pattern applied to containment): a stream of
   * suspect/benchmark passages is probed per micro-batch against the
   * STATIC corpus prefix index ([[Dedup.containmentIndex]], prepared and
-  * materialized once), and exact containment hits append to a per-batch
-  * parquet sink.
+  * materialized once), and exact containment hits accumulate as
+  * per-batch checkpointed frames.
   *
   * Every probe's prefix (pigeonhole over corpus-df-ordered grams),
   * candidates, integer size filter, and exact intersect verify depend
@@ -25,9 +25,10 @@ import graft.dedup.Dedup
   * probe's grams), which Structured Streaming's incremental planner
   * rejects — but the computation is per-probe STATELESS, so foreachBatch
   * runs the full batch operator on each micro-batch: the standard recipe
-  * for rich stateless transforms. Exactly-once lands via idempotent
-  * per-batchId overwrite dirs (a replayed batch rewrites its own dir
-  * with identical content); the read-back unions `out ∖ _ckpt`. */
+  * for rich stateless transforms. Exactly-once lands via the
+  * batchId-keyed frame map (a replayed batch supersedes its own entry
+  * with identical content); the result unions the frames in batch
+  * order. */
 object StreamingContainment {
 
   /** Run `probeStream` (any per-row schema `mkGrams` can shingle) to
@@ -41,6 +42,16 @@ object StreamingContainment {
       mkGrams: DataFrame => DataFrame,
       probeIdCol: String = "probe_id"): DataFrame = {
     val spark = probeStream.sparkSession
+    // per-batch hit frames accumulate as checkpointed blocks keyed by
+    // batchId — a replayed batch SUPERSEDES its earlier frame, the same
+    // idempotence the r18 per-batchId parquet overwrite dirs provided,
+    // without paying a parquet write per batch plus a directory-glob
+    // read-back of every batch's files at the end (guide §6: the sink
+    // and its re-listing cost more than the probes; the r19 probe put
+    // ~1/3 of q211's wall in exactly those executions). Hit volume is
+    // the same either way — it was already written and re-read whole.
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[Long, DataFrame]
     val q = probeStream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         // The batch's grams are MATERIALIZED once (bounded: one
@@ -58,20 +69,23 @@ object StreamingContainment {
         // pins on the probe stages were also tried here — 2x the task
         // time for equal wall once grams were materialized; reverted.)
         val g = graft.analytics.Graphs.flatCheckpoint(mkGrams(batch.toDF()))
-        try Dedup.containmentProbe(g, index, num, den, probeIdCol)
-          .write.mode("overwrite").parquet(s"$workDir/out/$batchId")
-        finally graft.analytics.Graphs.freeLocalCheckpoint(g)
+        try {
+          val hits = graft.analytics.Graphs.flatCheckpoint(
+            Dedup.containmentProbe(g, index, num, den, probeIdCol))
+          results.remove(batchId)
+            .foreach(graft.analytics.Graphs.freeLocalCheckpoint)
+          results(batchId) = hits
+        } finally graft.analytics.Graphs.freeLocalCheckpoint(g)
       }
       .option("checkpointLocation", s"$workDir/_ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     // an empty probe slice yields ZERO micro-batches under AvailableNow —
-    // foreachBatch never runs and out/ is never created; return the empty
-    // hit frame (same schema via the batch operator over an empty probe
-    // frame) instead of letting the glob read throw path-not-found
-    if (new java.io.File(s"$workDir/out").isDirectory)
-      spark.read.parquet(s"$workDir/out/*")
+    // foreachBatch never runs; return the empty hit frame (same schema
+    // via the batch operator over an empty probe frame)
+    if (results.nonEmpty)
+      results.toSeq.sortBy(_._1).map(_._2).reduce(_ unionAll _)
     else
       Dedup.containmentProbe(
         mkGrams(spark.createDataFrame(

@@ -151,19 +151,15 @@ object StreamingIndexMaint {
     // the stream starts (EpochSnapshots' contract)
     private var base = initialIndex
       .select(indexCols.map(col): _*).transform(Graphs.flatCheckpoint(_))
-    private var overrideOpt: Option[DataFrame] =
-      recovered.map(_.overrideRows).filter(_.nonEmpty).map(rows =>
-        EpochSnapshots.localFrame(spark, rows, overrideSchema)
-          .transform(Graphs.flatCheckpoint(_)))
-    // the override's KEY SET mirrored driver-side (bounded by
-    // compactBound, like `vanished`): the override is one row per key,
-    // so |override| = |keys| — tracking it here replaces the per-fold
-    // count() job the pre-r18 mergeOverride paid just for the
-    // compaction check (~1 driver-synchronized job per fold saved)
-    private val overrideKeys = mutable.LinkedHashSet.empty[Any] ++
-      recovered.map(_.overrideRows.map(r => Graphs.wrapKey(r.get(0))))
-        .getOrElse(Seq.empty)
-    private def overrideSize: Long = overrideKeys.size.toLong
+    // the override layer lives DRIVER-side in the shared ledger: the
+    // re-elected rows are collected by the fold anyway (they are the
+    // vanish bookkeeping too), so the pre-r19 per-fold localCheckpoint
+    // that maintained a distributed copy — one whole execution per
+    // fold — carried no information the driver didn't already hold.
+    // Rows are bounded by compactBound, the same class as `vanished` /
+    // `removedRecent` below; this maintainer never spills the ledger.
+    private val overrides = new EpochSnapshots.OverrideLedger(spark,
+      overrideSchema, recovered.map(_.overrideRows).getOrElse(Seq.empty))
     private val vanished = mutable.LinkedHashSet.empty[Any] ++
       recovered.map(_.vanished).getOrElse(Seq.empty)
     private val removedRecent = mutable.LinkedHashSet.empty[Any] ++
@@ -201,15 +197,17 @@ object StreamingIndexMaint {
 
     /** The current index view: untouched base rows pass through
       * (one bounded broadcast anti-join), touched keys resolve to the
-      * override; vanished keys appear on the touched side only. */
+      * override; vanished keys appear on the touched side only. The
+      * touched-key set is ONE exact-stats local relation (override keys
+      * and vanished keys are disjoint by the fold's bookkeeping, so the
+      * pre-r19 union + distinct — an exchange inside every view's
+      * broadcast — carried nothing). */
     private def view: DataFrame = {
-      val touchedKeys = overrideOpt
-        .map(_.select(col(keyCol)))
-        .getOrElse(oneCol(Seq.empty, keyCol, keyType))
-        .unionAll(oneCol(vanished.toSeq, keyCol, keyType))
-      val through = base.join(broadcast(touchedKeys.distinct()),
+      val touchedKeys =
+        oneCol((overrides.keys ++ vanished).toSeq, keyCol, keyType)
+      val through = base.join(broadcast(touchedKeys),
         Seq(keyCol), "left_anti")
-      overrideOpt match {
+      overrides.frame match {
         case None => through
         case Some(o) => through.unionAll(o.select(indexCols.map(col): _*))
       }
@@ -249,24 +247,6 @@ object StreamingIndexMaint {
           orderCols.map(c => col("__kp").getField(c).as(c)) :+
           col("n_occ"): _*)
 
-    /** Supersede `keys` in the override with `fresh` (ALREADY
-      * materialized by the caller; may cover a subset of `keys` — the
-      * rest vanished). The caller maintains [[overrideKeys]]; no count
-      * job runs here (the set size IS the override size). */
-    private def mergeOverride(fresh: DataFrame, keys: DataFrame): Unit = {
-      val next = overrideOpt match {
-        case None => fresh
-        case Some(o) =>
-          val merged = EpochSnapshots.materializeStanding(
-            fresh.unionAll(
-              o.join(broadcast(keys), Seq(keyCol), "left_anti")))
-          Graphs.freeLocalCheckpoint(o)
-          Graphs.freeLocalCheckpoint(fresh)
-          merged
-      }
-      overrideOpt = Some(next)
-    }
-
     def fold(batch: DataFrame, batchId: Long,
         mkMembers: DataFrame => DataFrame): Unit = synchronized {
       if (EpochSnapshots.alreadyApplied(recoveredThrough, batchId,
@@ -277,30 +257,51 @@ object StreamingIndexMaint {
       // leg, and the two legs compose to exactly one re-elect over the
       // union — the fold invariant ("view = rebuild over history ∪
       // adds ∖ removed") doesn't care which leg touched a key.
-      // ---- removals first: their affected keys must be read from the
-      // member view while it still shows their rows -------------------
-      val removals = batch.where(col("op") === "rm")
-        .select(col(docCol)).distinct()
-        .collect().map(_.get(0)).toSeq
-      val rmAffKeys: Seq[Any] =
-        if (removals.isEmpty) Seq.empty
-        else membersView
-          .join(broadcast(oneCol(removals, docCol, docType)),
-            Seq(docCol), "left_semi")
-          .select(col(keyCol)).distinct()
-          .collect().map(_.get(0)).toSeq
-      // ---- adds: collect the batch's derived member rows ONCE (∝
-      // batch chunk count — the same bounded class as the batch-doc /
-      // affected-key collects this fold always did): mkMembers (the
-      // expensive chunking stage) runs exactly once, the dead-doc
-      // filter is driver-side, and the appended member frame is a
-      // local relation with exact size stats
+      //
+      // r19: the fold runs TWO executions, down from five — the probe
+      // measured most of this family's wall as per-execution driver
+      // overhead (planning + scheduling gaps), not task work:
+      //   1. ONE tagged collect — the adds' derived member rows ("m")
+      //      ride alongside the rm docs ("r", docCol slot) and the
+      //      removals' affected keys ("k", keyCol slot; a member-view
+      //      probe leg). mkMembers (the chunking stage) still runs
+      //      exactly once and every leg is ∝ batch / its blast radius
+      //      (the same bounded class the fold always collected);
+      //   2. ONE gather-and-re-elect execution (below);
+      // and the override merge became a driver-side ledger update
+      // (zero jobs — the re-elect rows were already collected).
       val memberPlan = mkMembers(batch.where(col("op") === "add")
           .drop("op"))
         .select(memberCols.map(col): _*)
       val memberSchema = memberPlan.schema
-      val memberRows0 = memberPlan.collect().toSeq
+      val nullOfM: String => Column =
+        c => lit(null).cast(memberSchema(c).dataType)
+      val rmDocsPlan = batch.where(col("op") === "rm")
+        .select(col(docCol)).distinct()
+      // the removals' affected keys must be read from the member view
+      // while it still shows their rows — the PRE-removal view (the
+      // recent-removals set grows only after this collect lands)
+      val rmAffPlan = membersView
+        .join(broadcast(rmDocsPlan), Seq(docCol), "left_semi")
+        .select(col(keyCol)).distinct()
+      val batchRows = memberPlan
+        .select(lit("m").as("__kind") +: memberCols.map(col): _*)
+        .unionAll(rmDocsPlan
+          .select(lit("r").as("__kind") +: memberCols.map(c =>
+            if (c == docCol) col(docCol) else nullOfM(c).as(c)): _*))
+        .unionAll(rmAffPlan
+          .select(lit("k").as("__kind") +: memberCols.map(c =>
+            if (c == keyCol) col(keyCol) else nullOfM(c).as(c)): _*))
+        .collect()
       val docIdx = memberCols.indexOf(docCol)
+      val keyIdxM = memberCols.indexOf(keyCol)
+      val removals: Seq[Any] = batchRows.iterator
+        .filter(_.getString(0) == "r").map(_.get(1 + docIdx)).toSeq
+      val rmAffKeys: Seq[Any] = batchRows.iterator
+        .filter(_.getString(0) == "k").map(_.get(1 + keyIdxM)).toSeq
+      val memberRows0 = batchRows.iterator
+        .filter(_.getString(0) == "m")
+        .map(r => Row.fromSeq(r.toSeq.tail)).toSeq
       val batchDocs = {
         val seen = mutable.LinkedHashMap.empty[Any, Any]
         for (r <- memberRows0)
@@ -331,23 +332,21 @@ object StreamingIndexMaint {
         seen.values.toSeq
       }
       removedRecent ++= removals
-      // ---- one re-elect over every touched key ----------------------
+      // ---- one re-elect over every touched key -----------------------
       val affSet = (addKeys ++ rmAffKeys).distinct
       if (affSet.nonEmpty) {
         val affDf = broadcast(oneCol(affSet, keyCol, keyType))
         // membersView now excludes this batch's removals; the adds are
         // not yet appended, so the union IS the after-ops member set.
         // The re-elect result is ∝ |affSet| — collected once, it is
-        // both the vanish bookkeeping and the fresh override rows.
+        // both the vanish bookkeeping and the fresh override rows (the
+        // driver-side ledger merge costs no job).
         val gathered = membersView
           .join(affDf, Seq(keyCol), "left_semi")
           .unionAll(addMembers)
         val reRows = reelect(gathered).collect().toSeq
         val reelected = reRows.map(_.get(0)).toSet
-        mergeOverride(
-          EpochSnapshots.localFrame(spark, reRows, overrideSchema), affDf)
-        overrideKeys --= affSet.map(Graphs.wrapKey)
-        overrideKeys ++= reRows.map(r => Graphs.wrapKey(r.get(0)))
+        overrides.merge(reRows, affSet)
         // a re-elected key has ≥ 1 member after ops (vanished digests
         // with fresh adds legitimately live again); a touched key with
         // no row vanished (keeper gone, nothing retained)
@@ -360,7 +359,7 @@ object StreamingIndexMaint {
         members.append(addMembers)
         if (members.overCap) coalesceMembers()
       }
-      if (overrideSize + vanished.size + removedRecent.size >
+      if (overrides.size + vanished.size + removedRecent.size >
           compactBound) compact(batchId)
       persistDir.foreach(d => persistSnapshot(d, batchId))
     }
@@ -378,10 +377,8 @@ object StreamingIndexMaint {
         removedStanding.merge(oneCol(removedRecent.toSeq, docCol,
           docType))
       Graphs.freeLocalCheckpoint(base)
-      overrideOpt.foreach(Graphs.freeLocalCheckpoint)
       base = next
-      overrideOpt = None
-      overrideKeys.clear()
+      overrides.clear()
       vanished.clear()
       removedRecent.clear()
       persistDir.foreach { d =>
@@ -403,7 +400,7 @@ object StreamingIndexMaint {
         c => lit(null).cast(overrideSchema(c).dataType)
       val emptyOv =
         EpochSnapshots.localFrame(spark, Seq.empty, overrideSchema)
-      val ovLeg = overrideOpt.getOrElse(emptyOv)
+      val ovLeg = overrides.frame.getOrElse(emptyOv)
         .select(lit("o").as("kind") +: indexCols.map(col): _*)
       val vnLeg = oneCol(vanished.toSeq, keyCol, keyType)
         .select(lit("v").as("kind") +: col(keyCol) +:

@@ -197,23 +197,38 @@ object StreamingIvfMixed {
         : Option[DataFrame] = synchronized {
       if (EpochSnapshots.alreadyApplied(recoveredThrough, batchId,
         "StreamingIvfMixed")) return None
-      // ---- removes FIRST: removal wins a same-batch add+rm (the
-      // rebuild oracle's set-minus semantics) --------------------------
-      val removals = batch.where(col("op") === "rm")
-        .select(col(idCol)).distinct()
-        .collect().map(_.get(0)).toSeq
-      removedRecent ++= removals
-      // ---- adds: collect the batch's ASSIGNED rows once (∝ batch —
-      // the same bounded class as the batch-id collect this fold
-      // always did): the frozen-centroid assignment map stage runs
+      // ---- ONE collect over the op batch (was two executions): the
+      // assigned add rows ("a") ride tagged alongside the rm ids ("r")
+      // — both ∝ batch, the same bounded class as the two collects this
+      // fold always ran; the frozen-centroid assignment map stage runs
       // exactly once, the dead-id filter is driver-side, and the
       // appended posting frame is a local relation with exact stats
-      // (the CcMixed/IndexMaint one-collect treatment, Ivf edition) --
+      // (the CcMixed/IndexMaint one-collect treatment, Ivf edition).
+      // (A pre-assignment batch fan-out was tried here — r19: the
+      // repartition's exchange cost more than the single-task
+      // assignment it parallelized at bench scale; q221 subset
+      // 3.8 s → 5.0 s, reverted. At real batch sizes the caller can
+      // fan out inside mkPostings where measurement justifies it.)
       val addPlan = mkPostings(batch.where(col("op") === "add")
           .drop("op"))
         .select(postingCols.map(col): _*)
       val addSchema = addPlan.schema
-      val addRows0 = addPlan.collect().toSeq
+      import org.apache.spark.sql.functions.lit
+      val opRows = addPlan
+        .select(lit("a").as("__kind") +: postingCols.map(col): _*)
+        .unionAll(batch.where(col("op") === "rm")
+          .select(col(idCol)).distinct()
+          .select(lit("r").as("__kind"), col(idCol),
+            lit(null).cast(addSchema("cell").dataType).as("cell"),
+            lit(null).cast(addSchema("e").dataType).as("e")))
+        .collect()
+      // removes FIRST: removal wins a same-batch add+rm (the rebuild
+      // oracle's set-minus semantics)
+      val removals: Seq[Any] = opRows.iterator
+        .filter(_.getString(0) == "r").map(_.get(1)).toSeq
+      removedRecent ++= removals
+      val addRows0 = opRows.iterator.filter(_.getString(0) == "a")
+        .map(r => Row.fromSeq(r.toSeq.tail)).toSeq
       val batchIds = {
         val seen = mutable.LinkedHashMap.empty[Any, Any]
         for (r <- addRows0)
