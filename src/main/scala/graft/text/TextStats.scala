@@ -178,7 +178,12 @@ object TextStats {
     val base = docs
       .select(col(idCol), graft.dedup.Dedup.tokens(col(textCol)).as("toks"))
       .repartition(col(idCol))
-    val docBi = base
+    // doc-grain counts MATERIALIZED before the fan-out (guide §5, the
+    // q180/q161 treatment): docBi feeds the corpus model AND the final
+    // scoring join, and exchange reuse only dedupes up to the
+    // repartition — the tokenize+explode+partial-agg above it re-ran
+    // once per consumer (measured on q182's twin; see knBigramScore)
+    val docBi = graft.analytics.Graphs.flatCheckpoint(base
       .select(col(idCol),
         explode(when(size(col("toks")) >= 2,
           transform(sequence(lit(1), size(col("toks")) - 1),
@@ -188,7 +193,7 @@ object TextStats {
           .as("b"))
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy(col(idCol), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("__c")))
     // the model: corpus bigram counts fold FROM the doc-local counts (one
     // more partial-aggregated shuffle, no second tokenizer pass)
     val corpusBi = docBi.groupBy(col("w1"), col("w2"))
@@ -197,11 +202,15 @@ object TextStats {
     // InferFiltersFromGenerate from pushing a `size(tokenize(text)) > 0`
     // filter below the exchange, which would re-run the tokenizer in the
     // filter and make this branch's exchange subtree differ from docBi's —
-    // wrapped, all four model branches reuse ONE tokenizer stage
-    val uni = base
+    // wrapped, all four model branches reuse ONE tokenizer stage.
+    // uni is checkpointed too: its two consumers (the lp join's
+    // broadcast build and the vocab row) otherwise each re-ran the
+    // token explode+agg above the reused exchange (r19 probe: two
+    // 0.4 s broadcast-build stages on a 5k-doc corpus).
+    val uni = graft.analytics.Graphs.flatCheckpoint(base
       .select(explode(when(col("toks").isNotNull, col("toks"))
         .otherwise(array().cast("array<string>"))).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("__c1")))
     // V = the unigram table's row count — no extra pass over the corpus
     val vocab = uni.agg(count(lit(1)).as("__v"))
     // assemble the model at TYPE grain first (guide §2.3: the per-type
@@ -249,7 +258,14 @@ object TextStats {
     val base = docs
       .select(col(idCol), graft.dedup.Dedup.tokens(col(textCol)).as("toks"))
       .repartition(col(idCol))
-    val docBi = base
+    // doc-grain counts MATERIALIZED before the fan-out (guide §5, the
+    // q180/q161 treatment): docBi feeds the corpus model AND the final
+    // scoring join, and the exchange-reuse barrier only dedupes up to
+    // the repartition — the tokenize+explode+partial-agg above it
+    // re-ran once per consumer (the r18 driver run regressed q182 22%
+    // on exactly this; the r19 probe put ~28 s of task time behind a
+    // 5k-doc corpus). One checkpoint, one explode pass.
+    val docBi = graft.analytics.Graphs.flatCheckpoint(base
       .select(col(idCol),
         explode(when(size(col("toks")) >= 2,
           transform(sequence(lit(1), size(col("toks")) - 1),
@@ -259,9 +275,12 @@ object TextStats {
           .as("b"))
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy(col(idCol), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("__c"))
-    val corpusBi = docBi.groupBy(col("w1"), col("w2"))
-      .agg(sum(col("__c")).as("__c2"))
+      .agg(count(lit(1)).as("__c")))
+    // corpusBi has FOUR consumers (leftStats, rightCont, types, lp) —
+    // same treatment, type-grain-sized blocks
+    val corpusBi = graft.analytics.Graphs.flatCheckpoint(
+      docBi.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("__c")).as("__c2")))
     // left-context totals AND distinct right continuations in one pass
     // (corpusBi rows are distinct (w1, w2), so count(*) = N1+(w1•))
     val leftStats = corpusBi.groupBy(col("w1"))
@@ -391,8 +410,11 @@ object TextStats {
       .select(col(idCol), col(targetCol).cast("boolean").as("__tgt"),
         graft.dedup.Dedup.tokens(col(textCol)).as("toks"))
       .repartition(col(idCol))
-    // doc-local bigram counts, ONE explode (the bigramLmScore shape)
-    val docBi = base
+    // doc-local bigram counts, ONE explode (the bigramLmScore shape),
+    // MATERIALIZED before the fan-out — three consumers (rawBi, tgtBi,
+    // the final scoring join) otherwise re-ran the explode+partial-agg
+    // each (guide §5; see knBigramScore)
+    val docBi = graft.analytics.Graphs.flatCheckpoint(base
       .select(col(idCol), col("__tgt"),
         explode(when(size(col("toks")) >= 2,
           transform(sequence(lit(1), size(col("toks")) - 1),
@@ -403,7 +425,7 @@ object TextStats {
       .select(col(idCol), col("__tgt"), col("b.w1").as("w1"),
         col("b.w2").as("w2"))
       .groupBy(col(idCol), col("__tgt"), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("__c")))
     // raw + target bigram models fold FROM the doc-local counts
     val rawBi = docBi.groupBy(col("w1"), col("w2"))
       .agg(sum(col("__c")).as("__c2r"))
@@ -411,15 +433,25 @@ object TextStats {
       .groupBy(col("w1"), col("w2")).agg(sum(col("__c")).as("__c2t"))
     // unigram counts over ALL token occurrences (the LM denominators)
     // the when-wrap (a no-op: toks is never null) keeps this branch's
-    // exchange subtree identical to docBi's — see bigramLmScore
+    // exchange subtree identical to docBi's — see bigramLmScore.
+    // BOTH models' unigram tables and both vocabulary sizes fold from
+    // ONE checkpointed keyed aggregate (r19): the pre-r19 shape ran the
+    // token explode three times (rawUni, tgtUni, vocab — the vocab leg
+    // a distinct over every occurrence); the counts are identical
+    // integers (per-w1 conditional count = the filtered group count;
+    // row counts = the distinct counts), so the arithmetic is
+    // bit-for-bit the model it always was.
     val toks = base.select(col("__tgt"),
       explode(when(col("toks").isNotNull, col("toks"))).as("w1"))
-    val rawUni = toks.groupBy(col("w1")).agg(count(lit(1)).as("__c1r"))
-    val tgtUni = toks.where(col("__tgt"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("__c1t"))
-    val vocab = toks.agg(
-      countDistinct(col("w1")).as("__vr"),
-      countDistinct(when(col("__tgt"), col("w1"))).as("__vt"))
+    val uniStats = graft.analytics.Graphs.flatCheckpoint(
+      toks.groupBy(col("w1")).agg(count(lit(1)).as("__c1r"),
+        count(when(col("__tgt"), lit(1))).as("__c1t")))
+    val rawUni = uniStats.select(col("w1"), col("__c1r"))
+    val tgtUni = uniStats.where(col("__c1t") > 0)
+      .select(col("w1"), col("__c1t"))
+    val vocab = uniStats.agg(
+      count(lit(1)).as("__vr"),
+      count(when(col("__c1t") > 0, lit(1))).as("__vt"))
     // an empty target (zero rows with targetCol true) makes every
     // denominator 0 + __vt=0 → lpT = ln(1/0) = +Inf for EVERY row and
     // the downstream selection silently degrades to the id tiebreak;
