@@ -111,6 +111,27 @@ object Probe {
               case _ => ()
             }
         })
+    // SPARK_PROBE_STREAM: per-micro-batch progress (input rows, state
+    // rows, duration split) for every streaming query — the way to see
+    // where a stateful stream's batches spend their wall
+    if (sys.env.contains("SPARK_PROBE_STREAM"))
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          override def onQueryStarted(e: org.apache.spark.sql.streaming
+              .StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryTerminated(e: org.apache.spark.sql.streaming
+              .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+          override def onQueryProgress(e: org.apache.spark.sql.streaming
+              .StreamingQueryListener.QueryProgressEvent): Unit = {
+            val p = e.progress
+            val st = p.stateOperators.map(s =>
+              s"state(rows=${s.numRowsTotal}, upd=${s.numRowsUpdated}, " +
+                s"commitMs=${s.allUpdatesTimeMs}/${s.commitTimeMs})")
+              .mkString(" ")
+            println(s"[probe-stream] batch=${p.batchId} " +
+              s"rows=${p.numInputRows} durMs=${p.durationMs} $st")
+          }
+        })
     (1 to reps).foreach { i =>
       if (i == reps) { listening = true }
       val t0 = System.nanoTime()

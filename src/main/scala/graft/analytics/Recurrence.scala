@@ -92,12 +92,18 @@ object Recurrence {
           .otherwise(lit(alpha) * col(valueCol)))
 
     // within-block closed form: local_i = m^jl · Σ_{j≤i} c_j · m^−jl_j
+    // — MATERIALIZED (guide §5): `local` feeds both the block spine and
+    // the final join, so the whole rank/blocking/window chain otherwise
+    // executed twice (and through ewmaBucketed, up to four times; the
+    // r19 probe put q201's regression behind exactly these re-runs,
+    // serialized onto the spine's 1–2-task broadcast builds)
     val wBlk = Window.partitionBy((key :+ col("__blk")): _*)
       .orderBy(col("__rn").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = base
+    val local = Graphs.flatCheckpoint(base
       .withColumn("__u", col("__c") * pow(lit(m), -col("__jl")))
-      .withColumn("__local", pow(lit(m), col("__jl")) * sum(col("__u")).over(wBlk))
+      .withColumn("__local",
+        pow(lit(m), col("__jl")) * sum(col("__u")).over(wBlk)))
 
     // Block spine: L_b = local at the block's last row. The carry into
     // block b is E_{b−1} = Σ_{j≥1} m^{(j−1)·block} · L_{b−j} (every
@@ -168,9 +174,12 @@ object Recurrence {
     val keyB = keyCols :+ "__tb"
 
     val wIn = Window.partitionBy(keyB.map(col): _*).orderBy(orderCols: _*)
-    val inb = ewma(withB, keyB, orderCols, valueCol, alpha, block)
-      .withColumnRenamed("ewma", "__inb")
-      .withColumn("__brn", row_number().over(wIn))
+    // materialized like ewma's `local` (guide §5): `inb` feeds both the
+    // bucket spine and the repair join
+    val inb = Graphs.flatCheckpoint(
+      ewma(withB, keyB, orderCols, valueCol, alpha, block)
+        .withColumnRenamed("ewma", "__inb")
+        .withColumn("__brn", row_number().over(wIn)))
 
     // per-key bucket spine: L_b = in-bucket ewma at the bucket's last
     // row, sz_b = its rows, xf_b = its first value; fold the true

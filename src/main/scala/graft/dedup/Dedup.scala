@@ -980,15 +980,30 @@ object Dedup {
     val pref = rows.join(dfs, "gram")
       .withColumn("__pos", row_number().over(byDoc))
       .where(col("__pos") <= col("n") - ceilDiv(col("n")) + 1)
-      .select(col("id"), col("gram"), col("n"))
+      .select(col("id"), col("gram"), col("n"), col("__pos"))
       .repartition(p, col("gram"))
+    // PPJoin's POSITIONAL filter (Xiao et al. 2008, public method) on
+    // top of the length filter: a gram matched at (1-based, df-ordered)
+    // positions pa/pb can witness an overlap of at most
+    // 1 + min(na − pa, nb − pb) — everything else in the intersection
+    // lies after it in BOTH docs (the global (df, gram) order is one
+    // total order). Jaccard ≥ num/den needs
+    // common ≥ ceil(num·(na+nb)/(num+den)), so matches whose upper
+    // bound falls short drop BEFORE the pair-dedup exchange and the
+    // exact-intersect verify. Sound because the EARLIEST shared gram of
+    // a qualifying pair always passes (its bound ≥ the true overlap);
+    // it prunes only match rows, never a qualifying pair.
+    val aReq = (((col("na") + col("nb")) * num + (num + den - 1)) /
+      (num + den)).cast("long")
     val cands = pref.select(col("id").as("id_a"), col("gram"),
-        col("n").as("na"))
+        col("n").as("na"), col("__pos").as("pa"))
       .join(pref.select(col("id").as("id_b"), col("gram"),
-        col("n").as("nb")), "gram")
+        col("n").as("nb"), col("__pos").as("pb")), "gram")
       .where(col("id_a") < col("id_b") &&
         least(col("na"), col("nb")) * den >=
-          greatest(col("na"), col("nb")) * num)
+          greatest(col("na"), col("nb")) * num &&
+        lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >=
+          aReq)
       .select(col("id_a"), col("id_b"))
       // pinned for the same reason: the dedup itself is cheap, but its
       // exchange otherwise coalesces and serializes the pair stream
