@@ -977,11 +977,18 @@ object StreamingQueries {
         }
         val histMembers = members
           .where(DedupQueries.isHistDoc(col("doc_id")))
-        val index = histMembers.groupBy(col("unit_hash"))
-          .agg(min(struct(col("doc_id"), col("chunk_id"))).as("__kp"),
-            count(lit(1)).as("n_occ"))
-          .select(col("unit_hash"), col("__kp.doc_id").as("doc_id"),
-            col("__kp.chunk_id").as("chunk_id"), col("n_occ"))
+        // the standing PRE-STREAM index is deterministic per (session,
+        // dir) — the same trainedCells/unitMembers lifecycle; the
+        // maintainer's own flatCheckpoint of it (its owned base) then
+        // scans the cache instead of re-aggregating the member table
+        // per run (cold cost reported in OPTIMIZATION_r19.md)
+        val index = Caches.frame(s, dir, "unitIndexHist") {
+          histMembers.groupBy(col("unit_hash"))
+            .agg(min(struct(col("doc_id"), col("chunk_id"))).as("__kp"),
+              count(lit(1)).as("n_occ"))
+            .select(col("unit_hash"), col("__kp.doc_id").as("doc_id"),
+              col("__kp.chunk_id").as("chunk_id"), col("n_occ"))
+        }
         val docs = Tables(s, dir, "documents")
         val staging =
           AnalyticsQueries.tempDirCleanedOnExit("graft_simx_").toString

@@ -155,7 +155,13 @@ private[streaming] object EpochSnapshots {
     * four folds, 70 s of task time for 4 s of stage wall — all task-
     * launch overhead on near-empty slices). These frames are batch- or
     * compactBound-sized (KBs) at any corpus scale, so one slice is the
-    * right shape at 100 TB too; the narrow coalesce adds no job. */
+    * right shape at 100 TB too; the narrow coalesce adds no job to
+    * frames consumed by scans/joins. (Caveat, r18 advisor: a frame fed
+    * ONLY to broadcast()/collect loses LocalTableScanExec's driver-side
+    * no-job fast path — the CoalesceExec wrapper costs those sites a
+    * 1-task job. Accepted: every call site either scans the frame in an
+    * executor plan or tolerates the one bounded task, and one shape for
+    * all sites beats auditing each consumer.) */
   def localFrame(spark: SparkSession, rows: Seq[Row],
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)

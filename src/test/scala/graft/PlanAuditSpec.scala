@@ -112,38 +112,47 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase
     }
   }
 
-  test("q87: the tokenizer exchange is built once and reused by every " +
-      "model branch at runtime") {
-    // the bigram-LM plan reads the tokenized-docs exchange from four
-    // places (doc bigrams ×2 via corpus counts, unigrams); AQE's stage
-    // cache must unify them into ONE executed tokenizer stage — if the
-    // branches stop being canonically identical (e.g. a Filter slips
-    // below the repartition again), each branch re-tokenizes the full
-    // corpus and this fails
+  test("q87: the scoring plan reads the MATERIALIZED doc-grain counts " +
+      "and never re-scans the corpus") {
+    // r19 strengthened the r18 contract: exchange reuse only deduped up
+    // to the tokenizer exchange (the explode + partial agg above it
+    // still re-ran per consumer — the q182 driver regression), so the
+    // shared aggregates (docBi, uni) are now checkpointed. The scoring
+    // plan's leaves must therefore be the checkpointed RDDs — a parquet
+    // scan here means a shared aggregate lost its checkpoint and a
+    // model branch re-tokenizes the corpus
     val df = Registry.byName("q87_bigram_lm_score").run(spark, dir)
     df.collect() // materialize THIS QueryExecution so AQE stages exist
     val p = df.queryExecution.executedPlan
-    val reused = collectWithSubqueries(p) {
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+    assert(collectWithSubqueries(p) {
+      case s: FileSourceScanExec => s
+    }.isEmpty,
+      s"scoring plan re-reads the corpus — a checkpoint was lost:\n$p")
+    val rdds = collectWithSubqueries(p) {
+      case r: org.apache.spark.sql.execution.RDDScanExec => r
     }
-    assert(reused.size >= 2,
-      s"tokenizer/model stages are not reused — branches re-tokenize:\n$p")
+    assert(rdds.size >= 2,
+      s"expected the docBi + uni checkpoint leaves in the scoring " +
+        s"plan:\n$p")
   }
 
-  test("q98: both DSIR model families reuse the tokenizer stage and " +
-      "the top-k plans as TakeOrderedAndProject") {
-    // the importance-ratio plan reads the tokenized-docs exchange from
-    // the bigram family (doc counts → raw + target models) AND the
-    // unigram family (denominators + vocabulary sizes) — AQE must unify
-    // them onto one executed tokenizer stage, exactly q87's contract
+  test("q98: both DSIR model families read the materialized counts " +
+      "and the top-k plans as TakeOrderedAndProject") {
+    // same r19 contract as q87: the bigram family (raw + target models,
+    // final scoring join) reads the docBi checkpoint, the unigram
+    // family (denominators + vocabulary sizes) the uniStats checkpoint
     val df = Registry.byName("q98_dsir_select").run(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan
-    val reused = collectWithSubqueries(p) {
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+    assert(collectWithSubqueries(p) {
+      case s: FileSourceScanExec => s
+    }.isEmpty,
+      s"scoring plan re-reads the corpus — a checkpoint was lost:\n$p")
+    val rdds = collectWithSubqueries(p) {
+      case r: org.apache.spark.sql.execution.RDDScanExec => r
     }
-    assert(reused.size >= 2,
-      s"DSIR model branches do not reuse the tokenizer stage:\n$p")
+    assert(rdds.size >= 2,
+      s"expected the docBi + uniStats checkpoint leaves:\n$p")
     assert(collectWithSubqueries(p) {
       case t: TakeOrderedAndProjectExec => t
     }.nonEmpty, s"top-100 selection is not TakeOrderedAndProject:\n$p")

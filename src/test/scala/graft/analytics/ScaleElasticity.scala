@@ -924,6 +924,25 @@ object ScaleElasticity {
         percentile(col("v"), array((1 to 7).map(i =>
           lit(i / 8.0)): _*)).as("ps")))
     }
+    // q183/q190's exact percentile engine at CORPUS NDV (r19, the r18
+    // verdict's evidence gap): Percentiles.profile's histogram is
+    // value-grain, and here the values are hash-derived doubles — NDV
+    // ≈ rows, so each scale step grows the histogram with the corpus.
+    // The row pins that the range-partitioned two-phase prefix sums
+    // absorb it: per-task window state is the task's RANGE SLICE of one
+    // group's histogram (guide §5 — spills bounded by the slice), where
+    // a plain Window.partitionBy(group) would sort a whole column's NDV
+    // on one task. (The q70 mergeable sketch stays the documented
+    // corpus-NDV default; this is the exact path's measured ceiling.)
+    def profileNdvProbe(tag: String): Unit = {
+      val n = 200000L * scaleOf(tag)
+      val e = spark.range(n).select(
+        concat(lit("c"), pmod(col("id"), lit(3))).as("col_name"),
+        (pmod(xxhash64(col("id") * 7 + 3), lit(1000000000000L))
+          .cast("double") / 1e6).as("v"))
+      force(graft.analytics.Percentiles.profile(e, "col_name", "v",
+        (1 to 7).map(_ / 8.0)))
+    }
     // q190 split in three: the same selective self-join WITHOUT stats
     // (plan-time sizing prices the filter at the full scan → SMJ), the
     // one-time ANALYZE pass, and the join again with the rule hinting
@@ -1057,6 +1076,7 @@ object ScaleElasticity {
       ("warehouse_ohlc", ohlcProbe _),
       ("warehouse_aggmerge", aggMergeProbe _),
       ("analyze_exact_stats", analyzeStatsProbe _),
+      ("profile_exact_ndv", profileNdvProbe _),
       ("stats_join_nostats", hotJoin _),
       ("stats_analyze_pass", analyzePassProbe _),
       ("stats_join_ruled", hotJoin _),

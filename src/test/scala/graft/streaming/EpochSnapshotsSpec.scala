@@ -110,4 +110,55 @@ class EpochSnapshotsSpec extends AnyFunSuite with SparkTestBase {
     assert(slot.get.get.collect().map(_.getLong(0)).sorted.toSeq ===
       Seq(1L, 2L, 3L))
   }
+
+  private def ovSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("cluster_id",
+      org.apache.spark.sql.types.LongType)))
+  private def row(id: Long, c: Long) = org.apache.spark.sql.Row(id, c)
+  private def rowsOf(l: EpochSnapshots.OverrideLedger): Set[(Long, Long)] =
+    l.frame.map(_.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      .getOrElse(Set.empty)
+
+  test("OverrideLedger: driver-held merge supersedes by key, drops the " +
+      "removal keys, sizes without a job; clear empties") {
+    val l = new EpochSnapshots.OverrideLedger(spark, ovSchema,
+      Seq(row(1L, 10L), row(2L, 10L), row(3L, 30L)))
+    assert(l.size === 3 && !l.spilled)
+    // key 1 re-repaired, key 2 removed, key 4 new
+    l.merge(Seq(row(1L, 11L), row(4L, 40L)), drop = Seq(2L))
+    assert(l.size === 3)
+    assert(l.keys.toSet === Set(1L, 3L, 4L))
+    assert(rowsOf(l) === Set((1L, 11L), (3L, 30L), (4L, 40L)))
+    l.clear()
+    assert(l.size === 0 && l.frame.isEmpty)
+  }
+
+  test("OverrideLedger: a merge whose fresh rows also appear in drop " +
+      "keeps the fresh rows (fresh wins; drop covers the affected set)") {
+    val l = new EpochSnapshots.OverrideLedger(spark, ovSchema, Seq.empty)
+    l.merge(Seq(row(5L, 50L)), drop = Seq(5L, 6L))
+    assert(rowsOf(l) === Set((5L, 50L)))
+  }
+
+  test("OverrideLedger: spill flips one-way to a distributed frame " +
+      "with identical contents; post-spill merges stay correct") {
+    import spark.implicits._
+    val l = new EpochSnapshots.OverrideLedger(spark, ovSchema,
+      Seq(row(1L, 10L), row(2L, 20L)))
+    // distributed repair supersedes key 1, key 2 is removed
+    l.spill(Seq((1L, 11L), (7L, 70L)).toDF("id", "cluster_id"),
+      drop = Seq(2L))
+    assert(l.spilled && l.size === 2)
+    assert(rowsOf(l) === Set((1L, 11L), (7L, 70L)))
+    intercept[IllegalStateException](l.keys)
+    // a later bounded repair merges through the distributed path
+    l.merge(Seq(row(7L, 71L), row(8L, 80L)), drop = Seq(1L))
+    assert(l.spilled && l.size === 2 + 0,
+      "7 superseded, 1 dropped, 8 added: {7, 8}")
+    assert(rowsOf(l) === Set((7L, 71L), (8L, 80L)))
+    l.clear()
+    assert(!l.spilled && l.size === 0 && l.frame.isEmpty)
+  }
 }
